@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin adapter over litebase_spark's query catalog: every operator declared
+in SURVEY.md §2 registers a named query (Spark builder + DuckDB oracle
+SQL) in ``litebase_spark.catalog.REGISTRY``; this module re-exports them
+in the driver's shape.
 """
 
 from __future__ import annotations
@@ -13,26 +12,40 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+import litebase_spark.operators  # noqa: F401  (import registers all queries)
+from litebase_spark.catalog import REGISTRY
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1-style pricing summary) on sf0.001."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return REGISTRY["q1_pricing_summary"].builder(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def make(name: str):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            return REGISTRY[name].builder(spark, sf_dir)
+
+        run.__name__ = f"query_{name}"
+        run.__doc__ = REGISTRY[name].description
+        return run
+
+    return {name: make(name) for name in sorted(REGISTRY)}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query; omitted for non-SQL-expressible
+    operators (driver records a rows-only check for those)."""
+    return {
+        name: spec.oracle
+        for name, spec in sorted(REGISTRY.items())
+        if spec.oracle is not None
+    }

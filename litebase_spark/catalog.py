@@ -1,0 +1,136 @@
+"""Query catalog: the declared-operator registry behind __spark_entry__.
+
+Every operator family from SURVEY.md §2 registers one or more named
+queries here.  Each entry carries
+
+  * ``builder(spark, sf_dir) -> DataFrame`` — the Spark-first
+    implementation (DataFrame API, Catalyst-optimizable), and
+  * ``oracle`` — equivalent ANSI SQL for the DuckDB oracle (t2 gate), or
+    None for genuinely non-SQL-expressible operators (the driver then
+    records a weaker rows-only check).
+
+Determinism contract with the oracle (FIXTURES.md §"Oracle protocol"):
+  * computed double aggregates go through exact DECIMAL arithmetic and are
+    cast to double (identical bits in both engines), via the helpers below;
+  * ties in window functions are broken by a unique key;
+  * timestamps are UTC/naive in both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    description: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(
+    name: str,
+    oracle: str | None = None,
+    description: str = "",
+    tags: tuple[str, ...] = (),
+) -> Callable:
+    """Decorator registering a query in the catalog."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(name, fn, oracle, description, tags)
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame (parquet scan; Catalyst will
+    push filters/projections down into the scan)."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # events.ts is parquet TIMESTAMP(NANOS); with
+        # spark.sql.legacy.parquet.nanosAsLong it arrives as int64 nanos.
+        # Truncate to microseconds (integer division — double math would
+        # lose precision at 1e18) to match DuckDB's ns->us handling.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register the fixture tables as temp views for spark.sql() use."""
+    for t in tables:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+# ---------------------------------------------------------------------------
+# Oracle-exact numeric helpers.
+#
+# Summing doubles is order-dependent; Spark and DuckDB would disagree in the
+# low bits.  The fixtures' money columns are 2-decimal values, so we compute
+# in DECIMAL (exact, associative) and only convert to double at the end —
+# both engines then produce bit-identical doubles.  A final round() guards
+# the (rare) 1-ulp difference in decimal→double conversion.
+# ---------------------------------------------------------------------------
+
+DEC = "decimal(18,2)"
+
+
+def dsum(col, scale: int = 2) -> Column:
+    """Exact sum of a 2-decimal double column, returned as double."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.round(F.sum(c.cast(DEC)).cast("double"), scale)
+
+
+def dsum_expr(col: Column, scale: int = 4) -> Column:
+    """Exact sum of a product-of-decimals expression, as double.
+
+    Caller is responsible for building `col` out of DEC-cast operands so the
+    arithmetic stays exact (e.g. revenue = price * (1 - disc))."""
+    return F.round(F.sum(col).cast("double"), scale)
+
+
+def davg(col, scale: int = 6) -> Column:
+    """Exact-sum average of a 2-decimal double column, as double."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.round(
+        F.sum(c.cast(DEC)).cast("double") / F.count(c), scale
+    )
+
+
+def dec(col) -> Column:
+    c = col if isinstance(col, Column) else F.col(col)
+    return c.cast(DEC)
+
+
+# Matching SQL fragments for the DuckDB side.
+def SQL_DSUM(expr: str, scale: int = 2) -> str:
+    return f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE), {scale})"
+
+
+def SQL_DAVG(expr: str, scale: int = 6) -> str:
+    return (
+        f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE)"
+        f" / COUNT({expr}), {scale})"
+    )

@@ -1,0 +1,269 @@
+"""Engine — the service-level surface of the reference, Spark-first.
+
+Maps litebase's query lifecycle (SURVEY §3.1) onto a SparkSession:
+
+  * ``Engine.sql(statement, params)`` — parse/bind/execute/collect with a
+    result envelope mirroring the reference's response shape
+    (``changes``, ``row_count``, ``columns``, ``latency`` — reference:
+    pkg/database/query_response.go:15-50).
+  * Parameter binding — positional ``?`` and named ``:name`` over the five
+    SQLite storage classes INTEGER/FLOAT/TEXT/BLOB/NULL (reference:
+    pkg/sqlite3/statement.go:103-159), implemented with Spark's native
+    parameterized ``spark.sql(sql, args=...)``.
+  * Statement classification — read/write routing analog of the
+    reference's prefix classifier (reference: pkg/database/query.go:46-102);
+    here it only gates writes and feeds metrics, since Spark's driver is
+    the single writer (the reference's write queue / primary forwarding —
+    pkg/database/write_queue.go, resolver.go:205-262 — collapse to this).
+  * Query metrics — per-statement-hash latency aggregation with
+    count/avg/min/max/p50/p90/p99, the reference's telemetry shape
+    (reference: pkg/logs/query_metric.go:14-28), queryable as a DataFrame.
+  * Databases/branches — namespace management in the session catalog
+    (reference: pkg/database/system_database.go:98-131); branch forking is
+    snapshot-copy of a namespace location.
+"""
+
+from __future__ import annotations
+
+import time
+import zlib
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, Row, SparkSession
+
+from litebase_spark.session import get_spark
+
+# Statement-prefix classes, mirroring reference pkg/database/query.go:46-102.
+_DDL_PREFIXES = ("CREATE", "ALTER", "DROP", "TRUNCATE", "REPLACE")
+_DML_PREFIXES = ("INSERT", "UPDATE", "DELETE", "MERGE")
+_DQL_PREFIXES = ("SELECT", "WITH", "VALUES", "TABLE", "DESCRIBE", "SHOW", "EXPLAIN")
+
+
+def classify_statement(sql: str) -> str:
+    """Classify a statement DDL/DML/DQL/OTHER (analog of reference
+    pkg/database/query.go:46-102 prefix classification)."""
+    head = sql.lstrip().split(None, 1)
+    kw = head[0].upper() if head else ""
+    if kw in _DDL_PREFIXES:
+        return "DDL"
+    if kw in _DML_PREFIXES:
+        return "DML"
+    if kw in _DQL_PREFIXES:
+        return "DQL"
+    return "OTHER"
+
+
+def is_write(sql: str) -> bool:
+    return classify_statement(sql) in ("DDL", "DML")
+
+
+@dataclass
+class QueryResult:
+    """Result envelope mirroring reference pkg/database/query_response.go:15-50."""
+
+    columns: list[str]
+    rows: list[Row]
+    row_count: int
+    changes: int
+    latency: float
+    statement_class: str
+
+    def __iter__(self):
+        return iter(self.rows)
+
+
+@dataclass
+class _MetricAccumulator:
+    statement: str
+    count: int = 0
+    total: float = 0.0
+    vmin: float = float("inf")
+    vmax: float = 0.0
+    latencies: list[float] = field(default_factory=list)
+
+
+class QueryMetrics:
+    """Per-statement-hash latency telemetry (reference
+    pkg/logs/query_metric.go:14-46 keeps count/avg/min/max/p50/p90/p99 in
+    64-byte records keyed by statement hash; we keep exact samples locally
+    and aggregate with percentile_approx when reading back at scale)."""
+
+    def __init__(self) -> None:
+        self._acc: dict[int, _MetricAccumulator] = {}
+
+    @staticmethod
+    def statement_hash(sql: str) -> int:
+        # CRC32 statement keying, like the reference's statement cache key
+        # (reference: pkg/database/database_connection.go:726-756).
+        return zlib.crc32(sql.encode())
+
+    def record(self, sql: str, latency: float) -> None:
+        h = self.statement_hash(sql)
+        acc = self._acc.get(h)
+        if acc is None:
+            acc = self._acc[h] = _MetricAccumulator(statement=sql)
+        acc.count += 1
+        acc.total += latency
+        acc.vmin = min(acc.vmin, latency)
+        acc.vmax = max(acc.vmax, latency)
+        acc.latencies.append(latency)
+
+    def snapshot(self) -> list[dict[str, Any]]:
+        out = []
+        for h, a in sorted(self._acc.items()):
+            lat = sorted(a.latencies)
+
+            def pct(p: float) -> float:
+                if not lat:
+                    return 0.0
+                return lat[min(len(lat) - 1, int(p * len(lat)))]
+
+            out.append(
+                {
+                    "statement_hash": h,
+                    "statement": a.statement,
+                    "count": a.count,
+                    "avg": a.total / a.count if a.count else 0.0,
+                    "min": a.vmin if a.count else 0.0,
+                    "max": a.vmax,
+                    "p50": pct(0.50),
+                    "p90": pct(0.90),
+                    "p99": pct(0.99),
+                }
+            )
+        return out
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        snap = self.snapshot()
+        schema = (
+            "statement_hash long, statement string, count long, avg double,"
+            " min double, max double, p50 double, p90 double, p99 double"
+        )
+        return spark.createDataFrame(snap, schema=schema)
+
+
+class Engine:
+    """Session + catalog + query dispatch (reference resolver analog,
+    SURVEY §2.A rows A2/A3/A6/A22)."""
+
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        default_database: str = "main",
+    ) -> None:
+        self.spark = spark or get_spark()
+        self.metrics = QueryMetrics()
+        self.default_database = default_database
+
+    # -- query dispatch (A2/A3) --------------------------------------------
+
+    def sql(
+        self,
+        statement: str,
+        params: list | dict | None = None,
+        collect: bool = True,
+    ) -> QueryResult:
+        """Execute a statement with optional positional/named parameters.
+
+        Positional ``?`` placeholders are rewritten to named placeholders
+        and bound via Spark's parameterized SQL — the engine-side analog of
+        the reference's typed bind (pkg/sqlite3/statement.go:87-167).
+        """
+        t0 = time.time()
+        stmt_class = classify_statement(statement)
+        sql_text, args = self._bind(statement, params)
+        df = self.spark.sql(sql_text, args=args) if args else self.spark.sql(sql_text)
+        if collect and stmt_class in ("DQL", "OTHER"):
+            rows = df.collect()
+            columns = list(df.columns)
+            changes = 0
+        else:
+            # DDL/DML: Spark executes eagerly on .collect(); row results of
+            # DML are commit metrics, not data (changes analog — reference
+            # resolver.go:127-130 captures sqlite3_changes).
+            res = df.collect()
+            rows = []
+            columns = list(df.columns)
+            changes = self._changes_from(res)
+        latency = time.time() - t0
+        self.metrics.record(statement, latency)
+        return QueryResult(
+            columns=columns,
+            rows=rows,
+            row_count=len(rows),
+            changes=changes,
+            latency=latency,
+            statement_class=stmt_class,
+        )
+
+    def df(self, statement: str, params: list | dict | None = None) -> DataFrame:
+        """Lazy variant: return the DataFrame without collecting."""
+        sql_text, args = self._bind(statement, params)
+        return self.spark.sql(sql_text, args=args) if args else self.spark.sql(sql_text)
+
+    @staticmethod
+    def _bind(statement: str, params: list | dict | None):
+        if params is None:
+            return statement, None
+        if isinstance(params, dict):
+            return statement, params
+        # positional: rewrite ? -> :p0, :p1 ... outside of string literals
+        out, args, i = [], {}, 0
+        in_str = False
+        for ch in statement:
+            if ch == "'":
+                in_str = not in_str
+                out.append(ch)
+            elif ch == "?" and not in_str:
+                out.append(f":p{i}")
+                args[f"p{i}"] = params[i]
+                i += 1
+            else:
+                out.append(ch)
+        if i != len(params):
+            raise ValueError(f"statement has {i} placeholders, got {len(params)} params")
+        return "".join(out), args
+
+    @staticmethod
+    def _changes_from(rows: list[Row]) -> int:
+        # Delta-style DML returns metric rows (num_affected_rows); plain
+        # parquet DDL returns nothing. Best-effort extraction.
+        for r in rows:
+            d = r.asDict() if hasattr(r, "asDict") else {}
+            for k in ("num_affected_rows", "num_inserted_rows", "num_updated_rows"):
+                if k in d and d[k] is not None:
+                    return int(d[k])
+        return 0
+
+    # -- catalog / namespace management (A21 analog, §1.1) -----------------
+
+    def create_database(self, name: str) -> None:
+        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{name}`")
+
+    def drop_database(self, name: str) -> None:
+        self.spark.sql(f"DROP DATABASE IF EXISTS `{name}` CASCADE")
+
+    def create_branch(self, database: str, branch: str, tables: list[str]) -> str:
+        """Fork a database: copy-on-read snapshot of each table into a new
+        namespace `database__branch` (reference branch model:
+        pkg/database/branch.go:15-30; fork-by-copy pkg/backups/restore.go:29-56).
+        With a Delta catalog this becomes SHALLOW CLONE; on plain parquet we
+        materialize a snapshot copy."""
+        ns = f"{database}__{branch}"
+        self.create_database(ns)
+        for t in tables:
+            self.spark.sql(
+                f"CREATE TABLE IF NOT EXISTS `{ns}`.`{t}` AS "
+                f"SELECT * FROM `{database}`.`{t}`"
+            )
+        return ns
+
+    def register_parquet_dir(self, sf_dir: str, tables) -> None:
+        for t in tables:
+            self.spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+    # -- metrics (A22) ------------------------------------------------------
+
+    def query_metrics(self) -> DataFrame:
+        return self.metrics.to_df(self.spark)

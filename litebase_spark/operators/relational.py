@@ -1,0 +1,998 @@
+"""Relational operator coverage (SURVEY.md §2.B).
+
+The reference delegates this entire surface to embedded SQLite 3.49.1
+(reference: pkg/database/resolver.go:105 hands the SQL string verbatim to
+sqlite3_prepare_v3). Here each capability is expressed Spark-first with the
+DataFrame API (or Spark SQL where that is the idiomatic form, e.g.
+GROUPING SETS / CTEs) and paired with a DuckDB oracle.
+
+Scale notes are inline per query: which joins broadcast, where shuffles
+land, and why the plan survives a 100 TB input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from litebase_spark.catalog import (
+    SQL_DAVG,
+    SQL_DSUM,
+    davg,
+    dec,
+    dsum,
+    dsum_expr,
+    load,
+    query,
+    register_views,
+)
+
+# ---------------------------------------------------------------------------
+# Scan / filter / aggregate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {SQL_DSUM('l_quantity')} AS sum_qty,
+           {SQL_DSUM('l_extendedprice')} AS sum_base_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4)
+               AS sum_disc_price,
+           {SQL_DAVG('l_quantity')} AS avg_qty,
+           {SQL_DAVG('l_extendedprice')} AS avg_price,
+           {SQL_DAVG('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    description="TPC-H Q1 style pricing summary: scan+filter+hash agg. "
+    "Flagship query (entry). Plan: parquet scan with pushed shipdate filter "
+    "-> partial agg (map-side) -> single shuffle on 6 group keys -> final agg."
+    " Survives 100 TB: group-key cardinality is 6; partial agg collapses "
+    "everything map-side.",
+    tags=("agg", "scan", "filter"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum_expr(disc_price).alias("sum_disc_price"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_global",
+    oracle=f"""
+    SELECT COUNT(*) AS cnt,
+           COUNT(DISTINCT l_orderkey) AS distinct_orders,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty,
+           {SQL_DSUM('l_quantity')} AS sum_qty,
+           {SQL_DAVG('l_extendedprice')} AS avg_price
+    FROM lineitem
+    """,
+    description="Global (no group) aggregate incl. COUNT DISTINCT. "
+    "At scale COUNT DISTINCT shuffles on the distinct key first; "
+    "approx_count_distinct (see agg_approx_distinct) is the 100 TB fast path.",
+    tags=("agg",),
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("l_orderkey").alias("distinct_orders"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        dsum("l_quantity").alias("sum_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle=f"""
+    SELECT l_suppkey, {SQL_DSUM('l_quantity')} AS total_qty,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 1000
+    """,
+    description="GROUP BY + HAVING (post-aggregation filter).",
+    tags=("agg",),
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_suppkey")
+        .agg(
+            dsum("l_quantity").alias("total_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .filter(F.col("total_qty") > 1000)
+    )
+
+
+@query(
+    "agg_group_concat",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(*) AS n_customers,
+           STRING_AGG(c.c_name, ',' ORDER BY c.c_name) AS customer_names
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    description="SQLite group_concat/string_agg analog "
+    "(SURVEY §2.B aggregation): collect_list + array_sort + array_join. "
+    "Sorted for cross-engine determinism.",
+    tags=("agg", "compat"),
+)
+def agg_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias(
+                "customer_names"
+            ),
+        )
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT n.n_name, c.c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP (n.n_name, c.c_mktsegment)
+    """,
+    description="ROLLUP — exceeds SQLite parity (SURVEY §2.B gap, free in "
+    "Spark).",
+    tags=("agg",),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup("n_name", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS cnt, {SQL_DSUM('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    description="CUBE — exceeds SQLite parity.",
+    tags=("agg",),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    description="GROUPING SETS via Spark SQL — exceeds SQLite parity.",
+    tags=("agg",),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "total_compat",
+    oracle="""
+    SELECT o.o_orderstatus,
+           COALESCE(ROUND(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2),
+                    0.0) AS total_qty
+    FROM orders o
+    LEFT JOIN lineitem l
+      ON o.o_orderkey = l.l_orderkey AND l.l_quantity > 49.0
+    GROUP BY o.o_orderstatus
+    """,
+    description="SQLite total() semantics: sum returning 0.0 instead of NULL "
+    "on empty input (SURVEY §2.B: total() -> coalesce(sum, 0.0)).",
+    tags=("agg", "compat"),
+)
+def total_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 49.0)
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left")
+        .groupBy("o_orderstatus")
+        .agg(F.coalesce(dsum("l_quantity"), F.lit(0.0)).alias("total_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.B joins — SQLite has only nested loop; Catalyst picks
+# broadcast-hash / shuffle-hash / sort-merge per side statistics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4)
+               AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    description="TPC-H Q3 style: 3-way join + agg + top-k. Plan: customer "
+    "filter pushed to scan, customer (small after filter) broadcasts into "
+    "orders, lineitem joins on l_orderkey (shuffle); top-k runs as "
+    "TakeOrderedAndProject (no global sort). 100 TB: the only full shuffle "
+    "is lineitem x orders on orderkey — co-bucketing both by orderkey "
+    "removes it.",
+    tags=("join", "agg", "topk"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum_expr(revenue).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_regional_revenue",
+    oracle="""
+    SELECT n.n_name,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4)
+               AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+    description="TPC-H Q5 style 6-table star join. Dimensions "
+    "(region/nation/supplier) broadcast; fact-fact join "
+    "(lineitem x orders) is the single big shuffle. 100 TB: dims stay "
+    "broadcast (<64 MiB), AQE picks skew-split if orderkey skews.",
+    tags=("join", "agg"),
+)
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum_expr(revenue).alias("revenue"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4)
+               AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    description="TPC-H Q10 style: revenue from returned items per customer, "
+    "top 20. Returnflag filter pushed to parquet scan.",
+    tags=("join", "agg", "topk"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum_expr(revenue).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 400000)
+    """,
+    description="Semi join (SQLite expresses as EXISTS; Spark left_semi). "
+    "No duplication of the left side, orders side never materialized.",
+    tags=("join",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    description="Anti join (SQLite NOT EXISTS; Spark left_anti).",
+    tags=("join",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT COALESCE(n.n_name, 'NO_NATION') AS nation_name,
+           COALESCE(s.s_name, 'NO_SUPPLIER') AS supplier_name
+    FROM nation n FULL OUTER JOIN supplier s ON n.n_nationkey = s.s_nationkey
+    """,
+    description="FULL OUTER JOIN (SQLite >=3.39 surface).",
+    tags=("join",),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier")
+    return n.join(s, n.n_nationkey == s.s_nationkey, "full_outer").select(
+        F.coalesce("n_name", F.lit("NO_NATION")).alias("nation_name"),
+        F.coalesce("s_name", F.lit("NO_SUPPLIER")).alias("supplier_name"),
+    )
+
+
+@query(
+    "join_cross",
+    oracle="SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n",
+    description="CROSS JOIN (tiny x tiny only; BroadcastNestedLoop).",
+    tags=("join",),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(F.broadcast(n)).select("r_name", "n_name")
+
+
+@query(
+    "join_theta",
+    oracle="""
+    SELECT n.n_name, COUNT(*) AS n_pairs
+    FROM supplier s
+    JOIN customer c ON s.s_nationkey = c.c_nationkey
+                    AND s.s_acctbal > c.c_acctbal
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name
+    """,
+    description="Theta (non-equi) join: equi key on nation limits the "
+    "quadratic term to within-nation pairs; Catalyst runs it as a hash join "
+    "on the equi conjunct with the inequality as post-filter — same trick "
+    "SQLite's nested loop would need an index for.",
+    tags=("join",),
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        s.join(
+            c,
+            (s.s_nationkey == c.c_nationkey) & (s.s_acctbal > c.c_acctbal),
+        )
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+_SETOP_A = "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+_SETOP_B = (
+    "SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000"
+)
+
+
+def _setop_sides(spark, sf_dir):
+    a = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    b = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return a, b
+
+
+@query(
+    "setop_union",
+    oracle=f"{_SETOP_A} UNION {_SETOP_B}",
+    description="UNION (distinct) — union + dropDuplicates.",
+    tags=("setop",),
+)
+def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _setop_sides(spark, sf_dir)
+    return a.union(b).dropDuplicates()
+
+
+@query(
+    "setop_union_all",
+    oracle=f"SELECT COUNT(*) AS cnt FROM ({_SETOP_A} UNION ALL {_SETOP_B})",
+    description="UNION ALL (bag semantics) — counted for a stable result.",
+    tags=("setop",),
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _setop_sides(spark, sf_dir)
+    return a.union(b).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@query(
+    "setop_intersect",
+    oracle=f"{_SETOP_A} INTERSECT {_SETOP_B}",
+    description="INTERSECT (distinct).",
+    tags=("setop",),
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _setop_sides(spark, sf_dir)
+    return a.intersect(b)
+
+
+@query(
+    "setop_except",
+    oracle=f"{_SETOP_A} EXCEPT {_SETOP_B}",
+    description="EXCEPT (distinct).",
+    tags=("setop",),
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _setop_sides(spark, sf_dir)
+    return a.exceptAll(b).dropDuplicates()
+
+
+@query(
+    "distinct_projection",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    description="SELECT DISTINCT — hash aggregate on projected columns; "
+    "parquet reads only the two columns (check ReadSchema).",
+    tags=("scan",),
+)
+def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "subquery_scalar",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > 1.5 * (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) FROM orders)
+    """,
+    description="Scalar subquery: orders priced >1.5x the global average. "
+    "Spark form: single-row aggregate broadcast-cross-joined (exactly how "
+    "Catalyst decorrelates it).",
+    tags=("subquery",),
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    avg_df = o.agg(
+        (F.sum(dec("o_totalprice")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_price"
+        )
+    )
+    return (
+        o.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("avg_price"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "subquery_correlated",
+    oracle="""
+    SELECT c_custkey, c_acctbal, c_nationkey FROM customer c
+    WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*)
+        FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+    description="Correlated subquery (customers above their nation's average "
+    "balance), implemented in its decorrelated form: per-nation aggregate "
+    "broadcast back — the same plan Catalyst produces for the correlated SQL.",
+    tags=("subquery",),
+)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    nation_avg = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
+            "nation_avg"
+        )
+    )
+    return (
+        c.join(F.broadcast(nation_avg), c.c_nationkey == F.col("nk"))
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", "c_acctbal", "c_nationkey")
+    )
+
+
+@query(
+    "subquery_in",
+    oracle="""
+    SELECT COUNT(*) AS cnt,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS sum_qty
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size < 10)
+    """,
+    description="IN (subquery) — rewritten to left_semi join, exactly "
+    "Catalyst's rewrite for IN.",
+    tags=("subquery", "join"),
+)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "left_semi")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (SURVEY §2.B — full SQLite 3.49 window surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_rank_topk",
+    oracle="""
+    SELECT * FROM (
+        SELECT n_name, c_custkey, c_acctbal,
+               ROW_NUMBER() OVER w AS rn,
+               RANK() OVER w AS rnk,
+               DENSE_RANK() OVER w AS drnk
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey)
+    ) WHERE rn <= 3
+    """,
+    description="Top-k per group via row_number/rank/dense_rank. Ties broken "
+    "by unique c_custkey for cross-engine determinism. 100 TB: single "
+    "shuffle on the partition key; no global sort.",
+    tags=("window", "topk"),
+)
+def window_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE), 2) AS running_total
+    FROM orders
+    """,
+    description="Running sum with an explicit ROWS frame (exact decimal "
+    "accumulation so both engines agree bit-for-bit).",
+    tags=("window",),
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum(dec("o_totalprice")).over(w).cast("double"), 2).alias(
+            "running_total"
+        ),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           ROUND(value - LAG(value) OVER w, 6) AS delta_prev,
+           ROUND(LEAD(value) OVER w - value, 6) AS delta_next
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    description="LAG/LEAD over event streams (per-user deltas).",
+    tags=("window", "events"),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta_prev"),
+        F.round(F.lead("value").over(w) - F.col("value"), 6).alias("delta_next"),
+    )
+
+
+@query(
+    "window_ntile_dist",
+    oracle="""
+    SELECT o_orderkey,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 8) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 8) AS cume
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+    description="NTILE / PERCENT_RANK / CUME_DIST; unique ordering keeps "
+    "NTILE deterministic. Note: single unpartitioned window = single-reducer "
+    "sort; at 100 TB use a partitioned variant or approx quantiles instead.",
+    tags=("window",),
+)
+def window_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 8).alias("cume"),
+    )
+
+
+@query(
+    "window_first_last_nth",
+    oracle="""
+    SELECT DISTINCT n_name,
+           FIRST_VALUE(c_name) OVER w AS richest,
+           LAST_VALUE(c_name) OVER w AS poorest,
+           NTH_VALUE(c_name, 2) OVER w AS second
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    description="FIRST_VALUE / LAST_VALUE / NTH_VALUE with a full-partition "
+    "frame (the SQLite default-frame pitfall avoided explicitly).",
+    tags=("window",),
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    w = (
+        Window.partitionBy("n_name")
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.first("c_name").over(w).alias("richest"),
+            F.last("c_name").over(w).alias("poorest"),
+            F.nth_value("c_name", 2).over(w).alias("second"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           COUNT(*) OVER (ORDER BY o_totalprice
+                          RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING)
+               AS n_similar
+    FROM orders
+    """,
+    description="RANGE frame (value-based window): count of orders within "
+    "+/-100 of each order's price.",
+    tags=("window",),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice").rangeBetween(-100, 100)
+    return o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_similar"),
+    )
+
+
+@query(
+    "window_filter_clause",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 FILTER (WHERE o_orderstatus = 'F') AS DOUBLE), 2)
+               AS finished_value
+    FROM orders GROUP BY o_custkey
+    """,
+    description="SQLite FILTER (WHERE ...) aggregate clause, rewritten as "
+    "conditional aggregation (SURVEY §2.B: FILTER -> sum(when(cond, x))).",
+    tags=("agg", "compat"),
+)
+def window_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    is_f = F.col("o_orderstatus") == "F"
+    return o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(is_f, 1)).alias("n_finished"),
+        F.round(
+            F.sum(F.when(is_f, dec("o_totalprice"))).cast("double"), 2
+        ).alias("finished_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CTEs / sort / limit / expressions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cte_basic",
+    oracle="""
+    WITH big_orders AS (
+        SELECT o_custkey, COUNT(*) AS n_big
+        FROM orders WHERE o_totalprice > 200000 GROUP BY o_custkey
+    ),
+    segments AS (
+        SELECT c_custkey, c_mktsegment FROM customer
+    )
+    SELECT s.c_mktsegment, COUNT(*) AS n_customers,
+           CAST(SUM(b.n_big) AS BIGINT) AS total_big_orders
+    FROM big_orders b JOIN segments s ON b.o_custkey = s.c_custkey
+    GROUP BY s.c_mktsegment
+    """,
+    description="Multi-CTE query via Spark SQL (WITH is native).",
+    tags=("cte",),
+)
+def cte_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ["orders", "customer"])
+    return spark.sql(
+        """
+        WITH big_orders AS (
+            SELECT o_custkey, COUNT(*) AS n_big
+            FROM orders WHERE o_totalprice > 200000 GROUP BY o_custkey
+        ),
+        segments AS (
+            SELECT c_custkey, c_mktsegment FROM customer
+        )
+        SELECT s.c_mktsegment, COUNT(*) AS n_customers,
+               CAST(SUM(b.n_big) AS BIGINT) AS total_big_orders
+        FROM big_orders b JOIN segments s ON b.o_custkey = s.c_custkey
+        GROUP BY s.c_mktsegment
+        """
+    )
+
+
+@query(
+    "orderby_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10 OFFSET 5
+    """,
+    description="ORDER BY + LIMIT/OFFSET (SQLite surface; Spark >=3.4 "
+    "offset).",
+    tags=("sort",),
+)
+def orderby_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(5)
+        .limit(10)
+    )
+
+
+@query(
+    "orderby_nulls",
+    oracle="""
+    SELECT d.delta, COUNT(*) AS cnt FROM (
+        SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+                    ELSE FLOOR(o_totalprice / 100000) END AS delta
+        FROM orders
+    ) d
+    GROUP BY d.delta
+    ORDER BY d.delta NULLS FIRST
+    """,
+    description="NULLS FIRST/LAST ordering (SQLite >=3.30).",
+    tags=("sort",),
+)
+def orderby_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    delta = F.when(F.col("o_orderstatus") == "P", F.lit(None)).otherwise(
+        F.floor(F.col("o_totalprice") / 100000)
+    )
+    return (
+        o.select(delta.alias("delta"))
+        .groupBy("delta")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("delta").asc_nulls_first())
+    )
+
+
+@query(
+    "expr_case_cast",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+                WHEN o_totalprice < 300000 THEN 'medium'
+                ELSE 'large' END AS tier,
+           CAST(FLOOR(o_totalprice) AS BIGINT) AS floor_price_sample,
+           COUNT(*) AS cnt
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    description="CASE WHEN + CAST (explicit FLOOR — SQLite CAST truncates, "
+    "DuckDB rounds; we pin truncation semantics).",
+    tags=("expr",),
+)
+def expr_case_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    tier = (
+        F.when(F.col("o_totalprice") < 100000, "small")
+        .when(F.col("o_totalprice") < 300000, "medium")
+        .otherwise("large")
+    )
+    return (
+        o.select(
+            tier.alias("tier"),
+            F.floor("o_totalprice").cast("bigint").alias("floor_price_sample"),
+        )
+        .groupBy("tier", "floor_price_sample")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "like_between_in",
+    oracle=f"""
+    SELECT COUNT(*) AS cnt, {SQL_DSUM('l.l_extendedprice')} AS sum_price
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_quantity BETWEEN 10 AND 20
+      AND l.l_returnflag IN ('A', 'R')
+      AND p.p_brand LIKE 'Brand#1%'
+    """,
+    description="LIKE / BETWEEN / IN-list predicates (pushed to scans).",
+    tags=("filter",),
+)
+def like_between_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(10, 20)
+        & F.col("l_returnflag").isin("A", "R")
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand").like("Brand#1%"))
+    return l.join(F.broadcast(p), l.l_partkey == p.p_partkey).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("l_extendedprice").alias("sum_price"),
+    )

@@ -1,0 +1,71 @@
+"""SparkSession builder tuned for the engine.
+
+Scale stance: these configs are chosen for correctness locally and good
+behavior on a real cluster — AQE handles runtime re-planning (skew joins,
+partition coalescing), broadcast threshold keeps dimension joins
+shuffle-free, and shuffle partitions default to a value that AQE coalesces
+down on small inputs but that spreads on large ones.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "litebase_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) a SparkSession with engine defaults.
+
+    master defaults to ``local[$SPARK_GRAFT_CPUS]`` (all cores if unset).
+    On a real cluster, pass ``master=None`` with a pre-configured
+    spark-submit environment; every config here is cluster-safe.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local: match parallelism; cluster deployments should override
+        # (rule of thumb: 2-3x total executor cores, or rely on AQE).
+        shuffle_partitions = 32
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Deterministic timestamp semantics vs the DuckDB oracle: everything
+        # is UTC. The fixtures carry naive timestamps.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Adaptive execution: runtime partition coalescing, skew-join
+        # splitting, dynamic join-strategy switch. Essential at 100 TB.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Dimension tables (region/nation/supplier/part at test SFs) should
+        # broadcast; 64 MiB is safe with 4+ GiB executors.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Arrow for any pandas_udf / toPandas path (vectorized transfer).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Parquet: vectorized reader + aggregate pushdown (min/max/count
+        # straight from footers when possible).
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # events.ts is TIMESTAMP(NANOS) parquet, which Spark cannot read
+        # natively; read as long and convert (see catalog.load).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # 128 MiB split target — the same role as the reference's 16 MiB
+        # range files (reference: pkg/storage/range.go:23), sized for
+        # object-store throughput instead of page I/O.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.ansi.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,123 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every query in the catalog on Spark and its oracle SQL on DuckDB at
+sf0.01, canonicalizes both results (columns sorted by name, rows sorted,
+timestamps truncated to microseconds), and compares values exactly.
+
+Usage: python tools/check_oracle.py [--sf-dir DIR] [name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+from litebase_spark import operators  # noqa: F401  (registers queries)
+from litebase_spark.catalog import REGISTRY, TABLES
+from litebase_spark.session import get_spark
+
+
+def canon_value(v):
+    if isinstance(v, dt.datetime):
+        return v.replace(microsecond=(v.microsecond // 1) if v.microsecond else 0)
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    if isinstance(v, (list, tuple)):
+        return tuple(canon_value(x) for x in v)
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+    except ImportError:
+        pass
+    return v
+
+
+def canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(canon_value(r[i]) for i in order))
+    out.sort(key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t))
+    return [cols[i] for i in order], out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{args.sf_dir}/{t}.parquet')"
+        )
+
+    names = args.names or sorted(REGISTRY)
+    n_pass = n_fail = n_noracle = 0
+    for name in names:
+        spec = REGISTRY[name]
+        t0 = time.time()
+        try:
+            sdf = spec.builder(spark, args.sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = list(sdf.columns)
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if spec.oracle is None:
+            print(f"ROWS {name}: {len(srows)} rows (no oracle) "
+                  f"[{time.time()-t0:.1f}s]")
+            n_noracle += 1
+            continue
+        try:
+            cur = con.execute(spec.oracle)
+            dcols = [d[0] for d in cur.description]
+            drows = cur.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        sc, sr = canon_rows(scols, srows)
+        dc, dr = canon_rows(dcols, drows)
+        if sc != dc:
+            print(f"FAIL {name}: columns differ spark={sc} duck={dc}")
+            n_fail += 1
+            continue
+        if len(sr) != len(dr):
+            print(f"FAIL {name}: row count spark={len(sr)} duck={len(dr)}")
+            n_fail += 1
+            continue
+        bad = None
+        for i, (a, b) in enumerate(zip(sr, dr)):
+            if a != b:
+                bad = (i, a, b)
+                break
+        if bad:
+            i, a, b = bad
+            print(f"FAIL {name}: first diff at sorted row {i}:")
+            print(f"  cols:  {sc}")
+            print(f"  spark: {a}")
+            print(f"  duck:  {b}")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(sr)} rows [{time.time()-t0:.1f}s]")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
