@@ -3,7 +3,9 @@ query in litebase_spark.catalog.REGISTRY."""
 
 from litebase_spark.operators import (  # noqa: F401
     dedup,
+    functions_cov,
     multimodal,
+    recursion,
     relational,
     similarity,
     streaming_batch,

@@ -1,1 +1,331 @@
-"""Filled in incrementally."""
+"""Deduplication operators over the documents table (north-star LLM ops).
+
+Four tiers, each designed around its 100 TB shuffle shape:
+
+  * exact            — hash-groupBy on md5(text): one shuffle keyed by
+                       digest, partial agg collapses per-partition dups
+                       before the shuffle.
+  * normalized exact — same, after canonicalization (case/whitespace).
+  * n-gram Jaccard   — exact pairwise similarity, but candidate pairs come
+                       from an inverted shingle index (self-join on
+                       shingle), never a cross join; the shuffle is keyed
+                       by shingle hash.
+  * MinHash + LSH    — the scale path: constant-size signatures, banded
+                       into buckets; only within-bucket pairs are compared.
+                       Shuffles are keyed by (band, bucket-hash), so skew
+                       is bounded by bucket size, not corpus size.
+  * SimHash          — 64-bit near-dup signature per doc; Hamming-adjacent
+                       buckets via bit-block keys.
+
+MinHash/SimHash use xxhash64 (JVM builtin, seedable) — no portable DuckDB
+equivalent, so those two are declared rows-only (driver records the weaker
+check); the exact and Jaccard tiers are fully oracle-matched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from litebase_spark.catalog import load, query
+from litebase_spark.operators.text import _SQL_TOKENS, tokens
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS representative
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    description="Exact dedup via content digest: hash-groupBy keyed by "
+    "md5(text), min(doc_id) as the kept representative. 100 TB: digest is "
+    "computed map-side; the shuffle carries (16-byte key, id) only — "
+    "never the text.",
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("representative"),
+        )
+    )
+
+
+@query(
+    "dedup_exact_normalized",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS norm_hash,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS representative
+    FROM documents
+    GROUP BY 1
+    """,
+    description="Exact dedup after canonicalization (lowercase + collapsed "
+    "whitespace) — catches trivially-reformatted duplicates.",
+    tags=("dedup",),
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    return (
+        d.select(F.md5(norm).alias("norm_hash"), "doc_id")
+        .groupBy("norm_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("representative"),
+        )
+    )
+
+
+_JACCARD_THRESHOLD = 0.5
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH shingled AS (
+        SELECT doc_id, list_distinct(list_transform(
+                   range(1, len(w) - 1),
+                   i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+        FROM (SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS w
+              FROM documents)
+        WHERE len(w) >= 3
+    ),
+    sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shingled),
+    postings AS (SELECT doc_id, u.s FROM shingled, UNNEST(sh) AS u(s)),
+    pair_inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM postings a JOIN postings b
+          ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           ROUND(CAST(p.inter AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - p.inter), 6) AS jaccard
+    FROM pair_inter p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE CAST(p.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - p.inter)
+          >= {_JACCARD_THRESHOLD}
+    """,
+    description="Exact n-gram Jaccard near-dedup: distinct 3-word shingles "
+    "per doc -> inverted index (explode) -> self-join on shingle to count "
+    "intersections -> Jaccard from set sizes. No cross join anywhere: "
+    "candidate pairs only materialize where docs actually share a shingle. "
+    "100 TB: shuffle keyed by shingle digest; hot shingles are the skew "
+    "risk — production variant drops shingles with df above a cap "
+    "(they contribute candidates, not discrimination).",
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = tokens("text")
+    shingled = (
+        d.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 2),
+                    lambda i: F.md5(
+                        F.concat_ws(
+                            " ",
+                            F.element_at("w", i),
+                            F.element_at("w", i + 1),
+                            F.element_at("w", i + 2),
+                        )
+                    ),
+                )
+            ).alias("sh"),
+        )
+    )
+    sizes = shingled.select("doc_id", F.size("sh").alias("n_sh"))
+    postings = shingled.select("doc_id", F.explode("sh").alias("s"))
+    a = postings.alias("a")
+    b = postings.alias("b")
+    pair_inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("inter").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("inter")
+    )
+    return (
+        pair_inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (scale path — rows-only check; xxhash64 is not portable
+# to the DuckDB oracle)
+# ---------------------------------------------------------------------------
+
+N_HASHES = 32  # minhash signature length
+N_BANDS = 8  # LSH bands (rows per band = N_HASHES / N_BANDS = 4)
+
+
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = N_HASHES
+) -> DataFrame:
+    """(doc_id, sig: array<bigint>) — minhash signature per document.
+
+    One xxhash64 per (shingle, seed); min per seed. Entirely JVM-side
+    higher-order functions: no shuffle at all — a narrow map over docs.
+    """
+    w = tokens("text")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("w") - 2, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("w", i),
+                F.element_at("w", F.least(i + 1, F.size("w"))),
+                F.element_at("w", F.least(i + 2, F.size("w"))),
+            ),
+        )
+    )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda seed: F.array_min(
+            F.transform("sh", lambda s: F.xxhash64(s, seed))
+        ),
+    )
+    return (
+        docs.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 1)
+        .select("doc_id", shingles.alias("sh"))
+        .select("doc_id", sig.alias("sig"))
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, n_bands: int = N_BANDS, n_hashes: int = N_HASHES
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs per matching bucket.
+
+    (band, hash(band-slice)) is the shuffle key — bucket sizes are the
+    only quadratic term, and hot buckets can be salted/capped. This is
+    the SURVEY §7.3 design rule: every dedup operator LSH-partitioned,
+    never a cross join.
+    """
+    rows_per_band = n_hashes // n_bands
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("bucket"),
+        ),
+    )
+    banded = sigs.select(
+        "doc_id", "sig", F.explode(bands).alias("bb")
+    ).select("doc_id", "sig", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("a.sig", "b.sig", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / n_hashes
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            est.alias("est_jaccard"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=None,  # xxhash64-based signatures have no DuckDB equivalent
+    description="MinHash+LSH near-dedup (scale path): 32-hash signatures, "
+    "8 bands x 4 rows; candidate pairs only within matching (band, bucket). "
+    "Rows-only check; exact-Jaccard semantics are oracle-verified by "
+    "dedup_ngram_jaccard, and tests assert LSH recall against it.",
+    tags=("dedup", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d)
+    pairs = lsh_candidate_pairs(sigs)
+    return pairs.filter(F.col("est_jaccard") >= 0.4).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "dedup_simhash",
+    oracle=None,  # xxhash64-based
+    description="SimHash 64-bit near-dup signatures: per-token xxhash64, "
+    "bit-vote aggregation via fold over 64 positions, signature emitted "
+    "per doc with a 16-bit block key for Hamming-adjacent bucketing. "
+    "Narrow map only — no shuffle.",
+    tags=("dedup",),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = tokens("text")
+    hashes = F.transform("w", lambda t: F.xxhash64(t))
+    # bit b of simhash = majority vote of bit b across token hashes.
+    # SQL expr form: the Python shiftleft() wrapper only takes literal
+    # shift amounts, while the SQL function accepts a column.
+    votes = F.expr(
+        "transform(sequence(0, 63), "
+        "b -> size(filter(h, hv -> (hv & shiftleft(1L, b)) != 0)))"
+    )
+    sim = F.expr(
+        "aggregate("
+        "  zip_with(votes, sequence(0, 63),"
+        "    (v, b) -> IF(v * 2 >= size(h), shiftleft(1L, b), 0L)),"
+        "  0L, (acc, x) -> acc | x)"
+    )
+    return (
+        d.select("doc_id", w.alias("w"))
+        .filter(F.size("w") > 0)
+        .select("doc_id", hashes.alias("h"))
+        .select("doc_id", "h", votes.alias("votes"))
+        .select("doc_id", sim.alias("simhash"))
+        .select(
+            "doc_id",
+            "simhash",
+            F.shiftrightunsigned("simhash", 48).alias("block_key"),
+        )
+    )

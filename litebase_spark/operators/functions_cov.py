@@ -1,0 +1,296 @@
+"""Scalar-function coverage queries (SURVEY §2.B scalar functions).
+
+Each family from the reference's SQLite function surface gets a catalog
+query exercising the Spark equivalents against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from litebase_spark.catalog import load, query
+from litebase_spark.functions import compat
+
+
+@query(
+    "func_string",
+    oracle="""
+    SELECT p_partkey,
+           LENGTH(p_name) AS name_len,
+           UPPER(p_brand) AS brand_upper,
+           LOWER(p_type) AS type_lower,
+           SUBSTR(p_name, 1, 8) AS name_prefix,
+           INSTR(p_name, 'a') AS first_a,
+           REPLACE(p_brand, 'Brand#', 'B') AS brand_short,
+           TRIM(CONCAT('  ', p_type, '  ')) AS type_trimmed,
+           LOWER(HEX(p_brand)) AS brand_hex,
+           CONCAT_WS('|', p_brand, p_type) AS brand_type,
+           LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           REVERSE(p_brand) AS brand_rev,
+           ASCII(p_name) AS first_cp
+    FROM part
+    """,
+    description="String family: length/upper/lower/substr/instr/replace/"
+    "trim/hex/concat_ws/lpad/reverse/ascii — SQLite core set "
+    "(SURVEY §2.B); all JVM builtins, stay in codegen.",
+    tags=("functions",),
+)
+def func_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.length("p_name").alias("name_len"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        compat.instr("p_name", "a").alias("first_a"),
+        F.regexp_replace("p_brand", "Brand#", "B").alias("brand_short"),
+        F.trim(F.concat(F.lit("  "), F.col("p_type"), F.lit("  "))).alias(
+            "type_trimmed"
+        ),
+        F.lower(F.hex(F.col("p_brand"))).alias("brand_hex"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.ascii("p_name").alias("first_cp"),
+    )
+
+
+@query(
+    "func_date",
+    oracle="""
+    SELECT o_orderkey,
+           YEAR(o_orderdate) AS order_year,
+           MONTH(o_orderdate) AS order_month,
+           DAY(o_orderdate) AS order_day,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS order_iso,
+           CAST(EPOCH(o_orderdate) AS BIGINT) AS order_epoch,
+           ROUND(EPOCH(o_orderdate) / 86400.0 + 2440587.5, 6) AS order_julian,
+           DATE_DIFF('day', o_orderdate, TIMESTAMP '2000-01-01')
+               AS days_to_y2k
+    FROM orders
+    """,
+    description="Date/time family: year/month/day extraction, date_trunc, "
+    "SQLite strftime (compat translation to date_format), unixepoch, "
+    "julianday (SQLite convention), datediff. SURVEY §2.B date family.",
+    tags=("functions", "compat"),
+)
+def func_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("order_day"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        compat.strftime("%Y-%m-%d", F.col("o_orderdate")).alias("order_iso"),
+        compat.unixepoch(F.col("o_orderdate")).alias("order_epoch"),
+        F.round(compat.julianday(F.col("o_orderdate")), 6).alias("order_julian"),
+        F.datediff(
+            F.lit("2000-01-01").cast("timestamp"), F.col("o_orderdate")
+        ).cast("bigint").alias("days_to_y2k"),
+    )
+
+
+@query(
+    "func_datetime_modifiers",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 90 DAY AS due_date,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP)
+               + INTERVAL 1 MONTH AS next_month_start,
+           o_orderdate - INTERVAL 12 HOUR AS half_day_before
+    FROM orders
+    """,
+    description="SQLite datetime-modifier compat "
+    "(datetime(ts,'+90 days'), 'start of month' composition, '-12 hours') "
+    "— SURVEY §7.3 hard part: modifier-string translation.",
+    tags=("functions", "compat"),
+)
+def func_datetime_modifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        compat.sqlite_datetime(F.col("o_orderdate"), "+90 days").alias("due_date"),
+        compat.sqlite_datetime(
+            F.col("o_orderdate"), "start of month", "+1 month"
+        ).alias("next_month_start"),
+        compat.sqlite_datetime(F.col("o_orderdate"), "-12 hours").alias(
+            "half_day_before"
+        ),
+    )
+
+
+@query(
+    "func_json",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           MIN(json_extract_string(props, '$.k')) AS min_k_str
+    FROM events
+    GROUP BY event_type
+    """,
+    description="JSON1 family (SURVEY §2.B): json_extract / ->> analog via "
+    "get_json_object; typed extraction + aggregation over JSON props.",
+    tags=("functions", "json"),
+)
+def func_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(k.cast("bigint")).alias("sum_k"),
+        F.min(k).alias("min_k_str"),
+    )
+
+
+@query(
+    "func_json_each",
+    oracle="""
+    -- json_each table function is unavailable in DuckDB 1.0; the fixture
+    -- props are single-key objects, so key/value pairs are extracted
+    -- positionally to express the same semantics.
+    SELECT regexp_extract(props, '"(\\w+)"', 1) AS prop_key,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_val
+    FROM events
+    GROUP BY 1
+    """,
+    description="SQLite json_each virtual table analog: from_json to a map "
+    "+ explode (SURVEY §2.B: json_each -> explode).",
+    tags=("functions", "json"),
+)
+def func_json_each(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return (
+        e.select(F.explode(m).alias("prop_key", "prop_val"))
+        .groupBy("prop_key")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("prop_val").cast("bigint")).alias("sum_val"),
+        )
+    )
+
+
+@query(
+    "func_json_group",
+    oracle="""
+    SELECT user_id,
+           CAST(to_json(list_sort(list(k))) AS VARCHAR) AS ks
+    FROM (
+        SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events WHERE event_type = 'purchase'
+    )
+    GROUP BY user_id
+    """,
+    description="SQLite json_group_array analog: to_json(collect_list) "
+    "(sorted for determinism).",
+    tags=("functions", "json"),
+)
+def func_json_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.select("user_id", k.alias("k"))
+        .groupBy("user_id")
+        .agg(F.to_json(F.array_sort(F.collect_list("k"))).alias("ks"))
+    )
+
+
+@query(
+    "func_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_discount - 0.05) AS disc_dev,
+           ROUND(l_extendedprice, 1) AS price_r1,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+           CAST(CEIL(l_quantity / 7) AS BIGINT) AS qty_ceil7,
+           SIGN(l_quantity - 25) AS qty_sign,
+           GREATEST(l_quantity, 25.0) AS qty_hi,
+           LEAST(l_quantity, 25.0) AS qty_lo,
+           MOD(CAST(l_quantity AS BIGINT), 7) AS qty_mod7
+    FROM lineitem
+    """,
+    description="Math family (SQLite core — no MATH_FUNCS flag, "
+    "SURVEY §2.B): abs/round/sign/max(x,y)->greatest/min(x,y)->least, "
+    "floor/ceil/mod. Spark's full math lib is a strict superset.",
+    tags=("functions",),
+)
+def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.ceil(F.col("l_quantity") / 7).alias("qty_ceil7"),
+        F.signum(F.col("l_quantity") - 25).alias("qty_sign"),
+        F.greatest("l_quantity", F.lit(25.0)).alias("qty_hi"),
+        F.least("l_quantity", F.lit(25.0)).alias("qty_lo"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"),
+    )
+
+
+@query(
+    "func_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS is_finished,
+           COALESCE(NULLIF(o_orderpriority, '1-URGENT'), 'URGENT!')
+               AS priority_rewrite,
+           CASE WHEN o_totalprice IS NULL THEN 'NULL' ELSE 'real' END
+               AS price_class
+    FROM orders
+    """,
+    description="Conditional family: iif (SQLite) -> when/otherwise, "
+    "ifnull/coalesce, nullif, IS NULL. SURVEY §2.B blob/util row.",
+    tags=("functions", "compat"),
+)
+def func_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        compat.iif(F.col("o_orderstatus") == "F", F.lit(1.0), F.lit(0.0)).alias(
+            "is_finished"
+        ),
+        compat.ifnull(
+            compat.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")),
+            F.lit("URGENT!"),
+        ).alias("priority_rewrite"),
+        F.when(F.col("o_totalprice").isNull(), "NULL")
+        .otherwise("real")
+        .alias("price_class"),
+    )
+
+
+@query(
+    "func_glob_quote",
+    oracle="""
+    SELECT p_partkey, p_brand,
+           (p_brand LIKE 'Brand#1_' ) AS glob_b1x,
+           CASE WHEN p_type IS NULL THEN 'NULL'
+                ELSE '''' || REPLACE(p_type, '''', '''''') || '''' END
+               AS type_quoted
+    FROM part
+    WHERE REGEXP_MATCHES(p_brand, '^Brand#[0-9]*$')
+    """,
+    description="SQLite GLOB (translated to anchored regexp) and quote() "
+    "compat; REGEXP via rlike (SQLite build has no default REGEXP impl — "
+    "we exceed parity, SURVEY §2.B note).",
+    tags=("functions", "compat"),
+)
+def func_glob_quote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.filter(F.col("p_brand").rlike("^Brand#[0-9]*$")).select(
+        "p_partkey",
+        "p_brand",
+        compat.glob_match("Brand#1?", F.col("p_brand")).alias("glob_b1x"),
+        compat.quote(F.col("p_type")).alias("type_quoted"),
+    )

@@ -1,1 +1,250 @@
-"""Filled in incrementally."""
+"""Similarity search over the embeddings table (north-star LLM ops).
+
+Three tiers:
+
+  * brute-force cosine top-k — the correctness baseline. Query set
+    broadcasts; each partition of the corpus scores its rows against all
+    queries (a broadcast nested-loop, NOT a shuffled cross join) and the
+    per-query top-k is a TakeOrdered, so nothing quadratic ever shuffles.
+  * LSH-bucketed (random hyperplane) — the scale path: sign-bit sketch of
+    each vector, candidates only within matching buckets (plus multiprobe
+    neighbors at query time in a real deployment).
+  * IVF-style (coarse quantizer) — k-means-free variant using LSH prefix
+    as the coarse cell; demonstrates the partition-pruning shape (probe
+    only nprobe cells).
+
+Dot products use JVM higher-order functions (zip_with + aggregate) over
+the float arrays, cast to double element-wise — identical left-to-right
+fold order as the DuckDB oracle expression, so brute-force results are
+oracle-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from litebase_spark.catalog import load, query
+
+DIM = 64
+N_QUERIES = 5  # vec_id < 5 are the query vectors in the catalog entries
+TOP_K = 3
+
+
+def dot(a, b) -> Column:
+    """Exact-order fold: sum_i a[i]*b[i] in double."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm2(a) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (norm2(a) * norm2(b))
+
+
+# DuckDB-side equivalents with the same left-to-right fold order.
+_SQL_DOT = (
+    "list_sum(list_transform(range(1, {n} + 1),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_SQL_NORM = (
+    "sqrt(list_sum(list_transform(range(1, {n} + 1),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+)
+
+
+@query(
+    "knn_cosine_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.qid, e.vec_id,
+               ROUND({_SQL_DOT.format(a='q.qv', b='e.embedding', n=DIM)}
+                 / ({_SQL_NORM.format(a='q.qv', n=DIM)}
+                    * {_SQL_NORM.format(a='e.embedding', n=DIM)}), 6)
+                   AS cos_sim
+        FROM q CROSS JOIN embeddings e
+        WHERE e.vec_id != q.qid
+    ),
+    ranked AS (
+        SELECT qid, vec_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored
+    )
+    SELECT qid, vec_id, cos_sim, rn AS rank
+    FROM ranked WHERE rn <= {TOP_K}
+    """,
+    description="Brute-force cosine top-k (ANN correctness baseline). "
+    "Query vectors broadcast; corpus scan scores locally; per-query top-k "
+    "via window. 100 TB: O(corpus) work but O(k) shuffle — the scored "
+    "rows never leave their partition except the k winners.",
+    tags=("similarity",),
+)
+def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "vec_id", "cos_sim", "rank")
+    )
+
+
+@query(
+    "embedding_norms",
+    oracle=f"""
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           ROUND(CAST(SUM(CAST(ROUND(
+               {_SQL_NORM.format(a='embedding', n=DIM)}, 6)
+               AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+    description="Vector norms aggregated per label (embedding hygiene "
+    "check). Per-row norm rounded then summed in DECIMAL so the "
+    "cross-engine aggregation order cannot drift.",
+    tags=("similarity",),
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    norm_dec = F.round(norm2(F.col("embedding")), 6).cast("decimal(18,6)")
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(
+            F.sum(norm_dec).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH / IVF scale paths (rows-only: hyperplanes derive from xxhash64)
+# ---------------------------------------------------------------------------
+
+N_PLANES = 6  # random hyperplanes -> 6-bit sketch (bucket occupancy
+#   ~ corpus/2^6; raise for larger corpora — tests pick recall targets)
+N_PROBE_BITS = 4  # IVF-style coarse cell = top 4 bits of the sketch
+
+
+def _plane_component(p: Column, i: Column) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    xxhash64(plane, dim) scaled. Seedable, reproducible, no driver RNG."""
+    h = F.xxhash64(p.cast("string"), i.cast("string"))
+    return (h % 1000003).cast("double") / F.lit(500001.5) - F.lit(1.0)
+
+
+def sketch_expr(vec) -> Column:
+    """N_PLANES-bit sign sketch of a vector under deterministic hyperplanes."""
+    def bit(p):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.lit(DIM - 1)),
+                lambda x, i: x.cast("double") * _plane_component(F.lit(p), i),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+
+    out = F.lit(0)
+    for p in range(N_PLANES):
+        out = out + bit(p)
+    return out.cast("int")
+
+
+@query(
+    "knn_lsh_bucketed",
+    oracle=None,  # hyperplanes derived from xxhash64 — not oracle-portable
+    description="Random-hyperplane LSH ANN (scale path): sign "
+    "sketch (N_PLANES bits) per vector; candidates = corpus rows whose sketch matches a "
+    "query sketch; exact cosine re-rank within candidates. 100 TB: the "
+    "join is keyed by sketch (equi, broadcastable query side), so work is "
+    "corpus/2^bits per query instead of corpus. Tests assert recall vs "
+    "knn_cosine_bruteforce.",
+    tags=("similarity", "lsh"),
+)
+def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", sketch_expr(F.col("embedding")).alias("sketch")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("sketch").alias("qsketch"),
+    )
+    cand = (
+        e.join(
+            F.broadcast(q),
+            (F.col("sketch") == F.col("qsketch"))
+            & (F.col("vec_id") != F.col("qid")),
+        )
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        cand.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "vec_id", "cos_sim", "rank")
+    )
+
+
+@query(
+    "ivf_cells",
+    oracle=None,
+    description="IVF-style coarse partitioning stats: vectors assigned to "
+    "coarse cells (sketch prefix as the quantizer); per-cell counts "
+    "and mean norm. The physical design for ANN at 100 TB: write the "
+    "corpus partitioned by cell so a query probes nprobe partitions "
+    "(partition pruning) instead of scanning everything.",
+    tags=("similarity", "lsh"),
+)
+def ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    cell = F.shiftrightunsigned(
+        sketch_expr(F.col("embedding")).cast("long"), N_PLANES - N_PROBE_BITS
+    ).alias("cell")
+    norm_dec = F.round(norm2(F.col("embedding")), 6).cast("decimal(18,6)")
+    return (
+        e.select(cell, norm_dec.alias("nrm"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.sum("nrm").cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_norm"
+            ),
+        )
+    )

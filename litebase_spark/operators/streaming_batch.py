@@ -1,1 +1,223 @@
-"""Filled in incrementally."""
+"""Batch-mode oracles for the streaming operators (SURVEY §2.B
+"Streaming-only operators" — net-new surface; the reference has no stream
+processing, only HTTP transport framing: pkg/http/query_stream_controller.go).
+
+Each windowing semantic is implemented here as a batch DataFrame query so
+the DuckDB oracle can verify it; litebase_spark.streaming wires the SAME
+expressions into Structured Streaming (readStream + watermark), and tests
+assert stream==batch on the events fixture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from litebase_spark.catalog import SQL_DSUM, dsum, load, query
+
+
+@query(
+    "stream_tumbling_window",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {SQL_DSUM('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    description="Tumbling 10-minute event-time window per event type "
+    "(streaming M4 analog; same F.window feeds readStream). 100 TB: "
+    "partial agg collapses map-side; shuffle keyed by (window, type).",
+    tags=("streaming",),
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_sliding_window",
+    oracle=f"""
+    WITH expanded AS (
+        SELECT u.ws AS window_start, value FROM events e,
+        UNNEST([time_bucket(INTERVAL 5 MINUTE, e.ts),
+                time_bucket(INTERVAL 5 MINUTE, e.ts) - INTERVAL 5 MINUTE])
+            AS u(ws)
+    )
+    SELECT window_start, COUNT(*) AS n_events,
+           {SQL_DSUM('value')} AS sum_value
+    FROM expanded GROUP BY 1
+    """,
+    description="Sliding window 10min/5min: each event lands in 2 windows "
+    "(F.window with slideDuration). Oracle expands the two candidate "
+    "window starts explicitly.",
+    tags=("streaming",),
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SESSION_GAP_MIN = 30
+
+
+@query(
+    "stream_session_window",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                    OR date_diff('second', LAG(ts) OVER w, ts)
+                       > {SESSION_GAP_MIN * 60}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, event_id,
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT)
+               AS duration_sec
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+    description="Sessionization with a 30-minute inactivity gap — batch "
+    "gaps-and-islands form (lag + cumulative flag sum). The streaming "
+    "twin uses F.session_window with the same gap (see "
+    "litebase_spark.streaming); tests assert both agree on the fixture. "
+    "100 TB: one shuffle on user_id; per-user ordering local to the "
+    "partition.",
+    tags=("streaming", "window"),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ok = (
+        F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    ) > SESSION_GAP_MIN * 60
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.lag("ts").over(w).isNull() | gap_ok, 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = flagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum("new_session").over(wsum).alias("session_no"),
+    )
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).alias("duration_sec"),
+    )
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
+    FROM (
+        SELECT user_id, event_type, event_id, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    description="Stateful dedup analog: first event per (user, type) — "
+    "batch twin of dropDuplicatesWithinWatermark (streaming module). ",
+    tags=("streaming", "dedup"),
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts").alias("first_ts"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "stream_late_data_policy",
+    oracle=f"""
+    WITH max_ts AS (SELECT MAX(ts) AS wm_base FROM events)
+    SELECT time_bucket(INTERVAL 10 MINUTE, e.ts) AS window_start,
+           COUNT(*) AS n_events,
+           {SQL_DSUM('e.value')} AS sum_value
+    FROM events e CROSS JOIN max_ts m
+    WHERE e.ts >= m.wm_base - INTERVAL 2 HOUR
+    GROUP BY 1
+    """,
+    description="Watermark/late-data policy in batch form: events older "
+    "than (max event time - 2h) are dropped before windowing — exactly "
+    "what withWatermark('ts', '2 hours') admits into state in the "
+    "streaming twin.",
+    tags=("streaming",),
+)
+def stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    wm = e.agg(F.max("ts").alias("wm_base"))
+    return (
+        e.crossJoin(F.broadcast(wm))
+        .filter(F.col("ts") >= F.col("wm_base") - F.expr("INTERVAL 2 HOURS"))
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
