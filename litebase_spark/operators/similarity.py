@@ -96,6 +96,8 @@ _SQL_NORM = (
 )
 def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
+    # single-file fixture -> repartition so the scoring map parallelizes
+    e = e.repartition(spark.sparkContext.defaultParallelism)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
@@ -194,8 +196,13 @@ def sketch_expr(vec) -> Column:
 def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", sketch_expr(F.col("embedding")).alias("sketch")
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "vec_id", "embedding", sketch_expr(F.col("embedding")).alias("sketch")
+        )
+        .localCheckpoint(eager=True)  # reused by both sides of the bucket join
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"),
@@ -234,6 +241,7 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
+    e = e.repartition(spark.sparkContext.defaultParallelism)
     cell = F.shiftrightunsigned(
         sketch_expr(F.col("embedding")).cast("long"), N_PLANES - N_PROBE_BITS
     ).alias("cell")

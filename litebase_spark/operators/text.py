@@ -99,6 +99,7 @@ _STOPWORDS = (
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     words = tokens("text")
     stop_lit = F.array(*[F.lit(w) for w in _STOPWORDS])
     d = d.select(
@@ -224,6 +225,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     w = tokens("text")
     d = d.select("doc_id", w.alias("w"))
     shingle_hashes = F.transform(
@@ -291,16 +293,27 @@ _BM25_B = 0.75
 )
 def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    tok = d.select("doc_id", tokens("text").alias("words"))
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    # tokenization feeds both doclen and postings — materialize it once
+    # instead of re-tokenizing per branch
+    tok = d.select("doc_id", tokens("text").alias("words")).localCheckpoint(
+        eager=False
+    )
     doclen = tok.select("doc_id", F.size("words").alias("dl"))
     stats = doclen.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
+    # dl rides along with the postings (grouped by doc_id it is constant),
+    # saving a join against doclen later
     postings = (
-        tok.select("doc_id", F.explode("words").alias("term"))
+        tok.select(
+            "doc_id",
+            F.size("words").alias("dl"),
+            F.explode("words").alias("term"),
+        )
         .filter(F.col("term").isin(*_BM25_QUERY_TERMS))
-        .groupBy("doc_id", "term")
+        .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -314,7 +327,6 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = idf * (F.col("tf") * (k1 + 1.0)) / denom
     return (
         postings.join(F.broadcast(df), "term")
-        .join(doclen, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.round(F.sum(score), 6).alias("bm25"))
