@@ -173,6 +173,19 @@ class Engine:
         t0 = time.time()
         stmt_class = classify_statement(statement)
         sql_text, args = self._bind(statement, params)
+        if stmt_class == "DML" and sql_text.lstrip()[:6].upper() in ("UPDATE", "DELETE"):
+            changes = self._try_dml(sql_text)
+            if changes is not None:
+                latency = time.time() - t0
+                self.metrics.record(statement, latency)
+                return QueryResult(
+                    columns=[],
+                    rows=[],
+                    row_count=0,
+                    changes=changes,
+                    latency=latency,
+                    statement_class=stmt_class,
+                )
         df = self.spark.sql(sql_text, args=args) if args else self.spark.sql(sql_text)
         if collect and stmt_class in ("DQL", "OTHER"):
             rows = df.collect()
@@ -216,6 +229,11 @@ class Engine:
                 in_str = not in_str
                 out.append(ch)
             elif ch == "?" and not in_str:
+                if i >= len(params):
+                    raise ValueError(
+                        f"statement has more placeholders than the "
+                        f"{len(params)} params given"
+                    )
                 out.append(f":p{i}")
                 args[f"p{i}"] = params[i]
                 i += 1
@@ -235,6 +253,114 @@ class Engine:
                 if k in d and d[k] is not None:
                     return int(d[k])
         return 0
+
+    # -- write side (M2): DML with `changes` semantics ---------------------
+    #
+    # Vanilla Spark has no UPDATE/DELETE on parquet v1 tables (Delta is not
+    # available in this environment), so the engine supplies the
+    # reference's DML surface (reference classifies and executes these:
+    # pkg/database/query.go:53-58, resolver.go:127-130 captures changes)
+    # as copy-on-write rewrites: read -> transform -> localCheckpoint
+    # (breaks file lineage, making self-overwrite safe) -> overwrite.
+    # On a Delta/Iceberg catalog these methods become single SQL calls.
+
+    def insert_rows(self, table: str, rows: list[tuple], schema=None) -> int:
+        df = self.spark.createDataFrame(rows, schema=schema or self.spark.table(table).schema)
+        df.write.insertInto(table)
+        return df.count()
+
+    def insert_select(self, table: str, select_df) -> int:
+        n = select_df.count()
+        select_df.write.insertInto(table)
+        return n
+
+    def update_table(self, table: str, assignments: dict[str, str], where: str | None = None) -> int:
+        """UPDATE table SET col=expr[, ...] [WHERE cond]; returns changes."""
+        from pyspark.sql import functions as F
+
+        df = self.spark.table(table)
+        cond = F.expr(where) if where else F.lit(True)
+        changes = df.filter(cond).count()
+        cols = []
+        for c in df.columns:
+            if c in assignments:
+                cols.append(
+                    F.when(cond, F.expr(assignments[c]))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                )
+            else:
+                cols.append(F.col(c))
+        new_df = df.select(cols).localCheckpoint(eager=True)
+        new_df.write.mode("overwrite").saveAsTable(table)
+        return changes
+
+    def delete_from(self, table: str, where: str | None = None) -> int:
+        """DELETE FROM table [WHERE cond]; returns changes."""
+        from pyspark.sql import functions as F
+
+        df = self.spark.table(table)
+        cond = F.expr(where) if where else F.lit(True)
+        changes = df.filter(cond).count()
+        new_df = df.filter(~cond).localCheckpoint(eager=True)
+        new_df.write.mode("overwrite").saveAsTable(table)
+        return changes
+
+    def merge_upsert(self, table: str, source, on: list[str]) -> int:
+        """MERGE (upsert) analog: source rows replace matches and append
+        the rest (reference upsert surface: INSERT ... ON CONFLICT,
+        SURVEY §2.B scans row)."""
+        df = self.spark.table(table)
+        kept = df.join(source, on=on, how="left_anti")
+        new_df = kept.unionByName(source).localCheckpoint(eager=True)
+        changes = source.count()
+        new_df.write.mode("overwrite").saveAsTable(table)
+        return changes
+
+    def _try_dml(self, statement: str):
+        """Intercept UPDATE/DELETE statements (unsupported by Spark on
+        parquet v1) and route them through the rewrite path. Returns
+        changes or None if not intercepted."""
+        import re
+
+        m = re.match(
+            r"(?is)\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?\s*$",
+            statement,
+        )
+        if m:
+            table, set_clause, where = m.group(1), m.group(2), m.group(3)
+            assignments = {}
+            for part in self._split_top_level(set_clause):
+                c, _, e = part.partition("=")
+                assignments[c.strip()] = e.strip()
+            return self.update_table(table, assignments, where)
+        m = re.match(
+            r"(?is)\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*))?\s*$", statement
+        )
+        if m:
+            return self.delete_from(m.group(1), m.group(2))
+        return None
+
+    @staticmethod
+    def _split_top_level(s: str) -> list[str]:
+        """Split on commas not nested in parens/quotes."""
+        out, depth, cur, in_str = [], 0, [], False
+        for ch in s:
+            if ch == "'":
+                in_str = not in_str
+            elif not in_str:
+                if ch in "([":
+                    depth += 1
+                elif ch in ")]":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    out.append("".join(cur))
+                    cur = []
+                    continue
+            cur.append(ch)
+        if cur:
+            out.append("".join(cur))
+        return out
 
     # -- catalog / namespace management (A21 analog, §1.1) -----------------
 

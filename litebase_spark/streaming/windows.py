@@ -1,0 +1,136 @@
+"""Structured Streaming operators over the events table (SURVEY M4).
+
+Net-new surface: the reference has no stream processing — its only
+"stream" is HTTP transport framing (reference:
+pkg/http/query_stream_controller.go:30-38). Here the batch-verified
+window semantics from operators/streaming_batch get their streaming
+twins: readStream source -> event-time windows + watermark -> sink.
+
+Tests drive these with Trigger.AvailableNow into a memory sink and assert
+stream results == the batch-mode oracle queries on the same fixture.
+At production scale the same pipelines run continuously with a file/Kafka
+source and a parquet/Delta sink + checkpointing; state size is bounded by
+the watermark horizon, keyed by (window x type) or user_id.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from litebase_spark.catalog import dsum
+from litebase_spark.operators.streaming_batch import SESSION_GAP_MIN
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source readStream over the events fixture. Schema comes from
+    the RAW parquet footer (ts arrives as int64 nanos under
+    nanosAsLong; _normalized_events converts downstream).
+
+    The file source requires a DIRECTORY; the fixture is a single file,
+    so it is symlinked into a scratch dir (read-only view — the fixture
+    itself is never touched). In production the source is the landing
+    directory / Kafka topic directly."""
+    import os
+    import tempfile
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stage = tempfile.mkdtemp(prefix="litebase_stream_")
+    os.symlink(
+        f"{sf_dir}/events.parquet", os.path.join(stage, "events.parquet")
+    )
+    return (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        # one file per trigger exercises incremental processing
+        .option("maxFilesPerTrigger", 1)
+        .load(stage)
+    )
+
+
+def _normalized_events(stream: DataFrame) -> DataFrame:
+    # mirror catalog.load's nanos handling for the raw stream read
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    return stream
+
+
+def tumbling_counts(
+    stream: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of stream_tumbling_window: 10-minute event-time
+    tumbling windows per event type, late data admitted within the
+    watermark."""
+    stream = _normalized_events(stream)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_aggregation(
+    stream: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming sessionization via session_window with the same
+    30-minute gap as the batch gaps-and-islands form."""
+    stream = _normalized_events(stream)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(
+    stream: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming stateful dedup on (user_id, event_type):
+    dropDuplicatesWithinWatermark keeps the first arrival and expires
+    state at the watermark horizon (bounded state — the property that
+    matters at scale)."""
+    stream = _normalized_events(stream)
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+def run_available_now(
+    df: DataFrame, output_mode: str = "append", timeout_sec: int = 120
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion with AvailableNow into
+    a memory sink; returns the materialized result as a batch DataFrame."""
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    return df.sparkSession.table(name)

@@ -1,0 +1,86 @@
+"""Dedup + similarity operator properties: LSH recall against the exact
+oracle-verified baselines, signature invariances."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import litebase_spark.operators  # noqa: F401
+from litebase_spark.catalog import REGISTRY, load
+from litebase_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+
+def test_minhash_identical_docs_identical_sigs(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").limit(20)
+    doubled = d.union(d)  # every doc duplicated
+    sigs = minhash_signatures(doubled)
+    agg = sigs.groupBy("doc_id").agg(
+        F.count_distinct(F.to_json(F.col("sig"))).alias("n_distinct")
+    )
+    assert agg.filter(F.col("n_distinct") != 1).count() == 0
+
+
+def test_lsh_recall_vs_exact_jaccard(spark, sf_dir):
+    # every exact near-dup pair (jaccard >= 0.5) should be recalled by the
+    # banded LSH candidates with high probability (8 bands x 4 rows at
+    # j=0.5: P(miss) = (1 - 0.5^4)^8 ~ 0.6 per pair... so assert on the
+    # >=0.7 pairs where P(miss) = (1 - 0.24)^8 ~ 0.1, and allow 1 miss)
+    exact = REGISTRY["dedup_ngram_jaccard"].builder(spark, sf_dir)
+    strong = {
+        (r.doc_a, r.doc_b)
+        for r in exact.filter(F.col("jaccard") >= 0.7).collect()
+    }
+    sigs = minhash_signatures(load(spark, sf_dir, "documents"))
+    cand = {
+        (r.doc_a, r.doc_b) for r in lsh_candidate_pairs(sigs).collect()
+    }
+    missed = strong - cand
+    assert len(missed) <= max(1, len(strong) // 5), (
+        f"LSH missed {len(missed)}/{len(strong)} strong pairs"
+    )
+
+
+def test_simhash_stability_and_blocks(spark, sf_dir):
+    out = REGISTRY["dedup_simhash"].builder(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) > 0
+    for r in rows[:50]:
+        assert 0 <= r.block_key < (1 << 16)
+    # deterministic across runs
+    rows2 = REGISTRY["dedup_simhash"].builder(spark, sf_dir).collect()
+    assert {(r.doc_id, r.simhash) for r in rows} == {
+        (r.doc_id, r.simhash) for r in rows2
+    }
+
+
+def test_knn_results_sane(spark, sf_dir):
+    rows = REGISTRY["knn_cosine_bruteforce"].builder(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        assert -1.0 <= r.cos_sim <= 1.0
+        assert r.vec_id != r.qid
+        by_q.setdefault(r.qid, []).append(r)
+    for q, rs in by_q.items():
+        sims = [r.cos_sim for r in sorted(rs, key=lambda x: x.rank)]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_knn_subset_of_bucket(spark, sf_dir):
+    # every LSH result must also appear in the brute-force ranking's
+    # universe (same scoring), with cos_sim identical for same pair
+    bf = {
+        (r.qid, r.vec_id): r.cos_sim
+        for r in REGISTRY["knn_cosine_bruteforce"].builder(spark, sf_dir).collect()
+    }
+    for r in REGISTRY["knn_lsh_bucketed"].builder(spark, sf_dir).collect():
+        if (r.qid, r.vec_id) in bf:
+            assert abs(bf[(r.qid, r.vec_id)] - r.cos_sim) < 1e-9
+
+
+def test_multimodal_features_deterministic(spark, sf_dir):
+    a = REGISTRY["multimodal_features"].builder(spark, sf_dir).collect()
+    assert len(a) > 0
+    for r in a[:20]:
+        assert r.modality == "text"
+        assert 0 <= r.feat_entropy_proxy <= 1.0
+        assert r.n_bytes > 0

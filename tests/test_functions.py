@@ -1,0 +1,84 @@
+"""Unit tests for the SQLite compat layer (SURVEY §2.B scalar functions)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from litebase_spark.functions import compat
+
+
+def one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0].v
+
+
+def test_strftime_format_translation():
+    assert compat.strftime_format("%Y-%m-%d") == "yyyy-MM-dd"
+    assert compat.strftime_format("%H:%M:%S") == "HH:mm:ss"
+    with pytest.raises(ValueError):
+        compat.strftime_format("%q")
+
+
+def test_strftime_literal_quoting(spark):
+    ts = F.lit("2024-03-05 07:08:09").cast("timestamp")
+    assert one(spark, compat.strftime("year %Y", ts)) == "year 2024"
+
+
+def test_julianday_epoch(spark):
+    # SQLite: julianday('1970-01-01') = 2440587.5
+    ts = F.lit("1970-01-01 00:00:00").cast("timestamp")
+    assert one(spark, compat.julianday(ts)) == pytest.approx(2440587.5)
+
+
+def test_datetime_modifiers(spark):
+    ts = F.lit("2024-01-15 10:30:00").cast("timestamp")
+    got = one(spark, compat.sqlite_datetime(ts, "+1 month"))
+    assert got == dt.datetime(2024, 2, 15, 10, 30)  # keeps time-of-day
+    got = one(spark, compat.sqlite_datetime(ts, "start of month", "+45 minutes"))
+    assert got == dt.datetime(2024, 1, 1, 0, 45)
+    got = one(spark, compat.sqlite_datetime(ts, "-2 days"))
+    assert got == dt.datetime(2024, 1, 13, 10, 30)
+    with pytest.raises(ValueError):
+        compat.sqlite_datetime(ts, "next thursday")
+
+
+def test_iif_ifnull_quote(spark):
+    assert one(spark, compat.iif(F.lit(2) > 1, F.lit("y"), F.lit("n"))) == "y"
+    assert one(spark, compat.ifnull(F.lit(None), F.lit(7))) == 7
+    assert one(spark, compat.quote(F.lit("o'brien"))) == "'o''brien'"
+    assert one(spark, compat.quote(F.lit(None).cast("string"))) == "NULL"
+
+
+def test_glob_translation(spark):
+    assert one(spark, compat.glob_match("Brand#1?", F.lit("Brand#12")))
+    assert not one(spark, compat.glob_match("Brand#1?", F.lit("Brand#123")))
+    assert one(spark, compat.glob_match("*join*", F.lit("a join b")))
+    assert one(spark, compat.glob_match("[abc]x", F.lit("bx")))
+
+
+def test_total_on_empty(spark):
+    df = spark.range(1).filter("id < 0")
+    got = df.agg(compat.total(F.col("id")).alias("t")).collect()[0].t
+    assert got == 0.0  # SQLite total(): 0.0, never NULL
+
+
+def test_sql_registration(spark):
+    names = compat.register_sqlite_functions(spark)
+    assert "iif" in names and "julianday" in names
+    r = spark.sql(
+        "SELECT iif(true, 1.0, 2.0) AS a, "
+        "julianday(TIMESTAMP '1970-01-01') AS jd, "
+        "unixepoch(TIMESTAMP '1970-01-02') AS ue, "
+        "sqlite_quote('it''s') AS q"
+    ).collect()[0]
+    assert r.a == 1.0 and r.jd == pytest.approx(2440587.5)
+    assert r.ue == 86400 and r.q == "'it''s'"
+
+
+def test_typeof_mapping():
+    assert compat.typeof("bigint") == "integer"
+    assert compat.typeof("double") == "real"
+    assert compat.typeof("string") == "text"
+    assert compat.typeof("binary") == "blob"
