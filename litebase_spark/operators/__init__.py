@@ -2,6 +2,7 @@
 query in litebase_spark.catalog.REGISTRY."""
 
 from litebase_spark.operators import (  # noqa: F401
+    asof,
     dedup,
     functions_cov,
     multimodal,
@@ -10,4 +11,5 @@ from litebase_spark.operators import (  # noqa: F401
     similarity,
     streaming_batch,
     text,
+    tpch,
 )

@@ -1,0 +1,179 @@
+"""As-of and interval (range) joins — time-series operators Spark lacks
+as built-ins.
+
+The reference has no as-of join either (SQLite's only physical join is a
+nested loop; SURVEY.md §2.B joins), but these are core time-series /
+feature-engineering operators for a 100 TB pipeline, so they ship as
+first-class composed operators (north-star addition).
+
+``asof_join`` is the scale-path implementation: a UNION + windowed
+last-non-null sweep. One shuffle on the join key, state bounded per key,
+no range-explosion — at 100 TB this is a single hash repartition by key
+plus a per-partition sort, which is the theoretical minimum for the
+operator. (The naive alternative — inequality join then max-per-left-row
+— re-materializes every candidate pair and explodes on hot keys.)
+
+DuckDB validates semantics via its native ``ASOF JOIN``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from litebase_spark.catalog import load, query
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    prefix: str = "r_",
+) -> DataFrame:
+    """For each left row, attach the latest right row of the same `on` key
+    with right_ts <= left_ts (inclusive). Left rows keep all their columns;
+    right payload columns arrive as `prefix`+name (null when no match).
+
+    Implementation: tag both sides, union on (key, ts), and take the
+    running last non-null right payload per key ordered by (ts, side) —
+    right rows sort before left rows at equal ts so `<=` matches.
+    """
+    payload = F.struct(*[F.col(c) for c in right_payload]).alias("__asof")
+    r = right.select(
+        F.col(on).alias("__key"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        payload,
+        *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes],
+    )
+    l = left.select(
+        F.col(on).alias("__key"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__asof"].dataType).alias("__asof"),
+        *left.columns,
+    )
+    w = (
+        Window.partitionBy("__key")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = l.unionByName(r).withColumn(
+        "__match", F.last("__asof", ignorenulls=True).over(w)
+    )
+    out_cols = list(left.columns) + [
+        F.col(f"__match.{c}").alias(f"{prefix}{c}") for c in right_payload
+    ]
+    return swept.filter(F.col("__side") == 1).select(*out_cols)
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, event_id, value FROM (
+        SELECT user_id, ts, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click') WHERE rn = 1
+    ),
+    purchases AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           c.event_id AS r_event_id, c.ts AS r_ts, c.value AS r_value
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+    description="As-of join: each purchase event joined to the same user's "
+    "latest click at-or-before it. Spark side is the union+window sweep "
+    "(asof_join): ONE shuffle on user_id, per-key sorted sweep, no pair "
+    "explosion. Right side deduped per (user, ts) for determinism. Oracle "
+    "is DuckDB's native ASOF JOIN.",
+    tags=("asof", "join", "timeseries"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    dedup_w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(dedup_w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        purchases.drop("value"),
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["event_id", "ts", "value"],
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", "r_event_id", "r_ts", "r_value"
+    ).orderBy("event_id")
+
+
+@query(
+    "join_range_interval",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           COUNT(c.event_id) AS n_clicks_before,
+           ROUND(CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS sum_click_value
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+     AND c.ts < p.ts
+    GROUP BY p.event_id, p.user_id
+    ORDER BY p.event_id
+    """,
+    description="Interval (range) join: clicks in the 30 minutes before "
+    "each purchase by the same user, aggregated per purchase. The equi key "
+    "(user_id) drives a hash join; the time range is a residual predicate, "
+    "so there is no cross-product — at 100 TB this stays a single "
+    "co-partitioned join, skew-split by AQE on hot users.",
+    tags=("range-join", "join", "timeseries"),
+)
+def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_event_id"),
+            F.col("value").alias("c_value"),
+        )
+    )
+    joined = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") < F.col("ts")),
+        "left_outer",
+    )
+    return (
+        joined.groupBy("event_id", "user_id")
+        .agg(
+            F.count("c_event_id").alias("n_clicks_before"),
+            F.round(
+                F.sum(F.col("c_value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("sum_click_value"),
+        )
+        .orderBy("event_id")
+    )

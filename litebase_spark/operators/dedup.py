@@ -371,3 +371,52 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.shiftrightunsigned("simhash", 48).alias("block_key"),
         )
     )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           ROUND(
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+             6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, 65),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(range(1, 65),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+           * sqrt(list_sum(list_transform(range(1, 65),
+               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+          >= 0.4
+    """,
+    description="Embedding-cosine near-duplicate pairs (threshold 0.4 — "
+    "the fixture has no true dups; the 99.9th-percentile pair similarity "
+    "is ~0.38). Exact verification pass of the near-dup pipeline: at "
+    "100 TB, candidate pairs come from LSH banding (dedup_minhash_lsh / "
+    "dedup_simhash block keys) and THIS exact cosine check verifies them; "
+    "never an unblocked self-join. At oracle scale the candidate set is "
+    "all pairs, so results are oracle-exact.",
+    tags=("dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from litebase_spark.operators.similarity import cosine
+
+    e = load(spark, sf_dir, "embeddings")
+    e = e.repartition(spark.sparkContext.defaultParallelism)
+    a = e.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("vec_id_a") < F.col("vec_id_b"))
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            cosine(F.col("va"), F.col("vb")).alias("raw_sim"),
+        )
+        .filter(F.col("raw_sim") >= 0.4)
+        .select("vec_id_a", "vec_id_b", F.round("raw_sim", 6).alias("cos_sim"))
+    )

@@ -333,3 +333,51 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+@query(
+    "text_highlight_snippet",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(text, '(?i)\\b(spark)\\b', '<b>\\1</b>', 'g')
+               AS highlighted,
+           CASE
+             WHEN position('spark' IN lower(text)) > 30
+             THEN '...' || substr(text,
+                                  position('spark' IN lower(text)) - 30, 66)
+                       || '...'
+             ELSE substr(text, 1,
+                         position('spark' IN lower(text)) + 35) || '...'
+           END AS snippet
+    FROM documents
+    WHERE position('spark' IN lower(text)) > 0
+    ORDER BY doc_id
+    """,
+    description="FTS5 highlight()/snippet() analogs (reference enables "
+    "FTS5: pkg/sqlite3/sqlite3.go:20): match-term markup and a fixed-width "
+    "excerpt around the first hit. Pure JVM string expressions "
+    "(regexp_replace/locate/substring) — narrow map, no shuffle; pairs "
+    "with text_bm25 for ranked search over the same corpus.",
+    tags=("text", "fts"),
+)
+def text_highlight_snippet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    pos = F.locate("spark", F.lower(F.col("text")))
+    highlighted = F.regexp_replace(
+        F.col("text"), r"(?i)\b(spark)\b", "<b>$1</b>"
+    )
+    snippet = F.when(
+        pos > 30,
+        F.concat(F.lit("..."), F.substring(F.col("text"), pos - 30, 66), F.lit("...")),
+    ).otherwise(
+        F.concat(F.substring(F.col("text"), F.lit(1), pos + 35), F.lit("..."))
+    )
+    return (
+        d.filter(pos > 0)
+        .select(
+            "doc_id",
+            highlighted.alias("highlighted"),
+            snippet.alias("snippet"),
+        )
+        .orderBy("doc_id")
+    )
