@@ -21,10 +21,24 @@ import time
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q4_order_priority",
     "q5_regional_revenue",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
     "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "q22_idle_customers",
     "agg_cube",
     "join_theta",
+    "join_asof",
+    "join_range_interval",
     "setop_union",
     "subquery_correlated",
     "window_rank_topk",
@@ -33,8 +47,10 @@ HEADLINE = [
     "stream_session_window",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "text_bm25",
     "text_quality_score",
+    "text_highlight_snippet",
     "knn_cosine_bruteforce",
 ]
 
@@ -65,26 +81,29 @@ def main() -> int:
     # pkg/database/database_connection.go:726-756), then executed twice and
     # the best run reported. The first end-to-end run (plan build +
     # analysis + execution) is reported separately as cold_total.
+    # Full-plan execution via the noop sink: every operator runs (count()
+    # would let Catalyst prune e.g. unused Window projections), but rows
+    # stay executor-side — the honest analog of serving a result set
+    # without charging for local driver transfer.
+    def run(df):
+        df.write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY[name]
         t0 = time.time()
         df = spec.builder(spark, sf_dir)
-        n = df.count() if name != "q1_pricing_summary" else len(df.collect())
+        run(df)
         cold[name] = round(time.time() - t0, 3)
         per_run = []
         for _ in range(2):
             t0 = time.time()
-            if name == "q1_pricing_summary":
-                len(df.collect())
-            else:
-                df.count()
+            run(df)
             per_run.append(time.time() - t0)
         timings[name] = round(min(per_run), 3)
         print(
-            f"# {name}: exec {timings[name]:.2f}s cold {cold[name]:.2f}s "
-            f"({n} rows)",
+            f"# {name}: exec {timings[name]:.2f}s cold {cold[name]:.2f}s",
             file=sys.stderr,
         )
 
@@ -94,9 +113,9 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "methodology": "steady-state execution: plan built once "
-        "(statement-cache analog), 2 executions, min; cold_total = "
-        "first build+run per query",
+        "methodology": "steady-state full-plan execution (noop sink): "
+        "plan built once (statement-cache analog), 2 executions, min; "
+        "cold_total = first build+run per query",
         "cold_total": round(sum(cold.values()), 3),
     }
 

@@ -221,3 +221,38 @@ def stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "stream_stateful_totals",
+    oracle=f"""
+    SELECT user_id, COUNT(*) AS n_events,
+           {SQL_DSUM('value')} AS total_value
+    FROM events GROUP BY user_id
+    """,
+    description="Custom stateful streaming operator "
+    "(applyInPandasWithState): per-user running totals held in keyed state "
+    "store, updated by Arrow-batched pandas across microbatches "
+    "(streaming/stateful.py). Executed here with AvailableNow over the "
+    "single-file fixture (one batch), so the final state equals the batch "
+    "aggregate — which is the oracle. Multi-batch state carry-over is "
+    "covered in tests/test_streaming.py.",
+    tags=("streaming", "stateful"),
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from litebase_spark.streaming.stateful import running_user_totals
+    from litebase_spark.streaming.windows import (
+        _normalized_events,
+        events_stream,
+        run_available_now,
+    )
+
+    stream = _normalized_events(events_stream(spark, sf_dir))
+    out = run_available_now(running_user_totals(stream), output_mode="update")
+    return out.select(
+        "user_id",
+        "n_events",
+        F.round(F.col("total_value").cast("decimal(18,4)").cast("double"), 2).alias(
+            "total_value"
+        ),
+    )

@@ -1,0 +1,47 @@
+"""Custom stateful streaming operator: applyInPandasWithState.
+
+The reference has no stream processing (SURVEY §2.B streaming row); this
+is north-star surface. Where windows.py uses built-in window/watermark
+operators, this module shows the ARBITRARY-state path Spark provides for
+operators the built-ins can't express: per-key state that survives
+across microbatches, updated by Arrow-batched Python.
+
+Scale notes: state lives in the state store keyed by user_id — one
+shuffle to co-locate each key's events, O(keys) state, Arrow transfer in
+vectorized batches (never per-row Python). Unbounded-state risk is the
+operator author's contract: real deployments pair this with event-time
+timeouts (GroupStateTimeout.EventTimeTimeout) to expire idle keys.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+STATE_SCHEMA = "cnt bigint, total double"
+
+
+def _update_totals(key, pdf_iter, state: GroupState):
+    """Accumulate per-user event count + value total across microbatches;
+    emit the running totals once per batch the key appears in."""
+    cnt, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        cnt += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((cnt, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [cnt], "total_value": [total]}
+    )
+
+
+def running_user_totals(stream: DataFrame) -> DataFrame:
+    """Per-user running (count, sum(value)) maintained in keyed state."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _update_totals,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
