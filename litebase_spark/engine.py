@@ -155,6 +155,7 @@ class Engine:
         self.spark = spark or get_spark()
         self.metrics = QueryMetrics()
         self.default_database = default_database
+        self._plan_cache: dict[int, DataFrame] = {}
 
     # -- query dispatch (A2/A3) --------------------------------------------
 
@@ -214,6 +215,47 @@ class Engine:
         """Lazy variant: return the DataFrame without collecting."""
         sql_text, args = self._bind(statement, params)
         return self.spark.sql(sql_text, args=args) if args else self.spark.sql(sql_text)
+
+    def sql_batch(self, statements: list[str | tuple]) -> list[QueryResult]:
+        """Execute N statements sequentially in one call (batch query
+        endpoint analog — reference POST …/query accepts {queries:[…]},
+        pkg/http/query_controller.go:11-141). Each item is a statement or
+        a (statement, params) tuple."""
+        out = []
+        for item in statements:
+            stmt, params = item if isinstance(item, tuple) else (item, None)
+            out.append(self.sql(stmt, params))
+        return out
+
+    def prepared(self, statement: str) -> DataFrame:
+        """Statement-cache analog (A6): analyzed-plan reuse keyed by
+        CRC32(SQL), like the reference's per-connection prepared cache
+        (reference: pkg/database/database_connection.go:726-756).
+        Catalyst already caches plan fragments; this keeps the PYTHON-side
+        DataFrame (parse+analyze done once) for repeated execution.
+        Read-only statements only — DML/DDL must re-resolve tables."""
+        if classify_statement(statement) != "DQL":
+            raise ValueError("prepared() caches read statements only")
+        h = QueryMetrics.statement_hash(statement)
+        df = self._plan_cache.get(h)
+        if df is None:
+            df = self._plan_cache[h] = self.spark.sql(statement)
+        return df
+
+    def explain(self, statement: str, mode: str = "formatted") -> str:
+        """EXPLAIN pass-through (PRAGMA-analog introspection, M3/A13)."""
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            self.spark.sql(statement).explain(mode=mode)
+        return buf.getvalue()
+
+    def describe(self, table: str) -> list[Row]:
+        """DESCRIBE analog of the reference's introspection pragmas
+        (table_info etc. — allowlist pkg/auth/pragma_list.go:3)."""
+        return self.spark.sql(f"DESCRIBE TABLE {table}").collect()
 
     @staticmethod
     def _bind(statement: str, params: list | dict | None):

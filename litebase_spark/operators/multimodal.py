@@ -130,6 +130,88 @@ def extract_features(media_df: DataFrame) -> DataFrame:
     return media_df.mapInPandas(compute, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    MEDIA_SCHEMA.fields[:2]
+    + [
+        StructField(
+            "meta",
+            StructType(
+                MEDIA_SCHEMA["meta"].dataType.fields  # type: ignore[union-attr]
+                + [
+                    StructField("target_w", LongType()),
+                    StructField("target_h", LongType()),
+                ]
+            ),
+        )
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_index", LongType()),
+        StructField("frame", BinaryType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def resize_media(media_df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stage: 1:1 Arrow-batched transform. Real deployments decode
+    with PIL/opencv and resample; neither exists in this container, so the
+    transform is a DETERMINISTIC FAKE (truncate/cycle payload to w*h
+    bytes) behind the same batch shape — schema, partitioning, and the
+    1-in-1-out mapInPandas contract are the real, tested plumbing."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            resized, metas = [], []
+            for payload, meta in zip(pdf["media"], pdf["meta"]):
+                body = _decode_media(payload, meta["modality"])
+                fake = (body * (target // max(len(body), 1) + 1))[:target]
+                resized.append(fake)
+                metas.append(
+                    {**meta, "n_bytes": target, "target_w": width, "target_h": height}
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media": resized, "meta": metas}
+            )
+
+    return media_df.mapInPandas(compute, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media_df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame-sampling stage: 1:N Arrow-batched explode. Real deployments
+    pull keyframes with pyav; here each payload is split into n_frames
+    equal byte slices (deterministic fake decode), demonstrating the
+    row-expanding mapInPandas shape a video pipeline needs. Output is
+    partition-local — no shuffle until a downstream op asks for one."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["media"], pdf["meta"]
+            ):
+                body = _decode_media(payload, meta["modality"])
+                step = max(len(body) // n_frames, 1)
+                for i in range(n_frames):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(body[i * step : (i + 1) * step])
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_index": idxs,
+                    "frame": frames,
+                    "n_bytes": [len(x) for x in frames],
+                }
+            )
+
+    return media_df.mapInPandas(compute, schema=FRAME_SCHEMA)
+
+
 @query(
     "multimodal_ingest",
     oracle="""
@@ -166,3 +248,28 @@ def multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = attach_media(load(spark, sf_dir, "documents"))
     return extract_features(m).orderBy("doc_id")
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id, u.frame_index,
+           CAST(octet_length(encode(text)) // 4 AS BIGINT) AS n_bytes
+    FROM documents, UNNEST([0, 1, 2, 3]) AS u(frame_index)
+    WHERE octet_length(encode(text)) >= 4
+    ORDER BY doc_id, frame_index
+    """,
+    description="1:N frame sampling over binary media via mapInPandas "
+    "(video keyframe-pull shape; decode is a deterministic fake — codecs "
+    "absent). Oracle checks the expansion arity and per-frame byte "
+    "counts, which are deterministic functions of payload size.",
+    tags=("multimodal", "pandas_udf"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = attach_media(load(spark, sf_dir, "documents"))
+    frames = sample_frames(m, n_frames=4)
+    return (
+        frames.filter(F.col("n_bytes") > 0)
+        .select("doc_id", "frame_index", "n_bytes")
+        .orderBy("doc_id", "frame_index")
+    )

@@ -256,3 +256,71 @@ def ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+N_CENTROIDS = 16
+N_PROBE = 4
+
+
+@query(
+    "knn_ivf_probe",
+    oracle=None,  # ANN: probe subset is an approximation by design
+    description="IVF ANN search: coarse quantizer = sampled centroids "
+    "(k-means would train the same shape; sampling keeps it deterministic), "
+    "corpus assigned to nearest centroid once (build-time shuffle), queries "
+    "probe the N_PROBE nearest cells and exact-rerank inside them. 100 TB: "
+    "the corpus is written partitioned by cell, so a query touches "
+    "nprobe/ncells of the data via partition pruning; the rerank is "
+    "cell-local. Tests assert recall vs knn_cosine_bruteforce.",
+    tags=("similarity", "ivf"),
+)
+def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    cents = (
+        e.orderBy("vec_id")
+        .limit(N_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+        )
+    )
+    # build: one pass assigning every vector to its nearest centroid
+    # (argmin over a broadcast of N_CENTROIDS rows, min_by aggregation)
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "embedding", "cent_id", cosine(F.col("embedding"), F.col("cv")).alias("sim")
+    )
+    assigned = scored.groupBy("vec_id").agg(
+        F.max_by("cent_id", "sim").alias("cell"),
+        F.first("embedding").alias("embedding"),
+    )
+    # query side: probe the N_PROBE nearest cells
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    probe_w = Window.partitionBy("qid").orderBy(F.desc("qsim"), F.asc("cent_id"))
+    probes = (
+        q.join(F.broadcast(cents))
+        .select("qid", "qv", "cent_id", cosine(F.col("qv"), F.col("cv")).alias("qsim"))
+        .withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= N_PROBE)
+        .select("qid", "qv", F.col("cent_id").alias("cell"))
+    )
+    # search: candidates restricted to probed cells, exact rerank
+    cand = (
+        assigned.join(F.broadcast(probes), on="cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        cand.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "vec_id", "cos_sim", "rank")
+    )

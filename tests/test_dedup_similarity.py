@@ -84,3 +84,21 @@ def test_multimodal_features_deterministic(spark, sf_dir):
         assert r.modality == "text"
         assert 0 <= r.feat_entropy_proxy <= 1.0
         assert r.n_bytes > 0
+
+
+def test_ivf_probe_recall_vs_bruteforce(spark, sf_dir):
+    """IVF with N_PROBE of N_CENTROIDS cells must recall most of the exact
+    top-k (approximation contract) and report true cosine values."""
+    ivf = {
+        (r["qid"], r["vec_id"]): r["cos_sim"]
+        for r in REGISTRY["knn_ivf_probe"].builder(spark, sf_dir).collect()
+    }
+    bf = {
+        (r["qid"], r["vec_id"]): r["cos_sim"]
+        for r in REGISTRY["knn_cosine_bruteforce"].builder(spark, sf_dir).collect()
+    }
+    recall = len(set(ivf) & set(bf)) / len(bf)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # scores on recalled pairs are EXACT (rerank is exact cosine)
+    for pair in set(ivf) & set(bf):
+        assert abs(ivf[pair] - bf[pair]) < 1e-9
