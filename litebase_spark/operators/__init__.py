@@ -9,6 +9,7 @@ from litebase_spark.operators import (  # noqa: F401
     recursion,
     relational,
     similarity,
+    skew,
     streaming_batch,
     text,
     tpch,

@@ -1,0 +1,96 @@
+"""Skew mitigation + approximate aggregation — 100 TB survival operators.
+
+Hot keys break shuffle joins: one task gets the whale key's entire
+partition while 999 executors idle. Two mitigations ship here:
+
+  * AQE skew-join splitting is ON engine-wide (session.py) — the runtime
+    fix, splitting oversized partitions at shuffle-read time.
+  * ``salted_join`` is the planned fix for EXTREME skew (a key too big
+    even when split): the skewed side fans each row into one of
+    ``n_salts`` sub-keys; the other side replicates each row across all
+    sub-keys, so the hot key's work spreads over n_salts tasks. The salt
+    derives from xxhash64 of a caller-named column (deterministic under
+    task retries — rand() is not a safe salt at scale).
+
+``approx_count_distinct`` (HyperLogLog++) is the scale path for
+COUNT(DISTINCT): one pass, no per-key exact state, mergeable sketches —
+SQLite has no equivalent (SURVEY §2.B aggregation gap; exceeds parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from litebase_spark.catalog import SQL_DSUM, dec, load, query
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str,
+    salt_from: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join robust to a hot `on` key: the skewed side picks a
+    deterministic salt per row; the other side is replicated n_salts
+    times; the join key becomes (on, salt). Output columns match a plain
+    ``skewed.join(other, on, how)``."""
+    salted_l = skewed.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts))
+    )
+    salted_r = other.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    joined = salted_l.join(salted_r, on=[on, "__salt"], how=how)
+    return joined.drop("__salt")
+
+
+@query(
+    "join_salted_skew",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           {SQL_DSUM('l_extendedprice')} AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    description="Salted shuffle join (manual skew mitigation): lineitem "
+    "fans into 8 sub-keys of l_orderkey, orders replicates 8x, join on "
+    "(key, salt). Results are identical to the plain join (the oracle IS "
+    "the plain join); the plan guarantees no single task ever owns a "
+    "whole hot key. Use when AQE splitting is not enough (one key >> one "
+    "executor's memory).",
+    tags=("join", "skew"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(l, o, on="l_orderkey", salt_from="l_orderkey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(dec("l_extendedprice")).cast("double"), 2).alias(
+            "sum_price"
+        ),
+    )
+
+
+@query(
+    "agg_approx_distinct",
+    oracle=None,  # HLL++ estimates differ across engines by design
+    description="approx_count_distinct (HyperLogLog++, rsd=0.01) per "
+    "order priority — the 100 TB replacement for exact COUNT(DISTINCT): "
+    "constant memory, single pass, mergeable partial sketches. Tests "
+    "bound the estimate within 5% of exact.",
+    tags=("agg", "approx"),
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_custs"),
+    )

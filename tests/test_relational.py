@@ -120,3 +120,38 @@ def test_distinct_projection_reads_two_columns(spark, sf_dir):
     plan = run("distinct_projection", spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     scan = [ln for ln in plan.splitlines() if "FileScan" in ln][0]
     assert "l_returnflag" in scan and "l_extendedprice" not in scan
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from litebase_spark.catalog import load
+    from litebase_spark.operators.skew import salted_join
+
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    plain = l.join(o, on="l_orderkey").count()
+    salted = salted_join(l, o, on="l_orderkey", salt_from="l_orderkey")
+    assert salted.count() == plain
+    # every left row must land in exactly one salt bucket (no dup/loss)
+    assert salted.select("l_orderkey", "l_quantity").count() == l.join(
+        o, on="l_orderkey"
+    ).count()
+
+
+def test_approx_distinct_within_5pct(spark, sf_dir):
+    from litebase_spark.catalog import REGISTRY, load
+
+    approx = {
+        r["o_orderpriority"]: r["approx_custs"]
+        for r in REGISTRY["agg_approx_distinct"].builder(spark, sf_dir).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: r["n"]
+        for r in load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for k, v in exact.items():
+        assert abs(approx[k] - v) / v < 0.05, (k, approx[k], v)
