@@ -52,6 +52,11 @@ HEADLINE = [
     "text_quality_score",
     "text_highlight_snippet",
     "knn_cosine_bruteforce",
+    "knn_ivf_probe",
+    "stream_stateful_totals",
+    "multimodal_frame_sample",
+    "agg_approx_distinct",
+    "join_salted_skew",
 ]
 
 

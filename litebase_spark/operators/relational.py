@@ -996,3 +996,58 @@ def like_between_in(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         dsum("l_extendedprice").alias("sum_price"),
     )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT n_name, COUNT(c_custkey) AS n_customers
+    FROM customer RIGHT OUTER JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    description="RIGHT OUTER join (SQLite ≥3.39 surface): every nation "
+    "kept, customer side optional. Spark flips build sides freely; the "
+    "nation side broadcasts and the outer semantics ride on the hash join.",
+    tags=("join", "outer"),
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey, "right_outer")
+        .groupBy("n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "join_using_natural",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n_nations, MIN(r_name) AS region_name
+    FROM nation JOIN region ON r_regionkey = n_regionkey
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+    description="USING-style equi join (shared key column appears once in "
+    "the output — SQLite USING/NATURAL semantics). Spark's join(on=[col]) "
+    "coalesces the key the same way.",
+    tags=("join",),
+)
+def join_using_natural(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation").withColumnRenamed(
+        "n_regionkey", "regionkey"
+    )
+    r = load(spark, sf_dir, "region").withColumnRenamed(
+        "r_regionkey", "regionkey"
+    )
+    return (
+        n.join(r, on="regionkey")
+        .groupBy(F.col("regionkey").alias("n_regionkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.min("r_name").alias("region_name"),
+        )
+        .orderBy("n_regionkey")
+    )
