@@ -134,3 +134,22 @@ def run_available_now(
         if q.isActive:
             q.stop()
     return df.sparkSession.table(name)
+
+
+def sliding_counts(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of stream_sliding_window: 10-minute windows sliding
+    every 5 minutes (each event lands in 2 windows)."""
+    stream = _normalized_events(stream)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -124,3 +124,14 @@ def test_stream_parquet_sink_checkpoint_incremental(spark, sf_dir, tmp_path):
     n2 = spark.read.parquet(sink).count()
     # incremental: only the new file was processed, no reprocessing dupes
     assert n2 == first.count() + second.count()
+
+
+def test_sliding_stream_equals_batch(spark, sf_dir):
+    from litebase_spark.streaming.windows import sliding_counts
+
+    stream_df = run_available_now(
+        sliding_counts(events_stream(spark, sf_dir)), output_mode="complete"
+    )
+    batch_df = REGISTRY["stream_sliding_window"].builder(spark, sf_dir)
+    cols = ["window_start", "n_events", "sum_value"]
+    assert rows_set(stream_df, cols) == rows_set(batch_df, cols)
