@@ -57,6 +57,8 @@ HEADLINE = [
     "multimodal_frame_sample",
     "agg_approx_distinct",
     "join_salted_skew",
+    "knn_cosine_vectorized",
+    "dedup_embedding_blocked",
 ]
 
 

@@ -324,3 +324,71 @@ def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("qid", "vec_id", "cos_sim", "rank")
     )
+
+
+@query(
+    "knn_cosine_vectorized",
+    oracle=None,  # numpy kernel; equivalence to knn_cosine_bruteforce is
+    # asserted in tests instead of SQL
+    description="Brute-force cosine top-k with a VECTORIZED numpy kernel "
+    "(mapInPandas): per Arrow batch, one (batch x dim)@(dim x nq) BLAS "
+    "matmul scores every query at once, then a partition-local top-k cut "
+    "so only k rows per (query, partition) reach the final shuffle. This "
+    "is the scale scoring path — the JVM higher-order-function form "
+    "(knn_cosine_bruteforce) is the oracle-exact reference; tests assert "
+    "both return identical top-k sets.",
+    tags=("similarity", "pandas_udf"),
+)
+def knn_cosine_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # query side is tiny (N_QUERIES rows): ship it in the task closure —
+    # the same role as a broadcast hash side
+    qrows = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qids = np.array([r["vec_id"] for r in qrows])
+    Q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            M = np.stack(pdf["embedding"].apply(np.asarray).values).astype(
+                np.float64
+            )
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            sims = Mn @ Qn.T  # (batch, nq)
+            ids = pdf["vec_id"].values
+            out_q, out_v, out_s = [], [], []
+            for j, qid in enumerate(qids):
+                col = sims[:, j]
+                mask = ids != qid
+                cand_ids, cand_sims = ids[mask], col[mask]
+                k = min(TOP_K, len(cand_ids))
+                if k == 0:
+                    continue
+                # partition-local cut: only k rows per query leave the task
+                top = np.argpartition(-cand_sims, k - 1)[:k]
+                out_q.extend([qid] * k)
+                out_v.extend(cand_ids[top].tolist())
+                out_s.extend(np.round(cand_sims[top], 6).tolist())
+            yield pd.DataFrame(
+                {"qid": out_q, "vec_id": out_v, "cos_sim": out_s}
+            )
+
+    cand = e.select("vec_id", "embedding").mapInPandas(
+        score, schema="qid long, vec_id long, cos_sim double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        cand.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "vec_id", "cos_sim", "rank")
+    )

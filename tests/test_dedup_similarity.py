@@ -102,3 +102,37 @@ def test_ivf_probe_recall_vs_bruteforce(spark, sf_dir):
     # scores on recalled pairs are EXACT (rerank is exact cosine)
     for pair in set(ivf) & set(bf):
         assert abs(ivf[pair] - bf[pair]) < 1e-9
+
+
+def test_vectorized_knn_equals_hof_bruteforce(spark, sf_dir):
+    """The numpy kernel and the JVM higher-order-function form must return
+    the same top-k (same pairs, same 6-decimal scores)."""
+    vec = {
+        (r["qid"], r["vec_id"]): r["cos_sim"]
+        for r in REGISTRY["knn_cosine_vectorized"].builder(spark, sf_dir).collect()
+    }
+    bf = {
+        (r["qid"], r["vec_id"]): r["cos_sim"]
+        for r in REGISTRY["knn_cosine_bruteforce"].builder(spark, sf_dir).collect()
+    }
+    assert set(vec) == set(bf)
+    for pair in bf:
+        assert abs(vec[pair] - bf[pair]) <= 1e-6
+
+
+def test_blocked_embedding_dedup_equals_exact(spark, sf_dir):
+    """Blocked numpy near-dup pairs == the oracle-exact pair set (pairs
+    within float-noise of the threshold may differ either way)."""
+    fast = {
+        (r["vec_id_a"], r["vec_id_b"]): r["cos_sim"]
+        for r in REGISTRY["dedup_embedding_blocked"].builder(spark, sf_dir).collect()
+    }
+    exact = {
+        (r["vec_id_a"], r["vec_id_b"]): r["cos_sim"]
+        for r in REGISTRY["dedup_embedding_cosine"].builder(spark, sf_dir).collect()
+    }
+    for pair in set(fast) ^ set(exact):
+        sim = fast.get(pair, exact.get(pair))
+        assert abs(sim - 0.4) < 1e-9, f"non-boundary disagreement: {pair} {sim}"
+    for pair in set(fast) & set(exact):
+        assert abs(fast[pair] - exact[pair]) <= 1e-6
