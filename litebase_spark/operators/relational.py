@@ -1051,3 +1051,66 @@ def join_using_natural(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+def groups_frame(
+    df: DataFrame,
+    partition: str,
+    order: str,
+    preceding: int,
+    following: int,
+) -> tuple[DataFrame, "Window"]:
+    """GROUPS-frame emulation: dense_rank the ORDER BY key, then frame by
+    RANGE over the rank — peer rows share a rank, so N groups == N rank
+    units. Returns (ranked_df, frame_window) for any aggregate."""
+    rank_w = Window.partitionBy(partition).orderBy(order)
+    ranked = df.select(
+        "*", F.dense_rank().over(rank_w).alias("__grp")
+    )
+    frame_w = (
+        Window.partitionBy(partition)
+        .orderBy("__grp")
+        .rangeBetween(-preceding, following)
+    )
+    return ranked, frame_w
+
+
+@query(
+    "window_groups_frame",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+             DENSE_RANK() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_quantity) AS grp
+      FROM lineitem WHERE l_orderkey <= 160)
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+             PARTITION BY l_returnflag ORDER BY grp
+             RANGE BETWEEN 1 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS grp_sum
+    FROM ranked
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    description="GROUPS window frame (SQLite >= 3.28 surface, absent in "
+    "Spark AND DuckDB): emulated exactly as a RANGE frame over dense_rank "
+    "of the ORDER BY key — peers share a rank, so '1 group preceding' == "
+    "rank range [rank-1, rank]. Both engines run the rewrite (DuckDB 1.0 "
+    "lacks native GROUPS), so the oracle verifies cross-engine agreement "
+    "of the emulation; tests/test_relational.py pins the SQLite semantics "
+    "on a hand-computed case.",
+    tags=("window",),
+)
+def window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 160)
+    ranked, frame_w = groups_frame(
+        l, partition="l_returnflag", order="l_quantity", preceding=1, following=0
+    )
+    return (
+        ranked.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            F.sum(dec("l_quantity")).over(frame_w).cast("double").alias("grp_sum"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )

@@ -610,3 +610,116 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@query(
+    "q16_parts_supplier_relationship",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#23' AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    description="TPC-H Q16 (adapted: the part-supplier relationship is "
+    "derived from lineitem — no partsupp table; negative-balance suppliers "
+    "stand in for the complaints filter). NOT IN -> left-anti against a "
+    "broadcast; distinct (part,supp) pairs collapse map-side before the "
+    "part join.",
+    tags=("tpch", "join", "subquery", "agg"),
+)
+def q16_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#23")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+@query(
+    "q21_suppliers_kept_waiting",
+    oracle="""
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey,
+             MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                      THEN 1 ELSE 0 END) AS is_late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+      GROUP BY l_orderkey, l_suppkey
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM late l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE l1.is_late = 1
+      AND EXISTS (SELECT 1 FROM late l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.is_late = 1)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+    description="TPC-H Q21 (adapted: 'late' = shipped >60 days after the "
+    "order date — no commit/receipt dates in the fixture). The "
+    "EXISTS + NOT EXISTS pair over the same derived table compiles to one "
+    "windowed aggregation per order (counts of suppliers / late suppliers) "
+    "instead of two correlated re-scans — same result, single shuffle on "
+    "l_orderkey.",
+    tags=("tpch", "join", "subquery", "window"),
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    late = (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("is_late")
+        )
+    )
+    w = Window.partitionBy("l_orderkey")
+    per_order = late.select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("n_supps"),
+        F.sum("is_late").over(w).alias("n_late"),
+    )
+    return (
+        per_order.filter(
+            (F.col("is_late") == 1)
+            & (F.col("n_supps") > 1)  # EXISTS other supplier
+            & (F.col("n_late") == 1)  # NOT EXISTS other late supplier
+        )
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )

@@ -155,3 +155,20 @@ def test_approx_distinct_within_5pct(spark, sf_dir):
     }
     for k, v in exact.items():
         assert abs(approx[k] - v) / v < 0.05, (k, approx[k], v)
+
+
+def test_groups_frame_semantics_hand_case(spark):
+    """GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW on values [1,1,2,3,3]:
+    peer groups are {1,1},{2},{3,3} -> sums 2,2,4,8,8 (SQLite semantics)."""
+    from litebase_spark.operators.relational import groups_frame
+
+    df = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate([1, 1, 2, 3, 3])],
+        "part string, idx int, v int",
+    )
+    ranked, w = groups_frame(df, partition="part", order="v", preceding=1, following=0)
+    got = {
+        r["idx"]: r["s"]
+        for r in ranked.select("idx", F.sum("v").over(w).alias("s")).collect()
+    }
+    assert got == {0: 2, 1: 2, 2: 4, 3: 8, 4: 8}
