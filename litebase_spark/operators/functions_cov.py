@@ -294,3 +294,39 @@ def func_glob_quote(spark: SparkSession, sf_dir: str) -> DataFrame:
         compat.glob_match("Brand#1?", F.col("p_brand")).alias("glob_b1x"),
         compat.quote(F.col("p_type")).alias("type_quoted"),
     )
+
+
+@query(
+    "func_json_modify",
+    oracle="""
+    SELECT event_id,
+           CAST(json_merge_patch(props, '{"new": 1}') AS VARCHAR) AS json_set,
+           CAST(json_merge_patch(props, '{"k": null}') AS VARCHAR)
+               AS json_remove,
+           '{"k":' || CAST(CAST(props->>'k' AS BIGINT) + 1 AS VARCHAR) || '}'
+               AS json_replace
+    FROM events
+    WHERE event_id < 50
+    ORDER BY event_id
+    """,
+    description="SQLite JSON1 modification surface (json_set / "
+    "json_remove / json_replace — reference enables JSON1: "
+    "pkg/sqlite3/sqlite3.go:22): Spark lacks JSON mutation builtins, so "
+    "documents decode to MapType, mutate with map_concat / map_filter / "
+    "transform_values (all codegen'd), and re-encode with to_json. "
+    "Both engines emit identical compact JSON text.",
+    tags=("functions", "json"),
+)
+def func_json_modify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") < 50)
+    m = F.from_json("props", "map<string,bigint>")
+    return e.select(
+        "event_id",
+        F.to_json(
+            F.map_concat(m, F.create_map(F.lit("new"), F.lit(1).cast("bigint")))
+        ).alias("json_set"),
+        F.to_json(F.map_filter(m, lambda k, v: k != "k")).alias("json_remove"),
+        F.to_json(F.transform_values(m, lambda k, v: v + 1)).alias(
+            "json_replace"
+        ),
+    ).orderBy("event_id")

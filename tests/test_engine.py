@@ -122,3 +122,33 @@ def test_metrics_telemetry(engine, spark):
     )
     mdf = eng.query_metrics()
     assert mdf.count() == 1 and "p99" in mdf.columns
+
+
+def test_engine_runs_tpch_sql_text_with_params(engine, spark, sf_dir):
+    """The engine executes the reference's core use case: a raw SQL
+    string with positional parameters, returning the litebase-shaped
+    result envelope (reference: pkg/database/query_input.go:28-32,
+    query_response.go:15-50)."""
+    from litebase_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    res = engine.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS count_order,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+                   AS sum_qty
+        FROM lineitem
+        WHERE l_shipdate <= ? AND l_quantity < ?
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """,
+        params=["2000-09-02", 30],
+    )
+    assert res.statement_class == "DQL"
+    assert res.columns == ["l_returnflag", "l_linestatus", "count_order", "sum_qty"]
+    assert res.row_count > 0 and res.changes == 0
+    assert res.latency > 0
+    # metrics recorded under the statement hash (A22)
+    snap = engine.metrics.snapshot()
+    assert any(s["count"] >= 1 and "l_returnflag" in s["statement"] for s in snap)

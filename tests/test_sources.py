@@ -67,3 +67,16 @@ def test_registry_exposes_sql(spark, sf_dir, tmp_path):
     ).collect()[0]["n"]
     assert got == nation.count()
     assert reg.names() == ["nation_ext"]
+
+
+def test_compact_table_reduces_files(spark, sf_dir, tmp_path):
+    from litebase_spark.sources.io import compact_table
+
+    orders = load(spark, sf_dir, "orders")
+    path = str(tmp_path / "fragmented")
+    orders.repartition(24).write.parquet(path)  # 24 tiny files
+    before, after = compact_table(spark, path)
+    assert before == 24 and after < 24
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+    assert set(back.columns) == set(orders.columns)
