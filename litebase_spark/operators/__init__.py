@@ -6,6 +6,7 @@ from litebase_spark.operators import (  # noqa: F401
     dedup,
     functions_cov,
     multimodal,
+    pipeline,
     recursion,
     relational,
     similarity,
