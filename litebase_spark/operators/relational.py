@@ -1114,3 +1114,45 @@ def window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+@query(
+    "window_exclude_current",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+             PARTITION BY l_orderkey ORDER BY l_linenumber
+             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+             EXCLUDE CURRENT ROW
+           ) AS DOUBLE) AS neighbor_qty
+    FROM lineitem
+    WHERE l_orderkey <= 640
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    description="EXCLUDE CURRENT ROW window option (SQLite >= 3.28, "
+    "absent in Spark): for distributive aggregates it is exactly "
+    "frame_agg - current_value, one extra projection on the same window "
+    "pass (no second shuffle). Oracle runs DuckDB's native EXCLUDE. "
+    "EXCLUDE GROUP/TIES compose the same way with the groups_frame "
+    "helper.",
+    tags=("window",),
+)
+def window_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 640)
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(-2, 2)
+    )
+    frame_sum = F.sum(dec("l_quantity")).over(w)
+    frame_cnt = F.count(F.lit(1)).over(w)
+    # an excluded-to-empty frame aggregates to NULL, not 0
+    neighbor = F.when(frame_cnt > 1, frame_sum - dec("l_quantity"))
+    return (
+        l.select(
+            "l_orderkey",
+            "l_linenumber",
+            neighbor.cast("double").alias("neighbor_qty"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )

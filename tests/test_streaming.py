@@ -135,3 +135,67 @@ def test_sliding_stream_equals_batch(spark, sf_dir):
     batch_df = REGISTRY["stream_sliding_window"].builder(spark, sf_dir)
     cols = ["window_start", "n_events", "sum_value"]
     assert rows_set(stream_df, cols) == rows_set(batch_df, cols)
+
+
+def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
+    """Late-data policy, demonstrated end-to-end: an event older than the
+    watermark arriving in a later microbatch must NOT reopen its
+    (already emitted) window."""
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    src, sink, ckpt = (str(tmp_path / n) for n in ("src", "sink", "ckpt"))
+
+    from datetime import datetime
+
+    def mk_events(rows):
+        return spark.createDataFrame(
+            [
+                (i, datetime.strptime(ts, "%Y-%m-%d %H:%M:%S"), 1.0)
+                for i, ts in enumerate(rows)
+            ],
+            "event_id long, ts timestamp, value double",
+        )
+
+    base = "2024-01-01 {:02d}:00:00"
+    # batch 0: hours 0-4 -> watermark advances to 03:00 at batch end;
+    # batch 1: on-time h5 event — h0's window is finalized and emitted
+    #          (eviction lags the watermark by one batch);
+    # batch 2: a LATE h0 event after finalization -> dropped by watermark
+    batches = [
+        [base.format(h) for h in (0, 0, 1, 2, 3, 4)],
+        [base.format(5)],
+        [base.format(0)],
+    ]
+    for rows in batches:
+        mk_events(rows).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # distinct mtimes: file source orders by mod time
+
+    q = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    out = {str(r["ws"]): r["n"] for r in spark.read.parquet(sink).collect()}
+    # hour-0 window was finalized with the 2 on-time events; the late
+    # third arrival was dropped at the watermark
+    assert out["2024-01-01 00:00:00"] == 2, out
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1, dropped
