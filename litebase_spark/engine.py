@@ -200,6 +200,8 @@ class Engine:
             rows = []
             columns = list(df.columns)
             changes = self._changes_from(res)
+            if changes == 0 and stmt_class == "DML":
+                changes = self._insert_values_count(sql_text)
         latency = time.time() - t0
         self.metrics.record(statement, latency)
         return QueryResult(
@@ -382,6 +384,23 @@ class Engine:
         if m:
             return self.delete_from(m.group(1), m.group(2))
         return None
+
+    @classmethod
+    def _insert_values_count(cls, statement: str) -> int:
+        """`changes` for INSERT ... VALUES: the tuple count, parsed — the
+        reference reads sqlite3_changes after DML (resolver.go:127-130);
+        plain-parquet INSERT returns no commit metrics, so the engine
+        counts the literal rows instead (0 for INSERT...SELECT, which
+        callers route through insert_select for an exact count)."""
+        import re
+
+        m = re.search(r"(?is)\bINSERT\s+INTO\b.*?\bVALUES\b(.*)$", statement)
+        if not m:
+            return 0
+        tuples = [
+            p for p in cls._split_top_level(m.group(1)) if p.strip().startswith("(")
+        ]
+        return len(tuples)
 
     @staticmethod
     def _split_top_level(s: str) -> list[str]:

@@ -62,6 +62,7 @@ def test_ddl_dml_roundtrip_with_changes(engine):
     eng.sql("CREATE TABLE t_dml (id BIGINT, name STRING, val DOUBLE) USING PARQUET")
     r = eng.sql("INSERT INTO t_dml VALUES (1,'a',1.5),(2,'b',2.5),(3,'c',3.5)")
     assert r.statement_class == "DML"
+    assert r.changes == 3  # reference: sqlite3_changes after INSERT
     assert eng.sql("SELECT count(*) AS n FROM t_dml").rows[0].n == 3
 
     # UPDATE via copy-on-write rewrite, changes = matched rows

@@ -199,3 +199,40 @@ def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
         if p["stateOperators"]
     )
     assert dropped == 1, dropped
+
+
+def test_foreach_batch_upsert_sink(spark, sf_dir, tmp_path):
+    """foreachBatch upsert: every microbatch merges into a serving table
+    keyed by user_id; final table == last-write-wins over the stream."""
+    import pyspark.sql.functions as F
+
+    from litebase_spark.catalog import load
+    from litebase_spark.streaming.sinks import ForeachBatchUpsertSink
+
+    events = load(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    src = str(tmp_path / "src")
+    events.repartition(3).write.parquet(src)
+
+    spark.sql("DROP TABLE IF EXISTS serving_totals")
+    spark.createDataFrame([], "user_id long, event_type string, value double") \
+        .write.saveAsTable("serving_totals")
+
+    sink = ForeachBatchUpsertSink(spark, "serving_totals", keys=["user_id"])
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = sink.attach(stream)
+    q.awaitTermination(120)
+
+    final = spark.table("serving_totals")
+    # exactly one row per user (upsert semantics, not append)
+    assert final.count() == final.select("user_id").distinct().count()
+    assert final.count() == events.select("user_id").distinct().count()
+    assert len(sink.applied_batches) == 3  # one per file
+    # idempotence: replaying an already-applied batch is a no-op
+    before = final.count()
+    sink.apply(events.limit(5), sink.applied_batches[0])
+    assert spark.table("serving_totals").count() == before
+    spark.sql("DROP TABLE serving_totals")
