@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from litebase_spark.catalog import load, query
+from litebase_spark.catalog import load, query, register_views
 from litebase_spark.plans.recursive import recursive_cte
 
 
@@ -65,4 +65,50 @@ def cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return closure.join(n, closure.n == n.n_nationkey).select(
         F.col("n").alias("nationkey").cast("int"), "n_name"
+    )
+
+
+@query(
+    "cte_recursive_sql",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+      SELECT (SELECT DATE_TRUNC('month', MIN(o_orderdate)) FROM orders)
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months
+      WHERE m < (SELECT DATE_TRUNC('month', MAX(o_orderdate)) FROM orders)
+    )
+    SELECT CAST(m AS DATE) AS month_start, COUNT(o_orderkey) AS n_orders
+    FROM months LEFT JOIN orders ON DATE_TRUNC('month', o_orderdate) = m
+    GROUP BY m ORDER BY m
+    """,
+    description="WITH RECURSIVE executed NATIVELY by Spark SQL (4.x "
+    "implements recursive CTEs — SPARK-24497), closing the dialect gap "
+    "the DataFrame fixpoint helper (plans/recursive.py) covers on older "
+    "Sparks. Densifies the order-date calendar (months with zero orders "
+    "included) — the classic gaps-filling recursion; the reference gates "
+    "the same surface behind CanRecursive "
+    "(pkg/database/database_connection.go:662-663).",
+    tags=("cte", "recursive"),
+)
+def cte_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ["orders"])
+    # bounds resolved once up front: a scalar subquery inside the
+    # recursion condition re-evaluates per iteration (one job each) —
+    # 80 iterations x 2 subqueries is pure overhead
+    lo, hi = spark.sql(
+        "SELECT DATE_TRUNC('month', MIN(o_orderdate)) AS lo,"
+        "       DATE_TRUNC('month', MAX(o_orderdate)) AS hi FROM orders"
+    ).collect()[0]
+    return spark.sql(
+        f"""
+        WITH RECURSIVE months(m) AS (
+          SELECT TIMESTAMP '{lo}'
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM months
+          WHERE m < TIMESTAMP '{hi}'
+        )
+        SELECT CAST(m AS DATE) AS month_start, COUNT(o_orderkey) AS n_orders
+        FROM months LEFT JOIN orders ON DATE_TRUNC('month', o_orderdate) = m
+        GROUP BY m ORDER BY m
+        """
     )
