@@ -1156,3 +1156,57 @@ def window_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    description="Exact interpolated percentiles per group — the rollup "
+    "shape of the reference's query-latency telemetry "
+    "(count/p50/p90/p99, pkg/logs/query_metric.go:14-28) applied to data. "
+    "Exact percentile needs the group's values collected per key (fine "
+    "for bounded groups); at 100 TB unbounded groups use "
+    "approx_percentile (t-digest, mergeable sketches) instead.",
+    tags=("agg", "percentile"),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "sample_stratified",
+    oracle=None,  # sampling is seed- and partition-layout-dependent
+    description="Stratified downsampling (training-data curation op): "
+    "sampleBy keeps a per-stratum fraction — here 20% of every "
+    "o_orderpriority stratum — with Bernoulli draws per row, no shuffle. "
+    "Tests bound each stratum's realized fraction. At 100 TB this is THE "
+    "way to cut a corpus: narrow map, no skew, no coordination.",
+    tags=("sample",),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    fractions = {
+        p: 0.2
+        for p in ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    }
+    sampled = o.sampleBy("o_orderpriority", fractions=fractions, seed=42)
+    return sampled.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_sampled")
+    )

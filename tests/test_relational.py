@@ -172,3 +172,21 @@ def test_groups_frame_semantics_hand_case(spark):
         for r in ranked.select("idx", F.sum("v").over(w).alias("s")).collect()
     }
     assert got == {0: 2, 1: 2, 2: 4, 3: 8, 4: 8}
+
+
+def test_stratified_sample_fractions(spark, sf_dir):
+    got = {
+        r["o_orderpriority"]: r["n_sampled"]
+        for r in REGISTRY["sample_stratified"].builder(spark, sf_dir).collect()
+    }
+    totals = {
+        r["o_orderpriority"]: r["n"]
+        for r in load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for k, n in totals.items():
+        frac = got.get(k, 0) / n
+        # Bernoulli draws at 20%: generous bound for small strata
+        assert 0.08 <= frac <= 0.35, (k, frac)
