@@ -177,3 +177,94 @@ def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "ts_interpolate",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    bounds AS (
+      SELECT user_id, ts, event_id, v,
+             LAST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             LAST_VALUE(CASE WHEN v IS NOT NULL THEN epoch(ts) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             FIRST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             FIRST_VALUE(CASE WHEN v IS NOT NULL THEN epoch(ts) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM marked
+    )
+    SELECT user_id, event_id,
+           ROUND(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt <> pt
+               THEN pv + (nv - pv) * (epoch(ts) - pt) / (nt - pt)
+             ELSE COALESCE(pv, nv)
+           END, 6) AS value_filled
+    FROM bounds
+    ORDER BY user_id, event_id
+    """,
+    description="Linear time-series interpolation (gap filling): 'error' "
+    "events stand in for missing readings; each gap fills from the "
+    "previous/next observed value weighted by time distance. Two window "
+    "sweeps over ONE partitioning (user_id) — single shuffle, state "
+    "bounded per key; the standard sensor/metric repair op the reference "
+    "cannot express without application code.",
+    tags=("timeseries", "window"),
+)
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") != "error", F.col("value"))
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        v.alias("v"),
+        F.col("ts").cast("double").alias("tsec"),
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t_obs = F.when(F.col("v").isNotNull(), F.col("tsec"))
+    bounds = marked.select(
+        "user_id",
+        "event_id",
+        "v",
+        "tsec",
+        F.last("v", ignorenulls=True).over(fwd).alias("pv"),
+        F.last(t_obs, ignorenulls=True).over(fwd).alias("pt"),
+        F.first("v", ignorenulls=True).over(bwd).alias("nv"),
+        F.first(t_obs, ignorenulls=True).over(bwd).alias("nt"),
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull()
+            & F.col("nv").isNotNull()
+            & (F.col("nt") != F.col("pt")),
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("tsec") - F.col("pt"))
+            / (F.col("nt") - F.col("pt")),
+        )
+        .otherwise(F.coalesce("pv", "nv"))
+    )
+    return bounds.select(
+        "user_id", "event_id", F.round(filled, 6).alias("value_filled")
+    ).orderBy("user_id", "event_id")

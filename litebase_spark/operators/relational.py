@@ -1210,3 +1210,35 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_sampled")
     )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CAST(SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity
+                               END AS DECIMAL(18,2))) AS DOUBLE), 2) AS F_qty,
+           ROUND(CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity
+                               END AS DECIMAL(18,2))) AS DOUBLE), 2) AS O_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    description="PIVOT (beyond SQLite parity): quantity by return flag "
+    "pivoted on line status. Explicit pivot values -> single-pass "
+    "conditional aggregation, no second scan for value discovery (the "
+    "required form at 100 TB; value-discovering pivot adds a distinct "
+    "scan).",
+    tags=("agg", "pivot"),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(dsum("l_quantity"))
+        .select(
+            "l_returnflag",
+            F.col("F").alias("F_qty"),
+            F.col("O").alias("O_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
