@@ -89,34 +89,50 @@ def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
 #
 # Summing doubles is order-dependent; Spark and DuckDB would disagree in the
 # low bits.  The fixtures' money columns are 2-decimal values, so we compute
-# in DECIMAL (exact, associative) and only convert to double at the end —
-# both engines then produce bit-identical doubles.  A final round() guards
-# the (rare) 1-ulp difference in decimal→double conversion.
+# exactly (associatively) and only convert to double at the end — both
+# engines then produce bit-identical doubles.  A final round() guards the
+# (rare) 1-ulp difference in the exact→double conversion.
+#
+# Exact representation: LONG fixed-point (value * 100 as int64), the same
+# trick DuckDB uses internally for DECIMAL.  sum(long) stays inside
+# whole-stage codegen with a primitive accumulator; sum(decimal(18,2))
+# widens to decimal(28,2), a non-compact BigDecimal buffer, and measures
+# ~2x slower at sf0.1.  Value-range contract: |sum| < 2^63 cent-units
+# (9.2e16 dollars at scale 2) — ample at 100 TB for money columns; for a
+# wider domain switch `fp`/`dsum` back to the decimal forms (dec() below
+# is kept for expression sites that need decimal scale growth).
 # ---------------------------------------------------------------------------
 
 DEC = "decimal(18,2)"
 
 
+def fp(col, digits: int = 2) -> Column:
+    """Long fixed-point: value scaled by 10^digits, rounded HALF_UP.
+
+    Matches CAST(x AS DECIMAL(18,digits)) on inputs with <= `digits`
+    fractional decimal digits (all fixture money columns)."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.round(c * (10 ** digits), 0).cast("long")
+
+
 def dsum(col, scale: int = 2) -> Column:
     """Exact sum of a 2-decimal double column, returned as double."""
     c = col if isinstance(col, Column) else F.col(col)
-    return F.round(F.sum(c.cast(DEC)).cast("double"), scale)
+    return F.round(F.sum(fp(c)) / 100.0, scale)
 
 
-def dsum_expr(col: Column, scale: int = 4) -> Column:
-    """Exact sum of a product-of-decimals expression, as double.
+def dsum_expr(col: Column, scale: int = 4, unit: float = 10000.0) -> Column:
+    """Exact sum of a fixed-point product expression, as double.
 
-    Caller is responsible for building `col` out of DEC-cast operands so the
-    arithmetic stays exact (e.g. revenue = price * (1 - disc))."""
-    return F.round(F.sum(col).cast("double"), scale)
+    Caller builds `col` out of `fp()` operands so the arithmetic stays
+    exact in long (e.g. revenue = fp(price) * (100 - fp(disc)), unit 1e4)."""
+    return F.round(F.sum(col) / F.lit(unit), scale)
 
 
 def davg(col, scale: int = 6) -> Column:
     """Exact-sum average of a 2-decimal double column, as double."""
     c = col if isinstance(col, Column) else F.col(col)
-    return F.round(
-        F.sum(c.cast(DEC)).cast("double") / F.count(c), scale
-    )
+    return F.round((F.sum(fp(c)) / 100.0) / F.count(c), scale)
 
 
 def dec(col) -> Column:

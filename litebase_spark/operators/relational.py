@@ -20,6 +20,7 @@ from litebase_spark.catalog import (
     SQL_DSUM,
     davg,
     dec,
+    fp,
     dsum,
     dsum_expr,
     load,
@@ -58,7 +59,7 @@ from litebase_spark.catalog import (
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem")
-    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    disc_price = fp("l_extendedprice") * (F.lit(100) - fp("l_discount"))
     return (
         l.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -276,7 +277,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     l = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
-    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    revenue = fp("l_extendedprice") * (F.lit(100) - fp("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -323,7 +324,7 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    revenue = fp("l_extendedprice") * (F.lit(100) - fp("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -364,7 +365,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = load(spark, sf_dir, "nation")
-    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    revenue = fp("l_extendedprice") * (F.lit(100) - fp("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -579,7 +580,7 @@ def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     avg_df = o.agg(
-        (F.sum(dec("o_totalprice")).cast("double") / F.count(F.lit(1))).alias(
+        ((F.sum(fp("o_totalprice")) / 100.0) / F.count(F.lit(1))).alias(
             "avg_price"
         )
     )
@@ -607,7 +608,7 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     nation_avg = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
-        (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
+        ((F.sum(fp("c_acctbal")) / 100.0) / F.count(F.lit(1))).alias(
             "nation_avg"
         )
     )
@@ -711,7 +712,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.round(F.sum(dec("o_totalprice")).over(w).cast("double"), 2).alias(
+        F.round(F.sum(fp("o_totalprice")).over(w) / 100.0, 2).alias(
             "running_total"
         ),
     )
@@ -847,7 +848,7 @@ def window_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.count(F.when(is_f, 1)).alias("n_finished"),
         F.round(
-            F.sum(F.when(is_f, dec("o_totalprice"))).cast("double"), 2
+            F.sum(F.when(is_f, fp("o_totalprice"))) / 100.0, 2
         ).alias("finished_value"),
     )
 
@@ -1110,7 +1111,7 @@ def window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
             "l_linenumber",
             "l_quantity",
-            F.sum(dec("l_quantity")).over(frame_w).cast("double").alias("grp_sum"),
+            (F.sum(fp("l_quantity")).over(frame_w) / 100.0).alias("grp_sum"),
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
@@ -1144,15 +1145,15 @@ def window_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_linenumber")
         .rowsBetween(-2, 2)
     )
-    frame_sum = F.sum(dec("l_quantity")).over(w)
+    frame_sum = F.sum(fp("l_quantity")).over(w)
     frame_cnt = F.count(F.lit(1)).over(w)
     # an excluded-to-empty frame aggregates to NULL, not 0
-    neighbor = F.when(frame_cnt > 1, frame_sum - dec("l_quantity"))
+    neighbor = F.when(frame_cnt > 1, (frame_sum - fp("l_quantity")) / 100.0)
     return (
         l.select(
             "l_orderkey",
             "l_linenumber",
-            neighbor.cast("double").alias("neighbor_qty"),
+            neighbor.alias("neighbor_qty"),
         )
         .orderBy("l_orderkey", "l_linenumber")
     )

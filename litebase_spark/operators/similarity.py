@@ -99,18 +99,23 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-file fixture -> repartition so the scoring map parallelizes
     e = e.repartition(spark.sparkContext.defaultParallelism)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        norm2(F.col("embedding")).alias("qn"),
     )
     from pyspark.sql import Window
 
+    # corpus norm computed once per row, query norm once per query —
+    # the per-pair work is just the dot product (bit-identical to the
+    # naive cosine: same fold order, same scalar division).
+    sim = dot(F.col("qv"), F.col("embedding")) / (
+        F.col("qn") * F.col("cn")
+    )
     scored = (
-        e.crossJoin(F.broadcast(q))
+        e.select("vec_id", "embedding", norm2(F.col("embedding")).alias("cn"))
+        .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos_sim"),
-        )
+        .select("qid", "vec_id", F.round(sim, 6).alias("cos_sim"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
@@ -200,7 +205,10 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "embeddings")
         .repartition(spark.sparkContext.defaultParallelism)
         .select(
-            "vec_id", "embedding", sketch_expr(F.col("embedding")).alias("sketch")
+            "vec_id",
+            "embedding",
+            sketch_expr(F.col("embedding")).alias("sketch"),
+            norm2(F.col("embedding")).alias("nrm"),
         )
         .localCheckpoint(eager=True)  # reused by both sides of the bucket join
     )
@@ -208,18 +216,16 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qv"),
         F.col("sketch").alias("qsketch"),
+        F.col("nrm").alias("qn"),
     )
+    sim = dot(F.col("qv"), F.col("embedding")) / (F.col("qn") * F.col("nrm"))
     cand = (
         e.join(
             F.broadcast(q),
             (F.col("sketch") == F.col("qsketch"))
             & (F.col("vec_id") != F.col("qid")),
         )
-        .select(
-            "qid",
-            "vec_id",
-            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos_sim"),
-        )
+        .select("qid", "vec_id", F.round(sim, 6).alias("cos_sim"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
@@ -284,39 +290,46 @@ def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.orderBy("vec_id")
         .limit(N_CENTROIDS)
         .select(
-            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cv"),
+            norm2(F.col("embedding")).alias("cn"),
         )
     )
     # build: one pass assigning every vector to its nearest centroid
-    # (argmin over a broadcast of N_CENTROIDS rows, min_by aggregation)
-    scored = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "embedding", "cent_id", cosine(F.col("embedding"), F.col("cv")).alias("sim")
+    # (argmin over a broadcast of N_CENTROIDS rows, min_by aggregation).
+    # Row norm computed once, not per-centroid (bit-identical).
+    csim = dot(F.col("embedding"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    scored = (
+        e.select("vec_id", "embedding", norm2(F.col("embedding")).alias("nrm"))
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "nrm", "cent_id", csim.alias("sim"))
     )
     assigned = scored.groupBy("vec_id").agg(
         F.max_by("cent_id", "sim").alias("cell"),
         F.first("embedding").alias("embedding"),
+        F.first("nrm").alias("nrm"),
     )
     # query side: probe the N_PROBE nearest cells
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qn"),
     )
     probe_w = Window.partitionBy("qid").orderBy(F.desc("qsim"), F.asc("cent_id"))
+    qsim = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     probes = (
         q.join(F.broadcast(cents))
-        .select("qid", "qv", "cent_id", cosine(F.col("qv"), F.col("cv")).alias("qsim"))
+        .select("qid", "qv", "qn", "cent_id", qsim.alias("qsim"))
         .withColumn("pr", F.row_number().over(probe_w))
         .filter(F.col("pr") <= N_PROBE)
-        .select("qid", "qv", F.col("cent_id").alias("cell"))
+        .select("qid", "qv", "qn", F.col("cent_id").alias("cell"))
     )
     # search: candidates restricted to probed cells, exact rerank
+    rsim = dot(F.col("qv"), F.col("embedding")) / (F.col("qn") * F.col("nrm"))
     cand = (
         assigned.join(F.broadcast(probes), on="cell")
         .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos_sim"),
-        )
+        .select("qid", "vec_id", F.round(rsim, 6).alias("cos_sim"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (

@@ -28,19 +28,20 @@ from pyspark.sql import functions as F
 from litebase_spark.catalog import (
     SQL_DSUM,
     dec,
+    fp,
     dsum,
     dsum_expr,
     load,
     query,
 )
 
-# revenue = extendedprice * (1 - discount), exact in DECIMAL (catalog.py
-# determinism contract) — scale 4 after the multiply.
+# revenue = extendedprice * (1 - discount), exact in LONG fixed point
+# (catalog.py determinism contract) — unit 1e-4 dollars after the multiply.
 REV_SQL = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
 
 def _rev() -> F.Column:
-    return dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return fp("l_extendedprice") * (F.lit(100) - fp("l_discount"))
 
 
 @query(
@@ -109,7 +110,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount").between(0.05, 0.07))
             & (F.col("l_quantity") < 24)
         )
-        .agg(dsum_expr(dec("l_extendedprice") * dec("l_discount")).alias("revenue"))
+        .agg(dsum_expr(fp("l_extendedprice") * fp("l_discount")).alias("revenue"))
     )
 
 
@@ -182,7 +183,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             _rev().alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.round(F.sum("volume").cast("double"), 4).alias("revenue"))
+        .agg(F.round(F.sum("volume") / 10000.0, 4).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -244,7 +245,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
     )
     vol = _rev()
-    zero = F.lit(0).cast("decimal(18,4)")
+    zero = F.lit(0).cast("long")
     return (
         df.select(
             F.year("o_orderdate").alias("o_year"),
@@ -254,12 +255,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_year")
         .agg(
             F.round(
-                F.sum(
+                (F.sum(
                     F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(
                         zero
                     )
-                ).cast("double")
-                / F.sum("volume").cast("double"),
+                ) / 10000.0)
+                / (F.sum("volume") / 10000.0),
                 6,
             ).alias("mkt_share")
         )
@@ -295,9 +296,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     o = load(spark, sf_dir, "orders")
     l = load(spark, sf_dir, "lineitem")
-    amount = _rev() - dec("p_retailprice") * dec("l_quantity") * F.lit(
-        "0.1"
-    ).cast("decimal(2,1)")
+    # unit 1e-5: rev(1e-4)*10 and fp(retail)*fp(qty) = retail*qty*1e4 =
+    # retail*qty*0.1*1e5 — both terms exact longs at scale 5.
+    amount = _rev() * 10 - fp("p_retailprice") * fp("l_quantity")
     df = (
         l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
@@ -311,7 +312,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             amount.alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum("amount").cast("double"), 4).alias("sum_profit"))
+        .agg(F.round(F.sum("amount") / 100000.0, 4).alias("sum_profit"))
         .orderBy(F.col("nation"), F.col("o_year").desc())
     )
 
@@ -380,16 +381,16 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     rev = _rev()
-    zero = F.lit(0).cast("decimal(18,4)")
+    zero = F.lit(0).cast("long")
     return (
         l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 F.lit(100.0)
-                * F.sum(
+                * (F.sum(
                     F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
-                ).cast("double")
-                / F.sum(rev).cast("double"),
+                ) / 10000.0)
+                / (F.sum(rev) / 10000.0),
                 6,
             ).alias("promo_revenue")
         )
@@ -436,7 +437,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_suppkey",
             "s_name",
-            F.round(F.col("total_revenue").cast("double"), 4).alias(
+            F.round(F.col("total_revenue") / 10000.0, 4).alias(
                 "total_revenue"
             ),
         )
@@ -474,7 +475,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("qty_limit"))
         .agg(
             F.round(
-                (F.sum(dec("l_extendedprice")) / F.lit(7.0)).cast("double"), 6
+                F.sum(fp("l_extendedprice")) / 100.0 / F.lit(7.0), 6
             ).alias("avg_yearly")
         )
     )
@@ -507,8 +508,8 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem")
     big = (
         l.groupBy("l_orderkey")
-        .agg(F.sum(dec("l_quantity")).alias("q"))
-        .filter(F.col("q") > 300)
+        .agg(F.sum(fp("l_quantity")).alias("q"))
+        .filter(F.col("q") > 300 * 100)
         .select("l_orderkey")
     )
     return (
@@ -560,7 +561,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
-        .agg(F.round(F.sum(_rev()).cast("double"), 4).alias("revenue"))
+        .agg(F.round(F.sum(_rev()) / 10000.0, 4).alias("revenue"))
     )
 
 
@@ -604,7 +605,7 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum(dec("c_acctbal")).cast("double"), 2).alias(
+            F.round(F.sum(fp("c_acctbal")) / 100.0, 2).alias(
                 "totacctbal"
             ),
         )
