@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from litebase_spark.catalog import load, query
+from litebase_spark.catalog import fp, load, query
 
 
 def asof_join(
@@ -88,7 +88,6 @@ def asof_join(
            c.event_id AS r_event_id, c.ts AS r_ts, c.value AS r_value
     FROM purchases p ASOF LEFT JOIN clicks c
       ON p.user_id = c.user_id AND p.ts >= c.ts
-    ORDER BY p.event_id
     """,
     description="As-of join: each purchase event joined to the same user's "
     "latest click at-or-before it. Spark side is the union+window sweep "
@@ -117,9 +116,11 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="ts",
         right_payload=["event_id", "ts", "value"],
     )
+    # no final ORDER BY: the result is set-semantic (driver compare
+    # canonicalizes row order); a global sort here is a wasted shuffle.
     return joined.select(
         "event_id", "user_id", "ts", "r_event_id", "r_ts", "r_value"
-    ).orderBy("event_id")
+    )
 
 
 @query(
@@ -137,7 +138,6 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND c.ts >= p.ts - INTERVAL 30 MINUTE
      AND c.ts < p.ts
     GROUP BY p.event_id, p.user_id
-    ORDER BY p.event_id
     """,
     description="Interval (range) join: clicks in the 30 minutes before "
     "each purchase by the same user, aggregated per purchase. The equi key "
@@ -171,11 +171,10 @@ def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("event_id", "user_id")
         .agg(
             F.count("c_event_id").alias("n_clicks_before"),
-            F.round(
-                F.sum(F.col("c_value").cast("decimal(18,2)")).cast("double"), 2
-            ).alias("sum_click_value"),
+            F.round(F.sum(fp("c_value")) / 100.0, 2).alias(
+                "sum_click_value"
+            ),
         )
-        .orderBy("event_id")
     )
 
 
@@ -211,7 +210,6 @@ def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
              ELSE COALESCE(pv, nv)
            END, 6) AS value_filled
     FROM bounds
-    ORDER BY user_id, event_id
     """,
     description="Linear time-series interpolation (gap filling): 'error' "
     "events stand in for missing readings; each gap fills from the "
@@ -267,4 +265,4 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return bounds.select(
         "user_id", "event_id", F.round(filled, 6).alias("value_filled")
-    ).orderBy("user_id", "event_id")
+    )

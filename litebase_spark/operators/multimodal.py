@@ -257,7 +257,6 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(octet_length(encode(text)) // 4 AS BIGINT) AS n_bytes
     FROM documents, UNNEST([0, 1, 2, 3]) AS u(frame_index)
     WHERE octet_length(encode(text)) >= 4
-    ORDER BY doc_id, frame_index
     """,
     description="1:N frame sampling over binary media via mapInPandas "
     "(video keyframe-pull shape; decode is a deterministic fake — codecs "
@@ -268,8 +267,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = attach_media(load(spark, sf_dir, "documents"))
     frames = sample_frames(m, n_frames=4)
-    return (
-        frames.filter(F.col("n_bytes") > 0)
-        .select("doc_id", "frame_index", "n_bytes")
-        .orderBy("doc_id", "frame_index")
+    # no final ORDER BY: set-semantic result (driver compare sorts rows);
+    # a global sort of the 4x-expanded frames is a wasted shuffle.
+    return frames.filter(F.col("n_bytes") > 0).select(
+        "doc_id", "frame_index", "n_bytes"
     )

@@ -284,52 +284,61 @@ _BM25_B = 0.75
     LIMIT 20
     """,
     description="BM25 ranking — the FTS5 bm25() analog (reference enables "
-    "FTS5: pkg/sqlite3/sqlite3.go:20). Inverted-index dataflow: tokenize -> "
-    "explode to postings (filtered to query terms at the scan, so the "
-    "posting list never materializes for non-query terms) -> df per term "
-    "(tiny, broadcast) -> per-doc score. Scales: the only shuffle is on "
-    "(doc_id, term) for the query's terms.",
+    "FTS5: pkg/sqlite3/sqlite3.go:20). Query-time dataflow for a known "
+    "query: per-doc tf of each query term via an array filter (narrow "
+    "map, no postings explode), ONE global aggregate producing "
+    "(n_docs, avgdl, df per term) broadcast back, score as a map "
+    "expression, TakeOrdered top-20. The only shuffle is the stats "
+    "aggregate — at 100 TB that is a constant-size partial-agg tree; "
+    "an index-BUILD pipeline (unknown future queries) would instead "
+    "materialize the exploded postings table once (see text_fingerprint/"
+    "token ops for the tokenize stage it shares).",
     tags=("text", "fts"),
 )
 def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     d = d.repartition(spark.sparkContext.defaultParallelism)
-    # tokenization feeds both doclen and postings — materialize it once
-    # instead of re-tokenizing per branch
-    tok = d.select("doc_id", tokens("text").alias("words")).localCheckpoint(
-        eager=False
+    k1, b = _BM25_K1, _BM25_B
+    terms = _BM25_QUERY_TERMS
+
+    def tf_of(t):
+        return F.size(F.filter("words", lambda w: w == t))
+
+    perdoc = d.select("doc_id", tokens("text").alias("words")).select(
+        "doc_id",
+        F.size("words").alias("dl"),
+        *[tf_of(t).alias(f"tf{i}") for i, t in enumerate(terms)],
     )
-    doclen = tok.select("doc_id", F.size("words").alias("dl"))
-    stats = doclen.agg(
+    stats = perdoc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
     )
-    # dl rides along with the postings (grouped by doc_id it is constant),
-    # saving a join against doclen later
-    postings = (
-        tok.select(
-            "doc_id",
-            F.size("words").alias("dl"),
-            F.explode("words").alias("term"),
+    parts = []
+    for i in range(len(terms)):
+        tf = F.col(f"tf{i}")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df{i}") + 0.5)
+            / (F.col(f"df{i}") + 0.5)
+            + 1.0
         )
-        .filter(F.col("term").isin(*_BM25_QUERY_TERMS))
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    k1, b = _BM25_K1, _BM25_B
-    idf = F.log(
-        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-    )
-    denom = F.col("tf") + k1 * (
-        1.0 - b + b * F.col("dl") / F.col("avgdl")
-    )
-    score = idf * (F.col("tf") * (k1 + 1.0)) / denom
+        s = idf * (tf * (k1 + 1.0)) / (
+            tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+        parts.append(F.when(tf > 0, s).otherwise(F.lit(0.0)))
+    total = parts[0]
+    for p in parts[1:]:
+        total = total + p
+    any_tf = F.col("tf0")
+    for i in range(1, len(terms)):
+        any_tf = any_tf + F.col(f"tf{i}")
     return (
-        postings.join(F.broadcast(df), "term")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(score), 6).alias("bm25"))
+        perdoc.crossJoin(F.broadcast(stats))
+        .filter(any_tf > 0)
+        .select("doc_id", F.round(total, 6).alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(20)
     )
