@@ -20,6 +20,7 @@ import time
 
 HEADLINE = [
     "q1_pricing_summary",
+    "q2_min_cost_supplier",
     "q3_shipping_priority",
     "q4_order_priority",
     "q5_regional_revenue",
@@ -28,12 +29,17 @@ HEADLINE = [
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
+    "q11_important_value",
+    "q12_priority_lateness",
     "q13_customer_distribution",
     "q14_promo_revenue",
     "q15_top_supplier",
+    "q16_parts_supplier_relationship",
     "q17_small_qty_revenue",
     "q18_large_volume_customer",
     "q19_discounted_revenue",
+    "q20_excess_suppliers",
+    "q21_suppliers_kept_waiting",
     "q22_idle_customers",
     "agg_cube",
     "join_theta",
