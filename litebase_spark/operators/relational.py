@@ -1243,3 +1243,211 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_stats_moments",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sq,
+             SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)
+                 * CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sqq,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS se,
+             SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      AS HUGEINT)
+                 * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS see,
+             SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)
+                 * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sqe
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           ROUND((CAST(sqq AS DOUBLE) / 10000.0
+                  - (CAST(sq AS DOUBLE) / 100.0)
+                    * (CAST(sq AS DOUBLE) / 100.0) / n) / (n - 1), 6)
+               AS var_qty,
+           ROUND(SQRT((CAST(sqq AS DOUBLE) / 10000.0
+                  - (CAST(sq AS DOUBLE) / 100.0)
+                    * (CAST(sq AS DOUBLE) / 100.0) / n) / (n - 1)), 6)
+               AS stddev_qty,
+           ROUND((CAST(sqe AS DOUBLE) / 10000.0
+                  - (CAST(sq AS DOUBLE) / 100.0)
+                    * (CAST(se AS DOUBLE) / 100.0) / n) / (n - 1), 6)
+               AS covar_qty_price,
+           ROUND((CAST(sqe AS DOUBLE) / 10000.0
+                  - (CAST(sq AS DOUBLE) / 100.0)
+                    * (CAST(se AS DOUBLE) / 100.0) / n)
+                 / (SQRT(CAST(sqq AS DOUBLE) / 10000.0
+                         - (CAST(sq AS DOUBLE) / 100.0)
+                           * (CAST(sq AS DOUBLE) / 100.0) / n)
+                    * SQRT(CAST(see AS DOUBLE) / 10000.0
+                           - (CAST(se AS DOUBLE) / 100.0)
+                             * (CAST(se AS DOUBLE) / 100.0) / n)), 6)
+               AS corr_qty_price
+    FROM s ORDER BY l_returnflag
+    """,
+    description="Statistical moments (variance/stddev/covariance/"
+    "correlation) — beyond SQLite parity (no MATH_FUNCS build flag in "
+    "the reference: pkg/sqlite3/sqlite3.go). Spark's builtin stddev/corr "
+    "use order-dependent streaming merges whose low bits differ across "
+    "engines, so the exact sufficient statistics (n, Σx, Σx², Σxy) are "
+    "computed in integer fixed point (one pass, partial-agg friendly — "
+    "the same mergeable-statistics shape the builtins use at scale) and "
+    "the moments derived in double with an expression mirrored by the "
+    "oracle. Σ(price²) exceeds int64 so that one statistic widens to "
+    "decimal(38,0)/HUGEINT.",
+    tags=("agg", "stats"),
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    qc = fp("l_quantity")
+    ec = fp("l_extendedprice")
+    s = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qc).alias("sq"),
+        F.sum(qc * qc).alias("sqq"),
+        F.sum(ec).alias("se"),
+        F.sum(ec.cast("decimal(38,0)") * ec).alias("see"),
+        F.sum(qc * ec).alias("sqe"),
+    )
+    n = F.col("n")
+    sqd = F.col("sq") / 100.0
+    sed = F.col("se") / 100.0
+    sqqd = F.col("sqq") / 10000.0
+    seed = F.col("see").cast("double") / 10000.0
+    sqed = F.col("sqe") / 10000.0
+    var_q = (sqqd - sqd * sqd / n) / (n - 1)
+    cov = (sqed - sqd * sed / n) / (n - 1)
+    corr_num = sqed - sqd * sed / n
+    corr_den = F.sqrt(sqqd - sqd * sqd / n) * F.sqrt(seed - sed * sed / n)
+    return s.select(
+        "l_returnflag",
+        F.round(var_q, 6).alias("var_qty"),
+        F.round(F.sqrt(var_q), 6).alias("stddev_qty"),
+        F.round(cov, 6).alias("covar_qty_price"),
+        F.round(corr_num / corr_den, 6).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "agg_median_mode",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+           (SELECT v FROM (
+              SELECT o2.o_custkey AS v, COUNT(*) AS c
+              FROM orders o2
+              WHERE o2.o_orderpriority = o.o_orderpriority
+              GROUP BY o2.o_custkey
+              ORDER BY c DESC, v DESC LIMIT 1)) AS mode_custkey
+    FROM orders o
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    description="Exact median (interpolating percentile) and "
+    "deterministic mode (most frequent o_custkey, ties broken toward the "
+    "larger key — engine-portable unlike bare mode()). Median uses "
+    "Spark's exact percentile (sort-based within group); mode is a "
+    "count-rollup + max_by((count, key)) — two shuffles total, both on "
+    "bounded key spaces. At 100 TB approx_percentile/sketches replace "
+    "the exact sort (see agg_percentiles).",
+    tags=("agg", "stats"),
+)
+def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias(
+            "median_price"
+        )
+    )
+    mode = (
+        o.groupBy("o_orderpriority", "o_custkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max_by(
+                "o_custkey", F.struct(F.col("c"), F.col("o_custkey"))
+            ).alias("mode_custkey")
+        )
+    )
+    return (
+        med.join(mode, "o_orderpriority")
+        .select("o_orderpriority", "median_price", "mode_custkey")
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "window_exclude_group",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+             PARTITION BY l_returnflag ORDER BY l_quantity
+             RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING
+             EXCLUDE GROUP
+           ) AS DOUBLE) AS frame_sum
+    FROM lineitem
+    WHERE l_orderkey <= 320
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    description="EXCLUDE GROUP window option (SQLite >= 3.28; absent in "
+    "Spark): for a RANGE frame the current row's ORDER-BY peer group is "
+    "always inside the frame, so EXCLUDE GROUP = frame_agg - peer_agg "
+    "where peer_agg aggregates over PARTITION BY (part, order_value) — "
+    "two window passes sharing ONE shuffle (same partitioning prefix). "
+    "NULL when the exclusion empties the frame.",
+    tags=("window",),
+)
+def window_exclude_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 320)
+    frame = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(F.col("l_quantity"))
+        .rangeBetween(-5, 5)
+    )
+    peers = Window.partitionBy("l_returnflag", "l_quantity")
+    frame_sum = F.sum(fp("l_quantity")).over(frame)
+    frame_cnt = F.count(F.lit(1)).over(frame)
+    peer_sum = F.sum(fp("l_quantity")).over(peers)
+    peer_cnt = F.count(F.lit(1)).over(peers)
+    out = F.when(
+        frame_cnt > peer_cnt, (frame_sum - peer_sum) / 100.0
+    )
+    return l.select(
+        "l_orderkey", "l_linenumber", out.alias("frame_sum")
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "window_exclude_ties",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+             PARTITION BY l_returnflag ORDER BY l_quantity
+             RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING
+             EXCLUDE TIES
+           ) AS DOUBLE) AS frame_sum
+    FROM lineitem
+    WHERE l_orderkey <= 320
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    description="EXCLUDE TIES window option: like EXCLUDE GROUP but the "
+    "current row itself stays — frame_agg - peer_agg + current_value, "
+    "same one-shuffle two-window plan as window_exclude_group.",
+    tags=("window",),
+)
+def window_exclude_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 320)
+    frame = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(F.col("l_quantity"))
+        .rangeBetween(-5, 5)
+    )
+    peers = Window.partitionBy("l_returnflag", "l_quantity")
+    frame_sum = F.sum(fp("l_quantity")).over(frame)
+    peer_sum = F.sum(fp("l_quantity")).over(peers)
+    out = (frame_sum - peer_sum + fp("l_quantity")) / 100.0
+    return l.select(
+        "l_orderkey", "l_linenumber", out.alias("frame_sum")
+    ).orderBy("l_orderkey", "l_linenumber")

@@ -390,3 +390,204 @@ def text_highlight_snippet(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_repetition_ratio",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS w FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, len(w) AS n_tokens,
+             len(list_distinct(w)) AS n_distinct,
+             (SELECT MAX(c) FROM (
+                SELECT COUNT(*) AS c FROM UNNEST(w) AS u(t) GROUP BY t))
+               AS top_tf
+      FROM tok WHERE len(w) > 0
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 6)
+               AS distinct_ratio,
+           ROUND(CAST(top_tf AS DOUBLE) / n_tokens, 6) AS top_token_share
+    FROM tf
+    """,
+    description="Repetition/boilerplate scoring (Gopher-style quality "
+    "signal for training-data filtering): per-doc distinct-token ratio "
+    "and most-frequent-token share. Pure narrow map — token histogram "
+    "built per row with JVM higher-order functions (aggregate over a "
+    "map), no shuffle at any scale.",
+    tags=("text", "quality"),
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = tokens("text")
+    # per-row top term frequency: sort the tokens, then a single fold
+    # tracking the longest equal-run (codegen-friendly; no map state)
+    top_tf = F.expr(
+        "aggregate(array_sort(w), "
+        "named_struct('prev', cast(null as string), 'run', 0, 'best', 0), "
+        "(acc, t) -> named_struct("
+        "  'prev', t, "
+        "  'run', IF(acc.prev IS NOT NULL AND t = acc.prev, acc.run + 1, 1), "
+        "  'best', greatest(acc.best, "
+        "     IF(acc.prev IS NOT NULL AND t = acc.prev, acc.run + 1, 1))), "
+        "acc -> acc.best)"
+    )
+    base = d.select("doc_id", w.alias("w")).filter(F.size("w") > 0)
+    return base.select(
+        "doc_id",
+        F.size("w").alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct("w")).cast("double") / F.size("w"), 6
+        ).alias("distinct_ratio"),
+        F.round(top_tf.cast("double") / F.size("w"), 6).alias(
+            "top_token_share"
+        ),
+    )
+
+
+@query(
+    "text_inverted_index",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS w FROM documents
+    ),
+    postings AS (
+      SELECT DISTINCT doc_id, u.term
+      FROM tok, UNNEST(w) AS u(term)
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs FROM tok)
+    SELECT term, COUNT(*) AS df,
+           ROUND(LN((CAST((SELECT n_docs FROM stats) AS DOUBLE) - COUNT(*)
+                     + 0.5) / (COUNT(*) + 0.5) + 1.0), 6) AS idf
+    FROM postings
+    GROUP BY term
+    ORDER BY df DESC, term
+    LIMIT 30
+    """,
+    description="Inverted-index BUILD path (FTS5 index analog; "
+    "complements text_bm25's query path): tokenize -> per-doc distinct "
+    "terms (array_distinct before the explode, so duplicate tokens never "
+    "hit the shuffle) -> document frequency + BM25 idf per term. At "
+    "100 TB this is THE index pipeline: one explode-shuffle keyed by "
+    "term, partial counts map-side; the df table is what query-time "
+    "scoring broadcasts.",
+    tags=("text", "fts"),
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    tok = d.select("doc_id", tokens("text").alias("w"))
+    n_docs = tok.agg(F.count(F.lit(1)).alias("n_docs"))
+    postings = tok.select(
+        "doc_id", F.explode(F.array_distinct("w")).alias("term")
+    )
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+        / (F.col("df") + 0.5)
+        + 1.0
+    )
+    return (
+        postings.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select("term", "df", F.round(idf, 6).alias("idf"))
+        .orderBy(F.desc("df"), "term")
+        .limit(30)
+    )
+
+
+@query(
+    "text_topk_bigrams",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS w FROM documents
+    ),
+    bigrams AS (
+      SELECT u.bg
+      FROM tok, UNNEST(list_transform(range(1, len(w)),
+                                      i -> w[i] || ' ' || w[i + 1])) AS u(bg)
+    )
+    SELECT bg AS bigram, COUNT(*) AS n
+    FROM bigrams GROUP BY bg
+    ORDER BY n DESC, bg
+    LIMIT 20
+    """,
+    description="Corpus-wide top-k bigram frequency (n-gram LM / "
+    "boilerplate & contamination detection): adjacent-pair construction "
+    "with a JVM transform over 1-based element_at, explode keyed by "
+    "bigram, partial counts map-side, TakeOrdered top-20. The shuffle "
+    "carries only (bigram, partial count) pairs.",
+    tags=("text", "ngram"),
+)
+def text_topk_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    w = tokens("text")
+    bigrams = F.expr(
+        "transform(sequence(1, size(w) - 1), "
+        "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+    )
+    return (
+        d.select(w.alias("w"))
+        .filter(F.size("w") > 1)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )
+
+
+_PII_PATTERNS = {
+    "emails": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "phones": r"\+?\d[\d\- ]{7,}\d",
+    "ipv4s": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{{2,}}'))
+               AS emails,
+           len(regexp_extract_all(text, '\\+?\\d[\\d\\- ]{{7,}}\\d'))
+               AS phones,
+           len(regexp_extract_all(text,
+               '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b')) AS ipv4s
+    FROM documents
+    WHERE len(regexp_extract_all(text,
+            '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{{2,}}'))
+          + len(regexp_extract_all(text, '\\+?\\d[\\d\\- ]{{7,}}\\d'))
+          + len(regexp_extract_all(text,
+              '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b')) > 0
+    """,
+    description="PII detection pass (training-data scrubbing): per-doc "
+    "email/phone/IPv4 hit counts via JVM regexp_extract_all, emitting "
+    "only documents with hits (the fixture corpus is clean, so the "
+    "result is the empty set — the machinery, schema and pushdown are "
+    "what this verifies; `pii_redact` below is the rewrite stage). "
+    "Narrow map, no shuffle.",
+    tags=("text", "pii"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    counts = [
+        F.size(F.regexp_extract_all("text", F.lit(pat))).alias(name)
+        for name, pat in _PII_PATTERNS.items()
+    ]
+    out = d.select("doc_id", *counts)
+    total = sum((F.col(n) for n in _PII_PATTERNS), F.lit(0))
+    return out.filter(total > 0)
+
+
+def pii_redact(df: DataFrame, col: str = "text") -> DataFrame:
+    """Redaction stage of the PII pipeline: replace every match of each
+    PII pattern with a typed placeholder. Chainable narrow map."""
+    out = F.col(col)
+    for name, pat in _PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{name.rstrip('s').upper()}>")
+    return df.withColumn(col, out)

@@ -153,3 +153,46 @@ def sliding_counts(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
             "sum_value",
         )
     )
+
+
+def stream_stream_interval_join(
+    stream: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream INNER interval join: each purchase joined to the
+    same user's clicks in the preceding 30 minutes (the streaming twin
+    of the batch join_range_interval shape).
+
+    Both sides carry watermarks and the join predicate bounds click time
+    against purchase time from both directions, so Spark can expire
+    state: click state is kept only `watermark + 30 min`, purchase state
+    only `watermark`. Inner join (not outer) keeps results deterministic
+    under AvailableNow — outer-join null rows only emit once the
+    watermark passes the row's horizon, which a bounded replay never
+    reaches for the tail."""
+    e = _normalized_events(stream)
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_event_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("c_value"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "inner",
+    ).select("p_event_id", "p_user", "p_ts", "c_event_id", "c_ts", "c_value")

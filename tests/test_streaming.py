@@ -236,3 +236,39 @@ def test_foreach_batch_upsert_sink(spark, sf_dir, tmp_path):
     sink.apply(events.limit(5), sink.applied_batches[0])
     assert spark.table("serving_totals").count() == before
     spark.sql("DROP TABLE serving_totals")
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
+    from litebase_spark.streaming.windows import (
+        events_stream,
+        run_available_now,
+        stream_stream_interval_join,
+    )
+    from litebase_spark.catalog import load
+    from pyspark.sql import functions as F
+
+    got = run_available_now(
+        stream_stream_interval_join(events_stream(spark, sf_dir))
+    )
+    e = load(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    want = p.join(
+        c,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts")),
+    ).select("p_event_id", "p_user", "p_ts", "c_event_id", "c_ts", "c_value")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert got.count() > 0
