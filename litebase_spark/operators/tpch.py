@@ -777,10 +777,21 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    ps = l.groupBy(
-        F.col("l_partkey").alias("ps_partkey"),
-        F.col("l_suppkey").alias("ps_suppkey"),
-    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    # the correlated MIN is per-part over the FILTERED part set — push the
+    # part filter below the rollup as a broadcast semi join, so the big
+    # lineitem aggregation only touches qualifying parts' rows
+    ps = (
+        l.join(
+            F.broadcast(p.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    )
     cand = (
         ps.join(F.broadcast(s), F.col("s_suppkey") == F.col("ps_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
