@@ -405,3 +405,77 @@ def knn_cosine_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("qid", "vec_id", "cos_sim", "rank")
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS qscale
+      FROM embeddings
+    ),
+    rec AS (
+      SELECT e.vec_id, q.qscale,
+             list_max(list_transform(e.embedding,
+               x -> abs(CAST(x AS DOUBLE)
+                        - floor(CAST(x AS DOUBLE) / q.qscale + 0.5)
+                          * q.qscale))) AS max_abs_err
+      FROM embeddings e JOIN q USING (vec_id)
+      WHERE q.qscale > 0
+    )
+    SELECT vec_id, ROUND(qscale, 9) AS qscale,
+           ROUND(max_abs_err, 9) AS max_abs_err
+    FROM rec
+    """,
+    description="Symmetric int8 quantization of the embedding column — "
+    "the 100 TB ANN STORAGE path (4x smaller vectors, int8 SIMD "
+    "scoring): per-vector scale = max|x|/127, code = floor(x/scale + "
+    "0.5) (floor-based round — engine-portable, unlike HALF_EVEN "
+    "variance between engines), reporting per-vector max reconstruction "
+    "error. Narrow map, no shuffle; the quantized table is what gets "
+    "written partitioned by IVF cell (see knn_ivf_probe). Tests assert "
+    "int8-scored top-k recall vs the exact ranking.",
+    tags=("similarity", "quantization"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    e = e.repartition(spark.sparkContext.defaultParallelism)
+    xd = F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    qscale = (F.array_max(xd) / 127.0).alias("qscale")
+    base = e.select("vec_id", "embedding", qscale).filter(F.col("qscale") > 0)
+    recon_err = F.array_max(
+        F.transform(
+            "embedding",
+            lambda x: F.abs(
+                x.cast("double")
+                - F.floor(x.cast("double") / F.col("qscale") + 0.5)
+                * F.col("qscale")
+            ),
+        )
+    )
+    # compute the error against the FULL-precision scale first; rounding
+    # to 9 digits is display-only (aliasing the rounded value straight
+    # back to "qscale" would rebind the lambda to the rounded scale)
+    out = base.select("vec_id", "qscale", recon_err.alias("err"))
+    return out.select(
+        "vec_id",
+        F.round("qscale", 9).alias("qscale"),
+        F.round("err", 9).alias("max_abs_err"),
+    )
+
+
+def quantize_codes(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Produce the actual int8 code arrays + scale for storage: the
+    writable form of embedding_quantize_int8 (array<tinyint> is 1/4 the
+    bytes of array<float>)."""
+    xd = F.transform(vec_col, lambda x: F.abs(x.cast("double")))
+    with_scale = df.withColumn("qscale", F.array_max(xd) / 127.0)
+    codes = F.transform(
+        vec_col,
+        lambda x: F.floor(x.cast("double") / F.col("qscale") + 0.5).cast(
+            "tinyint"
+        ),
+    )
+    return with_scale.withColumn("codes", codes)

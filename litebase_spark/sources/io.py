@@ -156,3 +156,28 @@ def compact_table(
         ]
     )
     return files_before, files_after
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a BUCKETED managed table: rows hash-partitioned into
+    `n_buckets` files per partition by `bucket_col`, optionally sorted
+    within buckets.
+
+    This is the Spark answer to 'pre-partition the fact tables on the
+    join key': two tables bucketed the same way join with ZERO exchange
+    (and with sortBy, zero sort) — the shuffle that normally dominates a
+    100 TB fact-fact join happens once at write time and is amortized
+    over every subsequent join/aggregation on that key. The reference
+    has no analog (single-node B-tree; SURVEY §2.B scans).
+    """
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)

@@ -1,0 +1,45 @@
+
+
+def test_int8_quantized_scoring_preserves_topk_recall(spark, sf_dir):
+    from litebase_spark.catalog import REGISTRY, load
+    from litebase_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        quantize_codes,
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    e = load(spark, sf_dir, "embeddings")
+    qz = quantize_codes(e)
+    # reconstruct from int8 codes, then brute-force cosine on the
+    # reconstruction — recall vs the exact ranking must stay high
+    recon = qz.select(
+        "vec_id",
+        F.expr(
+            "transform(codes, c -> CAST(c AS DOUBLE) * qscale)"
+        ).alias("rv"),
+    )
+    q = recon.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("rv").alias("qv")
+    )
+    dotp = F.expr(
+        "aggregate(zip_with(qv, rv, (x, y) -> x * y), 0D, (a, v) -> a + v)"
+    )
+    nrm = (
+        "sqrt(aggregate(transform({c}, x -> x * x), 0D, (a, v) -> a + v))"
+    )
+    sim = dotp / (F.expr(nrm.format(c="qv")) * F.expr(nrm.format(c="rv")))
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    approx = (
+        recon.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", sim.alias("sim"))
+        .select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+    exact = REGISTRY["knn_cosine_bruteforce"].builder(spark, sf_dir)
+    got = {(r["qid"], r["vec_id"]) for r in approx.collect()}
+    want = {(r["qid"], r["vec_id"]) for r in exact.collect()}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.8, (recall, got, want)

@@ -80,3 +80,36 @@ def test_compact_table_reduces_files(spark, sf_dir, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == orders.count()
     assert set(back.columns) == set(orders.columns)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    from litebase_spark.catalog import load
+    from litebase_spark.sources.io import write_bucketed
+    from pyspark.sql import functions as F
+
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    write_bucketed(l, "b_lineitem", "l_orderkey", n_buckets=8)
+    write_bucketed(o, "b_orders", "o_orderkey", n_buckets=8)
+    try:
+        bl = spark.table("b_lineitem")
+        bo = spark.table("b_orders")
+        # disable auto-broadcast so the join would otherwise shuffle
+        with_conf = spark.conf
+        old = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            # bucketed-bucketed equi join: SortMergeJoin with NO Exchange
+            assert "Exchange" not in plan, plan
+            # and results match the plain join
+            plain = l.join(o, l.l_orderkey == o.o_orderkey)
+            assert j.count() == plain.count()
+        finally:
+            with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
