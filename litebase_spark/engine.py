@@ -174,6 +174,9 @@ class Engine:
         t0 = time.time()
         stmt_class = classify_statement(statement)
         sql_text, args = self._bind(statement, params)
+        returning = None
+        if stmt_class == "DML":
+            sql_text, returning = self._split_returning(sql_text)
         if stmt_class == "DML" and sql_text.lstrip()[:6].upper() in ("UPDATE", "DELETE"):
             changes = self._try_dml(sql_text)
             if changes is not None:
@@ -202,6 +205,8 @@ class Engine:
             changes = self._changes_from(res)
             if changes == 0 and stmt_class == "DML":
                 changes = self._insert_values_count(sql_text)
+            if returning is not None:
+                rows, columns = self._returning_rows(sql_text, returning)
         latency = time.time() - t0
         self.metrics.record(statement, latency)
         return QueryResult(
@@ -360,6 +365,46 @@ class Engine:
         changes = source.count()
         new_df.write.mode("overwrite").saveAsTable(table)
         return changes
+
+    @staticmethod
+    def _split_returning(statement: str):
+        """Split a trailing ``RETURNING <exprs>`` clause off a DML
+        statement (SQLite >= 3.35 dialect surface, SURVEY §2.B scans row:
+        'INSERT ... RETURNING'). Spark SQL has no RETURNING; the engine
+        executes the bare DML, then evaluates the clause over the
+        affected rows (see _returning_rows)."""
+        import re
+
+        m = re.match(r"(?is)^(.*?)\s+RETURNING\s+(.+?)\s*;?\s*$", statement)
+        if m and re.match(r"(?is)\s*(INSERT|UPDATE|DELETE)\b", statement):
+            return m.group(1), m.group(2)
+        return statement, None
+
+    def _returning_rows(self, statement: str, returning: str):
+        """Evaluate a RETURNING clause for INSERT ... VALUES: projects the
+        requested expressions over the literal tuples (the rows just
+        written). Mirrors SQLite semantics for the VALUES form; for
+        INSERT...SELECT the reference-equivalent result is the source
+        SELECT itself, which callers can issue directly."""
+        import re
+
+        m = re.search(
+            r"(?is)\bINSERT\s+INTO\s+(\w+)\s*(\(([^)]*)\))?\s*VALUES\b(.*)$",
+            statement,
+        )
+        if not m:
+            return [], []
+        table, cols, values = m.group(1), m.group(3), m.group(4)
+        if cols:
+            col_list = [c.strip() for c in cols.split(",")]
+        else:
+            col_list = self.spark.table(table).columns
+        proj = "*" if returning.strip() == "*" else returning
+        df = self.spark.sql(
+            f"SELECT {proj} FROM (VALUES {values.strip().rstrip(';')} "
+            f"AS t({', '.join(col_list)}))"
+        )
+        return df.collect(), list(df.columns)
 
     def _try_dml(self, statement: str):
         """Intercept UPDATE/DELETE statements (unsupported by Spark on

@@ -1451,3 +1451,31 @@ def window_exclude_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.select(
         "l_orderkey", "l_linenumber", out.alias("frame_sum")
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "orderby_collate_nocase",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE lower(c_mktsegment) = lower('bUiLdInG')
+    ORDER BY lower(c_name), c_custkey
+    LIMIT 50
+    """,
+    description="SQLite COLLATE NOCASE semantics (comparison + ORDER BY "
+    "under case-insensitive collation): expressed as lower() on both "
+    "sides — the rewrite Catalyst needs to keep the predicate sargable "
+    "is a lower()-normalized derived column (at scale: store/partition "
+    "the normalized form; SQLite's NOCASE only ASCII-folds, which "
+    "lower() matches on this corpus). RTRIM collation composes the same "
+    "way with rtrim().",
+    tags=("sort", "compat"),
+)
+def orderby_collate_nocase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.filter(F.lower("c_mktsegment") == F.lower(F.lit("bUiLdInG")))
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy(F.lower("c_name"), "c_custkey")
+        .limit(50)
+    )

@@ -153,3 +153,19 @@ def test_engine_runs_tpch_sql_text_with_params(engine, spark, sf_dir):
     # metrics recorded under the statement hash (A22)
     snap = engine.metrics.snapshot()
     assert any(s["count"] >= 1 and "l_returnflag" in s["statement"] for s in snap)
+
+
+def test_insert_returning_values(engine):
+    engine.sql("CREATE TABLE IF NOT EXISTS t_ret (id INT, name STRING) USING parquet")
+    try:
+        res = engine.sql(
+            "INSERT INTO t_ret (id, name) VALUES (1, 'a'), (2, 'b') "
+            "RETURNING id, upper(name) AS uname"
+        )
+        assert res.changes == 2
+        assert res.columns == ["id", "uname"]
+        assert sorted(tuple(r) for r in res.rows) == [(1, "A"), (2, "B")]
+        # and the rows actually landed
+        assert engine.sql("SELECT COUNT(*) AS n FROM t_ret").rows[0]["n"] == 2
+    finally:
+        engine.sql("DROP TABLE IF EXISTS t_ret")
