@@ -330,3 +330,117 @@ def func_json_modify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "json_replace"
         ),
     ).orderBy("event_id")
+
+
+def json_tree_walk(
+    df: DataFrame, col: str, id_col: str, max_depth: int = 8
+) -> DataFrame:
+    """SQLite ``json_tree`` virtual-table analog (SURVEY §2.B JSON1 row;
+    ``json_each`` covers one level, this walks the whole tree): emit one
+    row per JSON node with (fullkey, key, vtype, atom), recursing through
+    objects and arrays to ``max_depth``.
+
+    Implementation: iterative frontier expansion — each level is one
+    ``from_json`` + ``explode`` (JVM-side, codegen), levels unioned at
+    the end, so the plan is max_depth narrow maps with NO joins or
+    shuffles; Catalyst prunes levels that produce nothing. Value typing
+    is syntactic (object/array/integer/real/text) since ``map<string,
+    string>`` parsing strips string quotes; JSON strings that look
+    numeric would classify as numbers — acceptable for typed-schema
+    corpora, documented deviation.
+    """
+    vtype = (
+        F.when(F.col("value").rlike(r"^\s*\{"), "object")
+        .when(F.col("value").rlike(r"^\s*\["), "array")
+        .when(F.col("value").rlike(r"^-?\d+$"), "integer")
+        .when(F.col("value").rlike(r"^-?\d+\.\d+([eE][+-]?\d+)?$"), "real")
+        .otherwise("text")
+    )
+    frontier = df.select(
+        F.col(id_col),
+        F.lit("$").alias("fullkey"),
+        F.lit(None).cast("string").alias("key"),
+        F.col(col).alias("value"),
+    )
+    levels = []
+    for _ in range(max_depth):
+        frontier = frontier.withColumn("vtype", vtype)
+        levels.append(frontier)
+        obj = frontier.filter(F.col("vtype") == "object")
+        obj_children = obj.select(
+            id_col,
+            "fullkey",
+            F.explode(F.from_json("value", "map<string,string>")).alias(
+                "key", "value"
+            ),
+        ).select(
+            id_col,
+            F.concat("fullkey", F.lit("."), "key").alias("fullkey"),
+            "key",
+            "value",
+        )
+        arr = frontier.filter(F.col("vtype") == "array")
+        arr_children = arr.select(
+            id_col,
+            "fullkey",
+            F.posexplode(F.from_json("value", "array<string>")).alias(
+                "pos", "value"
+            ),
+        ).select(
+            id_col,
+            F.concat("fullkey", F.lit("["), "pos", F.lit("]")).alias(
+                "fullkey"
+            ),
+            F.col("pos").cast("string").alias("key"),
+            "value",
+        )
+        frontier = obj_children.unionByName(arr_children)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    atom = F.when(
+        ~F.col("vtype").isin("object", "array"), F.col("value")
+    ).alias("atom")
+    return out.select(id_col, "fullkey", "key", "vtype", atom)
+
+
+@query(
+    "func_json_tree",
+    oracle="""
+    WITH nodes AS (
+      SELECT event_id, '$' AS fullkey, CAST(NULL AS VARCHAR) AS key,
+             'object' AS vtype, CAST(NULL AS VARCHAR) AS atom FROM events
+      UNION ALL
+      SELECT event_id, '$.props', 'props', 'object', NULL FROM events
+      UNION ALL
+      SELECT event_id, '$.props.k', 'k', 'integer',
+             json_extract_string(props, '$.k') FROM events
+      UNION ALL
+      SELECT event_id, '$.type', 'type', 'text', event_type FROM events
+    )
+    SELECT fullkey, key, vtype, COUNT(*) AS n,
+           MIN(atom) AS min_atom, MAX(atom) AS max_atom
+    FROM nodes GROUP BY 1, 2, 3
+    """,
+    description="SQLite json_tree over a nested document built from "
+    "events ({props: {...}, type: ...}): full recursive node walk via "
+    "iterative explode (json_tree_walk helper, shuffle-free), then a "
+    "per-(fullkey, vtype) rollup verifying every node of every row was "
+    "visited. Oracle enumerates the expected tree positionally.",
+    tags=("functions", "json"),
+)
+def func_json_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.from_json("props", "map<string,bigint>").alias("props"),
+            F.col("event_type").alias("type"),
+        )
+    )
+    nested = e.select("event_id", doc.alias("doc"))
+    nodes = json_tree_walk(nested, "doc", "event_id", max_depth=4)
+    return nodes.groupBy("fullkey", "key", "vtype").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("atom").alias("min_atom"),
+        F.max("atom").alias("max_atom"),
+    )

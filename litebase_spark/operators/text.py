@@ -591,3 +591,109 @@ def pii_redact(df: DataFrame, col: str = "text") -> DataFrame:
     for name, pat in _PII_PATTERNS.items():
         out = F.regexp_replace(out, pat, f"<{name.rstrip('s').upper()}>")
     return df.withColumn(col, out)
+
+
+def fts_match(
+    docs: DataFrame,
+    must: list[str] = (),
+    should: list[str] = (),
+    must_not: list[str] = (),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """FTS5 MATCH boolean retrieval (`docs MATCH 'a AND b (c OR d) NOT e'`)
+    as posting-list algebra — the FTS5 query surface the reference enables
+    via its build flag (reference: pkg/sqlite3/sqlite3.go:20).
+
+    Scale path: tokenize -> per-doc distinct terms -> keep ONLY postings
+    for query terms (an `isin` filter that reaches the scan, so the
+    shuffle carries q-terms x matching-docs, not the whole index) ->
+    one groupBy(doc) computing must-coverage and should-hits -> must_not
+    via the same aggregate (no extra anti-join pass). Returns the
+    matching id rows with `n_matched` (distinct query terms hit).
+    """
+    must, should, must_not = list(must), list(should), list(must_not)
+    qterms = must + should + must_not
+    postings = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(text_col))).alias("term"),
+    ).filter(F.col("term").isin(qterms))
+    in_set = lambda ts: F.sum(F.when(F.col("term").isin(ts), 1).otherwise(0))
+    agg = postings.groupBy(id_col).agg(
+        in_set(must).alias("__must") if must else F.lit(0).alias("__must"),
+        in_set(should).alias("__should") if should else F.lit(1).alias("__should"),
+        in_set(must_not).alias("__not") if must_not else F.lit(0).alias("__not"),
+        F.count(F.lit(1)).alias("n_matched"),
+    )
+    return (
+        agg.filter(
+            (F.col("__must") == len(must))
+            & (F.col("__should") >= (1 if should else 0))
+            & (F.col("__not") == 0)
+        )
+        .select(id_col, (F.col("n_matched") - F.col("__not")).alias("n_matched"))
+    )
+
+
+@query(
+    "fts_match_boolean",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS w FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(list_distinct(w),
+                t -> list_contains(['spark','query','stream','vector'], t)))
+                AS BIGINT) AS n_matched
+    FROM tok
+    WHERE list_contains(w, 'spark') AND list_contains(w, 'query')
+      AND (list_contains(w, 'stream') OR list_contains(w, 'vector'))
+      AND NOT list_contains(w, 'merge')
+    """,
+    description="FTS5 MATCH boolean query ('spark AND query AND (stream "
+    "OR vector) NOT merge') via inverted-posting intersection: the "
+    "isin(query-terms) filter prunes postings before the shuffle, one "
+    "groupBy(doc_id) evaluates must/should/not coverage — no per-term "
+    "join chain, no second pass for NOT. At 100 TB the shuffle carries "
+    "only (doc, matched-term) pairs for the 5 query terms.",
+    tags=("text", "fts"),
+)
+def fts_match_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    return fts_match(
+        d,
+        must=["spark", "query"],
+        should=["stream", "vector"],
+        must_not=["merge"],
+    )
+
+
+@query(
+    "fts_match_phrase_prefix",
+    oracle="""
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE regexp_matches(lower(text),
+            '(^|[^a-z0-9])big[^a-z0-9]+table([^a-z0-9]|$)')
+      AND regexp_matches(lower(text), '(^|[^a-z0-9])str[a-z0-9]*')
+    """,
+    description="FTS5 phrase + prefix MATCH ('\"big table\" str*'): "
+    "phrase adjacency under the shared tokenizer is exactly 'terms "
+    "separated by one non-alphanumeric run', so it compiles to an "
+    "anchored regexp evaluated JVM-side inside codegen — a narrow "
+    "full-scan map, which beats position-list joins on Spark where no "
+    "persisted index exists. The prefix term (str*) is the same regexp "
+    "machinery. At scale this composes with fts_match_boolean: boolean "
+    "postings first (cheap, selective), regexp phrase check only on the "
+    "survivors.",
+    tags=("text", "fts"),
+)
+def fts_match_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    phrase = "(^|[^a-z0-9])big[^a-z0-9]+table([^a-z0-9]|$)"
+    prefix = "(^|[^a-z0-9])str[a-z0-9]*"
+    t = F.lower("text")
+    return d.filter(t.rlike(phrase) & t.rlike(prefix)).select(
+        "doc_id", "n_chars"
+    )

@@ -82,3 +82,47 @@ def test_typeof_mapping():
     assert compat.typeof("double") == "real"
     assert compat.typeof("string") == "text"
     assert compat.typeof("binary") == "blob"
+
+
+def test_fts_match_semantics(spark):
+    from litebase_spark.operators.text import fts_match
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark query stream fast"),   # must+should hit
+            (2, "spark query merge stream"),  # killed by NOT merge
+            (3, "spark query table"),         # no should term
+            (4, "query vector only"),         # missing must 'spark'
+            (5, "Spark, QUERY; vector!"),     # case/punct normalization
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: r.n_matched
+        for r in fts_match(
+            docs,
+            must=["spark", "query"],
+            should=["stream", "vector"],
+            must_not=["merge"],
+        ).collect()
+    }
+    assert got == {1: 3, 5: 3}
+
+
+def test_json_tree_walk_nested_arrays(spark):
+    from litebase_spark.operators.functions_cov import json_tree_walk
+
+    df = spark.createDataFrame(
+        [(1, '{"a": {"b": [10, {"c": "x"}]}, "d": 2.5}')], "id int, j string"
+    )
+    rows = {
+        r.fullkey: (r.vtype, r.atom)
+        for r in json_tree_walk(df, "j", "id").collect()
+    }
+    assert rows["$"] == ("object", None)
+    assert rows["$.a"] == ("object", None)
+    assert rows["$.a.b"] == ("array", None)
+    assert rows["$.a.b[0]"] == ("integer", "10")
+    assert rows["$.a.b[1]"] == ("object", None)
+    assert rows["$.a.b[1].c"] == ("text", "x")
+    assert rows["$.d"] == ("real", "2.5")
