@@ -156,6 +156,7 @@ class Engine:
         self.metrics = QueryMetrics()
         self.default_database = default_database
         self._plan_cache: dict[int, DataFrame] = {}
+        self._transactions: dict[str, "Transaction"] = {}
 
     # -- query dispatch (A2/A3) --------------------------------------------
 
@@ -164,13 +165,23 @@ class Engine:
         statement: str,
         params: list | dict | None = None,
         collect: bool = True,
+        transaction_id: str | None = None,
     ) -> QueryResult:
         """Execute a statement with optional positional/named parameters.
 
         Positional ``?`` placeholders are rewritten to named placeholders
         and bound via Spark's parameterized SQL — the engine-side analog of
         the reference's typed bind (pkg/sqlite3/statement.go:87-167).
+        ``transaction_id`` routes the statement into an open interactive
+        transaction, mirroring the wire model's per-query transaction_id
+        (reference: pkg/database/query_input.go:28-32, routing
+        pkg/http/query_controller.go:94-120).
         """
+        if transaction_id is not None:
+            txn = self._transactions.get(transaction_id)
+            if txn is None:
+                raise LookupError(f"no open transaction {transaction_id!r}")
+            return txn.sql(statement, params)
         t0 = time.time()
         stmt_class = classify_statement(statement)
         sql_text, args = self._bind(statement, params)
@@ -499,3 +510,223 @@ class Engine:
 
     def query_metrics(self) -> DataFrame:
         return self.metrics.to_df(self.spark)
+
+    # -- interactive transactions (A9/A10) ----------------------------------
+
+    def begin(
+        self, kind: str = "DEFERRED", timeout: float = 300.0
+    ) -> "Transaction":
+        """BEGIN an interactive multi-statement transaction (reference:
+        HTTP-scoped transactions bound to a dedicated connection with a
+        5-minute timeout — pkg/database/transaction.go:17-82, manager
+        transaction_manager.go:1-88; begin-kind selection DEFERRED for
+        reads / IMMEDIATE for writes, database_connection.go:759-821).
+        Returns a Transaction whose id can be passed to ``sql(...,
+        transaction_id=)`` — the wire model carries transaction_id per
+        query (pkg/database/query_input.go:28-32)."""
+        txn = Transaction(self, kind=kind, timeout=timeout)
+        self._transactions[txn.transaction_id] = txn
+        return txn
+
+    def transaction(self, kind: str = "DEFERRED", timeout: float = 300.0):
+        """Context-manager form: commit on success, rollback on error."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _cm():
+            txn = self.begin(kind=kind, timeout=timeout)
+            try:
+                yield txn
+                txn.commit()
+            except BaseException:
+                txn.rollback()
+                raise
+
+        return _cm()
+
+
+class Transaction:
+    """Interactive multi-statement transaction over Spark, emulating the
+    reference's BEGIN…COMMIT/ROLLBACK surface (A9/A10) with copy-on-write
+    **shadow views**.
+
+    The first write to a table inside the txn builds a derived DataFrame
+    plan over the table's current state and registers it as a temp view
+    under the same name — temp views shadow catalog tables during
+    resolution, so later statements in the txn (reads and writes) see the
+    txn's own uncommitted state, while nothing is written to storage.
+    COMMIT localCheckpoints each shadow (cutting lineage off the files
+    about to be replaced) and overwrites the catalog table: one
+    distributed write per touched table, and a ROLLBACK costs nothing
+    (drop the views). This is the Spark-idiomatic inversion of the
+    reference's design — SQLite holds locks and writes WAL frames per
+    statement, rolling back by discarding them (pkg/database/
+    transaction.go, sqlite3/connection.go:118-156); immutable storage
+    lets us defer ALL writes to commit instead.
+
+    Scope/deviations: single-session single-writer (the engine model,
+    SURVEY §2.A A4/A5) — cross-session isolation is out of scope; DDL
+    inside a txn applies immediately (non-transactional), as in the
+    reference where DDL takes the same write path but rollback of DDL is
+    rare-path. Timeout mirrors the reference's 5-minute default: an
+    expired txn auto-rolls-back and every later statement fails
+    (transaction.go:55-56)."""
+
+    _seq = 0
+
+    def __init__(self, engine: Engine, kind: str, timeout: float) -> None:
+        kind = kind.upper()
+        if kind not in ("DEFERRED", "IMMEDIATE"):
+            raise ValueError("kind must be DEFERRED or IMMEDIATE")
+        Transaction._seq += 1
+        self.engine = engine
+        self.kind = kind
+        self.timeout = timeout
+        self.started_at = time.time()
+        self.transaction_id = f"txn-{Transaction._seq}"
+        self.state = "active"  # active | committed | rolled_back | expired
+        # table -> (pre-image DataFrame or None for catalog tables, was_temp)
+        self._touched: dict[str, tuple] = {}
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def _check_live(self) -> None:
+        if self.state == "active" and time.time() - self.started_at > self.timeout:
+            self.rollback()
+            self.state = "expired"
+        if self.state != "active":
+            raise RuntimeError(f"transaction {self.transaction_id} is {self.state}")
+
+    def commit(self) -> None:
+        self._check_live()
+        spark = self.engine.spark
+        for table, (pre_image, was_temp) in self._touched.items():
+            if was_temp:
+                continue  # shadow view IS the committed state for views
+            final = spark.table(table).localCheckpoint(eager=True)
+            spark.catalog.dropTempView(table)
+            final.write.mode("overwrite").saveAsTable(table)
+        self.state = "committed"
+        self.engine._transactions.pop(self.transaction_id, None)
+
+    def rollback(self) -> None:
+        if self.state != "active":
+            return
+        spark = self.engine.spark
+        for table, (pre_image, was_temp) in self._touched.items():
+            if was_temp and pre_image is not None:
+                pre_image.createOrReplaceTempView(table)
+            else:
+                spark.catalog.dropTempView(table)
+        self.state = "rolled_back"
+        self.engine._transactions.pop(self.transaction_id, None)
+
+    # -- statement execution ------------------------------------------------
+
+    def sql(self, statement: str, params: list | dict | None = None) -> QueryResult:
+        self._check_live()
+        t0 = time.time()
+        stmt_class = classify_statement(statement)
+        if stmt_class == "DML":
+            changes = self._apply_dml(statement, params)
+            latency = time.time() - t0
+            self.engine.metrics.record(statement, latency)
+            return QueryResult(
+                columns=[], rows=[], row_count=0, changes=changes,
+                latency=latency, statement_class=stmt_class,
+            )
+        # DQL/DDL/OTHER: session resolution already sees shadow views.
+        return self.engine.sql(statement, params)
+
+    def _shadow(self, table: str) -> None:
+        """Record the pre-image of `table` on first touch."""
+        if table in self._touched:
+            return
+        spark = self.engine.spark
+        try:
+            was_temp = spark.catalog.getTable(table).tableType == "TEMPORARY"
+        except Exception:
+            raise ValueError(f"unknown table {table!r}") from None
+        pre_image = spark.table(table) if was_temp else None
+        self._touched[table] = (pre_image, was_temp)
+
+    def _publish(self, table: str, df: DataFrame) -> None:
+        df.createOrReplaceTempView(table)
+
+    def _apply_dml(self, statement: str, params) -> int:
+        import re
+
+        spark = self.engine.spark
+        sql_text, args = Engine._bind(statement, params)
+        m = re.match(
+            r"(?is)\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?\s*$",
+            sql_text,
+        )
+        if m:
+            from pyspark.sql import functions as F
+
+            table, set_clause, where = m.group(1), m.group(2), m.group(3)
+            self._shadow(table)
+            df = spark.table(table)
+            cond = F.expr(where) if where else F.lit(True)
+            changes = df.filter(cond).count()
+            assignments = {}
+            for part in Engine._split_top_level(set_clause):
+                c, _, e = part.partition("=")
+                assignments[c.strip()] = e.strip()
+            cols = [
+                F.when(cond, F.expr(assignments[c])).otherwise(F.col(c)).alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in df.columns
+            ]
+            self._publish(table, df.select(cols))
+            return changes
+        m = re.match(
+            r"(?is)\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*))?\s*$", sql_text
+        )
+        if m:
+            from pyspark.sql import functions as F
+
+            table, where = m.group(1), m.group(2)
+            self._shadow(table)
+            df = spark.table(table)
+            cond = F.expr(where) if where else F.lit(True)
+            changes = df.filter(cond).count()
+            self._publish(table, df.filter(~cond))
+            return changes
+        m = re.match(
+            r"(?is)\s*INSERT\s+INTO\s+(\w+)\s*(\(([^)]*)\))?\s*"
+            r"(VALUES\b.*|SELECT\b.*|WITH\b.*)$",
+            sql_text,
+        )
+        if m:
+            table, cols, body = m.group(1), m.group(3), m.group(4)
+            self._shadow(table)
+            df = spark.table(table)
+            col_list = (
+                [c.strip() for c in cols.split(",")] if cols else df.columns
+            )
+            if body.upper().startswith("VALUES"):
+                src_sql = (
+                    f"SELECT * FROM ({body.rstrip(';')}) "
+                    f"AS t({', '.join(col_list)})"
+                )
+            else:
+                src_sql = body.rstrip(";")
+            src = (
+                spark.sql(src_sql, args=args) if args else spark.sql(src_sql)
+            )
+            src = src.toDF(*col_list)
+            for c in df.columns:  # missing columns -> NULL, like INSERT(cols)
+                if c not in col_list:
+                    from pyspark.sql import functions as F
+
+                    src = src.withColumn(c, F.lit(None).cast(dict(df.dtypes)[c]))
+            src = src.select(*df.columns)
+            for c, t in df.dtypes:
+                src = src.withColumn(c, src[c].cast(t))
+            changes = src.count()
+            self._publish(table, df.unionByName(src))
+            return changes
+        raise ValueError(f"unsupported DML inside transaction: {statement[:60]}")

@@ -169,3 +169,66 @@ def test_insert_returning_values(engine):
         assert engine.sql("SELECT COUNT(*) AS n FROM t_ret").rows[0]["n"] == 2
     finally:
         engine.sql("DROP TABLE IF EXISTS t_ret")
+
+
+def test_transaction_commit_and_rollback(engine):
+    engine.sql("CREATE TABLE IF NOT EXISTS t_txn (id INT, v STRING) USING parquet")
+    try:
+        engine.sql("INSERT INTO t_txn VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+
+        # rollback: nothing persists, no files rewritten
+        txn = engine.begin()
+        assert txn.sql("UPDATE t_txn SET v = 'X' WHERE id <= 2").changes == 2
+        assert txn.sql("DELETE FROM t_txn WHERE id = 3").changes == 1
+        # txn sees its own uncommitted state...
+        r = engine.sql("SELECT COUNT(*) AS n FROM t_txn").rows[0]
+        assert r["n"] == 2
+        txn.rollback()
+        # ...and rollback restores the catalog view of the world
+        rows = sorted(tuple(r) for r in engine.sql("SELECT * FROM t_txn").rows)
+        assert rows == [(1, "a"), (2, "b"), (3, "c")]
+
+        # commit: multi-statement atomicity, one write per touched table
+        with engine.transaction() as txn2:
+            txn2.sql("UPDATE t_txn SET v = upper(v)")
+            txn2.sql("INSERT INTO t_txn (id, v) VALUES (4, 'D')")
+        rows = sorted(tuple(r) for r in engine.sql("SELECT * FROM t_txn").rows)
+        assert rows == [(1, "A"), (2, "B"), (3, "C"), (4, "D")]
+
+        # context manager rolls back on error
+        try:
+            with engine.transaction() as txn3:
+                txn3.sql("DELETE FROM t_txn")
+                raise RuntimeError("boom")
+        except RuntimeError:
+            pass
+        assert engine.sql("SELECT COUNT(*) AS n FROM t_txn").rows[0]["n"] == 4
+    finally:
+        engine.sql("DROP TABLE IF EXISTS t_txn")
+
+
+def test_transaction_id_routing_and_timeout(engine):
+    engine.sql("CREATE TABLE IF NOT EXISTS t_txn2 (id INT) USING parquet")
+    try:
+        engine.sql("INSERT INTO t_txn2 VALUES (1)")
+        txn = engine.begin(kind="IMMEDIATE", timeout=0.0)
+        import time as _t
+
+        _t.sleep(0.01)
+        # expired txn auto-rolls-back and refuses statements (reference
+        # 5-minute timeout, pkg/database/transaction.go:55-56)
+        import pytest as _pt
+
+        with _pt.raises(RuntimeError, match="expired"):
+            txn.sql("DELETE FROM t_txn2")
+        assert engine.sql("SELECT COUNT(*) AS n FROM t_txn2").rows[0]["n"] == 1
+
+        txn2 = engine.begin()
+        res = engine.sql(
+            "INSERT INTO t_txn2 VALUES (2)", transaction_id=txn2.transaction_id
+        )
+        assert res.changes == 1
+        txn2.commit()
+        assert engine.sql("SELECT COUNT(*) AS n FROM t_txn2").rows[0]["n"] == 2
+    finally:
+        engine.sql("DROP TABLE IF EXISTS t_txn2")
