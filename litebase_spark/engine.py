@@ -34,15 +34,18 @@ from pyspark.sql import DataFrame, Row, SparkSession
 
 from litebase_spark.session import get_spark
 
-# Statement-prefix classes, mirroring reference pkg/database/query.go:46-102.
+# Statement-prefix classes, mirroring reference pkg/database/query.go:46-102
+# (IsDDL/IsDML/IsDQL/IsPragma/IsVacuum/IsBegin/IsCommit/IsRollback).
 _DDL_PREFIXES = ("CREATE", "ALTER", "DROP", "TRUNCATE", "REPLACE")
 _DML_PREFIXES = ("INSERT", "UPDATE", "DELETE", "MERGE")
 _DQL_PREFIXES = ("SELECT", "WITH", "VALUES", "TABLE", "DESCRIBE", "SHOW", "EXPLAIN")
+_TCL_PREFIXES = ("BEGIN", "COMMIT", "END", "ROLLBACK")
 
 
 def classify_statement(sql: str) -> str:
-    """Classify a statement DDL/DML/DQL/OTHER (analog of reference
-    pkg/database/query.go:46-102 prefix classification)."""
+    """Classify a statement DDL/DML/DQL/PRAGMA/VACUUM/TCL/OTHER (analog of
+    reference pkg/database/query.go:46-102 prefix classification, which
+    routes reads vs writes and gates PRAGMA/VACUUM)."""
     head = sql.lstrip().split(None, 1)
     kw = head[0].upper() if head else ""
     if kw in _DDL_PREFIXES:
@@ -51,6 +54,12 @@ def classify_statement(sql: str) -> str:
         return "DML"
     if kw in _DQL_PREFIXES:
         return "DQL"
+    if kw == "PRAGMA":
+        return "PRAGMA"
+    if kw == "VACUUM":
+        return "VACUUM"
+    if kw in _TCL_PREFIXES:
+        return "TCL"
     return "OTHER"
 
 
@@ -157,6 +166,7 @@ class Engine:
         self.default_database = default_database
         self._plan_cache: dict[int, DataFrame] = {}
         self._transactions: dict[str, "Transaction"] = {}
+        self._autotxn: "Transaction | None" = None
 
     # -- query dispatch (A2/A3) --------------------------------------------
 
@@ -183,6 +193,25 @@ class Engine:
                 raise LookupError(f"no open transaction {transaction_id!r}")
             return txn.sql(statement, params)
         t0 = time.time()
+        head_class = classify_statement(statement)
+        if head_class == "VACUUM":
+            # Reference rejects VACUUM from the query API (needs drained
+            # connections — pkg/database/resolver.go:100-103); our analog
+            # is the explicit compaction job (sources/io.py compact_table).
+            raise ValueError(
+                "VACUUM is not allowed through the query API; "
+                "use litebase_spark.sources.io.compact_table"
+            )
+        if head_class == "PRAGMA":
+            return self._run_pragma(statement, t0)
+        if head_class == "TCL":
+            return self._run_tcl(statement, t0)
+        if self._autotxn is not None and head_class == "DML":
+            # SQL-level BEGIN routes subsequent writes into the open
+            # transaction (interactive-shell semantics, reference
+            # pkg/cli/cmd/sql.go / transaction routing
+            # pkg/http/query_controller.go:94-120).
+            return self._autotxn.sql(statement, params)
         stmt_class = classify_statement(statement)
         sql_text, args = self._bind(statement, params)
         returning = None
@@ -274,6 +303,92 @@ class Engine:
         """DESCRIBE analog of the reference's introspection pragmas
         (table_info etc. — allowlist pkg/auth/pragma_list.go:3)."""
         return self.spark.sql(f"DESCRIBE TABLE {table}").collect()
+
+    # -- PRAGMA surface (A13) -----------------------------------------------
+    #
+    # The reference filters pragmas through an allowlist: read-only
+    # introspection pragmas run, mutating ones are denied
+    # (pkg/auth/pragma_list.go:3-…). Same policy here, with each allowed
+    # pragma mapped to the Spark introspection equivalent.
+
+    _PRAGMA_DENIED = frozenset(
+        {
+            "journal_mode", "synchronous", "cache_size", "page_size",
+            "temp_store", "mmap_size", "wal_checkpoint", "wal_autocheckpoint",
+            "foreign_keys", "writable_schema", "secure_delete",
+        }
+    )
+
+    def _run_pragma(self, statement: str, t0: float) -> QueryResult:
+        import re
+
+        m = re.match(r"(?is)\s*PRAGMA\s+(\w+)\s*(?:\(([^)]*)\))?\s*;?\s*$",
+                     statement)
+        if not m:
+            raise ValueError(f"cannot parse PRAGMA: {statement!r}")
+        name, arg = m.group(1).lower(), (m.group(2) or "").strip().strip("'\"")
+        if name in self._PRAGMA_DENIED:
+            # Mirrors the reference's denial of mutating pragmas
+            # (pkg/auth/pragma_list.go entries set to false).
+            raise PermissionError(f"PRAGMA {name} is not allowed")
+        if name == "table_info":
+            df = self.spark.sql(f"DESCRIBE TABLE {arg}")
+        elif name == "table_list":
+            df = self.spark.sql("SHOW TABLES")
+        elif name == "database_list":
+            df = self.spark.sql("SHOW DATABASES")
+        elif name == "index_list":
+            # No secondary indexes on Parquet — truthfully empty, with the
+            # schema SQLite uses (seq, name, unique, origin, partial).
+            df = self.spark.sql(
+                "SELECT * FROM VALUES (0, '', 0, '', 0) "
+                "AS t(seq, name, `unique`, origin, partial) WHERE 1 = 0"
+            )
+        elif name == "user_version":
+            df = self.spark.sql("SELECT 0 AS user_version")
+        else:
+            raise PermissionError(f"PRAGMA {name} is not in the allowlist")
+        rows = df.collect()
+        latency = time.time() - t0
+        self.metrics.record(statement, latency)
+        return QueryResult(
+            columns=list(df.columns), rows=rows, row_count=len(rows),
+            changes=0, latency=latency, statement_class="PRAGMA",
+        )
+
+    def _run_tcl(self, statement: str, t0: float) -> QueryResult:
+        """SQL-level BEGIN/COMMIT/ROLLBACK (reference begin-kind selection:
+        pkg/sqlite3/connection.go:118-156; DEFERRED for reads, IMMEDIATE
+        for writes — database_connection.go:759-821)."""
+        import re
+
+        toks = re.findall(r"\w+", statement.upper())
+        kw = toks[0]
+        if kw == "BEGIN":
+            if self._autotxn is not None:
+                raise RuntimeError("cannot start a transaction within a transaction")
+            kind = "IMMEDIATE" if "IMMEDIATE" in toks else "DEFERRED"
+            self._autotxn = self.begin(kind=kind)
+        elif kw in ("COMMIT", "END"):
+            if self._autotxn is None:
+                raise RuntimeError("cannot commit - no transaction is active")
+            try:
+                self._autotxn.commit()
+            finally:
+                self._autotxn = None
+        else:  # ROLLBACK
+            if self._autotxn is None:
+                raise RuntimeError("cannot rollback - no transaction is active")
+            try:
+                self._autotxn.rollback()
+            finally:
+                self._autotxn = None
+        latency = time.time() - t0
+        self.metrics.record(statement, latency)
+        return QueryResult(
+            columns=[], rows=[], row_count=0, changes=0,
+            latency=latency, statement_class="TCL",
+        )
 
     @staticmethod
     def _bind(statement: str, params: list | dict | None):

@@ -11,6 +11,7 @@ from litebase_spark.operators import (  # noqa: F401
     relational,
     similarity,
     skew,
+    spatial,
     streaming_batch,
     text,
     tpch,

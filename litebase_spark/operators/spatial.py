@@ -1,0 +1,220 @@
+"""Spatial operators — R-Tree and Geopoly analogs.
+
+The reference build enables SQLite's R-Tree and Geopoly extensions
+(reference: pkg/sqlite3/sqlite3.go:21,23 — SQLITE_ENABLE_RTREE /
+SQLITE_ENABLE_GEOPOLY), whose query surface is (a) bounding-box range
+queries / spatial joins against an R-Tree virtual table and (b)
+point-in-polygon predicates (geopoly_contains_point). Spark has no
+spatial index, so the scale-correct re-expression is:
+
+* R-Tree bbox join -> **grid-cell bucketing**: every box is exploded to
+  the grid cells it overlaps, every point maps to exactly one cell, the
+  join is an equi-join on cell id followed by the exact containment
+  predicate. This is precisely how distributed spatial engines
+  (Sedona-style) partition: the shuffle is keyed by cell, each cell's
+  work is independent, and skew is bounded by cell size — no cross
+  join anywhere, so it survives 1000 executors at 100 TB.
+* geopoly_contains_point -> **ray casting** compiled to a JVM-side
+  `aggregate` over the polygon's edge array: one narrow map, whole-stage
+  codegen, no UDF.
+
+Geometry is derived deterministically from fixture keys (integer
+arithmetic only) since the TPC-H-ish fixtures carry no spatial columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from litebase_spark.catalog import load, query
+
+# World is [0, 1000)^2, integer coordinates; grid cells are 50x50.
+_CELL = 50
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic point per customer: hash-spread integer coords."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 37 + 11) % 1000).alias("px"),
+        ((F.col("c_custkey") * 91 + 7) % 1000).alias("py"),
+    )
+
+
+def _boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic box per supplier: center + per-key half-width."""
+    s = load(spark, sf_dir, "supplier")
+    cx = (F.col("s_suppkey") * 53 + 3) % 1000
+    cy = (F.col("s_suppkey") * 29 + 17) % 1000
+    hw = 5 + (F.col("s_suppkey") % 20)
+    return s.select(
+        "s_suppkey",
+        (cx - hw).alias("xmin"),
+        (cx + hw).alias("xmax"),
+        (cy - hw).alias("ymin"),
+        (cy + hw).alias("ymax"),
+    )
+
+
+_SQL_POINTS = (
+    "SELECT c_custkey, (c_custkey * 37 + 11) % 1000 AS px, "
+    "(c_custkey * 91 + 7) % 1000 AS py FROM customer"
+)
+_SQL_BOXES = (
+    "SELECT s_suppkey, "
+    "(s_suppkey * 53 + 3) % 1000 - (5 + s_suppkey % 20) AS xmin, "
+    "(s_suppkey * 53 + 3) % 1000 + (5 + s_suppkey % 20) AS xmax, "
+    "(s_suppkey * 29 + 17) % 1000 - (5 + s_suppkey % 20) AS ymin, "
+    "(s_suppkey * 29 + 17) % 1000 + (5 + s_suppkey % 20) AS ymax "
+    "FROM supplier"
+)
+
+
+@query(
+    "spatial_rtree_bbox_join",
+    oracle=f"""
+    WITH points AS ({_SQL_POINTS}), boxes AS ({_SQL_BOXES})
+    SELECT b.s_suppkey, COUNT(p.c_custkey) AS n_points,
+           CAST(MIN(p.c_custkey) AS BIGINT) AS min_custkey
+    FROM boxes b
+    LEFT JOIN points p
+      ON p.px BETWEEN b.xmin AND b.xmax
+     AND p.py BETWEEN b.ymin AND b.ymax
+    GROUP BY b.s_suppkey
+    """,
+    description="R-Tree bbox containment join (SQLITE_ENABLE_RTREE "
+    "surface, reference pkg/sqlite3/sqlite3.go:21) via grid-cell "
+    "bucketing: boxes explode to overlapped 50x50 cells, points map to "
+    "exactly one cell, equi-join on cell + exact predicate — the "
+    "Sedona-style distributed spatial join; shuffle keyed by cell, no "
+    "cross join, skew bounded by cell capacity. LEFT semantics keep "
+    "empty boxes (R-Tree query returns every box probed).",
+    tags=("spatial", "join"),
+)
+def spatial_rtree_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    points = _points(spark, sf_dir).withColumn(
+        "cell",
+        (F.col("px") / _CELL).cast("long") * 1000
+        + (F.col("py") / _CELL).cast("long"),
+    )
+    boxes = _boxes(spark, sf_dir)
+    # Explode each box to the grid cells its extent overlaps (integer
+    # sequence per dimension — a few cells per box at this half-width).
+    cells = boxes.select(
+        "*",
+        F.explode(
+            F.expr(
+                f"flatten(transform("
+                f"  sequence(greatest(xmin, 0) div {_CELL},"
+                f"           least(xmax, 999) div {_CELL}),"
+                f"  cx -> transform("
+                f"    sequence(greatest(ymin, 0) div {_CELL},"
+                f"             least(ymax, 999) div {_CELL}),"
+                f"    cy -> cx * 1000 + cy)))"
+            )
+        ).alias("cell"),
+    )
+    hits = (
+        cells.join(points, on="cell", how="inner")
+        .filter(
+            F.col("px").between(F.col("xmin"), F.col("xmax"))
+            & F.col("py").between(F.col("ymin"), F.col("ymax"))
+        )
+        .groupBy("s_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("c_custkey").alias("min_custkey"),
+        )
+    )
+    # LEFT semantics: boxes with no points still appear (count 0).
+    return (
+        _boxes(spark, sf_dir)
+        .select("s_suppkey")
+        .join(hits, on="s_suppkey", how="left")
+        .select(
+            "s_suppkey",
+            F.coalesce("n_points", F.lit(0)).alias("n_points"),
+            "min_custkey",
+        )
+    )
+
+
+# A fixed non-convex polygon (L-shape) on nice integer coordinates;
+# closed ring, vertices counter-clockwise.
+_POLY = [(100, 100), (600, 100), (600, 300), (350, 300), (350, 650), (100, 650)]
+
+
+def geopoly_contains_point(px, py, poly=None):
+    """Ray-casting point-in-polygon as a pure Column expression (Geopoly's
+    geopoly_contains_point, reference pkg/sqlite3/sqlite3.go:23): count
+    edge crossings of the +x ray from (px, py+0.5); odd => inside. The
+    +0.5 offset keeps the ray off every integer vertex, so no
+    vertex-on-ray ambiguity exists and integer inputs stay exact. Builds
+    an `aggregate` over the edge array — JVM codegen, no UDF."""
+    poly = poly or _POLY
+    edges = F.array(
+        *[
+            F.struct(
+                F.lit(float(x1)).alias("x1"),
+                F.lit(float(y1)).alias("y1"),
+                F.lit(float(x2)).alias("x2"),
+                F.lit(float(y2)).alias("y2"),
+            )
+            for (x1, y1), (x2, y2) in zip(poly, poly[1:] + poly[:1])
+        ]
+    )
+    pxc = px if not isinstance(px, str) else F.col(px)
+    pyc = (py if not isinstance(py, str) else F.col(py)) + F.lit(0.5)
+    crossings = F.aggregate(
+        edges,
+        F.lit(0),
+        lambda acc, e: acc
+        + F.when(
+            ((e["y1"] > pyc) != (e["y2"] > pyc))
+            & (
+                pxc
+                < (e["x2"] - e["x1"]) * (pyc - e["y1"]) / (e["y2"] - e["y1"])
+                + e["x1"]
+            ),
+            1,
+        ).otherwise(0),
+    )
+    return crossings % 2 == 1
+
+
+def _sql_ray_cast(poly) -> str:
+    """Unrolled DuckDB expression for the same ray cast (fixed polygon =>
+    one CASE term per edge; identical arithmetic, so results are exact)."""
+    terms = []
+    for (x1, y1), (x2, y2) in zip(poly, poly[1:] + poly[:1]):
+        terms.append(
+            f"CASE WHEN ({y1} > py + 0.5) <> ({y2} > py + 0.5) "
+            f"AND px < ({x2} - {x1}) * (py + 0.5 - {y1}) "
+            f"/ ({y2} - {y1}) + {x1} THEN 1 ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ") % 2 = 1"
+
+
+@query(
+    "geopoly_point_in_polygon",
+    oracle=f"""
+    WITH points AS ({_SQL_POINTS})
+    SELECT c_custkey, px, py
+    FROM points WHERE {_sql_ray_cast(_POLY)}
+    """,
+    description="Geopoly point-in-polygon (geopoly_contains_point analog, "
+    "SQLITE_ENABLE_GEOPOLY — reference pkg/sqlite3/sqlite3.go:23): "
+    "ray casting against a non-convex L-shaped polygon, compiled to an "
+    "aggregate over the edge array inside codegen. Narrow map over the "
+    "point set — embarrassingly parallel at any scale; for polygon SETS "
+    "compose with the grid-bucketing of spatial_rtree_bbox_join "
+    "(bbox prefilter per cell, exact ray cast on survivors).",
+    tags=("spatial",),
+)
+def geopoly_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _points(spark, sf_dir)
+    return p.filter(geopoly_contains_point("px", "py")).select(
+        "c_custkey", "px", "py"
+    )

@@ -232,3 +232,42 @@ def test_transaction_id_routing_and_timeout(engine):
         assert engine.sql("SELECT COUNT(*) AS n FROM t_txn2").rows[0]["n"] == 2
     finally:
         engine.sql("DROP TABLE IF EXISTS t_txn2")
+
+
+def test_pragma_vacuum_tcl_surface(engine):
+    import pytest
+
+    # classifier covers the reference's full prefix set (query.go:46-102)
+    from litebase_spark.engine import classify_statement
+
+    assert classify_statement("PRAGMA table_info(x)") == "PRAGMA"
+    assert classify_statement("VACUUM") == "VACUUM"
+    assert classify_statement("BEGIN IMMEDIATE") == "TCL"
+
+    # VACUUM gated like the reference (resolver.go:100-103)
+    with pytest.raises(ValueError, match="VACUUM"):
+        engine.sql("VACUUM")
+
+    # allowlisted introspection pragmas run; mutating ones are denied
+    engine.sql("CREATE TABLE IF NOT EXISTS t_prag (id INT, s STRING) USING parquet")
+    try:
+        res = engine.sql("PRAGMA table_info(t_prag)")
+        assert {r["col_name"] for r in res.rows} >= {"id", "s"}
+        assert engine.sql("PRAGMA database_list").row_count >= 1
+        assert engine.sql("PRAGMA index_list(t_prag)").row_count == 0
+        with pytest.raises(PermissionError):
+            engine.sql("PRAGMA journal_mode(wal)")
+
+        # SQL-level BEGIN/COMMIT/ROLLBACK drive the shadow-view txn
+        engine.sql("BEGIN")
+        engine.sql("INSERT INTO t_prag VALUES (1, 'x')")
+        engine.sql("ROLLBACK")
+        assert engine.sql("SELECT COUNT(*) AS n FROM t_prag").rows[0]["n"] == 0
+        engine.sql("BEGIN IMMEDIATE")
+        engine.sql("INSERT INTO t_prag VALUES (1, 'x')")
+        engine.sql("COMMIT")
+        assert engine.sql("SELECT COUNT(*) AS n FROM t_prag").rows[0]["n"] == 1
+        with pytest.raises(RuntimeError, match="no transaction"):
+            engine.sql("COMMIT")
+    finally:
+        engine.sql("DROP TABLE IF EXISTS t_prag")

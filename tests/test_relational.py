@@ -190,3 +190,49 @@ def test_stratified_sample_fractions(spark, sf_dir):
         frac = got.get(k, 0) / n
         # Bernoulli draws at 20%: generous bound for small strata
         assert 0.08 <= frac <= 0.35, (k, frac)
+
+
+def test_spatial_grid_join_matches_bruteforce(spark, sf_dir):
+    from litebase_spark.operators import spatial
+
+    grid = {
+        r.s_suppkey: (r.n_points, r.min_custkey)
+        for r in spatial.spatial_rtree_bbox_join(spark, sf_dir).collect()
+    }
+    p, b = spatial._points(spark, sf_dir), spatial._boxes(spark, sf_dir)
+    brute = {
+        r.s_suppkey: (r.n_points, r.min_custkey)
+        for r in b.join(
+            p,
+            p.px.between(b.xmin, b.xmax) & p.py.between(b.ymin, b.ymax),
+            "left",
+        )
+        .groupBy("s_suppkey")
+        .agg(
+            F.count("c_custkey").alias("n_points"),
+            F.min("c_custkey").alias("min_custkey"),
+        )
+        .collect()
+    }
+    assert grid == brute and len(grid) > 0
+
+
+def test_geopoly_ray_cast_known_points(spark):
+    from litebase_spark.operators.spatial import geopoly_contains_point
+
+    # L-shape: (100,100)-(600,100)-(600,300)-(350,300)-(350,650)-(100,650)
+    pts = [
+        (1, 200, 200, True),   # inside the bottom arm
+        (2, 500, 200, True),   # inside the bottom arm, right end
+        (3, 200, 500, True),   # inside the vertical arm
+        (4, 500, 500, False),  # in the notch (outside the L)
+        (5, 50, 50, False),    # fully outside
+        (6, 700, 200, False),  # right of the polygon
+    ]
+    df = spark.createDataFrame(
+        [(i, x, y) for i, x, y, _ in pts], "id int, px int, py int"
+    )
+    got = {
+        r.id for r in df.filter(geopoly_contains_point("px", "py")).collect()
+    }
+    assert got == {i for i, _, _, inside in pts if inside}
