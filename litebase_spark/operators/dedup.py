@@ -480,3 +480,118 @@ def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", "embedding").mapInPandas(
         pairs, schema="vec_id_a long, vec_id_b long, cos_sim double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clustering: candidate pairs -> connected components -> canonical
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame, src: str, dst: str, max_iter: int = 20
+) -> DataFrame:
+    """Connected components by iterative min-label propagation: each node's
+    label becomes the min of its own and its neighbors' labels until a
+    fixpoint (the same DataFrame-loop shape as plans/recursive.py). Returns
+    (node, comp) where comp = min node id in the component.
+
+    Scale path: label propagation converges in O(component diameter)
+    rounds — duplicate clusters are shallow (near-cliques), so 2-3 rounds
+    in practice. Each round is one shuffle keyed by node id;
+    localCheckpoint per round cuts the lineage so plans stay flat. For
+    adversarial long-chain graphs at 100 TB, swap the body for
+    alternating large-star/small-star (same loop harness, pointer
+    jumping bounds rounds by log n and skew by star size).
+    """
+    sym = edges.select(
+        F.col(src).alias("es"), F.col(dst).alias("ed")
+    ).union(edges.select(F.col(dst).alias("es"), F.col(src).alias("ed")))
+    labels = (
+        sym.select(F.col("es").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym["ed"] == labels["node"])
+            .groupBy("es")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new = (
+            labels.join(neigh, labels["node"] == neigh["es"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce("ncomp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.withColumnRenamed("comp", "nc")
+            .join(labels, "node")
+            .filter(F.col("nc") != F.col("comp"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def _components_oracle() -> str:
+    from litebase_spark.catalog import REGISTRY
+
+    jaccard_sql = REGISTRY["dedup_ngram_jaccard"].oracle
+    return f"""
+    WITH RECURSIVE pairs AS (SELECT * FROM ({jaccard_sql})),
+    nodes AS (
+      SELECT doc_a AS doc_id FROM pairs
+      UNION SELECT doc_b FROM pairs
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT r.src, e.d FROM reach r JOIN edges e ON e.s = r.dst
+    ),
+    comp AS (
+      SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
+    )
+    SELECT doc_id, component,
+           COUNT(*) OVER (PARTITION BY component) AS n_members,
+           doc_id = component AS is_canonical
+    FROM comp
+    """
+
+
+@query(
+    "dedup_components",
+    oracle=_components_oracle(),
+    description="Duplicate-cluster assembly — the step after candidate "
+    "pairs that every production dedup needs: near-dup pairs (exact "
+    "n-gram Jaccard tier; at 100 TB the MinHash-LSH pairs feed the same "
+    "input) -> connected components via min-label propagation -> one "
+    "canonical doc per cluster (min doc_id) with cluster size. Transitive "
+    "closure matters: A~B, B~C groups {A,B,C} even when A!~C — the "
+    "fixture contains such a chain. Oracle: DuckDB recursive-CTE "
+    "reachability.",
+    tags=("dedup", "graph"),
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    w_comp = F.count(F.lit(1)).over(Window.partitionBy("component"))
+    out = labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
+    return out.select(
+        "doc_id",
+        "component",
+        w_comp.alias("n_members"),
+        (F.col("doc_id") == F.col("component")).alias("is_canonical"),
+    )

@@ -697,3 +697,88 @@ def fts_match_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(t.rlike(phrase) & t.rlike(prefix)).select(
         "doc_id", "n_chars"
     )
+
+
+_CONTAM_THRESHOLD = 0.2
+_N_PROBES = 25  # fixture probe set: doc_id < 25 plays the benchmark
+
+
+@query(
+    "text_contamination",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, len(w) - 1),
+               i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+      FROM (SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS w
+            FROM documents)
+      WHERE len(w) >= 3
+    ),
+    probes AS (
+      SELECT doc_id AS probe_id, sh AS psh FROM tok
+      WHERE doc_id < {_N_PROBES}
+    ),
+    cand AS (
+      SELECT t.doc_id, p.probe_id,
+             len(list_filter(t.sh, s -> list_contains(p.psh, s))) AS inter,
+             len(p.psh) AS n_probe
+      FROM tok t, probes p WHERE t.doc_id <> p.probe_id
+    )
+    SELECT doc_id, probe_id,
+           ROUND(CAST(inter AS DOUBLE) / n_probe, 6) AS containment
+    FROM cand
+    WHERE CAST(inter AS DOUBLE) / n_probe >= {_CONTAM_THRESHOLD}
+    """,
+    description="Benchmark-contamination detection (eval-set "
+    "decontamination, a standard LLM training-data gate): 3-gram shingle "
+    "CONTAINMENT |doc ∩ probe| / |probe| of every corpus doc against a "
+    "probe (benchmark) set — containment, not Jaccard, because a long "
+    "doc quoting a whole short benchmark item must score ~1.0. Spark "
+    "path: inverted shingle index join — probe postings are tiny and "
+    "broadcast, corpus postings stream by; no cross join at any scale. "
+    "Fixture probe set = doc_id < 25.",
+    tags=("text", "dedup"),
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = tokens("text")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 2),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ",
+                    F.element_at("w", i),
+                    F.element_at("w", i + 1),
+                    F.element_at("w", i + 2),
+                )
+            ),
+        )
+    )
+    tok = (
+        d.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 3)
+        .select("doc_id", sh.alias("sh"))
+    )
+    probes = tok.filter(F.col("doc_id") < _N_PROBES).select(
+        F.col("doc_id").alias("probe_id"), F.col("sh").alias("psh")
+    )
+    probe_post = probes.select(
+        "probe_id", F.size("psh").alias("n_probe"), F.explode("psh").alias("s")
+    )
+    corpus_post = tok.select("doc_id", F.explode("sh").alias("s"))
+    inter = (
+        corpus_post.join(F.broadcast(probe_post), on="s")
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .groupBy("doc_id", "probe_id", "n_probe")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    containment = F.col("inter").cast("double") / F.col("n_probe")
+    return (
+        inter.filter(containment >= _CONTAM_THRESHOLD)
+        .select(
+            "doc_id",
+            "probe_id",
+            F.round(containment, 6).alias("containment"),
+        )
+    )

@@ -136,3 +136,18 @@ def test_blocked_embedding_dedup_equals_exact(spark, sf_dir):
         assert abs(sim - 0.4) < 1e-9, f"non-boundary disagreement: {pair} {sim}"
     for pair in set(fast) & set(exact):
         assert abs(fast[pair] - exact[pair]) <= 1e-6
+
+
+def test_connected_components_chain_and_clique(spark):
+    from litebase_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3), pair 10-11, triangle 20-21-22
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "src int, dst int",
+    )
+    got = {
+        r.node: r.comp
+        for r in connected_components(edges, "src", "dst").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
