@@ -66,6 +66,8 @@ HEADLINE = [
     "knn_cosine_vectorized",
     "dedup_embedding_blocked",
     "pipeline_training_corpus",
+    "pipeline_train_test_split",
+    "pipeline_pack_sequences",
 ]
 
 

@@ -104,3 +104,176 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/test split
+# ---------------------------------------------------------------------------
+
+# hex threshold on the first 4 md5 nibbles: 0x1999/0x10000 ~ 9.99% test.
+_SPLIT_HEX = "1999"
+
+
+@query(
+    "pipeline_train_test_split",
+    oracle=f"""
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_SPLIT_HEX}'
+                THEN 'test' ELSE 'train' END AS split,
+           source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY split, source
+    ORDER BY split, source
+    """,
+    description="Deterministic hash-based train/test split: md5(doc_id) hex "
+    "prefix compared against a threshold — stable across runs, engines, and "
+    "repartitioning (no rand()), so a re-run at 100 TB assigns every "
+    "document to the same split. Narrow map + partial agg; the only "
+    "exchange carries (split, source) partial sums. Per-source counts "
+    "double as a leakage audit (every source present in both splits).",
+    tags=("pipeline", "sampling"),
+)
+def pipeline_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4
+        )
+        < _SPLIT_HEX,
+        "test",
+    ).otherwise("train")
+    return (
+        d.groupBy(split.alias("split"), "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chop into fixed context windows)
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 2048  # tokens per training sequence
+
+
+@query(
+    "pipeline_pack_sequences",
+    oracle=f"""
+    WITH counted AS (
+        SELECT doc_id, source,
+               len({_SQL_TOKENS.format(c='text')}) AS n_tokens
+        FROM documents
+        WHERE len({_SQL_TOKENS.format(c='text')}) > 0
+    ),
+    placed AS (
+        SELECT source, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) - n_tokens AS start_off
+        FROM counted
+    )
+    SELECT source,
+           CAST(floor(start_off / {PACK_BUDGET}.0) AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+    FROM placed
+    GROUP BY source, pack_id
+    ORDER BY source, pack_id
+    """,
+    description="Sequence packing for training: concat-and-chop documents "
+    "into fixed {PACK}-token context windows. Each doc's start offset is a "
+    "running token sum partitioned by source (the shard key) — windows are "
+    "per-shard, so the sort is distributed, never a single-partition global "
+    "window. pack_id = start_offset div budget, the standard "
+    "concatenate-then-split layout used by LLM pretraining loaders.",
+    tags=("pipeline", "text"),
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    counted = d.select(
+        "doc_id", "source", F.size(tokens("text")).alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = counted.select(
+        "source",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_off"),
+    )
+    return (
+        placed.groupBy(
+            "source",
+            F.floor(F.col("start_off") / PACK_BUDGET)
+            .cast("bigint")
+            .alias("pack_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture rebalancing weights
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_mixture_weights",
+    oracle=f"""
+    WITH grouped AS (
+        SELECT source, lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len({_SQL_TOKENS.format(c='text')})) AS BIGINT)
+                   AS total_tokens
+        FROM documents
+        GROUP BY source, lang
+    )
+    SELECT source, lang, n_docs, total_tokens,
+           ROUND(CAST(total_tokens AS DOUBLE)
+                 / SUM(total_tokens) OVER (), 6) AS token_share,
+           ROUND((1.0 / COUNT(*) OVER ())
+                 / (CAST(total_tokens AS DOUBLE)
+                    / SUM(total_tokens) OVER ()), 6) AS sample_weight
+    FROM grouped
+    ORDER BY source, lang
+    """,
+    description="Domain-mixture rebalancing: per (source, lang) token "
+    "accounting plus the sampling weight that equalizes the mixture "
+    "(target uniform share / actual token share) — the knob a pretraining "
+    "data loader uses to up/down-sample domains. One partial agg over the "
+    "corpus; the window over the tiny grouped result is driver-scale.",
+    tags=("pipeline", "sampling"),
+)
+def pipeline_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    grouped = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens("text"))).alias("total_tokens"),
+    )
+    w = Window.partitionBy()
+    share = F.col("total_tokens").cast("double") / F.sum(
+        "total_tokens"
+    ).over(w)
+    weight = (F.lit(1.0) / F.count(F.lit(1)).over(w)) / share
+    return grouped.select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round(weight, 6).alias("sample_weight"),
+    ).orderBy("source", "lang")

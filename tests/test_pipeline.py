@@ -1,0 +1,79 @@
+"""Training-data pipeline operators: split determinism, packing invariants,
+mixture-weight algebra."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+import litebase_spark.operators  # noqa: F401
+from litebase_spark.catalog import REGISTRY, load
+from litebase_spark.operators.pipeline import PACK_BUDGET
+
+
+def test_train_test_split_deterministic_and_partition_invariant(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4
+        )
+        < "1999",
+        "test",
+    ).otherwise("train")
+    a = {
+        r["doc_id"]: r["s"]
+        for r in d.select("doc_id", split.alias("s")).collect()
+    }
+    # identical assignment after an arbitrary repartition (no rand() in
+    # the lineage — the split is a pure function of doc_id)
+    b = {
+        r["doc_id"]: r["s"]
+        for r in d.repartition(7)
+        .select("doc_id", split.alias("s"))
+        .collect()
+    }
+    assert a == b
+    frac = sum(1 for v in a.values() if v == "test") / len(a)
+    assert 0.0 < frac < 0.25  # ~10% target, loose bound at tiny SF
+
+
+def test_train_test_split_covers_all_docs(spark, sf_dir):
+    out = REGISTRY["pipeline_train_test_split"].builder(spark, sf_dir)
+    rows = out.collect()
+    total = sum(r["n_docs"] for r in rows)
+    assert total == load(spark, sf_dir, "documents").count()
+    assert {r["split"] for r in rows} == {"train", "test"}
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    rows = REGISTRY["pipeline_pack_sequences"].builder(spark, sf_dir).collect()
+    assert rows
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for source, packs in by_source.items():
+        ids = [p["pack_id"] for p in packs]
+        # pack ids are dense from 0 (concat-and-chop leaves no gaps)
+        assert ids == list(range(len(ids))), source
+        # every non-final pack starts because the budget was crossed:
+        # cumulative tokens through pack k >= (k+1) * budget
+        cum = 0
+        for k, p in enumerate(packs):
+            cum += p["pack_tokens"]
+            if k < len(packs) - 1:
+                assert cum >= (k + 1) * PACK_BUDGET, (source, k)
+
+
+def test_mixture_weights_normalize(spark, sf_dir):
+    rows = REGISTRY["pipeline_mixture_weights"].builder(spark, sf_dir).collect()
+    assert math.isclose(
+        sum(r["token_share"] for r in rows), 1.0, abs_tol=1e-3
+    )
+    n = len(rows)
+    # weighted shares re-normalize to uniform: share * weight == 1/n
+    for r in rows:
+        assert math.isclose(
+            r["token_share"] * r["sample_weight"], 1.0 / n, rel_tol=1e-3
+        ), r
