@@ -479,3 +479,142 @@ def quantize_codes(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         ),
     )
     return with_scale.withColumn("codes", codes)
+
+
+# ---------------------------------------------------------------------------
+# Distributed Lloyd's k-means (iterative DataFrame algorithm)
+# ---------------------------------------------------------------------------
+
+K_CLUSTERS = 10
+KMEANS_ITERS = 4
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_fit(
+    e: DataFrame, k: int = K_CLUSTERS, iters: int = KMEANS_ITERS
+) -> tuple[DataFrame, list]:
+    """Lloyd's k-means over (vec_id, embedding); returns (assignments,
+    centroids). The canonical distributed iterative algorithm:
+
+    - The CORPUS never leaves the executors. Per iteration it is one
+      broadcast-join pass (assign: argmin over k centroids via min_by)
+      plus one partial/final aggregation (recompute: per-(cell, dim)
+      mean via posexplode — the shuffle carries k x dim partial sums per
+      map task, not vectors).
+    - Only the MODEL (k x dim doubles) ever reaches the driver, once per
+      iteration — at 100 TB this is still k x dim x 8 bytes.
+    - Init is deterministic and spread: min vec_id per sign-sketch cell
+      (the same hyperplane sketch the LSH/IVF operators use), so reruns
+      and resumes pick identical seeds — no driver RNG.
+    """
+    spark = e.sparkSession
+    e = e.select("vec_id", "embedding").localCheckpoint(eager=True)
+
+    seed_cells = (
+        e.select(
+            "vec_id",
+            "embedding",
+            sketch_expr(F.col("embedding")).alias("cell"),
+        )
+        .groupBy("cell")
+        .agg(F.min_by("embedding", "vec_id").alias("cv"), F.min("vec_id").alias("mv"))
+        .orderBy("mv")
+        .limit(k)
+        .collect()
+    )
+    cents = [
+        [float(x) for x in r["cv"]] for r in seed_cells
+    ]
+    while len(cents) < k:  # fewer occupied sketch cells than k
+        cents.append(cents[len(cents) % len(seed_cells)])
+
+    assigned = None
+    for _ in range(iters):
+        cdf = F.broadcast(
+            spark.createDataFrame(
+                [(i, c) for i, c in enumerate(cents)],
+                "cluster_id int, cv array<double>",
+            )
+        )
+        scored = e.crossJoin(cdf).select(
+            "vec_id",
+            "embedding",
+            "cluster_id",
+            _sqdist(F.col("embedding"), F.col("cv")).alias("d2"),
+        )
+        assigned = scored.groupBy("vec_id").agg(
+            F.min_by("cluster_id", F.struct("d2", "cluster_id")).alias(
+                "cluster_id"
+            ),
+            F.first("embedding").alias("embedding"),
+            F.min("d2").alias("d2"),
+        )
+        per_dim = (
+            assigned.select(
+                "cluster_id", F.posexplode("embedding").alias("pos", "x")
+            )
+            .groupBy("cluster_id", "pos")
+            # decimal avg: exact, order-independent partial sums — the
+            # recomputed centroid is bit-identical under any partitioning
+            # (double avg would drift in the low bits per shuffle order)
+            .agg(
+                F.avg(F.col("x").cast("double").cast("decimal(30,15)"))
+                .cast("double")
+                .alias("m")
+            )
+        )
+        new_cents = (
+            per_dim.groupBy("cluster_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+            .collect()
+        )
+        for r in new_cents:  # empty clusters keep their previous centroid
+            cents[r["cluster_id"]] = [float(x) for x in r["cv"]]
+    return assigned, cents
+
+
+@query(
+    "embedding_kmeans",
+    oracle=None,  # iterative fixpoint — the SURVEY carve-out for
+    # non-SQL-expressible ops; tests assert Lloyd's invariants instead
+    # (monotone non-increasing inertia, determinism, full occupancy);
+    # the fixture's label column is NOT geometric (within-label cosine
+    # ~= between-label, measured), so cluster purity is not a valid check
+    description="Distributed Lloyd's k-means over the embedding corpus "
+    "(K=10, 4 iterations): per iteration one broadcast argmin pass + one "
+    "partial-aggregated per-dimension mean; only the k x dim model visits "
+    "the driver. Returns per-cluster size and mean squared distance. "
+    "Trained centroids are the production coarse quantizer for the IVF "
+    "search path (knn_ivf_probe uses deterministic sampling for "
+    "oracle-stability; this is the quality upgrade).",
+    tags=("similarity", "iterative"),
+)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    e = e.repartition(spark.sparkContext.defaultParallelism)
+    assigned, _ = kmeans_fit(e)
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("d2"), 4).alias("avg_sqdist"),
+        )
+        .orderBy("cluster_id")
+    )
