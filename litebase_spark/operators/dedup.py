@@ -595,3 +595,73 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         w_comp.alias("n_members"),
         (F.col("doc_id") == F.col("component")).alias("is_canonical"),
     )
+
+
+@query(
+    "dedup_semantic",
+    oracle=None,  # k-means is an iterative fixpoint (SURVEY carve-out);
+    # tests assert pair-subset vs the oracle-exact dedup_embedding_cosine
+    # and keep/drop bookkeeping invariants
+    description="SemDeDup-style semantic dedup: Lloyd's k-means partitions "
+    "the embedding corpus into cells, exact cosine runs ONLY within each "
+    "cell (self-join keyed by cluster_id), pairs above threshold collapse "
+    "to connected components, min vec_id survives. 100 TB: the pairwise "
+    "work drops from O(n^2) to sum of per-cell squares — pick k ~ n/1e5 "
+    "so cells stay executor-sized; the cluster_id shuffle key bounds skew "
+    "by cell size. The price is recall: cross-cell near-dups are missed "
+    "(tests measure the subset relation vs the exact pair set).",
+    tags=("dedup", "similarity", "iterative"),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from litebase_spark.operators.similarity import (
+        dot,
+        kmeans_fit,
+        norm2,
+    )
+
+    TAU = 0.4
+    e = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    assigned, _ = kmeans_fit(e, iters=2)
+    cell = assigned.select(
+        "vec_id",
+        "cluster_id",
+        "embedding",
+        norm2(F.col("embedding")).alias("nrm"),
+    ).localCheckpoint(eager=True)
+    a = cell.select(
+        F.col("cluster_id").alias("ca"),
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = cell.select(
+        F.col("cluster_id").alias("cb"),
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("ca") == F.col("cb"))
+            & (F.col("vec_id_a") < F.col("vec_id_b")),
+        )
+        .select("vec_id_a", "vec_id_b", sim.alias("raw_sim"))
+        .filter(F.col("raw_sim") >= TAU)
+        .select("vec_id_a", "vec_id_b")
+    )
+    comps = connected_components(pairs, "vec_id_a", "vec_id_b")
+    return (
+        cell.join(comps, cell["vec_id"] == comps["node"], "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.coalesce("comp", F.col("vec_id")).alias("dup_group"),
+            (F.coalesce("comp", F.col("vec_id")) == F.col("vec_id")).alias(
+                "keep"
+            ),
+        )
+    )

@@ -782,3 +782,82 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(containment, 6).alias("containment"),
         )
     )
+
+
+_GQ_STOPS = ("the", "a", "and", "of", "to", "in")
+
+
+@query(
+    "text_gopher_quality",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS toks
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(toks) AS n_words,
+               list_sum(list_transform(toks, w -> length(w))) * 1.0
+                 / len(toks) AS mwl,
+               list_sum(list_transform(toks,
+                 w -> CASE WHEN regexp_matches(w, '[a-z]')
+                      THEN 1 ELSE 0 END)) * 1.0 / len(toks) AS af,
+               CAST(list_sum(list_transform(toks,
+                 w -> CASE WHEN w IN {str(_GQ_STOPS)}
+                      THEN 1 ELSE 0 END)) AS BIGINT) AS stop_hits
+        FROM t
+    )
+    SELECT doc_id, n_words,
+           ROUND(mwl, 6) AS mean_word_len,
+           ROUND(af, 6) AS alpha_frac,
+           stop_hits,
+           (n_words BETWEEN 30 AND 100000
+            AND mwl BETWEEN 3.0 AND 10.0
+            AND af >= 0.8
+            AND stop_hits >= 2) AS keep
+    FROM m
+    """,
+    description="Gopher-rule document quality filter (Rae et al. 2021 "
+    "repetition-free subset): word-count bounds, mean word length in "
+    "[3,10], fraction of alphabetic words, minimum stopword hits; emits "
+    "per-rule measurements plus the fused keep flag. All rules are one "
+    "narrow map over the token array — no shuffle, no UDF; at 100 TB "
+    "this runs scan-speed as the first pipeline stage and the keep flag "
+    "predicate-pushes into every downstream read.",
+    tags=("text", "quality"),
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    d = d.select("doc_id", toks.alias("toks"))
+    n_words = F.size("toks")
+    mwl = (
+        F.aggregate(
+            F.transform(F.col("toks"), F.length),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        * F.lit(1.0)
+        / n_words
+    )
+    af = (
+        F.size(F.filter(F.col("toks"), lambda w: w.rlike("[a-z]")))
+        * F.lit(1.0)
+        / n_words
+    )
+    stop_hits = F.size(
+        F.filter(F.col("toks"), lambda w: w.isin(*_GQ_STOPS))
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(af, 6).alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+        (
+            n_words.between(30, 100000)
+            & mwl.between(3.0, 10.0)
+            & (af >= 0.8)
+            & (stop_hits >= 2)
+        ).alias("keep"),
+    )
