@@ -60,6 +60,8 @@ def classify_statement(sql: str) -> str:
         return "VACUUM"
     if kw in _TCL_PREFIXES:
         return "TCL"
+    if kw in ("ANALYZE", "REINDEX"):
+        return "MAINT"
     return "OTHER"
 
 
@@ -204,6 +206,8 @@ class Engine:
             )
         if head_class == "PRAGMA":
             return self._run_pragma(statement, t0)
+        if head_class == "MAINT":
+            return self._run_maintenance(statement, t0)
         if head_class == "TCL":
             return self._run_tcl(statement, t0)
         if self._autotxn is not None and head_class == "DML":
@@ -354,6 +358,55 @@ class Engine:
         return QueryResult(
             columns=list(df.columns), rows=rows, row_count=len(rows),
             changes=0, latency=latency, statement_class="PRAGMA",
+        )
+
+    def _run_maintenance(self, statement: str, t0: float) -> QueryResult:
+        """ANALYZE / REINDEX (authorizer codes SQLITE_ANALYZE /
+        SQLITE_REINDEX, reference pkg/sqlite3/constants.go:64-93;
+        exercised via pkg/database/database_connection.go:618-619).
+
+        ANALYZE in SQLite gathers planner statistics (sqlite_stat1); the
+        Spark analog is ``ANALYZE TABLE … COMPUTE STATISTICS`` feeding
+        Catalyst's cost-based optimizer. Temp views over parquet have no
+        catalog entry to attach stats to — those are skipped silently,
+        matching SQLite's ANALYZE which never errors on un-analyzable
+        schema objects. REINDEX is an accepted no-op: there are no
+        physical secondary indexes (Parquet min/max + partition pruning
+        replace them), mirroring index_list's truthfully-empty result.
+        """
+        import re
+
+        m = re.match(
+            r"(?is)\s*(ANALYZE|REINDEX)\s*([A-Za-z_][\w.]*)?\s*;?\s*$",
+            statement,
+        )
+        if not m:
+            raise ValueError(f"cannot parse statement: {statement!r}")
+        verb, target = m.group(1).upper(), m.group(2)
+        analyzed = 0
+        if verb == "ANALYZE":
+            if target:
+                names = [target]
+            else:  # bare ANALYZE: every analyzable catalog table
+                names = [
+                    t.name
+                    for t in self.spark.catalog.listTables()
+                    if t.tableType != "TEMPORARY"
+                ]
+            for name in names:
+                try:
+                    self.spark.sql(
+                        f"ANALYZE TABLE {name} COMPUTE STATISTICS"
+                    )
+                    analyzed += 1
+                except Exception:
+                    if target:  # explicit target must exist as a table
+                        raise
+        latency = time.time() - t0
+        self.metrics.record(statement, latency)
+        return QueryResult(
+            columns=[], rows=[], row_count=0, changes=analyzed,
+            latency=latency, statement_class="MAINT",
         )
 
     def _run_tcl(self, statement: str, t0: float) -> QueryResult:

@@ -271,3 +271,34 @@ def test_pragma_vacuum_tcl_surface(engine):
             engine.sql("COMMIT")
     finally:
         engine.sql("DROP TABLE IF EXISTS t_prag")
+
+
+def test_analyze_reindex_surface(engine):
+    import pytest
+
+    from litebase_spark.engine import classify_statement
+
+    assert classify_statement("ANALYZE") == "MAINT"
+    assert classify_statement("REINDEX t") == "MAINT"
+
+    engine.sql("CREATE TABLE IF NOT EXISTS t_an (id INT) USING parquet")
+    try:
+        engine.sql("INSERT INTO t_an VALUES (1), (2), (3)")
+        # explicit target: stats land in the catalog (CBO analog of
+        # SQLite's sqlite_stat1)
+        res = engine.sql("ANALYZE t_an")
+        assert res.statement_class == "MAINT" and res.changes == 1
+        stats = engine.sql("DESCRIBE TABLE EXTENDED t_an").rows
+        stat_row = {r["col_name"]: r["data_type"] for r in stats}.get(
+            "Statistics", ""
+        )
+        assert "3 rows" in stat_row
+        # bare ANALYZE sweeps analyzable tables and skips temp views
+        assert engine.sql("ANALYZE").changes >= 1
+        # REINDEX accepted as a no-op (no physical indexes)
+        assert engine.sql("REINDEX t_an").changes == 0
+        # explicit ANALYZE of a missing table raises
+        with pytest.raises(Exception):
+            engine.sql("ANALYZE no_such_table_xyz")
+    finally:
+        engine.sql("DROP TABLE IF EXISTS t_an")
