@@ -502,6 +502,26 @@ def _sqdist(a: Column, b: Column) -> Column:
     )
 
 
+def _argmin_centroid(cents: list) -> Column:
+    """struct(d2, cluster_id) of the nearest centroid, as a single
+    generated expression: the whole model is inlined as ONE nested
+    array literal (k x dim x 8 bytes inside the plan — smaller than any
+    broadcast), so assignment is map-only with NO join, NO shuffle, NO
+    exchange, and the expression tree stays constant-size regardless of
+    k (one py4j literal, not k x dim of them). array_min's struct
+    ordering = (min d2, then min cluster_id), the same deterministic
+    tie-break as min_by(struct(d2, cluster_id))."""
+    return F.array_min(
+        F.transform(
+            F.lit(cents),
+            lambda c, i: F.struct(
+                _sqdist(F.col("embedding"), c).alias("d2"),
+                i.alias("cluster_id"),
+            ),
+        )
+    )
+
+
 def kmeans_fit(
     e: DataFrame, k: int = K_CLUSTERS, iters: int = KMEANS_ITERS
 ) -> tuple[DataFrame, list]:
@@ -509,17 +529,19 @@ def kmeans_fit(
     centroids). The canonical distributed iterative algorithm:
 
     - The CORPUS never leaves the executors. Per iteration it is one
-      broadcast-join pass (assign: argmin over k centroids via min_by)
-      plus one partial/final aggregation (recompute: per-(cell, dim)
-      mean via posexplode — the shuffle carries k x dim partial sums per
-      map task, not vectors).
+      map-only assign pass (argmin over k centroid literals compiled
+      into the plan — see _argmin_centroid; no join, no shuffle) plus
+      one partial/final aggregation (recompute: per-(cell, dim) mean
+      via posexplode — the shuffle carries k x dim partial sums per map
+      task, not vectors). One Spark job per iteration.
     - Only the MODEL (k x dim doubles) ever reaches the driver, once per
       iteration — at 100 TB this is still k x dim x 8 bytes.
     - Init is deterministic and spread: min vec_id per sign-sketch cell
       (the same hyperplane sketch the LSH/IVF operators use), so reruns
       and resumes pick identical seeds — no driver RNG.
+    - The returned assignment is a final map-only pass with the FINAL
+      centroids, so (assignments, centroids) are mutually consistent.
     """
-    spark = e.sparkSession
     e = e.select("vec_id", "embedding").localCheckpoint(eager=True)
 
     seed_cells = (
@@ -540,26 +562,13 @@ def kmeans_fit(
     while len(cents) < k:  # fewer occupied sketch cells than k
         cents.append(cents[len(cents) % len(seed_cells)])
 
-    assigned = None
     for _ in range(iters):
-        cdf = F.broadcast(
-            spark.createDataFrame(
-                [(i, c) for i, c in enumerate(cents)],
-                "cluster_id int, cv array<double>",
-            )
-        )
-        scored = e.crossJoin(cdf).select(
+        best = _argmin_centroid(cents)
+        assigned = e.select(
             "vec_id",
             "embedding",
-            "cluster_id",
-            _sqdist(F.col("embedding"), F.col("cv")).alias("d2"),
-        )
-        assigned = scored.groupBy("vec_id").agg(
-            F.min_by("cluster_id", F.struct("d2", "cluster_id")).alias(
-                "cluster_id"
-            ),
-            F.first("embedding").alias("embedding"),
-            F.min("d2").alias("d2"),
+            best["cluster_id"].alias("cluster_id"),
+            best["d2"].alias("d2"),
         )
         per_dim = (
             assigned.select(
@@ -575,18 +584,22 @@ def kmeans_fit(
                 .alias("m")
             )
         )
-        new_cents = (
-            per_dim.groupBy("cluster_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("cv")
-            )
-            .collect()
-        )
-        for r in new_cents:  # empty clusters keep their previous centroid
-            cents[r["cluster_id"]] = [float(x) for x in r["cv"]]
+        # k x dim narrow rows reach the driver; assembling them into
+        # centroid arrays is pure reshaping — doing it here instead of a
+        # second groupBy saves a shuffle + job per iteration.
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in per_dim.collect():
+            by_cluster.setdefault(r["cluster_id"], {})[r["pos"]] = r["m"]
+        for cid, dims in by_cluster.items():
+            # empty clusters never appear here -> keep previous centroid
+            cents[cid] = [float(dims[p]) for p in sorted(dims)]
+    best = _argmin_centroid(cents)
+    assigned = e.select(
+        "vec_id",
+        "embedding",
+        best["cluster_id"].alias("cluster_id"),
+        best["d2"].alias("d2"),
+    )
     return assigned, cents
 
 
@@ -642,12 +655,15 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     assigned, cents = kmeans_fit(e, k=K_CLUSTERS, iters=2)
+    # Materialize the cell assignment once: three downstream branches
+    # (query side, probe join, rerank) reference it, and at scale this
+    # is the "write the corpus partitioned by cell" build step.
     corpus = assigned.select(
         "vec_id",
         F.col("cluster_id").alias("cell"),
         "embedding",
         norm2(F.col("embedding")).alias("nrm"),
-    )
+    ).localCheckpoint(eager=True)
     cdf = F.broadcast(
         e.sparkSession.createDataFrame(
             [(i, c) for i, c in enumerate(cents)],
