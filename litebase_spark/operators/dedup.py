@@ -432,22 +432,46 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_embedding_blocked",
-    oracle=None,  # numpy kernel; pair-set equality with the oracle-exact
-    # dedup_embedding_cosine is asserted in tests
+    oracle="""
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           ROUND(
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+             6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, 65),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(range(1, 65),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+           * sqrt(list_sum(list_transform(range(1, 65),
+               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+          >= 0.4
+    """,
     description="Embedding near-dup pairs with a blocked numpy kernel: "
     "the normalized corpus matrix is broadcast (valid to ~1e6 vectors; "
     "beyond that the LSH band key from dedup_minhash_lsh/simhash blocks "
     "the pairs first), and each Arrow batch does one BLAS matmul against "
-    "it, emitting only (i<j, sim>=tau) pairs. ~10x the JVM "
-    "higher-order-function form at sf0.1 because the O(n^2 d) work runs "
-    "inside BLAS instead of per-element codegen.",
+    "it, emitting candidate (i<j, sim>=tau-eps) pairs; candidates are "
+    "then RE-CHECKED with the exact JVM fold (same expression as "
+    "dedup_embedding_cosine), so the reported pairs and values are "
+    "bit-identical to the oracle — BLAS only prunes (with an eps margin "
+    "against summation-order ulps), it never decides membership or a "
+    "value. ~7x the JVM O(n^2 d) form at sf0.1 because the quadratic "
+    "work runs inside BLAS; the exact pass touches only candidates.",
     tags=("dedup", "similarity", "pandas_udf"),
 )
 def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    from litebase_spark.operators.similarity import dot, norm2
+
     TAU = 0.4
+    EPS = 1e-9  # prune margin >> BLAS-vs-JVM summation-order ulps
     e = load(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
@@ -467,18 +491,34 @@ def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             sims = Mn @ all_Cn.T  # (batch, corpus)
             bids = pdf["vec_id"].values
             # i<j keeps each unordered pair exactly once across all tasks
-            keep = (sims >= TAU) & (bids[:, None] < all_ids[None, :])
+            keep = (sims >= TAU - EPS) & (bids[:, None] < all_ids[None, :])
             bi, cj = np.nonzero(keep)
             yield pd.DataFrame(
-                {
-                    "vec_id_a": bids[bi],
-                    "vec_id_b": all_ids[cj],
-                    "cos_sim": np.round(sims[bi, cj], 6),
-                }
+                {"vec_id_a": bids[bi], "vec_id_b": all_ids[cj]}
             )
 
-    return e.select("vec_id", "embedding").mapInPandas(
-        pairs, schema="vec_id_a long, vec_id_b long, cos_sim double"
+    cand = e.select("vec_id", "embedding").mapInPandas(
+        pairs, schema="vec_id_a long, vec_id_b long"
+    )
+    # Exact verification pass over the (tiny) candidate set: same fold
+    # order and scalar division as dedup_embedding_cosine.
+    a = e.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("embedding").alias("va"),
+        norm2(F.col("embedding")).alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("embedding").alias("vb"),
+        norm2(F.col("embedding")).alias("nb"),
+    )
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(F.broadcast(a), "vec_id_a")
+        .join(F.broadcast(b), "vec_id_b")
+        .select("vec_id_a", "vec_id_b", sim.alias("raw_sim"))
+        .filter(F.col("raw_sim") >= TAU)
+        .select("vec_id_a", "vec_id_b", F.round("raw_sim", 6).alias("cos_sim"))
     )
 
 

@@ -341,15 +341,37 @@ def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "knn_cosine_vectorized",
-    oracle=None,  # numpy kernel; equivalence to knn_cosine_bruteforce is
-    # asserted in tests instead of SQL
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.qid, e.vec_id,
+               ROUND({_SQL_DOT.format(a='q.qv', b='e.embedding', n=DIM)}
+                 / ({_SQL_NORM.format(a='q.qv', n=DIM)}
+                    * {_SQL_NORM.format(a='e.embedding', n=DIM)}), 6)
+                   AS cos_sim
+        FROM q CROSS JOIN embeddings e
+        WHERE e.vec_id != q.qid
+    ),
+    ranked AS (
+        SELECT qid, vec_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored
+    )
+    SELECT qid, vec_id, cos_sim, rn AS rank
+    FROM ranked WHERE rn <= {TOP_K}
+    """,
     description="Brute-force cosine top-k with a VECTORIZED numpy kernel "
     "(mapInPandas): per Arrow batch, one (batch x dim)@(dim x nq) BLAS "
-    "matmul scores every query at once, then a partition-local top-k cut "
-    "so only k rows per (query, partition) reach the final shuffle. This "
-    "is the scale scoring path — the JVM higher-order-function form "
-    "(knn_cosine_bruteforce) is the oracle-exact reference; tests assert "
-    "both return identical top-k sets.",
+    "matmul scores every query at once, then a partition-local top-2k cut "
+    "so only O(k) rows per (query, partition) reach the shuffle. The "
+    "surviving candidates are RE-SCORED with the exact JVM expression "
+    "(same fold order as knn_cosine_bruteforce), making the result "
+    "bit-identical to the oracle by construction — numpy only prunes, it "
+    "never decides a reported value. The 2k margin makes the prune safe "
+    "against ulp-level BLAS-vs-JVM ordering differences at the k "
+    "boundary.",
     tags=("similarity", "pandas_udf"),
 )
 def knn_cosine_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -370,6 +392,7 @@ def knn_cosine_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     qids = np.array([r["vec_id"] for r in qrows])
     Q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    cut = 2 * TOP_K  # margin over k: ulp-safe partition-local prune
 
     def score(batches):
         for pdf in batches:
@@ -379,29 +402,46 @@ def knn_cosine_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
             sims = Mn @ Qn.T  # (batch, nq)
             ids = pdf["vec_id"].values
-            out_q, out_v, out_s = [], [], []
+            out_q, out_v = [], []
             for j, qid in enumerate(qids):
                 col = sims[:, j]
                 mask = ids != qid
                 cand_ids, cand_sims = ids[mask], col[mask]
-                k = min(TOP_K, len(cand_ids))
+                k = min(cut, len(cand_ids))
                 if k == 0:
                     continue
-                # partition-local cut: only k rows per query leave the task
+                # partition-local cut: only 2k rows per query leave the task
                 top = np.argpartition(-cand_sims, k - 1)[:k]
                 out_q.extend([qid] * k)
                 out_v.extend(cand_ids[top].tolist())
-                out_s.extend(np.round(cand_sims[top], 6).tolist())
-            yield pd.DataFrame(
-                {"qid": out_q, "vec_id": out_v, "cos_sim": out_s}
-            )
+            yield pd.DataFrame({"qid": out_q, "vec_id": out_v})
 
     cand = e.select("vec_id", "embedding").mapInPandas(
-        score, schema="qid long, vec_id long, cos_sim double"
+        score, schema="qid long, vec_id long"
+    )
+    # Exact re-score of the pruned candidate set (tiny: queries x 2k x
+    # partitions) with the SAME JVM fold as knn_cosine_bruteforce.
+    qdf = F.broadcast(
+        e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            norm2(F.col("embedding")).alias("qn"),
+        )
+    )
+    cdf = e.select(
+        F.col("vec_id"),
+        F.col("embedding").alias("cv"),
+        norm2(F.col("embedding")).alias("cn"),
+    )
+    sim = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    scored = (
+        cand.join(cdf, "vec_id")
+        .join(qdf, "qid")
+        .select("qid", "vec_id", F.round(sim, 6).alias("cos_sim"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
-        cand.select("*", F.row_number().over(w).alias("rank"))
+        scored.select("*", F.row_number().over(w).alias("rank"))
         .filter(F.col("rank") <= TOP_K)
         .select("qid", "vec_id", "cos_sim", "rank")
     )

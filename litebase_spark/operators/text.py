@@ -861,3 +861,107 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (stop_hits >= 2)
         ).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet/RefinedWeb-style cross-document chunk dedup (line-dedup analog)
+# ---------------------------------------------------------------------------
+
+_CD_CHUNK = 3  # words per pseudo-paragraph (fixture docs have no newlines;
+#   on real corpora the unit is the line/paragraph — same dataflow)
+_CD_BOILER = 3  # chunk present in >= this many distinct docs is boilerplate
+
+
+@query(
+    "text_chunk_dedup",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id,
+               {_SQL_TOKENS.format(c='text')} AS ws
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id,
+               unnest(range(CAST(ceil(len(ws) / {_CD_CHUNK}.0) AS BIGINT)))
+                   AS pos,
+               ws
+        FROM w WHERE len(ws) > 0
+    ),
+    ch AS (
+        SELECT doc_id, pos,
+               array_to_string(
+                 list_slice(ws, pos * {_CD_CHUNK} + 1,
+                            pos * {_CD_CHUNK} + {_CD_CHUNK}), ' ') AS chunk
+        FROM c
+    ),
+    df AS (
+        SELECT chunk, COUNT(DISTINCT doc_id) AS dfreq
+        FROM ch GROUP BY chunk
+    )
+    SELECT ch.doc_id,
+           COUNT(*) AS n_chunks,
+           COUNT(*) FILTER (dfreq < {_CD_BOILER}) AS n_kept,
+           COALESCE(string_agg(chunk, ' ' ORDER BY pos)
+                    FILTER (dfreq < {_CD_BOILER}), '') AS clean_text
+    FROM ch JOIN df USING (chunk)
+    GROUP BY ch.doc_id
+    """,
+    description="CCNet/RefinedWeb-style cross-document dedup at chunk "
+    "granularity (the line/paragraph-dedup analog — the fixture has no "
+    "newlines, so the unit is a fixed 3-word chunk): split each doc into "
+    "consecutive chunks, count per-chunk document frequency over the "
+    "whole corpus, drop chunks appearing in >= 3 distinct docs "
+    "(boilerplate), and reassemble the cleaned text in chunk order. "
+    "Dataflow at 100 TB: one posexplode (narrow), one agg keyed by "
+    "chunk (the only shuffle that grows with corpus size; chunk keys "
+    "hash-spread evenly), one equi-join back (chunk frequency table is "
+    "heavy-hitters only in practice and broadcastable after a dfreq "
+    "filter), one per-doc reassembly agg. No UDFs — stays in codegen.",
+    tags=("text", "dedup"),
+)
+def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ws = tokens("text")
+    n_chunks = F.ceil(F.size("ws") / F.lit(float(_CD_CHUNK))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.array_join(
+                F.slice(F.col("ws"), i * _CD_CHUNK + 1, _CD_CHUNK), " "
+            ).alias("chunk"),
+        ),
+    )
+    ch = (
+        d.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") > 0)
+        .select("doc_id", F.explode(chunks).alias("pc"))
+        .select("doc_id", F.col("pc.pos").alias("pos"),
+                F.col("pc.chunk").alias("chunk"))
+    )
+    dfreq = ch.groupBy("chunk").agg(
+        F.count_distinct("doc_id").alias("dfreq")
+    )
+    flagged = ch.join(dfreq, "chunk")
+    kept = F.when(F.col("dfreq") < _CD_BOILER, True).otherwise(False)
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("dfreq") < _CD_BOILER,
+                                F.struct("pos", "chunk"),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("clean_text"),
+    )

@@ -151,3 +151,42 @@ def test_connected_components_chain_and_clique(spark):
         for r in connected_components(edges, "src", "dst").collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_chunk_dedup_semantics(spark, sf_dir):
+    """Cross-doc chunk dedup: rebuilt text = kept chunks in order, a
+    removed chunk really occurs in >= BOILER distinct docs, and the op
+    is non-degenerate on the fixture (some chunk is boilerplate)."""
+    from litebase_spark.operators.text import _CD_BOILER, _CD_CHUNK
+
+    out = REGISTRY["text_chunk_dedup"].builder(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, sf_dir, "documents").collect()
+    }
+    assert set(docs) == {r["doc_id"] for r in out}
+
+    import re
+
+    def chunks_of(text):
+        ws = [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+        return [
+            " ".join(ws[i : i + _CD_CHUNK])
+            for i in range(0, len(ws), _CD_CHUNK)
+        ]
+
+    # corpus-wide doc frequency per chunk, recomputed independently
+    dfreq: dict = {}
+    for did, text in docs.items():
+        for c in set(chunks_of(text)):
+            dfreq[c] = dfreq.get(c, 0) + 1
+
+    removed_any = False
+    for r in out:
+        orig = chunks_of(docs[r["doc_id"]])
+        kept = [c for c in orig if dfreq[c] < _CD_BOILER]
+        assert r["n_chunks"] == len(orig)
+        assert r["n_kept"] == len(kept)
+        assert r["clean_text"] == " ".join(kept)
+        removed_any = removed_any or len(kept) < len(orig)
+    assert removed_any
