@@ -102,3 +102,32 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 100 TB sketch size dominates the merge tree, not the scan.
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs"),
     )
+
+
+@query(
+    "agg_hll_sketch_rollup",
+    oracle=None,  # Datasketches HLL estimates have no SQL oracle
+    description="Re-aggregatable distinct-count rollup via Apache "
+    "DataSketches HLL: build one persistent sketch per fine-grained "
+    "cell (order priority x order year) with hll_sketch_agg, then roll "
+    "up to per-priority distinct customers by merging the cell sketches "
+    "with hll_union_agg — the raw data is touched ONCE and every "
+    "coarser rollup is computed from kilobyte sketches, which is the "
+    "100 TB cube pattern (daily partial sketches -> monthly/yearly "
+    "rollups without rescanning). Merging is lossless: the test "
+    "asserts the merged estimate equals a direct one-pass sketch and "
+    "lands within 5% of exact COUNT(DISTINCT).",
+    tags=("agg", "approx", "sketch"),
+)
+def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        "o_orderpriority", F.year("o_orderdate").alias("o_year")
+    ).agg(F.hll_sketch_agg("o_custkey", F.lit(12)).alias("sk"))
+    return (
+        cells.groupBy("o_orderpriority")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_custs"),
+            F.count(F.lit(1)).alias("n_cells"),
+        )
+    )

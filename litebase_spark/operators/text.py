@@ -965,3 +965,61 @@ def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(""),
         ).alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style unigram language-model perplexity filter
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_unigram_logppl",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_SQL_TOKENS.format(c='text')}) AS w
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, w, COUNT(*) AS cnt FROM tok GROUP BY doc_id, w
+    ),
+    uni AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS cw FROM tok GROUP BY w
+    ),
+    tot AS (
+        SELECT CAST(SUM(cw) AS BIGINT) AS n FROM uni
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           ROUND(-SUM(cnt * log2(CAST(cw AS DOUBLE) / n)) / SUM(cnt), 6)
+               AS bits_per_token
+    FROM tf JOIN uni USING (w) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    description="CCNet-style perplexity quality signal: train a unigram "
+    "LM on the corpus itself (token -> corpus frequency), then score "
+    "each document by cross-entropy in bits/token "
+    "(-1/n * sum log2 p(w)). High bits/token = tokens rare in the "
+    "corpus = boilerplate/garbled candidates; in CCNet the LM is "
+    "trained on a trusted corpus (Wikipedia) and docs are bucketed by "
+    "perplexity — same dataflow, external LM table instead of uni. "
+    "Scale: the token-level work is one narrow explode collapsed "
+    "immediately to per-(doc, term) counts (map-side combine), so the "
+    "heavy shuffle is tf not raw tokens; the vocab table is Zipf-small "
+    "relative to the corpus and broadcast after aggregation, making "
+    "the scoring join shuffle-free at 100 TB.",
+    tags=("text", "pipeline"),
+)
+def text_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("w"))
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    uni = tf.groupBy("w").agg(F.sum("cnt").alias("cw"))
+    tot = uni.agg(F.sum("cw").alias("n"))
+    scored = tf.join(F.broadcast(uni), "w").join(F.broadcast(tot))
+    bits = -F.sum(
+        F.col("cnt") * F.log2(F.col("cw").cast("double") / F.col("n"))
+    ) / F.sum("cnt")
+    return scored.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.round(bits, 6).alias("bits_per_token"),
+    )

@@ -190,3 +190,34 @@ def test_chunk_dedup_semantics(spark, sf_dir):
         assert r["clean_text"] == " ".join(kept)
         removed_any = removed_any or len(kept) < len(orig)
     assert removed_any
+
+
+def test_hll_sketch_rollup_lossless_merge(spark, sf_dir):
+    """Union of per-cell sketches == direct one-pass sketch (lossless
+    merge at equal precision), and estimates land within 5% of exact."""
+    from pyspark.sql import functions as F
+
+    out = {
+        r["o_orderpriority"]: r["est_custs"]
+        for r in REGISTRY["agg_hll_sketch_rollup"].builder(spark, sf_dir).collect()
+    }
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    direct = {
+        r["o_orderpriority"]: r["est"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("o_custkey", F.lit(12))
+            ).alias("est")
+        )
+        .collect()
+    }
+    exact = {
+        r["o_orderpriority"]: r["n"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.count_distinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert out == direct  # merge is lossless, not just approximately equal
+    for prio, est in out.items():
+        assert abs(est - exact[prio]) / exact[prio] < 0.05
