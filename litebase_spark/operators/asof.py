@@ -227,7 +227,9 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
         v.alias("v"),
-        F.col("ts").cast("double").alias("tsec"),
+        # ts is TIMESTAMP_NTZ in the fixtures; Spark 4 refuses a direct
+        # NTZ->double cast, so hop through TIMESTAMP (session TZ is UTC).
+        F.col("ts").cast("timestamp").cast("double").alias("tsec"),
     )
     fwd = (
         Window.partitionBy("user_id")

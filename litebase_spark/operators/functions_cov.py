@@ -211,7 +211,7 @@ def func_json_group(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(l_extendedprice, 1) AS price_r1,
            CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
            CAST(CEIL(l_quantity / 7) AS BIGINT) AS qty_ceil7,
-           SIGN(l_quantity - 25) AS qty_sign,
+           CAST(SIGN(l_quantity - 25) AS BIGINT) AS qty_sign,
            GREATEST(l_quantity, 25.0) AS qty_hi,
            LEAST(l_quantity, 25.0) AS qty_lo,
            MOD(CAST(l_quantity AS BIGINT), 7) AS qty_mod7
@@ -231,7 +231,7 @@ def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("l_extendedprice", 1).alias("price_r1"),
         F.floor("l_quantity").alias("qty_floor"),
         F.ceil(F.col("l_quantity") / 7).alias("qty_ceil7"),
-        F.signum(F.col("l_quantity") - 25).alias("qty_sign"),
+        F.signum(F.col("l_quantity") - 25).cast("bigint").alias("qty_sign"),
         F.greatest("l_quantity", F.lit(25.0)).alias("qty_hi"),
         F.least("l_quantity", F.lit(25.0)).alias("qty_lo"),
         (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"),

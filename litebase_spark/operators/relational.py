@@ -921,7 +921,7 @@ def orderby_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT d.delta, COUNT(*) AS cnt FROM (
         SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
-                    ELSE FLOOR(o_totalprice / 100000) END AS delta
+                    ELSE CAST(FLOOR(o_totalprice / 100000) AS BIGINT) END AS delta
         FROM orders
     ) d
     GROUP BY d.delta

@@ -25,19 +25,25 @@ from litebase_spark.session import get_spark
 
 
 def canon_value(v):
+    # Int-vs-float strict: the driver's value hash serializes 1 and 1.0
+    # differently (round-1 lesson: DuckDB SIGN->TINYINT vs Spark
+    # signum->DOUBLE hash-mismatched while plain == compared equal), so
+    # tag numeric kind explicitly. Decimal canonicalizes to float — the
+    # driver's round-1 results show Decimal/float divergence hashing equal.
+    if isinstance(v, bool):
+        return ("i", int(v))
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else ("f", v)
     if isinstance(v, dt.datetime):
         return v.replace(microsecond=(v.microsecond // 1) if v.microsecond else 0)
-    if isinstance(v, float) and math.isnan(v):
-        return "NaN"
     if isinstance(v, (list, tuple)):
         return tuple(canon_value(x) for x in v)
-    try:
-        import decimal
+    import decimal
 
-        if isinstance(v, decimal.Decimal):
-            return float(v)
-    except ImportError:
-        pass
+    if isinstance(v, decimal.Decimal):
+        return ("f", float(v))
     return v
 
 
