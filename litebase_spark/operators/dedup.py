@@ -17,9 +17,10 @@ Four tiers, each designed around its 100 TB shuffle shape:
   * SimHash          — 64-bit near-dup signature per doc; Hamming-adjacent
                        buckets via bit-block keys.
 
-MinHash/SimHash use xxhash64 (JVM builtin, seedable) — no portable DuckDB
-equivalent, so those two are declared rows-only (driver records the weaker
-check); the exact and Jaccard tiers are fully oracle-matched.
+Round 2: MinHash and SimHash moved off xxhash64 onto the portable md5
+hash family (functions/portable.py), so BOTH sketch tiers are now
+oracle-EXACT — the DuckDB oracle reproduces every signature bit-for-bit.
+All five tiers are hash-checked against the oracle.
 """
 
 from __future__ import annotations
@@ -28,6 +29,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from litebase_spark.catalog import load, query
+from litebase_spark.functions.portable import (
+    affine_constants,
+    affine_duck,
+    affine_spark,
+    h60_duck,
+    h60_spark,
+)
 from litebase_spark.operators.text import _SQL_TOKENS, tokens
 
 
@@ -177,12 +185,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH (scale path — rows-only check; xxhash64 is not portable
-# to the DuckDB oracle)
+# MinHash + LSH (scale path — oracle-EXACT via the portable md5 family)
 # ---------------------------------------------------------------------------
 
 N_HASHES = 32  # minhash signature length
 N_BANDS = 8  # LSH bands (rows per band = N_HASHES / N_BANDS = 4)
+
+_MINHASH_AB = affine_constants(N_HASHES)
 
 
 def minhash_signatures(
@@ -190,16 +199,21 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig: array<bigint>) — minhash signature per document.
 
-    Implementation note (measured, not guessed): the pure-DataFrame form
-    (nested transform/array_min over shingle arrays) evaluates Spark
-    higher-order lambdas interpreted per element — ~n_hashes x |shingles|
-    closure calls per doc, ~36 core-ms/doc on the fixture. This is the
-    case the north star carves out for Pandas UDFs: an Arrow-batched
-    mapInPandas computes ONE 64-bit digest per distinct shingle (blake2b,
-    deterministic across runs/engines) and derives the n-hash family as a
-    single numpy broadcast multiply-add + column-min — >10x faster and
-    identical semantics. No shuffle: still a narrow map over docs.
+    Round-2 redesign for differential testability: signatures derive
+    from the portable md5 affine family (functions/portable.py) instead
+    of JVM xxhash64 / Python blake2b, so the DuckDB oracle reproduces
+    them bit-for-bit and dedup_minhash_lsh graduates from rows-only to
+    hash-checked. Execution is an Arrow-batched mapInPandas kernel: ONE
+    md5 per distinct shingle, then the n-hash family as a numpy uint64
+    broadcast using the same 2^61-1 folding as the SQL sides. Measured
+    alternatives at sf0.1: pure-JVM expression form (32 higher-order
+    lambdas/shingle) blows the codegen method limit and runs interpreted
+    at ~4.2s; exact-DECIMAL form ~2.8s; this kernel ~0.6s. No shuffle —
+    still a narrow map over docs.
     """
+    ab = (
+        _MINHASH_AB if n_hashes <= N_HASHES else affine_constants(n_hashes)
+    )[:n_hashes]
 
     def compute(batches):
         import hashlib
@@ -208,10 +222,15 @@ def minhash_signatures(
         import numpy as np
         import pandas as pd
 
-        mult = (2 * np.arange(n_hashes, dtype=np.uint64) + 1).astype(np.uint64)
-        offs = (
-            np.arange(n_hashes, dtype=np.uint64) * np.uint64(2654435761)
-        ).astype(np.uint64)
+        # uint64 twin of portable._affine_mulmod: every intermediate
+        # stays < 2^63, so unsigned-wraparound never engages and the
+        # result equals (a*x + b) % (2^61-1) exactly (property-tested
+        # in test_dedup_similarity; the full pipeline is oracle-checked).
+        av = np.array([a for a, _ in ab], dtype=np.uint64)
+        bv = np.array([b for _, b in ab], dtype=np.uint64)
+        p61 = np.uint64((1 << 61) - 1)
+        m30 = np.uint64((1 << 30) - 1)
+        m31 = np.uint64((1 << 31) - 1)
         token_re = _re.compile(r"[a-z0-9]+")
         for pdf in batches:
             out_ids, out_sigs = [], []
@@ -227,22 +246,20 @@ def minhash_signatures(
                     shingles = {" ".join(ws)}
                 base = np.fromiter(
                     (
-                        int.from_bytes(
-                            hashlib.blake2b(
-                                s.encode(), digest_size=8
-                            ).digest(),
-                            "big",
-                        )
+                        int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
                         for s in shingles
                     ),
                     dtype=np.uint64,
                     count=len(shingles),
                 )
-                sig = (base[:, None] * mult[None, :] + offs[None, :]).min(
-                    axis=0
-                )
+                t = av[None, :] * (base >> np.uint64(31))[:, None]
+                r1 = (t >> np.uint64(30)) + ((t & m30) << np.uint64(31))
+                h = (
+                    (r1 + av[None, :] * (base & m31)[:, None]) % p61
+                    + bv[None, :]
+                ) % p61
                 out_ids.append(doc_id)
-                out_sigs.append(sig.astype(np.int64).tolist())
+                out_sigs.append(h.min(axis=0).astype(np.int64).tolist())
             yield pd.DataFrame({"doc_id": out_ids, "sig": out_sigs})
 
     # fixtures arrive as one small parquet file -> 1 input partition;
@@ -275,7 +292,7 @@ def lsh_candidate_pairs(
         F.sequence(F.lit(0), F.lit(n_bands - 1)),
         lambda b: F.struct(
             b.alias("band"),
-            F.xxhash64(
+            F.md5(
                 F.concat_ws(
                     ",",
                     F.transform(
@@ -316,13 +333,63 @@ def lsh_candidate_pairs(
     )
 
 
+def _minhash_lsh_oracle() -> str:
+    rows = N_HASHES // N_BANDS
+    sig_items = ",\n        ".join(
+        f"list_min(list_transform(bh, x -> {affine_duck('x', a, b)}))"
+        for a, b in _MINHASH_AB
+    )
+    arms = "\n      UNION ALL\n".join(
+        "      SELECT doc_id, sig, {b} AS band, md5({cc}) AS bucket"
+        " FROM sig".format(
+            b=b,
+            cc=" || ',' || ".join(
+                f"CAST(sig[{b * rows + j + 1}] AS VARCHAR)"
+                for j in range(rows)
+            ),
+        )
+        for b in range(N_BANDS)
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.sig[{i}] = b.sig[{i}] THEN 1 ELSE 0 END"
+        for i in range(1, N_HASHES + 1)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, CASE WHEN len(w) >= 3
+          THEN list_distinct(list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+          ELSE [array_to_string(w, ' ')] END AS shingles
+      FROM toks WHERE len(w) > 0
+    ), base AS (
+      SELECT doc_id, list_transform(shingles, s -> {h60_duck('s')}) AS bh
+      FROM sh
+    ), sig AS (
+      SELECT doc_id, [{sig_items}] AS sig FROM base
+    ), banded AS (
+{arms}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ({matches}) / {float(N_HASHES)} AS est_jaccard
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE ({matches}) / {float(N_HASHES)} >= 0.4
+    ORDER BY doc_a, doc_b
+    """
+
+
 @query(
     "dedup_minhash_lsh",
-    oracle=None,  # xxhash64-based signatures have no DuckDB equivalent
+    oracle=_minhash_lsh_oracle(),
     description="MinHash+LSH near-dedup (scale path): 32-hash signatures, "
     "8 bands x 4 rows; candidate pairs only within matching (band, bucket). "
-    "Rows-only check; exact-Jaccard semantics are oracle-verified by "
-    "dedup_ngram_jaccard, and tests assert LSH recall against it.",
+    "Signatures use the portable md5 affine family so the full "
+    "pipeline — shingling, signatures, banding, candidate pairs, "
+    "estimated Jaccard — is oracle-exact against DuckDB; tests "
+    "additionally assert LSH recall against oracle-verified "
+    "dedup_ngram_jaccard.",
     tags=("dedup", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -334,28 +401,45 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_simhash",
-    oracle=None,  # xxhash64-based
-    description="SimHash 64-bit near-dup signatures: per-token xxhash64, "
-    "bit-vote aggregation via fold over 64 positions, signature emitted "
-    "per doc with a 16-bit block key for Hamming-adjacent bucketing. "
-    "Narrow map only — no shuffle.",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS w FROM documents
+    ), hs AS (
+      SELECT doc_id, list_transform(w, t -> {h60_duck('t')}) AS h
+      FROM toks WHERE len(w) > 0
+    ), sim AS (
+      SELECT doc_id,
+        CAST(list_sum(list_transform(range(0, 60),
+          b -> CASE WHEN 2 * len(list_filter(h, hv -> ((hv >> b) & 1) = 1))
+                         >= len(h)
+                    THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT)
+          AS simhash
+      FROM hs
+    )
+    SELECT doc_id, simhash, simhash >> 44 AS block_key FROM sim
+    """,
+    description="SimHash 60-bit near-dup signatures: per-token portable "
+    "md5 hash (oracle-exact, functions/portable.py), bit-vote "
+    "aggregation via fold over 60 positions, signature emitted per doc "
+    "with a 16-bit block key for Hamming-adjacent bucketing. Narrow map "
+    "only — no shuffle.",
     tags=("dedup",),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     d = d.repartition(spark.sparkContext.defaultParallelism)
     w = tokens("text")
-    hashes = F.transform("w", lambda t: F.xxhash64(t))
+    hashes = F.expr(f"transform(w, t -> {h60_spark('t')})")
     # bit b of simhash = majority vote of bit b across token hashes.
     # SQL expr form: the Python shiftleft() wrapper only takes literal
     # shift amounts, while the SQL function accepts a column.
     votes = F.expr(
-        "transform(sequence(0, 63), "
+        "transform(sequence(0, 59), "
         "b -> size(filter(h, hv -> (hv & shiftleft(1L, b)) != 0)))"
     )
     sim = F.expr(
         "aggregate("
-        "  zip_with(votes, sequence(0, 63),"
+        "  zip_with(votes, sequence(0, 59),"
         "    (v, b) -> IF(v * 2 >= size(h), shiftleft(1L, b), 0L)),"
         "  0L, (acc, x) -> acc | x)"
     )
@@ -368,7 +452,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "simhash",
-            F.shiftrightunsigned("simhash", 48).alias("block_key"),
+            F.shiftrightunsigned("simhash", 44).alias("block_key"),
         )
     )
 
@@ -644,11 +728,47 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_oracle() -> str:
+    from litebase_spark.operators.similarity import (
+        DIM,
+        _SQL_DOT,
+        _SQL_NORM,
+        kmeans_oracle_ctes,
+    )
+
+    dot = _SQL_DOT.format(a="a.embedding", b="b.embedding", n=DIM)
+    return f"""
+    WITH RECURSIVE {kmeans_oracle_ctes(10, 2)},
+    cellv AS (
+      SELECT vec_id, cid AS cluster_id, embedding,
+             {_SQL_NORM.format(a='embedding', n=DIM)} AS nrm
+      FROM fin
+    ), pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM cellv a JOIN cellv b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE {dot} / (a.nrm * b.nrm) >= 0.4
+    ), nodes AS (
+      SELECT va AS v FROM pairs UNION SELECT vb FROM pairs
+    ), edges AS (
+      SELECT va AS s, vb AS d FROM pairs UNION SELECT vb, va FROM pairs
+    ), reach(src, dst) AS (
+      SELECT v, v FROM nodes
+      UNION
+      SELECT r.src, e.d FROM reach r JOIN edges e ON e.s = r.dst
+    ), comp AS (
+      SELECT src AS v, MIN(dst) AS comp FROM reach GROUP BY src
+    )
+    SELECT c.vec_id, c.cluster_id,
+           COALESCE(p.comp, c.vec_id) AS dup_group,
+           COALESCE(p.comp, c.vec_id) = c.vec_id AS keep
+    FROM cellv c LEFT JOIN comp p ON p.v = c.vec_id
+    """
+
+
 @query(
     "dedup_semantic",
-    oracle=None,  # k-means is an iterative fixpoint (SURVEY carve-out);
-    # tests assert pair-subset vs the oracle-exact dedup_embedding_cosine
-    # and keep/drop bookkeeping invariants
+    oracle=_semantic_oracle(),
     description="SemDeDup-style semantic dedup: Lloyd's k-means partitions "
     "the embedding corpus into cells, exact cosine runs ONLY within each "
     "cell (self-join keyed by cluster_id), pairs above threshold collapse "
@@ -656,7 +776,11 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     "work drops from O(n^2) to sum of per-cell squares — pick k ~ n/1e5 "
     "so cells stay executor-sized; the cluster_id shuffle key bounds skew "
     "by cell size. The price is recall: cross-cell near-dups are missed "
-    "(tests measure the subset relation vs the exact pair set).",
+    "(tests measure the subset relation vs the exact pair set). The "
+    "whole chain — 2-iteration k-means, within-cell cosine, transitive "
+    "closure — is deterministic and oracle-checked (DuckDB unrolled-CTE "
+    "k-means replay + recursive-CTE reachability), upgraded from round "
+    "1's rows-only carve-out.",
     tags=("dedup", "similarity", "iterative"),
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:

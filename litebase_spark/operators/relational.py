@@ -1193,23 +1193,34 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sample_stratified",
-    oracle=None,  # sampling is seed- and partition-layout-dependent
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_sampled
+    FROM orders
+    WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+               AS BIGINT) % 1000 < 200
+    GROUP BY o_orderpriority
+    """,
     description="Stratified downsampling (training-data curation op): "
-    "sampleBy keeps a per-stratum fraction — here 20% of every "
-    "o_orderpriority stratum — with Bernoulli draws per row, no shuffle. "
-    "Tests bound each stratum's realized fraction. At 100 TB this is THE "
-    "way to cut a corpus: narrow map, no skew, no coordination.",
+    "keep ~20% of every o_orderpriority stratum by deterministic key "
+    "hash (portable md5, functions/portable.py) — H(o_orderkey) mod "
+    "1000 < 200. Replaces round 1's seeded sampleBy: Bernoulli draws "
+    "are partition-layout-dependent (resample under task retry or "
+    "repartition), while the hash filter is partition-invariant, "
+    "retry-stable, reproducible across engines (oracle-exact), and "
+    "still a narrow map — no shuffle, no skew, no coordination. At "
+    "100 TB this is THE way to cut a corpus. Tests bound each stratum's "
+    "realized fraction.",
     tags=("sample",),
 )
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from litebase_spark.functions.portable import h60_spark
+
     o = load(spark, sf_dir, "orders")
-    fractions = {
-        p: 0.2
-        for p in ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
-    }
-    sampled = o.sampleBy("o_orderpriority", fractions=fractions, seed=42)
-    return sampled.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_sampled")
+    keep = F.expr(h60_spark("CAST(o_orderkey AS STRING)")) % 1000 < 200
+    return (
+        o.filter(keep)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
     )
 
 

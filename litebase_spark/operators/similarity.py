@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from litebase_spark.catalog import load, query
+from litebase_spark.functions.portable import plane_components, plane_duck
 
 DIM = 64
 N_QUERIES = 5  # vec_id < 5 are the query vectors in the catalog entries
@@ -152,50 +153,82 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# LSH / IVF scale paths (rows-only: hyperplanes derive from xxhash64)
+# LSH / IVF scale paths (oracle-exact: hyperplane constants embedded on
+# both sides — see functions/portable.py plane_components)
 # ---------------------------------------------------------------------------
 
 N_PLANES = 6  # random hyperplanes -> 6-bit sketch (bucket occupancy
 #   ~ corpus/2^6; raise for larger corpora — tests pick recall targets)
 N_PROBE_BITS = 4  # IVF-style coarse cell = top 4 bits of the sketch
 
-
-def _plane_component(p: Column, i: Column) -> Column:
-    """Deterministic pseudo-random hyperplane component in [-1, 1):
-    xxhash64(plane, dim) scaled. Seedable, reproducible, no driver RNG."""
-    h = F.xxhash64(p.cast("string"), i.cast("string"))
-    return (h % 1000003).cast("double") / F.lit(500001.5) - F.lit(1.0)
+_PLANES = plane_components(N_PLANES, DIM)
 
 
 def sketch_expr(vec) -> Column:
-    """N_PLANES-bit sign sketch of a vector under deterministic hyperplanes."""
-    def bit(p):
+    """N_PLANES-bit sign sketch of a vector under deterministic
+    md5-derived hyperplanes. The plane constants are embedded in the
+    plan as array literals (no per-row hashing — round 1 evaluated
+    xxhash64 per element per row) and duplicated verbatim into the
+    DuckDB oracle, so every sketch bit is cross-engine exact."""
+    out = F.lit(0)
+    for p, plane in enumerate(_PLANES):
         proj = F.aggregate(
             F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.lit(DIM - 1)),
-                lambda x, i: x.cast("double") * _plane_component(F.lit(p), i),
+                vec, F.lit(plane), lambda x, c: x.cast("double") * c
             ),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        return F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-
-    out = F.lit(0)
-    for p in range(N_PLANES):
-        out = out + bit(p)
+        out = out + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
     return out.cast("int")
+
+
+def sketch_duck(e: str) -> str:
+    """DuckDB twin of sketch_expr (bit-identical sign sketch)."""
+    bits = []
+    for p, plane in enumerate(_PLANES):
+        proj = (
+            f"list_sum(list_transform(range(1, {DIM} + 1), "
+            f"i -> CAST({e}[i] AS DOUBLE) * {plane_duck(plane)}[i]))"
+        )
+        bits.append(f"CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _knn_lsh_oracle() -> str:
+    return f"""
+    WITH s AS (
+      SELECT vec_id, embedding, {sketch_duck('embedding')} AS sketch,
+             {_SQL_NORM.format(a='embedding', n=DIM)} AS nrm
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS qid, embedding AS qv, sketch AS qsketch, nrm AS qn
+      FROM s WHERE vec_id < {N_QUERIES}
+    ), cand AS (
+      SELECT q.qid, s.vec_id,
+             ROUND({_SQL_DOT.format(a='q.qv', b='s.embedding', n=DIM)}
+               / (q.qn * s.nrm), 6) AS cos_sim
+      FROM s JOIN q ON s.sketch = q.qsketch AND s.vec_id != q.qid
+    ), ranked AS (
+      SELECT qid, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM cand
+    )
+    SELECT qid, vec_id, cos_sim, rn AS rank FROM ranked WHERE rn <= {TOP_K}
+    """
 
 
 @query(
     "knn_lsh_bucketed",
-    oracle=None,  # hyperplanes derived from xxhash64 — not oracle-portable
+    oracle=_knn_lsh_oracle(),
     description="Random-hyperplane LSH ANN (scale path): sign "
     "sketch (N_PLANES bits) per vector; candidates = corpus rows whose sketch matches a "
     "query sketch; exact cosine re-rank within candidates. 100 TB: the "
     "join is keyed by sketch (equi, broadcastable query side), so work is "
-    "corpus/2^bits per query instead of corpus. Tests assert recall vs "
-    "knn_cosine_bruteforce.",
+    "corpus/2^bits per query instead of corpus. Hyperplanes are embedded "
+    "md5-derived constants, so buckets AND reranks are oracle-exact; "
+    "tests additionally assert recall vs knn_cosine_bruteforce.",
     tags=("similarity", "lsh"),
 )
 def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -237,12 +270,24 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ivf_cells",
-    oracle=None,
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST({sketch_duck('embedding')} AS BIGINT)
+               >> {N_PLANES - N_PROBE_BITS} AS cell,
+             CAST(ROUND({_SQL_NORM.format(a='embedding', n=DIM)}, 6)
+               AS DECIMAL(18,6)) AS nrm
+      FROM embeddings
+    )
+    SELECT cell, COUNT(*) AS n_vectors,
+           ROUND(CAST(SUM(nrm) AS DOUBLE) / COUNT(*), 6) AS avg_norm
+    FROM s GROUP BY cell
+    """,
     description="IVF-style coarse partitioning stats: vectors assigned to "
     "coarse cells (sketch prefix as the quantizer); per-cell counts "
     "and mean norm. The physical design for ANN at 100 TB: write the "
     "corpus partitioned by cell so a query probes nprobe partitions "
-    "(partition pruning) instead of scanning everything.",
+    "(partition pruning) instead of scanning everything. Oracle-exact "
+    "via embedded hyperplane constants + decimal-exact mean norms.",
     tags=("similarity", "lsh"),
 )
 def ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,16 +313,67 @@ N_CENTROIDS = 16
 N_PROBE = 4
 
 
+def _knn_ivf_probe_oracle() -> str:
+    nrm = _SQL_NORM.format(a="embedding", n=DIM)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings
+    ), cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv, nrm AS cn
+      FROM e ORDER BY vec_id LIMIT {N_CENTROIDS}
+    ), scored AS (
+      SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
+             {_SQL_DOT.format(a='e.embedding', b='c.cv', n=DIM)}
+               / (e.nrm * c.cn) AS sim
+      FROM e CROSS JOIN cents c
+    ), assigned AS (
+      SELECT vec_id, embedding, nrm, cent_id AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, cent_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS qid, embedding AS qv, nrm AS qn
+      FROM assigned WHERE vec_id < {N_QUERIES}
+    ), qscored AS (
+      SELECT q.qid, q.qv, q.qn, c.cent_id,
+             {_SQL_DOT.format(a='q.qv', b='c.cv', n=DIM)}
+               / (q.qn * c.cn) AS qsim
+      FROM q CROSS JOIN cents c
+    ), probes AS (
+      SELECT qid, qv, qn, cent_id AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY qsim DESC, cent_id) AS pr
+        FROM qscored
+      ) WHERE pr <= {N_PROBE}
+    ), cand AS (
+      SELECT p.qid, a.vec_id,
+             ROUND({_SQL_DOT.format(a='p.qv', b='a.embedding', n=DIM)}
+               / (p.qn * a.nrm), 6) AS cos_sim
+      FROM assigned a JOIN probes p
+        ON a.cell = p.cell AND a.vec_id != p.qid
+    ), ranked AS (
+      SELECT qid, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM cand
+    )
+    SELECT qid, vec_id, cos_sim, rn AS rank FROM ranked WHERE rn <= {TOP_K}
+    """
+
+
 @query(
     "knn_ivf_probe",
-    oracle=None,  # ANN: probe subset is an approximation by design
+    oracle=_knn_ivf_probe_oracle(),
     description="IVF ANN search: coarse quantizer = sampled centroids "
     "(k-means would train the same shape; sampling keeps it deterministic), "
     "corpus assigned to nearest centroid once (build-time shuffle), queries "
     "probe the N_PROBE nearest cells and exact-rerank inside them. 100 TB: "
     "the corpus is written partitioned by cell, so a query touches "
     "nprobe/ncells of the data via partition pruning; the rerank is "
-    "cell-local. Tests assert recall vs knn_cosine_bruteforce.",
+    "cell-local. Every step is deterministic ((sim, cent_id) tie-breaks), "
+    "so the probe-limited result is oracle-exact; tests additionally "
+    "assert recall vs knn_cosine_bruteforce.",
     tags=("similarity", "ivf"),
 )
 def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -296,18 +392,23 @@ def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # build: one pass assigning every vector to its nearest centroid
-    # (argmin over a broadcast of N_CENTROIDS rows, min_by aggregation).
-    # Row norm computed once, not per-centroid (bit-identical).
+    # (argmin over a broadcast of N_CENTROIDS rows; the (sim, cent_id)
+    # window tie-break keeps the assignment deterministic — max_by on a
+    # bare double is unspecified under ties, which an oracle-checked
+    # operator cannot afford). Row norm computed once, not per-centroid.
     csim = dot(F.col("embedding"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    assign_w = Window.partitionBy("vec_id").orderBy(
+        F.desc("sim"), F.asc("cent_id")
+    )
     scored = (
         e.select("vec_id", "embedding", norm2(F.col("embedding")).alias("nrm"))
         .crossJoin(F.broadcast(cents))
         .select("vec_id", "embedding", "nrm", "cent_id", csim.alias("sim"))
     )
-    assigned = scored.groupBy("vec_id").agg(
-        F.max_by("cent_id", "sim").alias("cell"),
-        F.first("embedding").alias("embedding"),
-        F.first("nrm").alias("nrm"),
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(assign_w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "nrm", F.col("cent_id").alias("cell"))
     )
     # query side: probe the N_PROBE nearest cells
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
@@ -527,6 +628,88 @@ def quantize_codes(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
 K_CLUSTERS = 10
 KMEANS_ITERS = 4
+_Q = 1048576.0  # 2^20 fixed-point quantum for portable centroid means
+
+
+def _dist_duck(e: str, c: str) -> str:
+    """DuckDB squared euclidean distance, same fold order as _sqdist."""
+    d = f"(CAST({e}[i] AS DOUBLE) - CAST({c}[i] AS DOUBLE))"
+    return (
+        f"list_sum(list_transform(range(1, {DIM} + 1), i -> {d} * {d}))"
+    )
+
+
+def kmeans_oracle_ctes(k: int, iters: int) -> str:
+    """DuckDB CTE chain replaying kmeans_fit exactly: portable sketch
+    seeds, `iters` unrolled Lloyd rounds (argmin assign with (d2, cid)
+    tie-break; fixed-point FLOOR(x*2^20) long-sum means), then a final
+    assignment `fin(vec_id, embedding, cid, d2)` against the last
+    centroids — the same 5-pass structure the Spark implementation runs.
+    SQL can unroll the fixpoint because every step is deterministic:
+    that is the whole point of the portable hashing + fixed-point design
+    (a float-summing k-means could never be oracle-checked)."""
+    parts = [
+        f"""sk AS (
+      SELECT vec_id, embedding, {sketch_duck('embedding')} AS cell
+      FROM embeddings
+    ), seeds AS (
+      SELECT arg_min(embedding, vec_id) AS cv, MIN(vec_id) AS mv
+      FROM sk GROUP BY cell
+    ), cseed AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY mv) - 1 AS INT) AS cid,
+             list_transform(cv, v -> CAST(v AS DOUBLE)) AS cv
+      FROM seeds ORDER BY mv LIMIT {k}
+    ), c0 AS (
+      SELECT cid, cv FROM cseed
+      UNION ALL
+      SELECT CAST(t.j AS INT) AS cid, s.cv
+      FROM range(0, {k}) t(j)
+      JOIN (SELECT COUNT(*) AS nc FROM cseed) n ON t.j >= n.nc
+      JOIN cseed s ON s.cid = t.j % n.nc
+    )"""
+    ]
+    q_sum = (
+        "CAST(SUM(CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE)"
+        f" * {_Q!r}) AS BIGINT)) AS DOUBLE) / {_Q!r} / COUNT(*)"
+    )
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""d{i} AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             {_dist_duck('e.embedding', 'c.cv')} AS d2
+      FROM sk e CROSS JOIN c{i - 1} c
+    ), a{i} AS (
+      SELECT vec_id, embedding, cid, d2 FROM (
+        SELECT vec_id, embedding, cid, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cid) AS rn
+        FROM d{i}
+      ) WHERE rn = 1
+    ), u{i} AS (
+      SELECT cid, t.i AS pos, {q_sum} AS m
+      FROM a{i}, range(1, {DIM} + 1) t(i) GROUP BY cid, t.i
+    ), cn{i} AS (
+      SELECT cid, list(m ORDER BY pos) AS cv FROM u{i} GROUP BY cid
+    ), c{i} AS (
+      SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
+      FROM c{i - 1} p LEFT JOIN cn{i} n ON n.cid = p.cid
+    )"""
+        )
+    parts.append(
+        f"""dfin AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             {_dist_duck('e.embedding', 'c.cv')} AS d2
+      FROM sk e CROSS JOIN c{iters} c
+    ), fin AS (
+      SELECT vec_id, embedding, cid, d2 FROM (
+        SELECT vec_id, embedding, cid, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cid) AS rn
+        FROM dfin
+      ) WHERE rn = 1
+    )"""
+    )
+    return ", ".join(parts)
 
 
 def _sqdist(a: Column, b: Column) -> Column:
@@ -615,21 +798,34 @@ def kmeans_fit(
                 "cluster_id", F.posexplode("embedding").alias("pos", "x")
             )
             .groupBy("cluster_id", "pos")
-            # decimal avg: exact, order-independent partial sums — the
-            # recomputed centroid is bit-identical under any partitioning
-            # (double avg would drift in the low bits per shuffle order)
+            # fixed-point sums: FLOOR(x * 2^20) is an exact double op
+            # (the multiply is an exponent shift, floor has no rounding
+            # ties), summed in primitive LONGs — exact, order-independent
+            # partial aggregation, so the recomputed centroid is
+            # bit-identical under any partitioning AND reproducible by
+            # the DuckDB oracle (this replaced a decimal-avg form, whose
+            # double->decimal cast has engine-dependent tie rounding;
+            # long accumulators also stay in whole-stage codegen).
+            # Centroids land within 2^-20 of the true mean — irrelevant
+            # to clustering quality, decisive for differential testing.
             .agg(
-                F.avg(F.col("x").cast("double").cast("decimal(30,15)"))
-                .cast("double")
-                .alias("m")
+                F.sum(
+                    F.floor(F.col("x").cast("double") * F.lit(_Q))
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
             )
         )
         # k x dim narrow rows reach the driver; assembling them into
         # centroid arrays is pure reshaping — doing it here instead of a
-        # second groupBy saves a shuffle + job per iteration.
+        # second groupBy saves a shuffle + job per iteration. The mean
+        # (S / 2^20) / n is computed in Python doubles: float(S) is
+        # exact below 2^53, /2^20 is exact, /n is one correctly-rounded
+        # IEEE op — identical in Python, the JVM, and DuckDB.
         by_cluster: dict[int, dict[int, float]] = {}
         for r in per_dim.collect():
-            by_cluster.setdefault(r["cluster_id"], {})[r["pos"]] = r["m"]
+            by_cluster.setdefault(r["cluster_id"], {})[r["pos"]] = (
+                float(r["s"]) / _Q / r["n"]
+            )
         for cid, dims in by_cluster.items():
             # empty clusters never appear here -> keep previous centroid
             cents[cid] = [float(dims[p]) for p in sorted(dims)]
@@ -645,18 +841,23 @@ def kmeans_fit(
 
 @query(
     "embedding_kmeans",
-    oracle=None,  # iterative fixpoint — the SURVEY carve-out for
-    # non-SQL-expressible ops; tests assert Lloyd's invariants instead
-    # (monotone non-increasing inertia, determinism, full occupancy);
-    # the fixture's label column is NOT geometric (within-label cosine
-    # ~= between-label, measured), so cluster purity is not a valid check
+    oracle=f"""
+    WITH {kmeans_oracle_ctes(K_CLUSTERS, KMEANS_ITERS)}
+    SELECT cid AS cluster_id, COUNT(*) AS n_vectors,
+           ROUND(CAST(SUM(CAST(FLOOR(d2 * {_Q!r}) AS BIGINT)) AS DOUBLE)
+                 / {_Q!r} / COUNT(*), 4) AS avg_sqdist
+    FROM fin GROUP BY cid ORDER BY cid
+    """,
     description="Distributed Lloyd's k-means over the embedding corpus "
     "(K=10, 4 iterations): per iteration one broadcast argmin pass + one "
-    "partial-aggregated per-dimension mean; only the k x dim model visits "
-    "the driver. Returns per-cluster size and mean squared distance. "
-    "Trained centroids are the production coarse quantizer for the IVF "
-    "search path (knn_ivf_probe uses deterministic sampling for "
-    "oracle-stability; this is the quality upgrade).",
+    "partial-aggregated per-dimension fixed-point mean; only the k x dim "
+    "model visits the driver. Returns per-cluster size and mean squared "
+    "distance. Every step is deterministic (md5-derived sketch seeds, "
+    "exact long-sum means, (d2, cid) tie-breaks), so the ENTIRE "
+    "iterative fixpoint is oracle-checked against a DuckDB unrolled-CTE "
+    "replay — upgraded from round 1's rows-only carve-out. Trained "
+    "centroids are the production coarse quantizer for the IVF search "
+    "path (knn_ivf_kmeans).",
     tags=("similarity", "iterative"),
 )
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -667,15 +868,58 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
-            F.round(F.avg("d2"), 4).alias("avg_sqdist"),
+            # exact fixed-point mean of d2 (same scheme as the centroid
+            # update) so the reported inertia is cross-engine exact too
+            F.round(
+                F.sum(F.floor(F.col("d2") * F.lit(_Q))).cast("double")
+                / F.lit(_Q)
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_sqdist"),
         )
         .orderBy("cluster_id")
     )
 
 
+def _knn_ivf_kmeans_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {kmeans_oracle_ctes(K_CLUSTERS, 2)},
+    corpus AS (
+      SELECT vec_id, cid AS cell, embedding,
+             {_SQL_NORM.format(a='embedding', n=DIM)} AS nrm
+      FROM fin
+    ), q AS (
+      SELECT vec_id AS qid, embedding AS qv, nrm AS qn
+      FROM corpus WHERE vec_id < {N_QUERIES}
+    ), qd AS (
+      SELECT q.qid, q.qv, q.qn, c.cid AS cell,
+             {_dist_duck('q.qv', 'c.cv')} AS qd2
+      FROM q CROSS JOIN c2 c
+    ), probes AS (
+      SELECT qid, qv, qn, cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY qd2, cell) AS pr
+        FROM qd
+      ) WHERE pr <= {N_PROBE}
+    ), cand AS (
+      SELECT p.qid, s.vec_id,
+             ROUND({_SQL_DOT.format(a='p.qv', b='s.embedding', n=DIM)}
+               / (p.qn * s.nrm), 6) AS cos_sim
+      FROM corpus s JOIN probes p
+        ON s.cell = p.cell AND s.vec_id != p.qid
+    ), ranked AS (
+      SELECT qid, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM cand
+    )
+    SELECT qid, vec_id, cos_sim, rn AS rank FROM ranked WHERE rn <= {TOP_K}
+    """
+
+
 @query(
     "knn_ivf_kmeans",
-    oracle=None,  # ANN over a trained quantizer: approximate by design
+    oracle=_knn_ivf_kmeans_oracle(),
     description="IVF ANN search with a TRAINED coarse quantizer: the "
     "Lloyd's k-means centroids (kmeans_fit) replace knn_ivf_probe's "
     "deterministic sample, giving balanced cells that track the data "
@@ -684,8 +928,11 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nearest cells by centroid distance, exact cosine rerank inside "
     "them. 100 TB: corpus written partitioned by cell -> a query reads "
     "nprobe/k of the data via partition pruning; training cost is "
-    "amortized over every query. Tests assert recall vs the brute-force "
-    "baseline and that candidates only come from probed cells.",
+    "amortized over every query. The trained-quantizer pipeline is "
+    "deterministic end-to-end, so probe + rerank results are "
+    "oracle-exact (DuckDB replays the k-means in unrolled CTEs); tests "
+    "assert recall vs the brute-force baseline and that candidates only "
+    "come from probed cells.",
     tags=("similarity", "ivf", "iterative"),
 )
 def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -23,6 +23,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from litebase_spark.catalog import SQL_DSUM, fp, load, query
+from litebase_spark.functions.portable import (
+    MASK52,
+    h60_duck,
+    h60_spark,
+    hll_estimate_duck,
+    hll_estimate_spark,
+)
 
 
 def salted_join(
@@ -85,41 +92,182 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# HLL register extraction, shared by the two portable-HLL queries below:
+# h = portable 60-bit md5 hash; top 8 bits pick one of 256 registers, the
+# low 52 bits' leading-zero rank is the register value. Register state is
+# integer max (order-independent), the scaled harmonic sum is an exact
+# bigint, and the estimate is ONE double division — so the *estimate
+# itself* is bit-identical across Spark / DuckDB and hash-checkable,
+# which builtin approx_count_distinct / DataSketches HLL (different
+# algorithms per engine) can never be. sketch_hll_union keeps the
+# builtin-DataSketches path as the binary-sketch variant.
+_RHO_SPARK = (
+    f"CASE WHEN (h & {MASK52}) = 0 THEN 53"
+    f" ELSE 53 - length(bin(h & {MASK52})) END"
+)
+_RHO_DUCK = (
+    f"CASE WHEN (h & {MASK52}) = 0 THEN 53"
+    f" ELSE 53 - length(bin(h & {MASK52})) END"
+)
+
+
 @query(
     "agg_approx_distinct",
-    oracle=None,  # HLL++ estimates differ across engines by design
-    description="approx_count_distinct (HyperLogLog++, rsd=0.02) per "
-    "order priority — the 100 TB replacement for exact COUNT(DISTINCT): "
-    "constant memory, single pass, mergeable partial sketches. Tests "
-    "bound the estimate within 5% of exact.",
+    oracle=f"""
+    WITH h AS (
+      SELECT o_orderpriority AS pri, o_custkey,
+             {h60_duck("CAST(o_custkey AS VARCHAR)")} AS h
+      FROM orders
+    ), reg AS (
+      SELECT pri, h >> 52 AS idx,
+             MAX({_RHO_DUCK}) AS mrho,
+             COUNT(DISTINCT o_custkey) AS nd
+      FROM h GROUP BY pri, idx
+    ), agg AS (
+      SELECT pri,
+             CAST(SUM(1::BIGINT << (53 - mrho)) AS BIGINT) AS sp,
+             COUNT(*) AS nr,
+             CAST(SUM(nd) AS BIGINT) AS exact_custs
+      FROM reg GROUP BY pri
+    )
+    SELECT pri AS o_orderpriority,
+           {hll_estimate_duck('sp', 'nr')} AS approx_custs,
+           exact_custs
+    FROM agg
+    """,
+    description="Approximate COUNT(DISTINCT) via a deterministic "
+    "HyperLogLog (m=256 registers over the portable md5 hash, "
+    "functions/portable.py) — the 100 TB replacement for exact distinct "
+    "counting: constant memory, single pass, register state merges by "
+    "MAX. Register sums stay in exact integers so the ESTIMATE is "
+    "bit-identical across engines and fully oracle-checked (builtin "
+    "approx_count_distinct is algorithm-incompatible across engines by "
+    "design and stays in sketch_hll_union); tests bound the estimate "
+    "within 12% of exact (m=256 ~ 6.5% standard error). exact_custs "
+    "rides the same single scan: distinct keys partition cleanly across "
+    "registers, so SUM of per-register exact counts is the exact "
+    "total.",
     tags=("agg", "approx"),
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        # rsd 0.02 -> 2^11 registers: 4x smaller sketches than the 0.01
-        # default-precision ask for the same observed <1% error here; at
-        # 100 TB sketch size dominates the merge tree, not the scan.
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs"),
+    reg = (
+        o.select(
+            "o_orderpriority",
+            "o_custkey",
+            F.expr(h60_spark("CAST(o_custkey AS STRING)")).alias("h"),
+        )
+        .select(
+            "o_orderpriority",
+            "o_custkey",
+            F.expr("shiftrightunsigned(h, 52)").alias("idx"),
+            F.expr(_RHO_SPARK).alias("rho"),
+        )
+        .groupBy("o_orderpriority", "idx")
+        .agg(
+            F.max("rho").alias("mrho"),
+            F.count_distinct("o_custkey").alias("nd"),
+        )
+    )
+    agg = reg.groupBy("o_orderpriority").agg(
+        F.sum(F.expr("shiftleft(1L, 53 - mrho)")).alias("sp"),
+        F.count(F.lit(1)).alias("nr"),
+        F.sum("nd").alias("exact_custs"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        F.expr(hll_estimate_spark("sp", "nr")).alias("approx_custs"),
+        "exact_custs",
     )
 
 
 @query(
     "agg_hll_sketch_rollup",
-    oracle=None,  # Datasketches HLL estimates have no SQL oracle
-    description="Re-aggregatable distinct-count rollup via Apache "
-    "DataSketches HLL: build one persistent sketch per fine-grained "
-    "cell (order priority x order year) with hll_sketch_agg, then roll "
-    "up to per-priority distinct customers by merging the cell sketches "
-    "with hll_union_agg — the raw data is touched ONCE and every "
-    "coarser rollup is computed from kilobyte sketches, which is the "
-    "100 TB cube pattern (daily partial sketches -> monthly/yearly "
-    "rollups without rescanning). Merging is lossless: the test "
-    "asserts the merged estimate equals a direct one-pass sketch and "
-    "lands within 5% of exact COUNT(DISTINCT).",
+    oracle=f"""
+    WITH h AS (
+      SELECT o_orderpriority AS pri, year(o_orderdate) AS y,
+             {h60_duck("CAST(o_custkey AS VARCHAR)")} AS h
+      FROM orders
+    ), cells AS (
+      SELECT pri, y, h >> 52 AS idx, MAX({_RHO_DUCK}) AS mrho
+      FROM h GROUP BY pri, y, idx
+    ), merged AS (
+      SELECT pri, idx, MAX(mrho) AS mrho FROM cells GROUP BY pri, idx
+    ), magg AS (
+      SELECT pri,
+             CAST(SUM(1::BIGINT << (53 - mrho)) AS BIGINT) AS sp,
+             COUNT(*) AS nr
+      FROM merged GROUP BY pri
+    ), est AS (
+      SELECT pri, {hll_estimate_duck('sp', 'nr')} AS est_custs FROM magg
+    ), nc AS (
+      SELECT pri, CAST(COUNT(DISTINCT y) AS BIGINT) AS n_cells
+      FROM cells GROUP BY pri
+    )
+    SELECT est.pri AS o_orderpriority, est_custs, n_cells
+    FROM est JOIN nc ON est.pri = nc.pri
+    """,
+    description="Re-aggregatable distinct-count rollup from HLL "
+    "partials: one register table per fine-grained cell (order priority "
+    "x order year), rolled up to per-priority estimates by register-wise "
+    "MAX — the raw data is touched ONCE and every coarser grain merges "
+    "kilobyte register states, the 100 TB cube pattern (daily partials "
+    "-> monthly/yearly rollups without rescanning). Uses the portable "
+    "deterministic HLL so merge AND estimate are oracle-exact; "
+    "sketch_hll_union is the same pattern on builtin DataSketches "
+    "binary sketches (lossless-merge tested, rows-only).",
     tags=("agg", "approx", "sketch"),
 )
 def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    cells = (
+        o.select(
+            "o_orderpriority",
+            F.year("o_orderdate").alias("o_year"),
+            F.expr(h60_spark("CAST(o_custkey AS STRING)")).alias("h"),
+        )
+        .select(
+            "o_orderpriority",
+            "o_year",
+            F.expr("shiftrightunsigned(h, 52)").alias("idx"),
+            F.expr(_RHO_SPARK).alias("rho"),
+        )
+        .groupBy("o_orderpriority", "o_year", "idx")
+        .agg(F.max("rho").alias("mrho"))
+    )
+    merged = cells.groupBy("o_orderpriority", "idx").agg(
+        F.max("mrho").alias("mrho")
+    )
+    est = (
+        merged.groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.expr("shiftleft(1L, 53 - mrho)")).alias("sp"),
+            F.count(F.lit(1)).alias("nr"),
+        )
+        .select(
+            "o_orderpriority",
+            F.expr(hll_estimate_spark("sp", "nr")).alias("est_custs"),
+        )
+    )
+    n_cells = cells.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_year").alias("n_cells")
+    )
+    return est.join(n_cells, "o_orderpriority")
+
+
+@query(
+    "sketch_hll_union",
+    oracle=None,  # DataSketches binary sketches have no SQL oracle
+    description="The agg_hll_sketch_rollup pattern on builtin Apache "
+    "DataSketches HLL (hll_sketch_agg per cell, hll_union_agg to merge): "
+    "binary kilobyte sketches, the interoperable production format at "
+    "100 TB. Rows-only check by nature (engine-specific estimator); the "
+    "test asserts the merged estimate equals a direct one-pass sketch "
+    "(lossless merge) and lands within 5% of exact COUNT(DISTINCT) — "
+    "and the portable-HLL twin query IS oracle-exact.",
+    tags=("agg", "approx", "sketch"),
+)
+def sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     cells = o.groupBy(
         "o_orderpriority", F.year("o_orderdate").alias("o_year")

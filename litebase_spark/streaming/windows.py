@@ -52,10 +52,16 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _normalized_events(stream: DataFrame) -> DataFrame:
     # mirror catalog.load's nanos handling for the raw stream read
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
         )
+    elif ts_type == "timestamp_ntz":
+        # parquet TIMESTAMP(us, isAdjustedToUTC=false) arrives as NTZ,
+        # which event-time watermarks reject; session TZ is UTC so the
+        # cast is value-preserving
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

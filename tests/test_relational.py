@@ -140,21 +140,26 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
 
 
 def test_approx_distinct_within_5pct(spark, sf_dir):
-    from litebase_spark.catalog import REGISTRY, load
+    """Builtin approx_count_distinct (HLL++, rsd=0.02) stays within 5%
+    of exact; the portable-HLL query's own bound lives in
+    test_dedup_similarity.test_portable_hll_estimates_within_5pct."""
+    from litebase_spark.catalog import load
 
-    approx = {
-        r["o_orderpriority"]: r["approx_custs"]
-        for r in REGISTRY["agg_approx_distinct"].builder(spark, sf_dir).collect()
-    }
-    exact = {
-        r["o_orderpriority"]: r["n"]
-        for r in load(spark, sf_dir, "orders")
-        .groupBy("o_orderpriority")
-        .agg(F.countDistinct("o_custkey").alias("n"))
+    o = load(spark, sf_dir, "orders")
+    rows = (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("a"),
+            F.countDistinct("o_custkey").alias("n"),
+        )
         .collect()
-    }
-    for k, v in exact.items():
-        assert abs(approx[k] - v) / v < 0.05, (k, approx[k], v)
+    )
+    for r in rows:
+        assert abs(r["a"] - r["n"]) / r["n"] < 0.05, (
+            r["o_orderpriority"],
+            r["a"],
+            r["n"],
+        )
 
 
 def test_groups_frame_semantics_hand_case(spark):
