@@ -5,6 +5,7 @@ from litebase_spark.operators import (  # noqa: F401
     asof,
     dedup,
     functions_cov,
+    layout,
     multimodal,
     pipeline,
     recursion,

@@ -239,6 +239,98 @@ def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_filter_clause",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+           COUNT(*) FILTER (WHERE l_discount = 0) AS n_nodisc,
+           CAST(SUM(CAST(l_quantity AS BIGINT))
+                FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS qty_f
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    description="Aggregate FILTER (WHERE ...) clause — native SQL syntax "
+    "in Spark SQL (and SQLite >= 3.30 / DuckDB), not just the "
+    "when()-rewrite form window_filter_clause demonstrates. Compiles to "
+    "the same single-pass conditional aggregation.",
+    tags=("agg", "functions"),
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from litebase_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+               COUNT(*) FILTER (WHERE l_discount = 0) AS n_nodisc,
+               CAST(SUM(CAST(l_quantity AS BIGINT))
+                    FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS qty_f
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
+
+
+@query(
+    "func_printf",
+    oracle="""
+    SELECT o_orderkey,
+           printf('%s-%08d', o_orderstatus, o_orderkey) AS order_tag,
+           printf('%.2f', o_totalprice) AS price_str,
+           format('{}#{}', o_orderpriority, o_custkey) AS pri_tag
+    FROM orders
+    """,
+    description="printf/format family (SQLite core printf/format, "
+    "SURVEY §2.B string row): C-style formatting via format_string and "
+    "brace-style via an in-plan concat (Spark has no brace format; the "
+    "rewrite is exact).",
+    tags=("functions",),
+)
+def func_printf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.format_string(
+            "%s-%08d", F.col("o_orderstatus"), F.col("o_orderkey")
+        ).alias("order_tag"),
+        F.format_string("%.2f", F.col("o_totalprice")).alias("price_str"),
+        F.concat_ws(
+            "#", F.col("o_orderpriority"), F.col("o_custkey")
+        ).alias("pri_tag"),
+    )
+
+
+@query(
+    "func_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS key_band,
+           o_orderkey | 4096 AS key_or,
+           xor(o_orderkey, o_custkey) AS key_xor,
+           CAST(~o_orderkey AS BIGINT) AS key_not,
+           o_orderkey << 3 AS key_shl,
+           o_orderkey >> 2 AS key_shr
+    FROM orders
+    """,
+    description="Bitwise operator family (SQLite core: &, |, <<, >>, ~; "
+    "XOR is spelled differently per dialect — SQLite lacks it, Spark and "
+    "DuckDB expose it as a function). SURVEY §2.B expression surface.",
+    tags=("functions",),
+)
+def func_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("key_band"),
+        k.bitwiseOR(F.lit(4096)).alias("key_or"),
+        k.bitwiseXOR(F.col("o_custkey")).alias("key_xor"),
+        F.bitwise_not(k).alias("key_not"),
+        F.shiftleft(k, 3).alias("key_shl"),
+        F.shiftright(k, 2).alias("key_shr"),
+    )
+
+
+@query(
     "func_conditional",
     oracle="""
     SELECT o_orderkey,

@@ -309,6 +309,75 @@ def ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_quantize_int8",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+      FROM embeddings
+    ), rng AS (
+      SELECT vec_id, e, list_min(e) AS q_min, list_max(e) AS q_max
+      FROM base
+    ), scaled AS (
+      SELECT vec_id, e, q_min, q_max,
+             (q_max - q_min) / 255.0 AS q_scale
+      FROM rng
+    ), coded AS (
+      SELECT vec_id, e, q_min, q_max, q_scale,
+             list_transform(e, v -> CAST(CASE WHEN q_scale = 0 THEN 0
+               ELSE LEAST(FLOOR((v - q_min) / q_scale), 255) END
+               AS INT)) AS codes
+      FROM scaled
+    )
+    SELECT vec_id, q_min, q_max, codes,
+           list_max(list_transform(range(1, {DIM} + 1),
+             i -> ABS(e[i] - (q_min + codes[i] * q_scale)))) AS max_abs_err
+    FROM coded
+    """,
+    description="Per-vector int8 scalar quantization of the embedding "
+    "corpus (asymmetric min/max affine codes + dequantization error): "
+    "the storage-layout operator for ANN at 100 TB — float32 corpora "
+    "shrink 4x, IVF/LSH probes scan int8 codes and only rerank winners "
+    "in float. FLOOR-based codes have no rounding ties, so codes AND "
+    "the max reconstruction error are oracle-exact. Narrow map, no "
+    "shuffle.",
+    tags=("similarity", "quantization"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    base = e.select(
+        "vec_id",
+        F.expr("transform(embedding, v -> CAST(v AS DOUBLE))").alias("e"),
+    )
+    rng = base.select(
+        "vec_id",
+        "e",
+        F.array_min("e").alias("q_min"),
+        F.array_max("e").alias("q_max"),
+    ).withColumn("q_scale", (F.col("q_max") - F.col("q_min")) / 255.0)
+    coded = rng.withColumn(
+        "codes",
+        F.expr(
+            "transform(e, v -> CAST(CASE WHEN q_scale = 0 THEN 0"
+            " ELSE LEAST(FLOOR((v - q_min) / q_scale), 255) END AS INT))"
+        ),
+    )
+    return coded.select(
+        "vec_id",
+        "q_min",
+        "q_max",
+        "codes",
+        F.expr(
+            f"array_max(transform(sequence(1, {DIM}),"
+            " i -> ABS(element_at(e, i) -"
+            " (q_min + element_at(codes, i) * q_scale))))"
+        ).alias("max_abs_err"),
+    )
+
+
 N_CENTROIDS = 16
 N_PROBE = 4
 

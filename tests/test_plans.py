@@ -59,9 +59,15 @@ def test_q6_no_shuffle_single_agg(spark, sf_dir):
 
 
 def test_semi_join_for_exists(spark, sf_dir):
-    plan = plan_of(spark, sf_dir, "q4_order_priority")
-    # EXISTS compiles to a semi join, not an aggregate+inner join
+    # EXISTS compiles to a semi join where the outer side is what we
+    # keep (q18's big-order filter); q4 instead uses the join +
+    # COUNT(DISTINCT) rewrite whose joins must stay broadcast at this
+    # scale (no shuffle before the aggregate).
+    plan = plan_of(spark, sf_dir, "q18_large_volume_customer")
     assert "LeftSemi" in plan
+    q4 = plan_of(spark, sf_dir, "q4_order_priority")
+    assert "BroadcastHashJoin" in q4
+    assert "SortMergeJoin" not in q4
 
 
 def test_q19_part_predicates_pushed_below_join(spark, sf_dir):

@@ -113,3 +113,33 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_zorder_buckets_localize_both_dimensions(spark, sf_dir):
+    """Z-order buckets bound BOTH dimensions' spread; a lexicographic
+    key localizes only its leading column. Compare mean per-bucket
+    spread of the trailing dimension."""
+    import litebase_spark.operators  # noqa: F401
+    from litebase_spark.catalog import REGISTRY, load
+    from pyspark.sql import functions as F
+
+    z = REGISTRY["layout_zorder"].builder(spark, sf_dir).collect()
+    z_spread = sum(r["max_price_band"] - r["min_price_band"] for r in z) / len(z)
+
+    o = load(spark, sf_dir, "orders")
+    lex = (
+        o.select(
+            F.expr("(o_custkey % 256)").alias("xd"),
+            F.expr(
+                "(CAST(FLOOR(o_totalprice / 2500.0) AS BIGINT) % 256)"
+            ).alias("yd"),
+        )
+        # lexicographic layout: bucket = leading column's high bits
+        .groupBy(F.expr("xd >> 4").alias("bucket"))
+        .agg((F.max("yd") - F.min("yd")).alias("spread"))
+        .collect()
+    )
+    lex_spread = sum(r["spread"] for r in lex) / len(lex)
+    # Z-buckets must localize the price dimension far better than a
+    # custkey-leading sort key does (which leaves it near full-domain).
+    assert z_spread < lex_spread / 2, (z_spread, lex_spread)
