@@ -268,3 +268,74 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bounds.select(
         "user_id", "event_id", F.round(filled, 6).alias("value_filled")
     )
+
+
+@query(
+    "ts_ohlc_resample",
+    oracle="""
+    WITH b AS (
+      SELECT user_id,
+             time_bucket(INTERVAL '15 minutes', ts) AS bucket,
+             ts, event_id, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, time_bucket(INTERVAL '15 minutes', ts)
+               ORDER BY ts, event_id) AS rna,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, time_bucket(INTERVAL '15 minutes', ts)
+               ORDER BY ts DESC, event_id DESC) AS rnd
+      FROM events
+    )
+    SELECT user_id, bucket,
+           MAX(CASE WHEN rna = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rnd = 1 THEN value END) AS close,
+           COUNT(*) AS n_events
+    FROM b GROUP BY user_id, bucket
+    """,
+    description="Time-series OHLC resampling (downsample to 15-minute "
+    "bars per user): open/close via first/last event in the bar with "
+    "the (ts, event_id) total order as the deterministic tie-break, "
+    "high/low/count as plain aggregates. ONE shuffle: the window "
+    "partitioning (user_id, bucket) is exactly the aggregation key, so "
+    "the groupBy reuses it. The standard metrics/market-data compaction "
+    "op the reference cannot express without application code; at "
+    "100 TB the bar table is what downstream queries scan instead of "
+    "raw events.",
+    tags=("timeseries", "window"),
+)
+def ts_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        "value",
+    )
+    bucketed = e.select(
+        "user_id",
+        F.window("ts", "15 minutes").start.alias("bucket"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    wa = Window.partitionBy("user_id", "bucket").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", "bucket").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        bucketed.select(
+            "user_id",
+            "bucket",
+            "value",
+            F.row_number().over(wa).alias("rna"),
+            F.row_number().over(wd).alias("rnd"),
+        )
+        .groupBy("user_id", "bucket")
+        .agg(
+            F.max(F.when(F.col("rna") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rnd") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

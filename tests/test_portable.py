@@ -1,0 +1,78 @@
+"""Portable-hash determinism contract (functions/portable.py): the
+affine folding trick must equal plain modular arithmetic, and the three
+implementations (Spark SQL expr, DuckDB SQL, Python/numpy) must agree
+bit-for-bit — this is what makes the sketch/iterative operators
+oracle-checkable at all."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from litebase_spark.functions.portable import (
+    P61,
+    affine_constants,
+    affine_duck,
+    affine_py,
+    affine_spark,
+    h60_duck,
+    h60_py,
+    h60_spark,
+)
+
+
+def _fold_py(x: int, a: int, b: int) -> int:
+    t = a * (x >> 31)
+    r1 = (t >> 30) + ((t & ((1 << 30) - 1)) << 31)
+    return ((r1 + a * (x & ((1 << 31) - 1))) % P61 + b) % P61
+
+
+@settings(max_examples=2000, deadline=None)
+@given(
+    x=st.integers(0, (1 << 61) - 1),
+    a=st.integers(0, (1 << 31) - 1),
+    b=st.integers(0, P61 - 1),
+)
+def test_affine_fold_equals_modular_reference(x, a, b):
+    assert _fold_py(x, a, b) == affine_py(x, a, b)
+    # every intermediate must stay under 2^63 (DuckDB raises on overflow)
+    t = a * (x >> 31)
+    r1 = (t >> 30) + ((t & ((1 << 30) - 1)) << 31)
+    assert t < 2**63 and r1 < 2**63
+    assert r1 + a * (x & ((1 << 31) - 1)) < 2**63
+
+
+def test_affine_fold_numpy_uint64_matches():
+    rng = np.random.default_rng(7)
+    xs = rng.integers(0, 1 << 60, size=5000, dtype=np.uint64)
+    for a, b in affine_constants(8):
+        av, bv = np.uint64(a), np.uint64(b)
+        t = av * (xs >> np.uint64(31))
+        r1 = (t >> np.uint64(30)) + (
+            (t & np.uint64((1 << 30) - 1)) << np.uint64(31)
+        )
+        h = (
+            (r1 + av * (xs & np.uint64((1 << 31) - 1))) % np.uint64(P61)
+            + bv
+        ) % np.uint64(P61)
+        expect = [affine_py(int(x), a, b) for x in xs[:200]]
+        assert h[:200].astype(object).tolist() == expect
+
+
+def test_h60_and_affine_agree_across_engines(spark):
+    samples = ["", "a", "abc def", "Zz9", "the quick brown fox", "0" * 50]
+    a, b = affine_constants(3)[2]
+    con = duckdb.connect()
+    for s in samples:
+        lit = "'" + s + "'"
+        d_h, d_aff = con.execute(
+            f"SELECT {h60_duck(lit)}, {affine_duck(h60_duck(lit), a, b)}"
+        ).fetchone()
+        row = spark.sql(
+            f"SELECT {h60_spark(lit)} AS h,"
+            f" {affine_spark(h60_spark(lit), a, b)} AS f"
+        ).collect()[0]
+        assert d_h == row["h"] == h60_py(s)
+        assert d_aff == row["f"] == affine_py(h60_py(s), a, b)
