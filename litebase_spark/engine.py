@@ -169,6 +169,12 @@ class Engine:
         self._plan_cache: dict[int, DataFrame] = {}
         self._transactions: dict[str, "Transaction"] = {}
         self._autotxn: "Transaction | None" = None
+        # SQLite-name shims (ifnull/iif/julianday/unixepoch/...) are part
+        # of the dialect surface a reference user expects from plain
+        # Engine.sql() — register them up front, UDF-free (SQL macros).
+        from litebase_spark.functions.compat import register_sqlite_functions
+
+        register_sqlite_functions(self.spark)
 
     # -- query dispatch (A2/A3) --------------------------------------------
 

@@ -237,6 +237,35 @@ def multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST(1024 AS BIGINT) AS n_bytes,
+           CAST(32 AS BIGINT) AS target_w,
+           CAST(32 AS BIGINT) AS target_h,
+           octet_length(encode(text)) > 0 AS had_payload
+    FROM documents
+    """,
+    description="1:1 media resize stage over mapInPandas (decode is a "
+    "deterministic fake — codecs absent in this container; the Arrow "
+    "batch shape, schema evolution to target_w/target_h metadata, and "
+    "1-in-1-out contract are the real plumbing). Oracle checks the "
+    "envelope: every row survives with the target byte budget.",
+    tags=("multimodal", "pandas_udf"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = attach_media(load(spark, sf_dir, "documents"))
+    out = resize_media(m, width=32, height=32)
+    return out.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.target_w").alias("target_w"),
+        F.col("meta.target_h").alias("target_h"),
+        (F.length("media") > 0).alias("had_payload"),
+    )
+
+
+@query(
     "multimodal_features",
     oracle=None,  # pandas-UDF feature stub has no SQL equivalent
     description="mapInPandas feature extraction over binary media "

@@ -827,6 +827,41 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_named_sql",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER w AS rnk,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w
+                AS BIGINT) AS run_cents
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    description="Named windows (SQLite >= 3.25 WINDOW clause, SURVEY "
+    "§2.B): one shared window definition reused by several functions — "
+    "executed as native Spark SQL (the named window exists in the "
+    "dialect, and all three functions share one sort/partition pass). "
+    "Running money sum in exact integer cents.",
+    tags=("window",),
+)
+def window_named_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from litebase_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               ROW_NUMBER() OVER w AS rn,
+               RANK() OVER w AS rnk,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w
+                    AS BIGINT) AS run_cents
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """
+    )
+
+
+@query(
     "window_filter_clause",
     oracle="""
     SELECT o_custkey,

@@ -302,3 +302,16 @@ def test_analyze_reindex_surface(engine):
             engine.sql("ANALYZE no_such_table_xyz")
     finally:
         engine.sql("DROP TABLE IF EXISTS t_an")
+
+
+def test_engine_sql_accepts_sqlite_dialect_shims(spark, sf_dir):
+    """A reference user's SQLite-flavored SQL runs through plain
+    Engine.sql() — the compat shims self-register at Engine init."""
+    from litebase_spark.engine import Engine
+
+    eng = Engine(spark)
+    res = eng.sql(
+        "SELECT ifnull(NULL, 5) AS a, iif(1 > 0, 1.0, 2.0) AS b, "
+        "unixepoch(TIMESTAMP '1996-01-01 00:00:00') AS c"
+    )
+    assert res.rows[0] == (5, 1.0, 820454400)
