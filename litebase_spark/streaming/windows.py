@@ -202,3 +202,33 @@ def stream_stream_interval_join(
         & (F.col("c_ts") < F.col("p_ts")),
         "inner",
     ).select("p_event_id", "p_user", "p_ts", "c_event_id", "c_ts", "c_value")
+
+
+def ohlc_bars(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of ts_ohlc_resample: 15-minute OHLC bars per user.
+    open/close use min_by/max_by over the (ts, event_id) total order —
+    safe (no tie ambiguity: event_id is unique) and streaming-legal,
+    unlike the batch twin's window-function form. State is one bar per
+    open (user, window), bounded by the watermark."""
+    stream = _normalized_events(stream)
+    order = F.struct("ts", "event_id")
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "15 minutes"), "user_id")
+        .agg(
+            F.min_by("value", order).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", order).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("window.start").alias("bucket"),
+            "user_id",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )

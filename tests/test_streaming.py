@@ -272,3 +272,16 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
         map(tuple, want.collect())
     )
     assert got.count() > 0
+
+
+def test_ohlc_stream_equals_batch_resample(spark, sf_dir):
+    """Streaming OHLC bars (min_by/max_by over the (ts, event_id) total
+    order) must equal the oracle-verified batch ts_ohlc_resample."""
+    from litebase_spark.streaming.windows import ohlc_bars
+
+    stream_df = run_available_now(
+        ohlc_bars(events_stream(spark, sf_dir)), output_mode="complete"
+    )
+    batch_df = REGISTRY["ts_ohlc_resample"].builder(spark, sf_dir)
+    cols = ["user_id", "bucket", "open", "high", "low", "close", "n_events"]
+    assert rows_set(stream_df, cols) == rows_set(batch_df, cols)
