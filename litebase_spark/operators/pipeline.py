@@ -277,3 +277,50 @@ def pipeline_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(share, 6).alias("token_share"),
         F.round(weight, 6).alias("sample_weight"),
     ).orderBy("source", "lang")
+
+
+N_SHARDS = 16
+
+
+@query(
+    "pipeline_shard_manifest",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, source, n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % {N_SHARDS} AS shard
+      FROM documents
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+    FROM s GROUP BY shard
+    """,
+    description="Training-shard manifest: every document assigned to one "
+    "of N shards by the portable key hash (stable across runs, engines, "
+    "repartitioning, and retries — the property a dataloader needs to "
+    "resume mid-epoch), with per-shard size/byte/source stats as the "
+    "manifest a loader consumes. The write side is "
+    "df.repartitionByRange/partitionBy('shard') with this same key; at "
+    "100 TB shard balance is the thing this query audits (hash gives "
+    "~1/N +- sqrt; skew here means a bad key choice). Oracle-exact.",
+    tags=("pipeline", "sharding"),
+)
+def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from litebase_spark.functions.portable import h60_spark
+
+    d = load(spark, sf_dir, "documents")
+    shard = F.expr(h60_spark("CAST(doc_id AS STRING)")) % N_SHARDS
+    return (
+        d.select("doc_id", "source", "n_chars", shard.alias("shard"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.count_distinct("source").alias("n_sources"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
