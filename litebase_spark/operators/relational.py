@@ -545,6 +545,74 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "setop_all_variants",
+    oracle=f"""
+    SELECT 'intersect_all' AS op, COUNT(*) AS cnt
+    FROM ({_SETOP_A} INTERSECT ALL {_SETOP_B})
+    UNION ALL
+    SELECT 'except_all' AS op, COUNT(*) AS cnt
+    FROM ({_SETOP_A} EXCEPT ALL {_SETOP_B})
+    """,
+    description="INTERSECT ALL / EXCEPT ALL (bag semantics with "
+    "multiplicities — beyond SQLite parity, which only has UNION ALL; "
+    "Spark intersectAll/exceptAll). Counted for a stable result shape.",
+    tags=("setop",),
+)
+def setop_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _setop_sides(spark, sf_dir)
+    ia = a.intersectAll(b).agg(F.count(F.lit(1)).alias("cnt")).select(
+        F.lit("intersect_all").alias("op"), "cnt"
+    )
+    ea = a.exceptAll(b).agg(F.count(F.lit(1)).alias("cnt")).select(
+        F.lit("except_all").alias("op"), "cnt"
+    )
+    return ia.union(ea)
+
+
+@query(
+    "expr_null_safe_eq",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'P' THEN NULL
+                  ELSE o_orderstatus END AS s
+      FROM orders
+    )
+    SELECT a.s IS NOT DISTINCT FROM b.s AS same_status,
+           COUNT(*) AS n_pairs
+    FROM t a JOIN t b ON a.o_orderkey % 100 = b.o_orderkey % 100
+                      AND a.o_orderkey < b.o_orderkey
+    GROUP BY same_status ORDER BY same_status
+    """,
+    description="Null-safe equality (SQLite's IS operator on values; "
+    "Spark <=> / eqNullSafe; ANSI IS NOT DISTINCT FROM): NULL IS NULL "
+    "is true, NULL IS x is false — unlike =, which yields NULL. "
+    "Exercised as a join-adjacent comparison over a nullable column.",
+    tags=("expr",),
+)
+def expr_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    t = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "P", None)
+        .otherwise(F.col("o_orderstatus"))
+        .alias("s"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_orderkey") % 100 == F.col("b.o_orderkey") % 100)
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .select(F.col("a.s").eqNullSafe(F.col("b.s")).alias("same_status"))
+        .groupBy("same_status")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("same_status")
+    )
+
+
+@query(
     "distinct_projection",
     oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     description="SELECT DISTINCT — hash aggregate on projected columns; "
