@@ -1103,6 +1103,38 @@ def like_between_in(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "func_like_escape",
+    oracle="""
+    WITH t AS (SELECT p_partkey, p_type || '%' AS marked FROM part)
+    SELECT COUNT(*) AS n_escaped,
+           (SELECT COUNT(*) FROM t WHERE marked LIKE '%O%')
+               AS n_unescaped
+    FROM t WHERE marked LIKE '%O!%' ESCAPE '!'
+    """,
+    description="LIKE ... ESCAPE (SQLite core LIKE clause surface): the "
+    "escape character turns % into a literal. Over p_type||'%', the "
+    "escaped pattern '%O!%' matches only types ENDING in O (PROMO) "
+    "(literal trailing %), while the unescaped control '%O%' "
+    "matches any containing O (ECONOMY, PROMO) — both counts returned, "
+    "and they must differ, proving escapes are honored rather than "
+    "read as wildcards.",
+    tags=("filter", "functions"),
+)
+def func_like_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").select(
+        F.concat(F.col("p_type"), F.lit("%")).alias("marked")
+    )
+    return p.agg(
+        F.count(F.when(F.expr("marked LIKE '%O!%' ESCAPE '!'"), 1)).alias(
+            "n_escaped"
+        ),
+        F.count(F.when(F.col("marked").like("%O%"), 1)).alias(
+            "n_unescaped"
+        ),
+    )
+
+
+@query(
     "join_right_outer",
     oracle="""
     SELECT n_name, COUNT(c_custkey) AS n_customers
