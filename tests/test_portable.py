@@ -76,3 +76,25 @@ def test_h60_and_affine_agree_across_engines(spark):
         ).collect()[0]
         assert d_h == row["h"] == h60_py(s)
         assert d_aff == row["f"] == affine_py(h60_py(s), a, b)
+
+
+def test_check_oracle_canon_is_type_strict():
+    """The local gate must distinguish int from float (the driver's
+    value hash does — round-1 func_math lesson) while treating Decimal
+    as float and NaN as equal to itself."""
+    import decimal
+    import importlib.util
+    import sys as _sys
+
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle", "tools/check_oracle.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    _sys.modules["check_oracle"] = mod
+    spec.loader.exec_module(mod)
+    canon = mod.canon_value
+    assert canon(1) != canon(1.0)
+    assert canon(True) == canon(1)
+    assert canon(decimal.Decimal("1.5")) == canon(1.5)
+    assert canon(float("nan")) == canon(float("nan"))
+    assert canon([1, 2.0]) == (canon(1), canon(2.0))
