@@ -310,7 +310,52 @@ def ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "embedding_quantize_int8",
+    "embedding_dim_stats",
+    oracle=f"""
+    SELECT t.i AS dim,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 1048576.0)
+                    AS BIGINT)) AS DOUBLE) / 1048576.0 / COUNT(*) AS mean,
+           MIN(CAST(embedding[t.i] AS DOUBLE)) AS dmin,
+           MAX(CAST(embedding[t.i] AS DOUBLE)) AS dmax
+    FROM embeddings, range(1, {DIM} + 1) t(i)
+    GROUP BY t.i
+    """,
+    description="Per-dimension corpus statistics (mean/min/max across "
+    "the embedding columns) — the precursor to whitening/normalizing a "
+    "vector corpus before indexing. posexplode keeps the shuffle at "
+    "dim x partial rows (map-side combine); means use the exact "
+    "fixed-point long-sum scheme (FLOOR(x*2^20), no rounding ties) so "
+    "results are oracle-exact.",
+    tags=("similarity", "stats"),
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    q = 1048576.0
+    return (
+        e.select(F.posexplode("embedding").alias("pos", "x"))
+        .select(
+            (F.col("pos") + 1).alias("dim"),
+            F.col("x").cast("double").alias("x"),
+        )
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.floor(F.col("x") * F.lit(q))).cast("double")
+                / F.lit(q)
+                / F.count(F.lit(1))
+            ).alias("mean"),
+            F.min("x").alias("dmin"),
+            F.max("x").alias("dmax"),
+        )
+    )
+
+
+@query(
+    "embedding_quantize_minmax",
     oracle=f"""
     WITH base AS (
       SELECT vec_id,
@@ -344,7 +389,7 @@ def ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle.",
     tags=("similarity", "quantization"),
 )
-def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_quantize_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
