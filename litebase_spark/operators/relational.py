@@ -178,6 +178,41 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_grouping_id",
+    oracle="""
+    SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+                ELSE o_orderstatus END AS status,
+           o_orderpriority,
+           GROUPING(CASE WHEN o_orderstatus = 'P' THEN NULL
+                         ELSE o_orderstatus END) AS g_status,
+           GROUPING(o_orderpriority) AS g_pri,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (status, o_orderpriority)
+    """,
+    description="GROUPING() over CUBE with a NULLABLE grouping column: "
+    "the only way to tell a rollup-generated NULL from a data NULL "
+    "('P'-status rows group under a real NULL at detail level, "
+    "g_status=0; the all-status subtotal has g_status=1). Exceeds "
+    "SQLite parity (no grouping sets at all in the reference).",
+    tags=("agg",),
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    status = (
+        F.when(F.col("o_orderstatus") == "P", None)
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status")
+    )
+    base = o.select(status, "o_orderpriority")
+    return base.cube("status", "o_orderpriority").agg(
+        F.grouping("status").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_pri"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("status", "o_orderpriority", "g_status", "g_pri", "n")
+
+
+@query(
     "agg_cube",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
