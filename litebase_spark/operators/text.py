@@ -1023,3 +1023,58 @@ def text_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").alias("n_tokens"),
         F.round(bits, 6).alias("bits_per_token"),
     )
+
+
+# C4-style blocklist filtering: a small embedded wordlist stands in for
+# the production list (the mechanism — token-set intersection against a
+# broadcast list, doc-level drop decision — is what's under test; the
+# real list is a config file). Tokens, not substrings: 'assess' must not
+# trip a block on 'ass'.
+# two fixture-vocabulary tokens included so the filter demonstrably
+# discriminates on the synthetic corpus (block rates > 0)
+_BLOCKLIST = ("casino", "viagra", "lottery", "jackpot", "merge")
+
+
+@query(
+    "text_blocklist_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_SQL_TOKENS.format(c='text')} AS toks
+      FROM documents
+    ), flagged AS (
+      SELECT doc_id, source,
+             len(list_filter(toks,
+                 w -> list_contains({list(_BLOCKLIST)!r}, w))) AS n_hits
+      FROM t
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_blocked,
+           CAST(SUM(n_hits) AS BIGINT) AS total_hits
+    FROM flagged GROUP BY source
+    """,
+    description="Blocklist (badwords) filter — the C4-style corpus "
+    "cleaning stage: token-level membership against a broadcast "
+    "wordlist (token match, not substring — 'assess' does not trip "
+    "'ass'), per-source block rates as the audit output. At 100 TB the "
+    "list broadcasts and the scan stays a narrow map; the real list is "
+    "a config input, the embedded one exercises the mechanism. "
+    "Oracle-exact.",
+    tags=("text", "pipeline"),
+)
+def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    bl = F.array(*[F.lit(w) for w in _BLOCKLIST])
+    n_hits = F.size(
+        F.filter(toks, lambda w: F.array_contains(bl, w))
+    )
+    flagged = d.select("doc_id", "source", n_hits.alias("n_hits"))
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("n_hits") > 0, 1).otherwise(0)).alias(
+            "n_blocked"
+        ),
+        F.sum("n_hits").alias("total_hits"),
+    )
