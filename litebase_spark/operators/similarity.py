@@ -375,7 +375,9 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS INT)) AS codes
       FROM scaled
     )
-    SELECT vec_id, q_min, q_max, codes,
+    SELECT vec_id, q_min, q_max,
+           md5(array_to_string(list_transform(codes,
+             c -> CAST(c AS VARCHAR)), ',')) AS codes_digest,
            list_max(list_transform(range(1, {DIM} + 1),
              i -> ABS(e[i] - (q_min + codes[i] * q_scale)))) AS max_abs_err
     FROM coded
@@ -385,8 +387,10 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the storage-layout operator for ANN at 100 TB — float32 corpora "
     "shrink 4x, IVF/LSH probes scan int8 codes and only rerank winners "
     "in float. FLOOR-based codes have no rounding ties, so codes AND "
-    "the max reconstruction error are oracle-exact. Narrow map, no "
-    "shuffle.",
+    "the max reconstruction error are oracle-exact. The code list is "
+    "surfaced as a portable md5 digest (scalar output columns only — "
+    "array columns break downstream tabular canonicalizers). Narrow "
+    "map, no shuffle.",
     tags=("similarity", "quantization"),
 )
 def embedding_quantize_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -414,7 +418,9 @@ def embedding_quantize_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "q_min",
         "q_max",
-        "codes",
+        F.expr(
+            "md5(array_join(transform(codes, c -> CAST(c AS STRING)), ','))"
+        ).alias("codes_digest"),
         F.expr(
             f"array_max(transform(sequence(1, {DIM}),"
             " i -> ABS(element_at(e, i) -"
