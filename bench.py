@@ -54,6 +54,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
+    "dedup_embedding_lsh_verified",
     "text_bm25",
     "text_quality_score",
     "text_highlight_snippet",

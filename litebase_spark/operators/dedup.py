@@ -35,6 +35,8 @@ from litebase_spark.functions.portable import (
     affine_spark,
     h60_duck,
     h60_spark,
+    plane_components,
+    plane_duck,
 )
 from litebase_spark.operators.text import _SQL_TOKENS, tokens
 
@@ -480,18 +482,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="Embedding-cosine near-duplicate pairs (threshold 0.4 — "
     "the fixture has no true dups; the 99.9th-percentile pair similarity "
-    "is ~0.38). Exact verification pass of the near-dup pipeline: at "
-    "100 TB, candidate pairs come from LSH banding (dedup_minhash_lsh / "
-    "dedup_simhash block keys) and THIS exact cosine check verifies them; "
-    "never an unblocked self-join. At oracle scale the candidate set is "
-    "all pairs, so results are oracle-exact.",
+    "is ~0.38). Oracle-parity EXACT baseline of the near-dup pipeline: "
+    "the headline scale query is dedup_embedding_lsh_verified (banded "
+    "candidates only); this variant checks every pair. The self-join is "
+    "a SHUFFLE_REPLICATE_NL distributed block-nested-loop — each task "
+    "holds one partition from each side, so no node ever materializes "
+    "the full corpus (round 2 broadcast the whole b side; that was the "
+    "one full-corpus broadcast left in a registered dedup plan).",
     tags=("dedup", "similarity"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from litebase_spark.operators.similarity import dot, norm2
 
     e = load(spark, sf_dir, "embeddings")
-    e = e.repartition(spark.sparkContext.defaultParallelism)
+    # Partition-pair grid: sides at P partitions each -> P^2 tasks; keep
+    # P moderate so the cartesian task count stays near the core count.
+    e = e.repartition(8)
     # Norms are per-row scalars: compute them ONCE per side (O(n) work)
     # instead of inside the O(n^2) pair loop. Bit-identical to the naive
     # cosine (same fold order, same scalar division), ~2.4x faster.
@@ -507,7 +513,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        a.join(F.broadcast(b), F.col("vec_id_a") < F.col("vec_id_b"))
+        a.join(
+            b.hint("shuffle_replicate_nl"),
+            F.col("vec_id_a") < F.col("vec_id_b"),
+        )
         .select("vec_id_a", "vec_id_b", sim.alias("raw_sim"))
         .filter(F.col("raw_sim") >= 0.4)
         .select("vec_id_a", "vec_id_b", F.round("raw_sim", 6).alias("cos_sim"))
@@ -535,57 +544,79 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
           >= 0.4
     """,
-    description="Embedding near-dup pairs with a blocked numpy kernel: "
-    "the normalized corpus matrix is broadcast (valid to ~1e6 vectors; "
-    "beyond that the LSH band key from dedup_minhash_lsh/simhash blocks "
-    "the pairs first), and each Arrow batch does one BLAS matmul against "
-    "it, emitting candidate (i<j, sim>=tau-eps) pairs; candidates are "
-    "then RE-CHECKED with the exact JVM fold (same expression as "
-    "dedup_embedding_cosine), so the reported pairs and values are "
-    "bit-identical to the oracle — BLAS only prunes (with an eps margin "
-    "against summation-order ulps), it never decides membership or a "
-    "value. ~7x the JVM O(n^2 d) form at sf0.1 because the quadratic "
-    "work runs inside BLAS; the exact pass touches only candidates.",
+    description="Embedding near-dup pairs with a triangle-blocked BLAS "
+    "kernel: rows hash into G blocks, every unordered block pair "
+    "(g1<=g2) becomes one cogroup, and each cogroup runs ONE matmul "
+    "between its two blocks (upper triangle when g1==g2), emitting "
+    "candidate (i<j, sim>=tau-eps) pairs. This is the distributed "
+    "exact O(n^2) pattern: no driver collect, no full-corpus broadcast "
+    "— each task holds 2n/G rows and each row is shuffled G times "
+    "(G ~ sqrt(cluster tasks); round 2 collected + broadcast the whole "
+    "corpus, the scale-killer class). Candidates are then RE-CHECKED "
+    "with the exact JVM fold (same expression as dedup_embedding_"
+    "cosine), so the reported pairs and values are bit-identical to the "
+    "oracle — BLAS only prunes (with an eps margin against "
+    "summation-order ulps), it never decides membership or a value.",
     tags=("dedup", "similarity", "pandas_udf"),
 )
 def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-    import pandas as pd
-
     from litebase_spark.operators.similarity import dot, norm2
 
     TAU = 0.4
     EPS = 1e-9  # prune margin >> BLAS-vs-JVM summation-order ulps
+    G = 8  # block grid; at 100 TB pick G so 2n/G rows fit one task
     e = load(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
-    rows = e.select("vec_id", "embedding").collect()
-    ids = np.array([r["vec_id"] for r in rows])
-    C = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, Cn))
 
-    def pairs(batches):
-        all_ids, all_Cn = bc.value
-        for pdf in batches:
-            M = np.stack(pdf["embedding"].apply(np.asarray).values).astype(
-                np.float64
-            )
-            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-            sims = Mn @ all_Cn.T  # (batch, corpus)
-            bids = pdf["vec_id"].values
-            # i<j keeps each unordered pair exactly once across all tasks
-            keep = (sims >= TAU - EPS) & (bids[:, None] < all_ids[None, :])
-            bi, cj = np.nonzero(keep)
-            yield pd.DataFrame(
-                {"vec_id_a": bids[bi], "vec_id_b": all_ids[cj]}
-            )
+    def block_pairs(key, pdf):
+        import numpy as np
+        import pandas as pd
 
-    cand = e.select("vec_id", "embedding").mapInPandas(
-        pairs, schema="vec_id_a long, vec_id_b long"
+        g1, g2 = divmod(int(key[0]), G)
+        M = np.stack(pdf["embedding"].apply(np.asarray).values).astype(
+            np.float64
+        )
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        ids = pdf["vec_id"].values
+        if g1 == g2:
+            sims = Mn @ Mn.T
+            ai, bj = np.nonzero(sims >= TAU - EPS)
+            keep = ids[ai] < ids[bj]
+            lo, hi = ids[ai][keep], ids[bj][keep]
+        else:
+            s1 = (pdf["g"] == g1).values
+            A, B = Mn[s1], Mn[~s1]
+            aid, bid = ids[s1], ids[~s1]
+            sims = A @ B.T
+            ai, bj = np.nonzero(sims >= TAU - EPS)
+            x, y = aid[ai], bid[bj]
+            lo, hi = np.minimum(x, y), np.maximum(x, y)
+        return pd.DataFrame({"vec_id_a": lo, "vec_id_b": hi})
+
+    blocked = e.select(
+        "vec_id", "embedding", F.pmod(F.hash("vec_id"), F.lit(G)).alias("g")
+    )
+    # Row in block g joins every partner block p: cogroup key is the
+    # unordered block pair least(g,p)*G + greatest(g,p); (g,g) once.
+    assigned = blocked.select(
+        "vec_id",
+        "embedding",
+        "g",
+        F.explode(F.array([F.lit(p) for p in range(G)])).alias("p"),
+    ).select(
+        "vec_id",
+        "embedding",
+        "g",
+        (F.least("g", "p") * G + F.greatest("g", "p")).alias("bp"),
+    )
+    cand = assigned.groupBy("bp").applyInPandas(
+        block_pairs, schema="vec_id_a long, vec_id_b long"
     )
     # Exact verification pass over the (tiny) candidate set: same fold
-    # order and scalar division as dedup_embedding_cosine.
+    # order and scalar division as dedup_embedding_cosine. Plain equi
+    # joins — AQE broadcasts the candidate side when it is small; the
+    # corpus side is never collected or broadcast wholesale.
     a = e.select(
         F.col("vec_id").alias("vec_id_a"),
         F.col("embedding").alias("va"),
@@ -598,10 +629,150 @@ def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        cand.join(F.broadcast(a), "vec_id_a")
-        .join(F.broadcast(b), "vec_id_b")
+        cand.join(a, "vec_id_a")
+        .join(b, "vec_id_b")
         .select("vec_id_a", "vec_id_b", sim.alias("raw_sim"))
         .filter(F.col("raw_sim") >= TAU)
+        .select("vec_id_a", "vec_id_b", F.round("raw_sim", 6).alias("cos_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Banded SRP-LSH + exact verify: the headline embedding-dedup composition
+# ---------------------------------------------------------------------------
+
+_SRP_BANDS = 4
+_SRP_ROWS = 4  # sign bits per band; raise for bigger corpora
+_SRP_DIM = 64
+_SRP_PLANES = plane_components(_SRP_BANDS * _SRP_ROWS, _SRP_DIM)
+_SRP_TAU = 0.4
+
+
+def _srp_bucket_spark(vec, band: int):
+    """band-local bucket id: _SRP_ROWS sign bits under md5-derived
+    hyperplanes (deterministic literals, duplicated into the oracle)."""
+    out = F.lit(0)
+    for j in range(_SRP_ROWS):
+        plane = _SRP_PLANES[band * _SRP_ROWS + j]
+        proj = F.aggregate(
+            F.zip_with(vec, F.lit(plane), lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        out = out + F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return out.cast("int")
+
+
+def _srp_bucket_duck(e: str, band: int) -> str:
+    bits = []
+    for j in range(_SRP_ROWS):
+        plane = _SRP_PLANES[band * _SRP_ROWS + j]
+        proj = (
+            f"list_sum(list_transform(range(1, {_SRP_DIM} + 1), "
+            f"i -> CAST({e}[i] AS DOUBLE) * {plane_duck(plane)}[i]))"
+        )
+        bits.append(f"CASE WHEN {proj} >= 0 THEN {1 << j} ELSE 0 END")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _srp_verified_oracle() -> str:
+    dot_ab = (
+        f"list_sum(list_transform(range(1, {_SRP_DIM} + 1),"
+        " i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))"
+    )
+    nrm = (
+        "sqrt(list_sum(list_transform(range(1, {d} + 1),"
+        " i -> CAST({e}[i] AS DOUBLE) * CAST({e}[i] AS DOUBLE))))"
+    )
+    arms = "\n      UNION ALL\n".join(
+        f"      SELECT vec_id, embedding, {b} AS band,"
+        f" {_srp_bucket_duck('embedding', b)} AS bucket FROM embeddings"
+        for b in range(_SRP_BANDS)
+    )
+    cos = (
+        f"{dot_ab} / ({nrm.format(e='ea', d=_SRP_DIM)}"
+        f" * {nrm.format(e='eb', d=_SRP_DIM)})"
+    )
+    return f"""
+    WITH banded AS (
+{arms}
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+             a.embedding AS ea, b.embedding AS eb
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT vec_id_a, vec_id_b, ROUND({cos}, 6) AS cos_sim
+    FROM cand WHERE {cos} >= {_SRP_TAU}
+    """
+
+
+@query(
+    "dedup_embedding_lsh_verified",
+    oracle=_srp_verified_oracle(),
+    description="Headline embedding near-dedup at scale: sign-random-"
+    "projection LSH banding (4 bands x 4 sign bits under deterministic "
+    "md5-derived hyperplanes) generates candidate pairs ONLY within "
+    "matching (band, bucket) — an equi-join keyed by bucket, never a "
+    "cross join — and the exact JVM cosine fold then verifies each "
+    "candidate against tau=0.4. This is the composition the all-pairs "
+    "variants (dedup_embedding_cosine/_blocked) serve as oracle-parity "
+    "baselines for: work is sum of squared bucket sizes, not corpus^2, "
+    "and skew is bounded per bucket. Banding recall at tau=0.4 is ~50% "
+    "per the SRP collision bound (1 - theta/pi)^rows; at 100 TB you "
+    "raise rows-per-band and bands together to tune recall/cost. "
+    "Hyperplane constants are embedded verbatim in the DuckDB oracle, "
+    "so buckets, candidates, and verified pairs are all oracle-exact.",
+    tags=("dedup", "similarity", "lsh"),
+)
+def dedup_embedding_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from litebase_spark.operators.similarity import dot, norm2
+
+    e = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                _srp_bucket_spark(F.col("embedding"), b).alias("bucket"),
+            )
+            for b in range(_SRP_BANDS)
+        ]
+    )
+    banded = (
+        e.select("vec_id", "embedding", F.explode(bands).alias("bb"))
+        .select("vec_id", "embedding", "bb.band", "bb.bucket")
+        .localCheckpoint(eager=True)  # both join sides reuse the sketches
+    )
+    a = banded.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("embedding").alias("va"),
+        "band",
+        "bucket",
+    )
+    b = banded.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("band").alias("band_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("vec_id_a") < F.col("vec_id_b")),
+        )
+        .select("vec_id_a", "vec_id_b", "va", "vb")
+        .dropDuplicates(["vec_id_a", "vec_id_b"])
+    )
+    sim = dot(F.col("va"), F.col("vb")) / (
+        norm2(F.col("va")) * norm2(F.col("vb"))
+    )
+    return (
+        cand.select("vec_id_a", "vec_id_b", sim.alias("raw_sim"))
+        .filter(F.col("raw_sim") >= _SRP_TAU)
         .select("vec_id_a", "vec_id_b", F.round("raw_sim", 6).alias("cos_sim"))
     )
 

@@ -138,6 +138,30 @@ def test_blocked_embedding_dedup_equals_exact(spark, sf_dir):
         assert abs(fast[pair] - exact[pair]) <= 1e-6
 
 
+def test_lsh_verified_subset_and_recall(spark, sf_dir):
+    """SRP-banded verified pairs are a subset of the exact pair set with
+    identical sims (the verify stage IS the exact fold), and banding
+    recall at tau=0.4 clears the SRP collision floor."""
+    verified = {
+        (r["vec_id_a"], r["vec_id_b"]): r["cos_sim"]
+        for r in REGISTRY["dedup_embedding_lsh_verified"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    exact = {
+        (r["vec_id_a"], r["vec_id_b"]): r["cos_sim"]
+        for r in REGISTRY["dedup_embedding_cosine"].builder(spark, sf_dir).collect()
+    }
+    assert set(verified) <= set(exact)
+    for pair, sim in verified.items():
+        assert sim == exact[pair]
+    # 4 bands x 4 bits at sim>=0.4 -> expected recall ~0.5; assert a
+    # loose floor so plane-constant regressions (e.g. a sign flip)
+    # fail loudly without flaking on fixture composition.
+    if exact:
+        assert len(verified) / len(exact) >= 0.25
+
+
 def test_connected_components_chain_and_clique(spark):
     from litebase_spark.operators.dedup import connected_components
 
