@@ -666,7 +666,9 @@ class Engine:
         namespace `database__branch` (reference branch model:
         pkg/database/branch.go:15-30; fork-by-copy pkg/backups/restore.go:29-56).
         With a Delta catalog this becomes SHALLOW CLONE; on plain parquet we
-        materialize a snapshot copy."""
+        materialize a snapshot copy. The O(metadata) fork for large tables
+        is snapshots.VersionedStore.create_branch (shared immutable files,
+        manifest-only fork)."""
         ns = f"{database}__{branch}"
         self.create_database(ns)
         for t in tables:

@@ -12,10 +12,18 @@ reference's restore timeline resolves). With a Delta/Iceberg catalog
 every method here collapses to built-in time travel / RESTORE TABLE —
 the manager keeps that swap possible behind one class.
 
-Scale note: snapshot() is a distributed parquet write (one job per
-table), not a driver-side copy; at 100 TB you would snapshot via
-storage-layer manifests (Delta clone) instead of rewriting data, which
-this API accommodates (format='delta' branch point).
+Two implementations:
+
+  * SnapshotManager — full-copy snapshots (a distributed parquet write
+    per table). Simple, self-contained, O(data) per snapshot; kept as
+    the compatibility surface.
+  * VersionedStore — the 100 TB path: an immutable-file transaction log
+    where snapshots/branches pin version manifests (O(metadata), zero
+    data rewrite), appends extend file lists incrementally, restore is
+    zero-copy view registration, and vacuum enforces retention. This is
+    the round-3 answer to the "full-copy snapshot/branch is not usable
+    at 100 TB" gap; with Delta/Iceberg on the classpath it collapses to
+    shallow clone + RESTORE/time travel.
 """
 
 from __future__ import annotations
@@ -135,3 +143,248 @@ class SnapshotManager:
         """Point-in-time restore: resolve the timeline, then restore."""
         snap = self.snapshot_at(ts)
         return snap, self.restore(snap, target_namespace)
+
+
+# ---------------------------------------------------------------------------
+# Incremental manifest snapshots (the 100 TB path)
+# ---------------------------------------------------------------------------
+
+
+class VersionedStore:
+    """Manifest-based versioned table store: snapshots and branches are
+    O(metadata), never O(data).
+
+    The reference's PITR machinery is incremental — rollback logs keep
+    page pre-images and restore forks files copy-on-write
+    (pkg/backups/rollback_logger.go:12-34, snapshot_logger.go:16-27,
+    restore.go:29-56) — whereas SnapshotManager above rewrites every
+    table per snapshot. This store brings the same incrementality to the
+    Spark side with a miniature transaction log, the shape Delta/Iceberg
+    formalize (swap this class for Delta shallow clone + RESTORE when a
+    lake format is on the classpath):
+
+      * every write lands in a fresh immutable transaction directory
+        ``store/<table>/tx<k>``; nothing is ever modified in place;
+      * a version is a FILE LIST: overwrite starts a new list, append
+        extends the previous one (so appends never rewrite history);
+      * a snapshot pins {table: version} — one small JSON, zero data IO;
+      * restore/branch resolve pinned file lists and read them in place
+        (zero-copy); a branch forks the version log (O(tables)) and
+        diverges on subsequent writes while sharing all parent files;
+      * vacuum deletes files unreachable from any snapshot, branch, or
+        head version (the reference's VACUUM gate + retention analog).
+
+    At 100 TB: snapshot/branch cost is a few KB of JSON regardless of
+    data size, exactly like the reference's snapshot log; data files are
+    written once by the normal (distributed) write path.
+    """
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        for d in ("store", "_log", "snapshots"):
+            os.makedirs(os.path.join(root, d), exist_ok=True)
+
+    # -- version log --------------------------------------------------------
+
+    def _log_path(self, ns: str, table: str) -> str:
+        return os.path.join(self.root, "_log", ns, f"{table}.json")
+
+    def _read_log(self, ns: str, table: str) -> list[dict]:
+        p = self._log_path(ns, table)
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return json.load(f)
+
+    def _append_log(self, ns: str, table: str, entry: dict) -> None:
+        log = self._read_log(ns, table)
+        log.append(entry)
+        p = self._log_path(ns, table)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(log, f)
+        os.replace(tmp, p)  # atomic manifest swap, crash = old manifest
+
+    def tables(self, namespace: str = "main") -> list[str]:
+        d = os.path.join(self.root, "_log", namespace)
+        if not os.path.isdir(d):
+            return []
+        return sorted(f[:-5] for f in os.listdir(d) if f.endswith(".json"))
+
+    # -- write side ---------------------------------------------------------
+
+    def write(
+        self,
+        table: str,
+        df: DataFrame,
+        mode: str = "overwrite",
+        namespace: str = "main",
+    ) -> int:
+        """Commit a new version; returns the version number. ``append``
+        reuses every prior file (incremental); ``overwrite`` starts a
+        fresh file list but leaves old files for snapshots/branches."""
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+        log = self._read_log(namespace, table)
+        version = (log[-1]["version"] + 1) if log else 1
+        txdir = os.path.join(
+            self.root, "store", table, f"{namespace}-tx{version:08d}"
+        )
+        df.write.mode("errorifexists").parquet(txdir)
+        new_files = sorted(
+            os.path.join(txdir, f)
+            for f in os.listdir(txdir)
+            if f.endswith(".parquet")
+        )
+        files = (
+            (log[-1]["files"] + new_files)
+            if (mode == "append" and log)
+            else new_files
+        )
+        self._append_log(
+            namespace,
+            table,
+            {
+                "version": version,
+                "mode": mode,
+                "ts": time.time(),
+                "files": files,
+            },
+        )
+        return version
+
+    # -- read side ----------------------------------------------------------
+
+    def files(
+        self, table: str, version: int | None = None, namespace: str = "main"
+    ) -> list[str]:
+        log = self._read_log(namespace, table)
+        if not log:
+            raise LookupError(f"unknown table {namespace}.{table}")
+        if version is None:
+            return log[-1]["files"]
+        for entry in log:
+            if entry["version"] == version:
+                return entry["files"]
+        raise LookupError(f"{namespace}.{table} has no version {version}")
+
+    def read(
+        self, table: str, version: int | None = None, namespace: str = "main"
+    ) -> DataFrame:
+        """Time travel: read a pinned version's file list in place."""
+        return self.spark.read.parquet(*self.files(table, version, namespace))
+
+    def current_versions(self, namespace: str = "main") -> dict[str, int]:
+        return {
+            t: self._read_log(namespace, t)[-1]["version"]
+            for t in self.tables(namespace)
+        }
+
+    # -- snapshots (O(metadata)) --------------------------------------------
+
+    def snapshot(self, label: str = "", namespace: str = "main") -> SnapshotInfo:
+        """Pin the namespace's current versions. Writes ONE small JSON —
+        no table data is copied or rewritten."""
+        created = time.time()
+        snap_id = f"{int(created * 1e6):018d}"
+        manifest = {
+            "snapshot_id": snap_id,
+            "created_at": created,
+            "label": label,
+            "namespace": namespace,
+            "versions": self.current_versions(namespace),
+        }
+        path = os.path.join(self.root, "snapshots", f"{snap_id}.json")
+        with open(path, "w") as f:
+            json.dump(manifest, f)
+        return SnapshotInfo(
+            snapshot_id=snap_id,
+            created_at=created,
+            label=label,
+            tables=sorted(manifest["versions"]),
+            path=path,
+        )
+
+    def list_snapshots(self) -> list[dict]:
+        out = []
+        d = os.path.join(self.root, "snapshots")
+        for name in sorted(os.listdir(d)):
+            with open(os.path.join(d, name)) as f:
+                out.append(json.load(f))
+        return out
+
+    def snapshot_at(self, ts: float) -> dict:
+        cands = [s for s in self.list_snapshots() if s["created_at"] <= ts]
+        if not cands:
+            raise LookupError(f"no snapshot at or before {ts}")
+        return cands[-1]
+
+    # -- restore / branch (zero-copy) ---------------------------------------
+
+    def restore_at(self, ts: float, view_prefix: str) -> list[str]:
+        """Point-in-time restore: register ``<prefix>__<table>`` temp
+        views over the pinned file lists. Zero data movement — the views
+        read the original immutable files."""
+        snap = self.snapshot_at(ts)
+        ns = snap["namespace"]
+        out = []
+        for table, version in sorted(snap["versions"].items()):
+            self.read(table, version, ns).createOrReplaceTempView(
+                f"{view_prefix}__{table}"
+            )
+            out.append(table)
+        return out
+
+    def create_branch(self, branch: str, source: str = "main") -> list[str]:
+        """Fork a namespace: copy the version LOGS (a few KB), share all
+        data files. Writes to the branch diverge; the parent is
+        untouched (reference: branch.go:15-30 forks metadata, restore.go
+        forks files copy-on-write)."""
+        src_dir = os.path.join(self.root, "_log", source)
+        dst_dir = os.path.join(self.root, "_log", branch)
+        if os.path.exists(dst_dir):
+            raise FileExistsError(f"branch {branch!r} already exists")
+        os.makedirs(dst_dir)
+        forked = []
+        for t in self.tables(source):
+            with open(self._log_path(source, t)) as f:
+                log = json.load(f)
+            with open(self._log_path(branch, t), "w") as f:
+                json.dump(log, f)
+            forked.append(t)
+        return forked
+
+    # -- retention ----------------------------------------------------------
+
+    def vacuum(self) -> list[str]:
+        """Delete data files unreachable from every snapshot-pinned
+        version and every namespace's head version. Unpinned history
+        becomes unreadable afterwards — the same retention contract as
+        Delta VACUUM. Returns deleted paths."""
+        live: set[str] = set()
+        for snap in self.list_snapshots():
+            ns = snap["namespace"]
+            for t, v in snap["versions"].items():
+                live.update(self.files(t, v, ns))
+        log_root = os.path.join(self.root, "_log")
+        for ns in os.listdir(log_root):
+            for t in self.tables(ns):
+                live.update(self._read_log(ns, t)[-1]["files"])
+        deleted = []
+        store = os.path.join(self.root, "store")
+        for table in os.listdir(store):
+            tdir = os.path.join(store, table)
+            for tx in os.listdir(tdir):
+                txdir = os.path.join(tdir, tx)
+                fs = [
+                    os.path.join(txdir, f)
+                    for f in os.listdir(txdir)
+                    if f.endswith(".parquet")
+                ]
+                if fs and not any(f in live for f in fs):
+                    for f in fs:
+                        os.remove(f)
+                        deleted.append(f)
+        return deleted

@@ -103,3 +103,94 @@ def test_multimodal_resize_and_frames(spark, sf_dir):
     assert frames.count() == 4 * n_docs  # 1:N contract
     per_doc = frames.groupBy("doc_id").count().select("count").distinct().collect()
     assert [r["count"] for r in per_doc] == [4]
+
+
+# -- VersionedStore: incremental manifest snapshots (A21 scale path) --------
+
+
+def _parquet_files(root):
+    import os
+
+    out = []
+    for dirpath, _, files in os.walk(root):
+        out += [f"{dirpath}/{f}" for f in files if f.endswith(".parquet")]
+    return sorted(out)
+
+
+def test_versioned_snapshot_writes_no_data(spark, sf_dir, tmp_path):
+    """Snapshotting pins versions with ONE manifest JSON: the data-file
+    set under the store is bit-identical before and after — no rewrite
+    for unchanged tables (the O(data) flaw of full-copy snapshots)."""
+    from litebase_spark.snapshots import VersionedStore
+
+    vs = VersionedStore(spark, str(tmp_path / "vstore"))
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    vs.write("nation", nation)
+    vs.write("region", region)
+    before = _parquet_files(str(tmp_path / "vstore"))
+    s1 = vs.snapshot(label="pin-both")
+    s2 = vs.snapshot(label="pin-again")
+    assert _parquet_files(str(tmp_path / "vstore")) == before
+    assert s1.snapshot_id != s2.snapshot_id
+    assert vs.read("nation").count() == nation.count()
+
+
+def test_versioned_append_reuses_prior_files(spark, sf_dir, tmp_path):
+    from litebase_spark.snapshots import VersionedStore
+
+    vs = VersionedStore(spark, str(tmp_path / "vstore"))
+    nation = load(spark, sf_dir, "nation")
+    vs.write("nation", nation.filter(F.col("n_nationkey") < 10))
+    v1_files = set(vs.files("nation"))
+    vs.write("nation", nation.filter(F.col("n_nationkey") >= 10), mode="append")
+    v2_files = set(vs.files("nation"))
+    assert v1_files < v2_files  # appends extend, never rewrite
+    assert vs.read("nation").count() == nation.count()
+    assert vs.read("nation", version=1).count() == nation.filter(
+        F.col("n_nationkey") < 10
+    ).count()
+
+
+def test_versioned_pitr_and_zero_copy_restore(spark, sf_dir, tmp_path):
+    from litebase_spark.snapshots import VersionedStore
+
+    vs = VersionedStore(spark, str(tmp_path / "vstore"))
+    nation = load(spark, sf_dir, "nation")
+    vs.write("nation", nation)
+    vs.snapshot(label="v1")
+    t_between = time.time()
+    time.sleep(0.01)
+    vs.write("nation", nation.limit(5))
+    vs.snapshot(label="v2")
+    before = _parquet_files(str(tmp_path / "vstore"))
+    restored = vs.restore_at(t_between, "pitr")
+    assert restored == ["nation"]
+    # zero-copy: restore registered views, wrote nothing
+    assert _parquet_files(str(tmp_path / "vstore")) == before
+    back = spark.table("pitr__nation")
+    assert back.count() == nation.count()  # pre-overwrite state
+    assert vs.read("nation").count() == 5  # head unaffected by restore
+
+
+def test_versioned_branch_diverges_and_vacuum(spark, sf_dir, tmp_path):
+    from litebase_spark.snapshots import VersionedStore
+
+    vs = VersionedStore(spark, str(tmp_path / "vstore"))
+    nation = load(spark, sf_dir, "nation")
+    vs.write("nation", nation)
+    before = _parquet_files(str(tmp_path / "vstore"))
+    assert vs.create_branch("dev") == ["nation"]
+    # branch fork is metadata-only
+    assert _parquet_files(str(tmp_path / "vstore")) == before
+    vs.write("nation", nation.limit(5), namespace="dev", mode="append")
+    assert vs.read("nation", namespace="dev").count() == nation.count() + 5
+    assert vs.read("nation").count() == nation.count()  # parent untouched
+    # main overwrites; v1 files remain live as part of dev's head
+    vs.write("nation", nation.limit(3))
+    deleted = vs.vacuum()
+    assert deleted == []
+    vs.write("nation", nation.limit(2), namespace="dev")  # dev overwrites
+    assert len(vs.vacuum()) > 0  # now v1 files are unreachable
+    assert vs.read("nation").count() == 3
+    assert vs.read("nation", namespace="dev").count() == 2
