@@ -699,6 +699,266 @@ def fts_match_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# FTS5 MATCH syntax completion: NEAR(), column filters, ^-initial, and a
+# MATCH-string compiler (reference enables full FTS5: pkg/sqlite3/sqlite3.go:20)
+# ---------------------------------------------------------------------------
+
+
+def fts_near(
+    docs: DataFrame,
+    term_a: str,
+    term_b: str,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """FTS5 ``NEAR(a b, n)`` as posting-list algebra: terms a and b with
+    at most n tokens strictly between an occurrence of each. Scale path:
+    the position postings are pruned to the two query terms BEFORE the
+    shuffle (the isin filter reaches the scan), the join is keyed by
+    doc and bounded by term frequency — never positions x positions
+    across documents. Emits (doc, min_gap)."""
+    pos = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("p", "term"),
+    ).filter(F.col("term").isin([term_a, term_b]))
+    a = pos.filter(F.col("term") == term_a).select(id_col, F.col("p").alias("pa"))
+    b = pos.filter(F.col("term") == term_b).select(id_col, F.col("p").alias("pb"))
+    gap = F.abs(F.col("pa") - F.col("pb")) - 1
+    return (
+        a.join(b, id_col)
+        .groupBy(id_col)
+        .agg(F.min(gap).cast("long").alias("min_gap"))
+        .filter(F.col("min_gap") <= n)
+    )
+
+
+@query(
+    "fts_match_near",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text),
+               '[^a-z0-9]+'), w -> length(w) > 0) AS w
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, UNNEST(list_transform(range(1, len(w) + 1),
+               i -> {'p': i, 'term': w[i]}), recursive := true)
+      FROM tok
+    ), pa AS (SELECT doc_id, p FROM pos WHERE term = 'table'),
+    pb AS (SELECT doc_id, p FROM pos WHERE term = 'scan')
+    SELECT pa.doc_id, MIN(ABS(pa.p - pb.p) - 1) AS min_gap
+    FROM pa JOIN pb ON pa.doc_id = pb.doc_id
+    GROUP BY pa.doc_id HAVING MIN(ABS(pa.p - pb.p) - 1) <= 3
+    """,
+    description="FTS5 NEAR(table scan, 3) MATCH: proximity retrieval via "
+    "position postings. Postings are pruned to the two query terms "
+    "before any shuffle, the position join is keyed by doc_id and "
+    "bounded by per-doc term frequency, and one aggregate takes the "
+    "minimum gap — no cross-document position blowup at any corpus "
+    "size. Completes the FTS5 MATCH surface the reference enables "
+    "(pkg/sqlite3/sqlite3.go:20) alongside boolean/phrase/prefix.",
+    tags=("text", "fts"),
+)
+def fts_match_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    return fts_near(d, "table", "scan", 3)
+
+
+def _fts_positions(toks, term: str):
+    """1-based positions of term (JVM higher-order, no index hazards)."""
+    pairs = F.transform(
+        toks,
+        lambda x, i: F.struct((i + F.lit(1)).alias("p"), x.alias("w")),
+    )
+    return F.transform(
+        F.filter(pairs, lambda s: s["w"] == F.lit(term)), lambda s: s["p"]
+    )
+
+
+def _fts_tokenize_match(match: str) -> list[str]:
+    import re as _re
+
+    return _re.findall(r'"[^"]*"|\(|\)|,|:|\^|\*|[A-Za-z0-9_]+', match)
+
+
+def fts5_compile(match: str, columns: dict[str, F.Column], default: str):
+    """Compile an FTS5 MATCH string to ONE boolean Column over per-column
+    token arrays — the whole predicate evaluates inside whole-stage
+    codegen as a narrow map (no UDF, no join) and composes with the
+    posting-list operators for the selective-first plan.
+
+    Supported surface (the practical FTS5 query grammar,
+    www.sqlite.org/fts5.html#full_text_query_syntax): implicit AND,
+    OR, binary NOT, parentheses, "phrases", prefix*, ^initial,
+    col:term / col:(...) column filters, NEAR(a b, n) with two terms.
+    `columns` maps column name -> token-array Column; `default` names
+    the column unfiltered atoms search.
+    """
+    toks_list = list(_fts_tokenize_match(match))
+    pos = [0]
+
+    def peek():
+        return toks_list[pos[0]] if pos[0] < len(toks_list) else None
+
+    def take(expected=None):
+        t = peek()
+        if t is None or (expected is not None and t != expected):
+            raise ValueError(f"FTS5 parse error at {t!r} in {match!r}")
+        pos[0] += 1
+        return t
+
+    def atom_col(word: str, col: str, initial: bool):
+        t = columns[col]
+        if peek() == "*":
+            take("*")
+            pref = word.lower()
+            if initial:
+                first = F.try_element_at(t, F.lit(1))
+                return first.isNotNull() & first.startswith(pref)
+            return F.exists(t, lambda w: w.startswith(pref))
+        w = word.lower()
+        if initial:
+            return F.try_element_at(t, F.lit(1)) == w
+        return F.array_contains(t, w)
+
+    def phrase_col(quoted: str, col: str):
+        words = [w for w in quoted.strip('"').lower().split() if w]
+        if not words:
+            raise ValueError(f"empty phrase in {match!r}")
+        t = columns[col]
+        first = _fts_positions(t, words[0])
+        cond = lambda p: F.lit(True)
+        if len(words) > 1:
+            def cond(p):
+                c = F.lit(True)
+                for k, w in enumerate(words[1:], start=1):
+                    c = c & (F.try_element_at(t, p + k) == w)
+                return c
+        return F.exists(first, cond)
+
+    def near_group(col: str):
+        take("(")
+        terms = []
+        while peek() not in (",", ")"):
+            terms.append(take())
+        nval = 10  # FTS5 default N
+        if peek() == ",":
+            take(",")
+            nval = int(take())
+        take(")")
+        if len(terms) != 2:
+            raise ValueError("NEAR supports exactly two terms here")
+        t = columns[col]
+        pa = _fts_positions(t, terms[0].lower())
+        pb = _fts_positions(t, terms[1].lower())
+        return F.exists(
+            pa, lambda p: F.exists(pb, lambda q: F.abs(p - q) - 1 <= nval)
+        )
+
+    def primary(col: str):
+        t = peek()
+        if t == "(":
+            take("(")
+            e = expr(col)
+            take(")")
+            return e
+        if t == "NEAR":
+            take("NEAR")
+            return near_group(col)
+        if t == "^":
+            take("^")
+            return atom_col(take(), col, initial=True)
+        if t is not None and t.startswith('"'):
+            return phrase_col(take(), col)
+        word = take()
+        if peek() == ":":
+            if word not in columns:
+                raise ValueError(f"unknown column {word!r} in {match!r}")
+            take(":")
+            return primary(word)
+        return atom_col(word, col, initial=False)
+
+    def not_expr(col: str):
+        e = primary(col)
+        while peek() == "NOT":
+            take("NOT")
+            e = e & ~primary(col)
+        return e
+
+    def and_expr(col: str):
+        e = not_expr(col)
+        while peek() is not None and peek() not in (")", "OR"):
+            if peek() == "AND":
+                take("AND")
+            e = e & not_expr(col)
+        return e
+
+    def expr(col: str):
+        e = and_expr(col)
+        while peek() == "OR":
+            take("OR")
+            e = e | and_expr(col)
+        return e
+
+    out = expr(default)
+    if peek() is not None:
+        raise ValueError(f"trailing {peek()!r} in {match!r}")
+    return out
+
+
+_FTS_SYNTAX_MATCH = (
+    'source : src3 AND (NEAR(table scan, 3) OR "big table") NOT merge'
+)
+
+
+@query(
+    "fts_match_syntax_full",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, n_chars, text,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+               w -> length(w) > 0) AS w,
+             list_filter(string_split_regex(lower(source), '[^a-z0-9]+'),
+               s -> length(s) > 0) AS sw
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, UNNEST(list_transform(range(1, len(w) + 1),
+               i -> {'p': i, 'term': w[i]}), recursive := true)
+      FROM tok
+    ), near_hits AS (
+      SELECT pa.doc_id FROM
+        (SELECT doc_id, p FROM pos WHERE term = 'table') pa
+        JOIN (SELECT doc_id, p FROM pos WHERE term = 'scan') pb
+          ON pa.doc_id = pb.doc_id
+      GROUP BY pa.doc_id HAVING MIN(ABS(pa.p - pb.p) - 1) <= 3
+    )
+    SELECT t.doc_id, t.n_chars
+    FROM tok t
+    WHERE list_contains(t.sw, 'src3')
+      AND (t.doc_id IN (SELECT doc_id FROM near_hits)
+           OR regexp_matches(lower(t.text),
+              '(^|[^a-z0-9])big[^a-z0-9]+table([^a-z0-9]|$)'))
+      AND NOT list_contains(t.w, 'merge')
+    """,
+    description="Compiled FTS5 MATCH string — 'source : src3 AND "
+    "(NEAR(table scan, 3) OR \"big table\") NOT merge' — through the "
+    "fts5_compile recursive-descent parser: column filters, NEAR "
+    "proximity, phrase adjacency, boolean algebra, all compiled into a "
+    "single JVM boolean expression evaluated as a narrow codegen map "
+    "(zero UDFs, zero joins). At 100 TB this is the verify stage over "
+    "posting-list candidates; standalone it is one full-scan map.",
+    tags=("text", "fts"),
+)
+def fts_match_syntax_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    cols = {"text": tokens("text"), "source": tokens("source")}
+    pred = fts5_compile(_FTS_SYNTAX_MATCH, cols, default="text")
+    return d.filter(pred).select("doc_id", "n_chars")
+
+
 _CONTAM_THRESHOLD = 0.2
 _N_PROBES = 25  # fixture probe set: doc_id < 25 plays the benchmark
 

@@ -109,6 +109,56 @@ def test_fts_match_semantics(spark):
     assert got == {1: 3, 5: 3}
 
 
+def test_fts5_compile_surface(spark):
+    """Every FTS5 MATCH construct the compiler claims, against a tiny
+    corpus with hand-computed expected hits."""
+    from pyspark.sql import functions as F
+
+    from litebase_spark.operators.text import fts5_compile, tokens
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the big table scan runs fast", "alpha"),
+            (2, "big data table", "beta"),          # big..table gap 1
+            (3, "table of big sizes", "alpha"),     # reversed order
+            (4, "streaming merge of a table", "beta"),
+            (5, "Big Table!", "beta"),              # phrase, case/punct
+        ],
+        "doc_id int, text string, src string",
+    )
+    cols = {"text": tokens("text"), "src": tokens("src")}
+
+    def hits(match):
+        pred = fts5_compile(match, cols, default="text")
+        return sorted(
+            r.doc_id for r in docs.filter(pred).select("doc_id").collect()
+        )
+
+    assert hits('"big table"') == [1, 5]          # phrase adjacency
+    assert hits("NEAR(big table, 1)") == [1, 2, 3, 5]  # gap<=1 either order
+    assert hits("NEAR(big table, 0)") == [1, 5]  # adjacency only
+    assert hits("big NOT merge") == [1, 2, 3, 5]
+    assert hits("src : beta AND table") == [2, 4, 5]
+    assert hits("^the") == [1]                    # initial token
+    assert hits("str*") == [4]                    # prefix
+    assert hits("^str* OR scan") == [1, 4]        # initial-prefix + OR
+    assert hits("table AND (big OR merge)") == [1, 2, 3, 4, 5]
+    assert hits("src:(beta OR alpha) sizes") == [3]  # column group, implicit AND
+    # FTS5 default N=10 when omitted
+    assert hits("NEAR(big fast)") == [1]
+
+
+def test_fts5_compile_rejects_garbage(spark):
+    import pytest as _pytest
+
+    from litebase_spark.operators.text import fts5_compile, tokens
+
+    cols = {"text": tokens("text")}
+    for bad in ("a AND", "(a", 'a ")', "nosuchcol : x", "NEAR(a b c, 2)"):
+        with _pytest.raises(ValueError):
+            fts5_compile(bad, cols, default="text")
+
+
 def test_json_tree_walk_nested_arrays(spark):
     from litebase_spark.operators.functions_cov import json_tree_walk
 
