@@ -255,19 +255,15 @@ def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(n_cells, "o_orderpriority")
 
 
-@query(
-    "sketch_hll_union",
-    oracle=None,  # DataSketches binary sketches have no SQL oracle
-    description="The agg_hll_sketch_rollup pattern on builtin Apache "
-    "DataSketches HLL (hll_sketch_agg per cell, hll_union_agg to merge): "
-    "binary kilobyte sketches, the interoperable production format at "
-    "100 TB. Rows-only check by nature (engine-specific estimator); the "
-    "test asserts the merged estimate equals a direct one-pass sketch "
-    "(lossless merge) and lands within 5% of exact COUNT(DISTINCT) — "
-    "and the portable-HLL twin query IS oracle-exact.",
-    tags=("agg", "approx", "sketch"),
-)
-def sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+def datasketches_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Builtin Apache DataSketches HLL variant of the union pattern
+    (hll_sketch_agg per cell, hll_union_agg to merge): binary kilobyte
+    sketches, the interoperable production format at 100 TB. Its
+    estimator is engine-specific (no SQL oracle can reproduce it), so
+    it lives as a helper verified in pytest — lossless merge vs a
+    direct one-pass sketch, estimate within 5% of exact — while the
+    registered sketch_hll_union below runs the same dataflow on the
+    portable register representation and is oracle-exact."""
     o = load(spark, sf_dir, "orders")
     cells = o.groupBy(
         "o_orderpriority", F.year("o_orderdate").alias("o_year")
@@ -279,3 +275,104 @@ def sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_cells"),
         )
     )
+
+
+@query(
+    "sketch_hll_union",
+    oracle=f"""
+    WITH h AS (
+      SELECT o_orderpriority AS pri, year(o_orderdate) AS y,
+             {h60_duck("CAST(o_custkey AS VARCHAR)")} AS h
+      FROM orders
+    ), cells AS (
+      SELECT pri, y, h >> 52 AS idx, MAX({_RHO_DUCK}) AS mrho
+      FROM h GROUP BY pri, y, idx
+    ), by_year AS (
+      SELECT y, idx, MAX(mrho) AS mrho FROM cells GROUP BY y, idx
+    ), yagg AS (
+      SELECT y, CAST(SUM(1::BIGINT << (53 - mrho)) AS BIGINT) AS sp,
+             COUNT(*) AS nr
+      FROM by_year GROUP BY y
+    ), yest AS (
+      SELECT y, {hll_estimate_duck('sp', 'nr')} AS est_custs FROM yagg
+    ), ync AS (
+      SELECT y, CAST(COUNT(DISTINCT pri) AS BIGINT) AS n_cells
+      FROM cells GROUP BY y
+    ), total AS (
+      SELECT idx, MAX(mrho) AS mrho FROM cells GROUP BY idx
+    ), tagg AS (
+      SELECT CAST(SUM(1::BIGINT << (53 - mrho)) AS BIGINT) AS sp,
+             COUNT(*) AS nr
+      FROM total
+    )
+    SELECT CAST(yest.y AS BIGINT) AS o_year, est_custs, n_cells
+    FROM yest JOIN ync ON yest.y = ync.y
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT) AS o_year,
+           {hll_estimate_duck('sp', 'nr')} AS est_custs,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM (SELECT DISTINCT pri, y FROM cells)) AS n_cells
+    FROM tagg
+    """,
+    description="HLL sketch UNION across slices: the per-(priority, "
+    "year) register states from ONE scan are unioned by register-wise "
+    "MAX along the orthogonal axis to agg_hll_sketch_rollup — per-year "
+    "estimates across priorities plus the grand total (o_year = -1), "
+    "demonstrating that the same kilobyte sketch states answer every "
+    "grain without rescanning the data. Portable deterministic HLL "
+    "(functions/portable.py), so merged estimates are oracle-exact; "
+    "the Apache DataSketches binary-sketch twin (engine-specific "
+    "estimator, no SQL oracle) lives in datasketches_hll_union and is "
+    "pytest-verified for lossless merge.",
+    tags=("agg", "approx", "sketch"),
+)
+def sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    cells = (
+        o.select(
+            "o_orderpriority",
+            F.year("o_orderdate").alias("o_year"),
+            F.expr(h60_spark("CAST(o_custkey AS STRING)")).alias("h"),
+        )
+        .select(
+            "o_orderpriority",
+            "o_year",
+            F.expr("shiftrightunsigned(h, 52)").alias("idx"),
+            F.expr(_RHO_SPARK).alias("rho"),
+        )
+        .groupBy("o_orderpriority", "o_year", "idx")
+        .agg(F.max("rho").alias("mrho"))
+        .localCheckpoint(eager=True)  # one scan feeds every union grain
+    )
+
+    def estimate(grouped, keys: list[str]):
+        agg = grouped.agg(
+            F.sum(F.expr("shiftleft(1L, 53 - mrho)")).alias("sp"),
+            F.count(F.lit(1)).alias("nr"),
+        )
+        return agg.select(
+            *keys, F.expr(hll_estimate_spark("sp", "nr")).alias("est_custs")
+        )
+
+    by_year = cells.groupBy("o_year", "idx").agg(F.max("mrho").alias("mrho"))
+    yest = estimate(by_year.groupBy("o_year"), ["o_year"])
+    ync = cells.groupBy("o_year").agg(
+        F.count_distinct("o_orderpriority").alias("n_cells")
+    )
+    years = yest.join(ync, "o_year").select(
+        F.col("o_year").cast("long").alias("o_year"), "est_custs", "n_cells"
+    )
+    total_regs = cells.groupBy("idx").agg(F.max("mrho").alias("mrho"))
+    tot_nc = (
+        cells.select("o_orderpriority", "o_year")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_cells"))
+    )
+    total = (
+        estimate(total_regs.groupBy(), [])
+        .crossJoin(tot_nc)
+        .select(
+            F.lit(-1).cast("long").alias("o_year"), "est_custs", "n_cells"
+        )
+    )
+    return years.unionAll(total)

@@ -249,9 +249,11 @@ def test_hll_sketch_rollup_lossless_merge(spark, sf_dir):
     merge at equal precision), and estimates land within 5% of exact."""
     from pyspark.sql import functions as F
 
+    from litebase_spark.operators.skew import datasketches_hll_union
+
     out = {
         r["o_orderpriority"]: r["est_custs"]
-        for r in REGISTRY["sketch_hll_union"].builder(spark, sf_dir).collect()
+        for r in datasketches_hll_union(spark, sf_dir).collect()
     }
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     direct = {
