@@ -1,22 +1,32 @@
-"""Scale audit: sweep every registered query's physical plan for
-100 TB anti-patterns and write PLAN_AUDIT.md.
+"""Scale audit + regression gate: sweep every registered query's
+physical plan for 100 TB anti-patterns, write PLAN_AUDIT.md, and EXIT
+NON-ZERO on any flag (run it like a test; a new anti-pattern blocks the
+round the way a failing pytest does).
 
 Flags per query:
-  * CARTESIAN   — CartesianProduct / BroadcastNestedLoopJoin (allowed for
-                  the declared broadcast-NL operators: theta joins, knn
-                  query-side cross joins — listed in _ALLOWED_NL)
-  * PYTHON      — BatchEvalPython (row-at-a-time Python UDF: always a
-                  bug); ArrowEvalPython / mapInPandas are fine but listed
-                  so the set of Python-touching operators stays reviewed
-  * NO_PUSHDOWN — a parquet scan whose PushedFilters is empty while the
-                  plan filters directly above the scan (missed pushdown)
-  * EXCHANGES   — shuffle count (informational; sorted descending)
+  * CARTESIAN       — CartesianProduct / BroadcastNestedLoopJoin outside
+                      the declared broadcast-NL operators (_ALLOWED_NL)
+  * PYTHON_ROW_UDF  — BatchEvalPython (row-at-a-time Python: always a bug)
+  * PYTHON_ARROW_UNREVIEWED — ArrowEvalPython / mapInPandas outside the
+                      reviewed kernel list (_ALLOWED_ARROW)
+  * EMPTY_PUSHDOWN_SCAN — a parquet scan with PushedFilters: [] while a
+                      Filter node references one of THAT scan's output
+                      columns (matched by exprId, so an unrelated Filter
+                      elsewhere in the plan does not trip it)
+  * DRIVER_COLLECT  — a registered query builder whose source calls
+                      .collect()/.toPandas()/.toLocalIterator() outside
+                      the O(k) allowlist (_ALLOWED_COLLECT) — the
+                      "driver materializes the corpus" scale-killer class
 
-Run: python tools/plan_audit.py [sf_dir]    (default sf0.01)
+Run:  python tools/plan_audit.py [sf_dir]     (default sf0.01)
+      python tools/plan_audit.py --selftest   (prove the pushdown
+          heuristic trips on a known unpushed-filter plan)
 """
 
 from __future__ import annotations
 
+import ast
+import glob
 import re
 import sys
 
@@ -39,6 +49,7 @@ _ALLOWED_NL = {
     "knn_ivf_kmeans",
     "spatial_rtree_bbox_join",
     "q19_discounted_revenue",  # OR-of-conjuncts residual over broadcast
+    "sketch_hll_union",  # 1-row grand-total cross join onto estimates
 }
 
 # Operators that intentionally run Arrow-batched Python (mapInPandas /
@@ -56,6 +67,76 @@ _ALLOWED_ARROW = {
     "text_unigram_logppl",
     "stream_stateful_totals",
 }
+
+# Queries whose only scan-adjacent Filter is an EXPRESSION predicate
+# (computed from transforms/regex/arithmetic over scanned columns) that
+# parquet cannot evaluate — reviewed round 3, each condition verified
+# non-pushable by inspection of the formatted plan:
+_REVIEWED_NONPUSHABLE = {
+    "dedup_simhash",  # size(tokens(text)) > 0
+    "embedding_quantize_int8",  # array_max(|embedding|)/127 > 0
+    "fts_match_syntax_full",  # compiled FTS5 boolean over token arrays
+    "func_json_tree",  # RLIKE over rendered JSON
+    "geopoly_point_in_polygon",  # ray-cast aggregate over polygon rings
+    "pipeline_pack_sequences",  # size(tokens(text)) > 0
+    "spatial_rtree_bbox_join",  # derived bbox arithmetic (synth geometry)
+    "text_bm25",  # size(filter(tokens)) predicates
+    "text_chunk_dedup",  # token-count window predicate
+    "text_highlight_snippet",  # locate(term, lower(text)) > 0
+    "text_pii_scrub",  # regexp_extract_all counts > 0
+    "text_quality_score",  # computed quality components
+    "text_repetition_ratio",  # size(tokens) threshold
+    "text_topk_bigrams",  # size(tokens) >= 2
+}
+
+# Registered builders allowed a driver-side collect because it is O(k)
+# by construction, never O(data):
+_ALLOWED_COLLECT = {
+    "cte_recursive_sql": "1 row: recursion date bounds",
+    "knn_cosine_vectorized": "N_QUERIES (5) query vectors",
+}
+
+_SCAN_RE = re.compile(r"^\(\d+\) Scan parquet", re.M)
+_ID_RE = re.compile(r"#(\d+)")
+
+
+def _blocks(plan: str) -> list[str]:
+    """Formatted-explain operator blocks ('(N) NodeName' + detail lines)."""
+    out, cur = [], []
+    for line in plan.splitlines():
+        if re.match(r"^\(\d+\) ", line):
+            if cur:
+                out.append("\n".join(cur))
+            cur = [line]
+        elif cur:
+            cur.append(line)
+    if cur:
+        out.append("\n".join(cur))
+    return out
+
+
+def unpushed_scan_filters(plan: str) -> bool:
+    """True iff some parquet scan pushed NOTHING (Spark 4 omits the
+    PushedFilters line entirely in that case — the round-2 heuristic
+    grepped for 'PushedFilters: []' and could never match) while a
+    Filter node's condition references one of THAT scan's output
+    exprIds. Intentionally an eyeball flag: it also fires on genuinely
+    non-pushable predicates (expression filters), which belong in
+    _REVIEWED_NONPUSHABLE once reviewed."""
+    scans, filters = [], []
+    for b in _blocks(plan):
+        head = b.splitlines()[0]
+        if "Scan parquet" in head and (
+            "PushedFilters" not in b or "PushedFilters: []" in b
+        ):
+            m = re.search(r"Output \[\d+\]: \[(.*?)\]", b, re.S)
+            if m:
+                scans.append(set(_ID_RE.findall(m.group(1))))
+        elif ") Filter" in head:
+            m = re.search(r"Condition : (.*)", b)
+            if m:
+                filters.append(set(_ID_RE.findall(m.group(1))))
+    return any(s & f for s in scans for f in filters)
 
 
 def audit_plan(name: str, plan: str, simple: str) -> list[str]:
@@ -77,18 +158,70 @@ def audit_plan(name: str, plan: str, simple: str) -> list[str]:
         and name not in _ALLOWED_ARROW
     ):
         flags.append("PYTHON_ARROW_UNREVIEWED")
-    # missed pushdown: a scan with no pushed filters but a Filter right
-    # above it mentioning a scanned column
-    for scan in re.finditer(r"PushedFilters: \[\]", plan):
-        # crude but effective: any empty-pushdown scan in a plan that
-        # also contains a Filter node is worth an eyeball
-        if "Filter (" in plan or "+- Filter" in plan:
-            flags.append("EMPTY_PUSHDOWN_SCAN")
-            break
+    if name not in _REVIEWED_NONPUSHABLE and unpushed_scan_filters(plan):
+        flags.append("EMPTY_PUSHDOWN_SCAN")
     return flags
 
 
+def collect_violations() -> list[str]:
+    """AST-scan operator sources: registered builders must not collect
+    to the driver outside the O(k) allowlist."""
+    builder_names = {spec.builder.__name__ for spec in REGISTRY.values()}
+    bad = []
+    for path in glob.glob("litebase_spark/operators/**/*.py", recursive=True):
+        tree = ast.parse(open(path).read())
+        for node in ast.walk(tree):
+            if not isinstance(node, ast.FunctionDef):
+                continue
+            if node.name not in builder_names:
+                continue
+            if node.name in _ALLOWED_COLLECT:
+                continue
+            for sub in ast.walk(node):
+                if (
+                    isinstance(sub, ast.Call)
+                    and isinstance(sub.func, ast.Attribute)
+                    and sub.func.attr
+                    in ("collect", "toPandas", "toLocalIterator")
+                ):
+                    bad.append(f"{node.name} ({path}:{sub.lineno})")
+    return bad
+
+
+def selftest() -> int:
+    """The pushdown heuristic must trip on a plan where a pushable
+    filter was (deliberately) not pushed, and stay quiet when it is."""
+    spark = get_spark("plan-audit-selftest")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+    df_path = "/root/testdata/sf0.001/nation.parquet"
+
+    def formatted(df):
+        return df._jdf.queryExecution().explainString(
+            mode.fromString("formatted")
+        )
+
+    from pyspark.sql import functions as F
+
+    # coalesce defeats pushdown (and even the implied IsNotNull), so the
+    # scan block carries no PushedFilters line at all — the exact shape
+    # the round-2 'PushedFilters: []' grep could never see.
+    bad = formatted(
+        spark.read.parquet(df_path).filter(
+            F.coalesce(F.col("n_regionkey"), F.lit(0)) == 1
+        )
+    )
+    good = formatted(
+        spark.read.parquet(df_path).filter(F.col("n_regionkey") == 1)
+    )
+    assert unpushed_scan_filters(bad), "known-bad plan did not trip the flag"
+    assert not unpushed_scan_filters(good), "pushed plan tripped the flag"
+    print("selftest ok: unpushed-filter plan trips, pushed plan does not")
+    return 0
+
+
 def main() -> int:
+    if "--selftest" in sys.argv:
+        return selftest()
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("plan-audit")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -107,19 +240,32 @@ def main() -> int:
         n_ex = plan.count("Exchange")
         rows.append((name, n_ex, audit_plan(name, plan, simple)))
 
+    collects = collect_violations()
     flagged = [(n, x, f) for n, x, f in rows if f]
     rows.sort(key=lambda r: -r[1])
     with open("PLAN_AUDIT.md", "w") as out:
         out.write(
-            "# PLAN_AUDIT — physical-plan scale audit\n\n"
+            "# PLAN_AUDIT — physical-plan scale audit (regression gate)\n\n"
             f"Swept {len(rows)} registered queries at {sf_dir} "
-            "(tools/plan_audit.py; re-run per round).\n\n"
+            "(tools/plan_audit.py; exits non-zero on any flag — run per "
+            "round like a test).\n\n"
         )
         out.write(f"## Flags ({len(flagged)})\n\n")
         if not flagged:
             out.write("None — every plan is clean under the audit rules.\n")
         for n, x, f in flagged:
             out.write(f"- **{n}**: {', '.join(f)}\n")
+        out.write(f"\n## Driver-collect violations ({len(collects)})\n\n")
+        if not collects:
+            out.write(
+                "None. O(k) allowlist: "
+                + "; ".join(
+                    f"`{k}` ({v})" for k, v in _ALLOWED_COLLECT.items()
+                )
+                + ".\n"
+            )
+        for c in collects:
+            out.write(f"- {c}\n")
         out.write("\n## Shuffle (Exchange) count, descending\n\n")
         out.write("| query | exchanges |\n|---|---|\n")
         for n, x, _ in rows[:25]:
@@ -129,10 +275,15 @@ def main() -> int:
             "coalesce or eliminate some at runtime. Allowed nested-loop "
             "and Arrow-Python operators are listed in the tool.)\n"
         )
-    print(f"{len(rows)} plans, {len(flagged)} flagged -> PLAN_AUDIT.md")
+    print(
+        f"{len(rows)} plans, {len(flagged)} flagged, "
+        f"{len(collects)} collect violations -> PLAN_AUDIT.md"
+    )
     for n, x, f in flagged:
         print(f"  {n}: {f}")
-    return 0
+    for c in collects:
+        print(f"  DRIVER_COLLECT: {c}")
+    return 1 if (flagged or collects) else 0
 
 
 if __name__ == "__main__":
