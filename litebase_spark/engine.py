@@ -498,23 +498,48 @@ class Engine:
     # (breaks file lineage, making self-overwrite safe) -> overwrite.
     # On a Delta/Iceberg catalog these methods become single SQL calls.
 
+    # `changes` counts ride the DML job itself via df.observe() — the
+    # Spark analog of reading commit operationMetrics (Delta) or
+    # sqlite3_changes (reference resolver.go:127-130). Round 2 ran a
+    # separate count() scan per statement; observations are computed by
+    # the same tasks that rewrite the data, so DML is one scan.
+
     def insert_rows(self, table: str, rows: list[tuple], schema=None) -> int:
-        df = self.spark.createDataFrame(rows, schema=schema or self.spark.table(table).schema)
-        df.write.insertInto(table)
-        return df.count()
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        df = self.spark.createDataFrame(
+            rows, schema=schema or self.spark.table(table).schema
+        )
+        obs = Observation()
+        df.observe(obs, F.count(F.lit(1)).alias("changes")).write.insertInto(
+            table
+        )
+        return obs.get["changes"]
 
     def insert_select(self, table: str, select_df) -> int:
-        n = select_df.count()
-        select_df.write.insertInto(table)
-        return n
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation()
+        select_df.observe(
+            obs, F.count(F.lit(1)).alias("changes")
+        ).write.insertInto(table)
+        return obs.get["changes"]
 
     def update_table(self, table: str, assignments: dict[str, str], where: str | None = None) -> int:
-        """UPDATE table SET col=expr[, ...] [WHERE cond]; returns changes."""
+        """UPDATE table SET col=expr[, ...] [WHERE cond]; returns changes
+        observed during the rewrite scan (no separate count job)."""
+        from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
         df = self.spark.table(table)
         cond = F.expr(where) if where else F.lit(True)
-        changes = df.filter(cond).count()
+        obs = Observation()
+        observed = df.observe(
+            obs,
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias("changes"),
+        )
         cols = []
         for c in df.columns:
             if c in assignments:
@@ -525,31 +550,47 @@ class Engine:
                 )
             else:
                 cols.append(F.col(c))
-        new_df = df.select(cols).localCheckpoint(eager=True)
+        new_df = observed.select(cols).localCheckpoint(eager=True)
+        changes = obs.get["changes"]
         new_df.write.mode("overwrite").saveAsTable(table)
-        return changes
+        return int(changes or 0)
 
     def delete_from(self, table: str, where: str | None = None) -> int:
-        """DELETE FROM table [WHERE cond]; returns changes."""
+        """DELETE FROM table [WHERE cond]; returns changes observed
+        during the rewrite scan (no separate count job)."""
+        from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
         df = self.spark.table(table)
         cond = F.expr(where) if where else F.lit(True)
-        changes = df.filter(cond).count()
-        new_df = df.filter(~cond).localCheckpoint(eager=True)
+        obs = Observation()
+        observed = df.observe(
+            obs,
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias("changes"),
+        )
+        new_df = observed.filter(~cond).localCheckpoint(eager=True)
+        changes = obs.get["changes"]
         new_df.write.mode("overwrite").saveAsTable(table)
-        return changes
+        return int(changes or 0)
 
     def merge_upsert(self, table: str, source, on: list[str]) -> int:
         """MERGE (upsert) analog: source rows replace matches and append
         the rest (reference upsert surface: INSERT ... ON CONFLICT,
-        SURVEY §2.B scans row)."""
+        SURVEY §2.B scans row). `changes` = source rows, observed on the
+        union branch of the same rewrite job."""
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
         df = self.spark.table(table)
+        obs = Observation()
+        observed_src = source.observe(
+            obs, F.count(F.lit(1)).alias("changes")
+        )
         kept = df.join(source, on=on, how="left_anti")
-        new_df = kept.unionByName(source).localCheckpoint(eager=True)
-        changes = source.count()
+        new_df = kept.unionByName(observed_src).localCheckpoint(eager=True)
+        changes = obs.get["changes"]
         new_df.write.mode("overwrite").saveAsTable(table)
-        return changes
+        return int(changes or 0)
 
     @staticmethod
     def _split_returning(statement: str):

@@ -93,7 +93,11 @@ def zorder_write(
     range-partition by zkey into ~n_files buckets, sort within, write
     parquet. Each output file then covers a small rectangle of the
     (cols[0], cols[1]) space, so min/max stats prune on either column."""
-    zkey = F.expr(_interleave_sql(f"({cols[0]} % 256)", f"({cols[1]} % 256)"))
+    # pmod, not %: Spark's % is sign-preserving, and a negative operand
+    # into the bit interleave makes colliding/meaningless Z keys.
+    zkey = F.expr(
+        _interleave_sql(f"pmod({cols[0]}, 256)", f"pmod({cols[1]}, 256)")
+    )
     (
         df.withColumn("__z", zkey)
         .repartitionByRange(n_files, "__z")

@@ -315,3 +315,25 @@ def test_engine_sql_accepts_sqlite_dialect_shims(spark, sf_dir):
         "unixepoch(TIMESTAMP '1996-01-01 00:00:00') AS c"
     )
     assert res.rows[0] == (5, 1.0, 820454400)
+
+
+def test_dml_changes_observed_no_extra_scan(engine, spark):
+    """`changes` rides the rewrite job via df.observe (the commit-
+    metrics analog): an UPDATE runs at most 2 jobs (checkpoint + write),
+    with NO separate count scan (round 2 ran 3)."""
+    eng = engine
+    eng.sql("DROP TABLE IF EXISTS t_obs")
+    eng.sql("CREATE TABLE t_obs (id BIGINT, v DOUBLE) USING PARQUET")
+    eng.sql("INSERT INTO t_obs VALUES (1,1.0),(2,2.0),(3,3.0),(4,4.0)")
+    sc = spark.sparkContext
+    sc.setJobGroup("dml-observe-test", "update under test")
+    try:
+        changes = eng.update_table("t_obs", {"v": "v + 10"}, "id >= 3")
+    finally:
+        sc.setJobGroup("", "")
+    assert changes == 2
+    jobs = sc.statusTracker().getJobIdsForGroup("dml-observe-test")
+    assert len(jobs) <= 2, f"expected checkpoint+write only, got {len(jobs)} jobs"
+    got = {r.id: r.v for r in eng.sql("SELECT * FROM t_obs").rows}
+    assert got == {1: 1.0, 2: 2.0, 3: 13.0, 4: 14.0}
+    eng.sql("DROP TABLE t_obs")

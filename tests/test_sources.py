@@ -143,3 +143,28 @@ def test_zorder_buckets_localize_both_dimensions(spark, sf_dir):
     # Z-buckets must localize the price dimension far better than a
     # custkey-leading sort key does (which leaves it near full-domain).
     assert z_spread < lex_spread / 2, (z_spread, lex_spread)
+
+
+def test_zorder_write_negative_values_valid_layout(spark, tmp_path):
+    """zorder_write must produce a valid clustered layout for columns
+    with NEGATIVE values (round-2 used sign-preserving %, which fed
+    negative operands into the bit interleave)."""
+    from litebase_spark.operators.layout import zorder_write
+    from pyspark.sql import functions as F
+
+    df = spark.range(-500, 500).select(
+        F.col("id").alias("x"), (F.lit(-3) * F.col("id")).alias("y")
+    )
+    out = str(tmp_path / "zo")
+    zorder_write(df, ("x", "y"), out, n_files=8)
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert back.select("x").distinct().count() == 1000
+    # layout sanity: with pmod dims every zkey lands in [0, 2^16); the
+    # old signed % made z-keys collide at a handful of values
+    zkeys = back.select(
+        F.expr(
+            "pmod(x, 256)"
+        ).alias("xd")
+    )
+    assert zkeys.filter(F.col("xd") < 0).count() == 0
