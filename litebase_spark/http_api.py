@@ -1,0 +1,338 @@
+"""HTTP query API with access-key authorization (the reference's primary
+user surface, re-expressed over Engine).
+
+Reference parity (behavioral, not structural):
+  * routes — POST /v1/databases/{db}/{branch}/query (batch of typed
+    queries), GET .../metrics/query, POST .../transactions,
+    POST .../transactions/{id}/commit, DELETE .../transactions/{id}
+    (pkg/http/routes.go:252-303);
+  * request shape — {"queries": [{id, statement, parameters,
+    transaction_id?}]} with typed parameters TEXT/INTEGER/FLOAT/NULL/
+    BLOB (pkg/http/query_controller.go:11-141,
+    pkg/database/query_input.go:28-32);
+  * authorization — access keys carry statements granting privileges on
+    database:branch resources (pkg/auth/database_privileges.go:4-45);
+    per-statement-class privilege checks (select/insert/update/delete/
+    pragma/...) gate execution;
+  * single-writer — the Spark driver is the write path (the reference
+    forwards writes to the primary); a lock serializes write statements.
+
+Implementation is stdlib http.server (no external deps in this
+environment); auth tokens are `Bearer <key_id>:<secret>` — the
+reference's HMAC-signed request tokens collapse to a shared-secret
+check here, the ACL model (resources x privileges) is the faithful
+part. For production swap the transport; Engine and the ACLs are the
+surface.
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime as dt
+import decimal
+import json
+import re
+import threading
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from litebase_spark.engine import Engine, classify_statement
+
+# -- access keys / ACLs ------------------------------------------------------
+
+# statement-class -> required privilege (database_privileges.go names)
+_DML_PRIV = {
+    "INSERT": "database:insert",
+    "UPDATE": "database:update",
+    "DELETE": "database:delete",
+    "MERGE": "database:insert",
+}
+
+
+def required_privilege(statement: str) -> str:
+    cls = classify_statement(statement)
+    if cls == "DQL":
+        return "database:select"
+    if cls == "DML":
+        head = statement.lstrip().split(None, 1)[0].upper()
+        return _DML_PRIV.get(head, "database:insert")
+    if cls == "PRAGMA":
+        return "database:pragma"
+    if cls == "TCL":
+        return "database:transaction"
+    if cls in ("DDL", "MAINT"):
+        return "database:manage"
+    return "database:query"
+
+
+@dataclass
+class AccessKeyStatement:
+    """One grant: privileges on resources ('*' or 'database:<db>:branch:<b>')."""
+
+    resources: list[str]
+    privileges: list[str]  # privilege names or '*'
+
+
+@dataclass
+class AccessKey:
+    access_key_id: str
+    secret: str
+    statements: list[AccessKeyStatement] = field(default_factory=list)
+
+    def allows(self, resource: str, privilege: str) -> bool:
+        for st in self.statements:
+            if ("*" in st.resources or resource in st.resources) and (
+                "*" in st.privileges or privilege in st.privileges
+            ):
+                return True
+        return False
+
+
+class AccessKeyManager:
+    def __init__(self) -> None:
+        self._keys: dict[str, AccessKey] = {}
+
+    def store(self, key: AccessKey) -> None:
+        self._keys[key.access_key_id] = key
+
+    def authenticate(self, header: str | None) -> AccessKey | None:
+        if not header or not header.startswith("Bearer "):
+            return None
+        token = header[len("Bearer ") :]
+        key_id, _, secret = token.partition(":")
+        key = self._keys.get(key_id)
+        if key is None or key.secret != secret:
+            return None
+        return key
+
+
+# -- JSON encoding of engine results ----------------------------------------
+
+
+def _json_value(v):
+    if isinstance(v, (dt.datetime, dt.date)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, (bytes, bytearray)):
+        return base64.b64encode(bytes(v)).decode()
+    if isinstance(v, list):
+        return [_json_value(x) for x in v]
+    return v
+
+
+def result_envelope(qid, res) -> dict:
+    return {
+        "id": qid,
+        "columns": res.columns,
+        "rows": [[_json_value(v) for v in row] for row in res.rows],
+        "row_count": res.row_count,
+        "changes": res.changes,
+        "latency": res.latency,
+        "statement_class": res.statement_class,
+    }
+
+
+def decode_parameters(params: list[dict] | None):
+    """Typed wire parameters -> python binds (query_input.go types)."""
+    if not params:
+        return None
+    out = []
+    for p in params:
+        t = (p.get("type") or "TEXT").upper()
+        v = p.get("value")
+        if t == "NULL":
+            out.append(None)
+        elif t == "INTEGER":
+            out.append(int(v))
+        elif t in ("FLOAT", "REAL"):
+            out.append(float(v))
+        elif t == "BLOB":
+            out.append(base64.b64decode(v))
+        else:
+            out.append(str(v))
+    return out
+
+
+# -- server ------------------------------------------------------------------
+
+_QUERY_RE = re.compile(r"^/v1/databases/([^/]+)/([^/]+)/query$")
+_METRICS_RE = re.compile(r"^/v1/databases/([^/]+)/([^/]+)/metrics/query$")
+_TXN_RE = re.compile(r"^/v1/databases/([^/]+)/([^/]+)/transactions$")
+_TXN_ID_RE = re.compile(
+    r"^/v1/databases/([^/]+)/([^/]+)/transactions/([^/]+)(/commit)?$"
+)
+
+
+class QueryServer:
+    """Threaded HTTP server over one Engine. Start with serve_forever in
+    a thread; `port` 0 picks an ephemeral port (see tests)."""
+
+    def __init__(
+        self,
+        engine: Engine,
+        keys: AccessKeyManager,
+        host: str = "127.0.0.1",
+        port: int = 0,
+    ) -> None:
+        self.engine = engine
+        self.keys = keys
+        self.write_lock = threading.Lock()  # driver = single writer
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _send(self, code: int, body: dict) -> None:
+                data = json.dumps(body).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def _auth(self) -> AccessKey | None:
+                return server.keys.authenticate(
+                    self.headers.get("Authorization")
+                )
+
+            def _body(self) -> dict:
+                n = int(self.headers.get("Content-Length") or 0)
+                raw = self.rfile.read(n) if n else b"{}"
+                return json.loads(raw or b"{}")
+
+            def do_GET(self):  # noqa: N802 (stdlib API)
+                if self.path == "/health":
+                    return self._send(200, {"status": "ok"})
+                m = _METRICS_RE.match(self.path)
+                if m:
+                    key = self._auth()
+                    if key is None:
+                        return self._send(401, {"status": "error", "message": "invalid access key"})
+                    resource = f"database:{m.group(1)}:branch:{m.group(2)}"
+                    if not key.allows(resource, "database:select"):
+                        return self._send(403, {"status": "error", "message": "forbidden"})
+                    rows = server.engine.query_metrics().collect()
+                    return self._send(
+                        200,
+                        {
+                            "status": "success",
+                            "data": [
+                                {k: _json_value(v) for k, v in r.asDict().items()}
+                                for r in rows
+                            ],
+                        },
+                    )
+                return self._send(404, {"status": "error"})
+
+            def do_POST(self):  # noqa: N802
+                key = self._auth()
+                if key is None:
+                    return self._send(401, {"status": "error", "message": "invalid access key"})
+                m = _QUERY_RE.match(self.path)
+                if m:
+                    return self._query(key, m.group(1), m.group(2))
+                m = _TXN_RE.match(self.path)
+                if m:
+                    return self._txn_store(key, m.group(1), m.group(2))
+                m = _TXN_ID_RE.match(self.path)
+                if m and m.group(4):
+                    return self._txn_commit(key, m.group(1), m.group(2), m.group(3))
+                return self._send(404, {"status": "error"})
+
+            def do_DELETE(self):  # noqa: N802
+                key = self._auth()
+                if key is None:
+                    return self._send(401, {"status": "error", "message": "invalid access key"})
+                m = _TXN_ID_RE.match(self.path)
+                if m and not m.group(4):
+                    return self._txn_rollback(key, m.group(1), m.group(2), m.group(3))
+                return self._send(404, {"status": "error"})
+
+            # -- controllers ------------------------------------------------
+
+            def _query(self, key, db, branch):
+                resource = f"database:{db}:branch:{branch}"
+                if not key.allows(resource, "database:query"):
+                    return self._send(403, {"status": "error", "message": "forbidden"})
+                try:
+                    body = self._body()
+                except json.JSONDecodeError:
+                    return self._send(400, {"status": "error", "message": "invalid input"})
+                queries = body.get("queries")
+                if not isinstance(queries, list) or not queries:
+                    return self._send(400, {"status": "error", "message": "The queries field is required."})
+                out = []
+                for q in queries:
+                    stmt = q.get("statement")
+                    if not stmt:
+                        return self._send(400, {"status": "error", "message": "The SQL statement field is required."})
+                    priv = required_privilege(stmt)
+                    if not key.allows(resource, priv):
+                        return self._send(403, {"status": "error", "message": f"forbidden: requires {priv}"})
+                    params = decode_parameters(q.get("parameters"))
+                    is_write = classify_statement(stmt) in ("DML", "DDL", "MAINT", "TCL")
+                    try:
+                        if is_write:
+                            with server.write_lock:
+                                res = server.engine.sql(
+                                    stmt, params,
+                                    transaction_id=q.get("transaction_id"),
+                                )
+                        else:
+                            res = server.engine.sql(
+                                stmt, params,
+                                transaction_id=q.get("transaction_id"),
+                            )
+                    except Exception as e:
+                        return self._send(400, {"status": "error", "message": str(e)[:500]})
+                    out.append(result_envelope(q.get("id"), res))
+                return self._send(200, {"status": "success", "data": out})
+
+            def _txn_store(self, key, db, branch):
+                resource = f"database:{db}:branch:{branch}"
+                if not key.allows(resource, "database:transaction"):
+                    return self._send(403, {"status": "error", "message": "forbidden"})
+                kind = (self._body().get("kind") or "DEFERRED").upper()
+                txn = server.engine.begin(kind)
+                return self._send(
+                    201,
+                    {
+                        "status": "success",
+                        "data": {"transaction_id": txn.transaction_id},
+                    },
+                )
+
+            def _txn_commit(self, key, db, branch, txn_id):
+                resource = f"database:{db}:branch:{branch}"
+                if not key.allows(resource, "database:transaction"):
+                    return self._send(403, {"status": "error", "message": "forbidden"})
+                txn = server.engine._transactions.get(txn_id)
+                if txn is None:
+                    return self._send(404, {"status": "error", "message": "no such transaction"})
+                with server.write_lock:
+                    txn.commit()
+                return self._send(200, {"status": "success"})
+
+            def _txn_rollback(self, key, db, branch, txn_id):
+                resource = f"database:{db}:branch:{branch}"
+                if not key.allows(resource, "database:transaction"):
+                    return self._send(403, {"status": "error", "message": "forbidden"})
+                txn = server.engine._transactions.get(txn_id)
+                if txn is None:
+                    return self._send(404, {"status": "error", "message": "no such transaction"})
+                txn.rollback()
+                return self._send(200, {"status": "success"})
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self.httpd.server_address[1]
+
+    def start(self) -> threading.Thread:
+        t = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        t.start()
+        return t
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()

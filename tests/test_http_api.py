@@ -1,0 +1,239 @@
+"""HTTP query API tests: auth (401/403), batch typed queries, DML
+changes, transactions over the wire, metrics endpoint.
+
+Reference surface: POST /v1/databases/{db}/{branch}/query et al.
+(pkg/http/routes.go:252-303, query_controller.go:11-141) with
+access-key ACLs (pkg/auth/database_privileges.go:4-45)."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from litebase_spark.engine import Engine
+from litebase_spark.http_api import (
+    AccessKey,
+    AccessKeyManager,
+    AccessKeyStatement,
+    QueryServer,
+)
+
+RESOURCE = "database:main:branch:main"
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    # a crashed prior run can leave orphaned managed-table locations that
+    # make CREATE TABLE fail with LOCATION_ALREADY_EXISTS
+    import shutil
+
+    for t in ("h1", "h_dml", "h_txn"):
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    keys = AccessKeyManager()
+    keys.store(
+        AccessKey(
+            "admin",
+            "s3cret",
+            [AccessKeyStatement(["*"], ["*"])],
+        )
+    )
+    keys.store(
+        AccessKey(
+            "reader",
+            "r3ad",
+            [
+                AccessKeyStatement(
+                    [RESOURCE], ["database:query", "database:select"]
+                )
+            ],
+        )
+    )
+    srv = QueryServer(Engine(spark=spark), keys)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _call(srv, method, path, body=None, token=None):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}",
+        data=json.dumps(body).encode() if body is not None else None,
+        method=method,
+    )
+    if token:
+        req.add_header("Authorization", f"Bearer {token}")
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_health_is_open(server):
+    code, body = _call(server, "GET", "/health")
+    assert (code, body["status"]) == (200, "ok")
+
+
+def test_missing_or_bad_token_is_401(server):
+    q = {"queries": [{"id": "1", "statement": "SELECT 1 AS x"}]}
+    path = "/v1/databases/main/main/query"
+    assert _call(server, "POST", path, q)[0] == 401
+    assert _call(server, "POST", path, q, token="admin:wrong")[0] == 401
+
+
+def test_reader_cannot_write_403(server):
+    path = "/v1/databases/main/main/query"
+    q = {
+        "queries": [
+            {"id": "1", "statement": "CREATE TABLE h1 (id BIGINT) USING PARQUET"}
+        ]
+    }
+    code, body = _call(server, "POST", path, q, token="reader:r3ad")
+    assert code == 403 and "database:manage" in body["message"]
+
+
+def test_reader_wrong_database_403(server):
+    path = "/v1/databases/other/main/query"
+    q = {"queries": [{"id": "1", "statement": "SELECT 1 AS x"}]}
+    assert _call(server, "POST", path, q, token="reader:r3ad")[0] == 403
+
+
+def test_batch_query_with_typed_parameters(server):
+    path = "/v1/databases/main/main/query"
+    q = {
+        "queries": [
+            {
+                "id": "q1",
+                "statement": "SELECT ? AS n, ? AS s",
+                "parameters": [
+                    {"type": "INTEGER", "value": "42"},
+                    {"type": "TEXT", "value": "hi"},
+                ],
+            },
+            {"id": "q2", "statement": "SELECT 1.5 AS f"},
+        ]
+    }
+    code, body = _call(server, "POST", path, q, token="reader:r3ad")
+    assert code == 200
+    d = {r["id"]: r for r in body["data"]}
+    assert d["q1"]["rows"] == [[42, "hi"]]
+    assert d["q1"]["columns"] == ["n", "s"]
+    assert d["q2"]["rows"] == [[1.5]]
+
+
+def test_dml_roundtrip_and_changes(server):
+    path = "/v1/databases/main/main/query"
+    t = "admin:s3cret"
+    _call(server, "POST", path, {"queries": [{"id": "0", "statement": "DROP TABLE IF EXISTS h_dml"}]}, token=t)
+    code, body = _call(
+        server,
+        "POST",
+        path,
+        {
+            "queries": [
+                {"id": "1", "statement": "CREATE TABLE h_dml (id BIGINT, v STRING) USING PARQUET"},
+                {"id": "2", "statement": "INSERT INTO h_dml VALUES (1,'a'),(2,'b')"},
+                {"id": "3", "statement": "UPDATE h_dml SET v = 'z' WHERE id = 2"},
+                {"id": "4", "statement": "SELECT id, v FROM h_dml ORDER BY id"},
+            ]
+        },
+        token=t,
+    )
+    assert code == 200
+    d = {r["id"]: r for r in body["data"]}
+    assert d["2"]["changes"] == 2
+    assert d["3"]["changes"] == 1
+    assert d["4"]["rows"] == [[1, "a"], [2, "z"]]
+    _call(server, "POST", path, {"queries": [{"id": "9", "statement": "DROP TABLE h_dml"}]}, token=t)
+
+
+def test_transaction_over_the_wire(server):
+    t = "admin:s3cret"
+    qpath = "/v1/databases/main/main/query"
+    _call(server, "POST", qpath, {"queries": [{"id": "0", "statement": "DROP TABLE IF EXISTS h_txn"}]}, token=t)
+    _call(
+        server, "POST", qpath,
+        {"queries": [
+            {"id": "1", "statement": "CREATE TABLE h_txn (id BIGINT) USING PARQUET"},
+            {"id": "2", "statement": "INSERT INTO h_txn VALUES (1)"},
+        ]},
+        token=t,
+    )
+    code, body = _call(
+        server, "POST", "/v1/databases/main/main/transactions",
+        {"kind": "IMMEDIATE"}, token=t,
+    )
+    assert code == 201
+    txn_id = body["data"]["transaction_id"]
+    code, _ = _call(
+        server, "POST", qpath,
+        {"queries": [{
+            "id": "3",
+            "statement": "INSERT INTO h_txn VALUES (2)",
+            "transaction_id": txn_id,
+        }]},
+        token=t,
+    )
+    assert code == 200
+    # DELETE .../transactions/{id} = rollback: nothing was written to
+    # storage (shadow-view model), so the table is back to one row
+    code, _ = _call(
+        server, "DELETE",
+        f"/v1/databases/main/main/transactions/{txn_id}", token=t,
+    )
+    assert code == 200
+    _, body = _call(
+        server, "POST", qpath,
+        {"queries": [{"id": "4", "statement": "SELECT count(*) AS n FROM h_txn"}]},
+        token=t,
+    )
+    assert body["data"][0]["rows"] == [[1]]
+    # second transaction commits and persists
+    _, body = _call(
+        server, "POST", "/v1/databases/main/main/transactions",
+        {"kind": "IMMEDIATE"}, token=t,
+    )
+    txn2 = body["data"]["transaction_id"]
+    _call(
+        server, "POST", qpath,
+        {"queries": [{
+            "id": "5",
+            "statement": "INSERT INTO h_txn VALUES (3)",
+            "transaction_id": txn2,
+        }]},
+        token=t,
+    )
+    code, _ = _call(
+        server, "POST",
+        f"/v1/databases/main/main/transactions/{txn2}/commit",
+        {}, token=t,
+    )
+    assert code == 200
+    _, body = _call(
+        server, "POST", qpath,
+        {"queries": [{"id": "6", "statement": "SELECT count(*) AS n FROM h_txn"}]},
+        token=t,
+    )
+    assert body["data"][0]["rows"] == [[2]]
+    _call(server, "POST", qpath, {"queries": [{"id": "9", "statement": "DROP TABLE h_txn"}]}, token=t)
+
+
+def test_metrics_endpoint(server):
+    code, body = _call(
+        server, "GET", "/v1/databases/main/main/metrics/query",
+        token="reader:r3ad",
+    )
+    assert code == 200
+    assert isinstance(body["data"], list)
+
+
+def test_vacuum_rejected_as_error(server):
+    code, body = _call(
+        server, "POST", "/v1/databases/main/main/query",
+        {"queries": [{"id": "1", "statement": "VACUUM"}]},
+        token="admin:s3cret",
+    )
+    assert code == 400 and "VACUUM" in body["message"]
