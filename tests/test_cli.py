@@ -1,0 +1,85 @@
+"""SQL shell tests (reference `litebase sql`, pkg/cli/cmd/sql.go):
+drive the REPL core with scripted input, assert rendered output."""
+
+from __future__ import annotations
+
+import io
+
+import pytest
+
+from litebase_spark.cli import Shell, format_csv, format_table
+from litebase_spark.engine import Engine
+
+
+@pytest.fixture()
+def shell(spark):
+    out = io.StringIO()
+    return Shell(Engine(spark=spark), out=out), out
+
+
+def test_select_renders_aligned_table(shell):
+    sh, out = shell
+    sh.run(["SELECT 1 AS a, 'xy' AS b;"])
+    text = out.getvalue()
+    assert "| a | b  |" in text
+    assert "| 1 | xy |" in text
+
+
+def test_multiline_statement_and_csv_mode(shell):
+    sh, out = shell
+    sh.run(
+        [
+            ".mode csv",
+            "SELECT 1 AS a,",
+            "       2 AS b;",
+        ]
+    )
+    assert "a,b\n1,2" in out.getvalue().replace("\r", "")
+
+
+def test_meta_commands(shell, spark):
+    sh, out = shell
+    spark.sql("DROP TABLE IF EXISTS cli_t")
+    sh.run(
+        [
+            "CREATE TABLE cli_t (id BIGINT, name STRING) USING PARQUET;",
+            ".tables cli_t",
+            ".schema cli_t",
+            ".quit",
+            "SELECT 1;",  # never runs: .quit exits
+        ]
+    )
+    text = out.getvalue()
+    assert "cli_t" in text
+    assert "| id     | bigint |" in text
+    assert "name" in text
+    spark.sql("DROP TABLE IF EXISTS cli_t")
+
+
+def test_dml_changes_and_errors(shell, spark):
+    sh, out = shell
+    spark.sql("DROP TABLE IF EXISTS cli_d")
+    sh.run(
+        [
+            "CREATE TABLE cli_d (id BIGINT) USING PARQUET;",
+            "INSERT INTO cli_d VALUES (1),(2);",
+            "UPDATE cli_d SET id = id + 10 WHERE id = 1;",
+            "SELEKT nonsense;",
+        ]
+    )
+    text = out.getvalue()
+    assert "changes: 2" in text
+    assert "changes: 1" in text
+    assert "error:" in text
+    spark.sql("DROP TABLE IF EXISTS cli_d")
+
+
+def test_trailing_statement_without_semicolon(shell):
+    sh, out = shell
+    sh.run(["SELECT 7 AS n"])  # EOF flush
+    assert "| 7 |" in out.getvalue()
+
+
+def test_formatters_null_handling():
+    assert format_table(["x"], [(None,)]).count("|") == 4
+    assert format_csv(["x", "y"], [(None, 1)]) == "x,y\n,1"
