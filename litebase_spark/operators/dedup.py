@@ -740,20 +740,29 @@ def dedup_embedding_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(_SRP_BANDS)
         ]
     )
+    # Norms are per-row scalars: compute them ONCE before banding (O(n d))
+    # and carry them through the join instead of refolding O(cand x d).
     banded = (
-        e.select("vec_id", "embedding", F.explode(bands).alias("bb"))
-        .select("vec_id", "embedding", "bb.band", "bb.bucket")
+        e.select(
+            "vec_id",
+            "embedding",
+            norm2(F.col("embedding")).alias("nrm"),
+            F.explode(bands).alias("bb"),
+        )
+        .select("vec_id", "embedding", "nrm", "bb.band", "bb.bucket")
         .localCheckpoint(eager=True)  # both join sides reuse the sketches
     )
     a = banded.select(
         F.col("vec_id").alias("vec_id_a"),
         F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
         "band",
         "bucket",
     )
     b = banded.select(
         F.col("vec_id").alias("vec_id_b"),
         F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
         F.col("band").alias("band_b"),
         F.col("bucket").alias("bucket_b"),
     )
@@ -764,12 +773,10 @@ def dedup_embedding_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("bucket") == F.col("bucket_b"))
             & (F.col("vec_id_a") < F.col("vec_id_b")),
         )
-        .select("vec_id_a", "vec_id_b", "va", "vb")
+        .select("vec_id_a", "vec_id_b", "va", "vb", "na", "nb")
         .dropDuplicates(["vec_id_a", "vec_id_b"])
     )
-    sim = dot(F.col("va"), F.col("vb")) / (
-        norm2(F.col("va")) * norm2(F.col("vb"))
-    )
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         cand.select("vec_id_a", "vec_id_b", sim.alias("raw_sim"))
         .filter(F.col("raw_sim") >= _SRP_TAU)
