@@ -324,3 +324,133 @@ def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer induction: distributed BPE merge learning
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 4
+
+
+def bpe_learn_merges(words: DataFrame, rounds: int) -> list[tuple]:
+    """Learn `rounds` BPE merges from (sym, cnt) word states, where sym
+    is the space-joined symbol sequence (initially characters).
+
+    Distributed shape: each round is ONE map-side-combinable pair-count
+    aggregate over the word states (the 100 TB-heavy part) plus a
+    single-row argmax collect (the centroid-collect pattern — O(rounds)
+    driver rows total), then a narrow map applies the merge via
+    non-overlapping left-to-right replace — the same greedy semantics
+    BPE specifies and both engines' replace() implement. Ties break on
+    (count DESC, pair ASC) so the learned merge list is deterministic
+    and oracle-exact.
+    """
+    out = []
+    states = words
+    pairs = F.expr(
+        "transform(sequence(1, size(split(sym, ' ')) - 1),"
+        " i -> concat(element_at(split(sym, ' '), i), ' ',"
+        " element_at(split(sym, ' '), i + 1)))"
+    )
+    for i in range(1, rounds + 1):
+        states = states.localCheckpoint(eager=True)  # cut per-round lineage
+        counts = (
+            states.filter(F.size(F.split("sym", " ")) >= 2)
+            .select(F.explode(pairs).alias("pair"), "cnt")
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("n"))
+        )
+        best = counts.agg(
+            F.min(
+                F.struct(
+                    (-F.col("n")).alias("neg"), F.col("pair").alias("pair")
+                )
+            ).alias("best")
+        ).collect()[0]["best"]
+        if best is None:
+            break
+        pair, n = best["pair"], -best["neg"]
+        merged = pair.replace(" ", "")
+        out.append((i, pair, int(n)))
+        states = states.select(
+            F.expr(
+                "trim(replace(concat(' ', sym, ' '),"
+                f" ' {pair} ', ' {merged} '))"
+            ).alias("sym"),
+            "cnt",
+        )
+    return out
+
+
+def _bpe_oracle(rounds: int) -> str:
+    pair_list = (
+        "list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])"
+    )
+    ctes = [
+        f"""w0 AS (
+      SELECT array_to_string(string_split(word, ''), ' ') AS sym,
+             COUNT(*) AS cnt
+      FROM (SELECT UNNEST({_SQL_TOKENS.format(c='text')}) AS word
+            FROM documents)
+      GROUP BY word
+    )"""
+    ]
+    selects = []
+    for i in range(1, rounds + 1):
+        prev = f"w{i - 1}"
+        ctes.append(
+            f"""p{i} AS (
+      SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+        SELECT UNNEST({pair_list}) AS pair, cnt
+        FROM (SELECT string_split(sym, ' ') AS w, cnt FROM {prev})
+        WHERE len(w) >= 2
+      ) GROUP BY pair
+    ), b{i} AS (
+      SELECT pair, n FROM p{i} ORDER BY n DESC, pair LIMIT 1
+    ), w{i} AS (
+      SELECT trim(replace(' ' || sym || ' ', ' ' || b{i}.pair || ' ',
+               ' ' || replace(b{i}.pair, ' ', '') || ' ')) AS sym, cnt
+      FROM {prev}, b{i}
+    )"""
+        )
+        selects.append(
+            f"SELECT {i} AS iteration, pair, n FROM b{i}"
+        )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + "\n    "
+        + "\n    UNION ALL\n    ".join(selects)
+    )
+
+
+@query(
+    "pipeline_bpe_merges",
+    oracle=_bpe_oracle(_BPE_ROUNDS),
+    description="Tokenizer induction: learn the first 4 BPE merges from "
+    "the corpus word distribution. Word counts shrink the problem to "
+    "the vocabulary (one shuffle), then each round is one map-side-"
+    "combinable pair-count aggregate + a single-row argmax + a narrow "
+    "merge map (greedy left-to-right, the BPE contract) — at 100 TB "
+    "the per-round cost is O(vocab), not O(corpus), because states are "
+    "unique words weighted by count. Deterministic tie-break "
+    "(count DESC, pair ASC) makes the merge list oracle-exact against "
+    "a 4-stage unrolled DuckDB replay.",
+    tags=("pipeline", "tokenizer"),
+)
+def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    words = (
+        d.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.array_join(F.split("word", ""), " ").alias("sym"), "cnt"
+        )
+    )
+    merges = bpe_learn_merges(words, _BPE_ROUNDS)
+    return spark.createDataFrame(
+        merges, "iteration int, pair string, n bigint"
+    )

@@ -77,3 +77,26 @@ def test_mixture_weights_normalize(spark, sf_dir):
         assert math.isclose(
             r["token_share"] * r["sample_weight"], 1.0 / n, rel_tol=1e-3
         ), r
+
+
+def test_bpe_merges_hand_computed(spark):
+    """BPE on a tiny corpus with hand-derived merge order, including the
+    greedy left-to-right overlap case ('aaa' merges to 'aa'+'a')."""
+    from pyspark.sql import functions as F
+
+    from litebase_spark.operators.pipeline import bpe_learn_merges
+
+    # vocabulary: low 'lo' x3, lowest 'lowest' x1, aaa x2
+    words = spark.createDataFrame(
+        [("l o w", 3), ("l o w e s t", 1), ("a a a", 2)],
+        "sym string, cnt long",
+    )
+    merges = bpe_learn_merges(words, 3)
+    # round 1 counts: 'l o'=4, 'o w'=4, 'a a'=4 (aaa has 2 adjacent
+    # pairs x2 words) -> tie on 4, pair ASC picks 'a a'; after merging,
+    # 'a a a' -> 'aa a' (greedy, NOT 'a aa')
+    assert merges[0] == (1, "a a", 4)
+    # round 2: 'l o'=4, 'o w'=4, 'aa a'=2 -> 'l o'
+    assert merges[1] == (2, "l o", 4)
+    # round 3: 'lo w'=4 wins
+    assert merges[2] == (3, "lo w", 4)
