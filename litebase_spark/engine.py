@@ -25,6 +25,7 @@ Maps litebase's query lifecycle (SURVEY §3.1) onto a SparkSession:
 
 from __future__ import annotations
 
+import re
 import time
 import zlib
 from dataclasses import dataclass, field
@@ -169,6 +170,7 @@ class Engine:
         self._plan_cache: dict[int, DataFrame] = {}
         self._transactions: dict[str, "Transaction"] = {}
         self._autotxn: "Transaction | None" = None
+        self._vstore = None  # attach_versioned_store enables time travel
         # SQLite-name shims (ifnull/iif/julianday/unixepoch/...) are part
         # of the dialect surface a reference user expects from plain
         # Engine.sql() — register them up front, UDF-free (SQL macros).
@@ -224,6 +226,7 @@ class Engine:
             return self._autotxn.sql(statement, params)
         stmt_class = classify_statement(statement)
         sql_text, args = self._bind(statement, params)
+        sql_text = self._rewrite_time_travel(sql_text)
         returning = None
         if stmt_class == "DML":
             sql_text, returning = self._split_returning(sql_text)
@@ -271,7 +274,47 @@ class Engine:
     def df(self, statement: str, params: list | dict | None = None) -> DataFrame:
         """Lazy variant: return the DataFrame without collecting."""
         sql_text, args = self._bind(statement, params)
+        sql_text = self._rewrite_time_travel(sql_text)
         return self.spark.sql(sql_text, args=args) if args else self.spark.sql(sql_text)
+
+    # -- time travel over a VersionedStore (A21 SQL surface) ----------------
+
+    def attach_versioned_store(self, store) -> None:
+        """Enable `FROM t VERSION AS OF n` / `TIMESTAMP AS OF '<ts>'`
+        (the Delta/Iceberg time-travel dialect) against a
+        snapshots.VersionedStore: version references resolve to pinned
+        immutable file lists, zero-copy (reference PITR timeline:
+        pkg/backups/restore.go resolves the log covering the point)."""
+        self._vstore = store
+
+    _TT_VERSION_RE = re.compile(r"(?is)\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)")
+    _TT_TS_RE = re.compile(r"(?is)\b(\w+)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'")
+
+    def _rewrite_time_travel(self, sql_text: str) -> str:
+        if self._vstore is None:
+            return sql_text
+
+        def sub_version(m):
+            table, version = m.group(1), int(m.group(2))
+            view = f"__tt_{table}_v{version}"
+            self._vstore.read(table, version).createOrReplaceTempView(view)
+            return view
+
+        def sub_ts(m):
+            import datetime as _dt
+
+            table, raw = m.group(1), m.group(2)
+            try:
+                ts = float(raw)
+            except ValueError:
+                ts = _dt.datetime.fromisoformat(raw).timestamp()
+            version = self._vstore.version_at(table, ts)
+            view = f"__tt_{table}_v{version}"
+            self._vstore.read(table, version).createOrReplaceTempView(view)
+            return view
+
+        sql_text = self._TT_VERSION_RE.sub(sub_version, sql_text)
+        return self._TT_TS_RE.sub(sub_ts, sql_text)
 
     def sql_batch(self, statements: list[str | tuple]) -> list[QueryResult]:
         """Execute N statements sequentially in one call (batch query

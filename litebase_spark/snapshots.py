@@ -276,6 +276,17 @@ class VersionedStore:
         """Time travel: read a pinned version's file list in place."""
         return self.spark.read.parquet(*self.files(table, version, namespace))
 
+    def version_at(
+        self, table: str, ts: float, namespace: str = "main"
+    ) -> int:
+        """Latest version committed at-or-before `ts` (the timeline
+        resolution behind TIMESTAMP AS OF and PITR)."""
+        log = self._read_log(namespace, table)
+        cands = [e["version"] for e in log if e["ts"] <= ts]
+        if not cands:
+            raise LookupError(f"no version of {namespace}.{table} at {ts}")
+        return cands[-1]
+
     def current_versions(self, namespace: str = "main") -> dict[str, int]:
         return {
             t: self._read_log(namespace, t)[-1]["version"]

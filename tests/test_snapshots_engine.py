@@ -194,3 +194,28 @@ def test_versioned_branch_diverges_and_vacuum(spark, sf_dir, tmp_path):
     assert len(vs.vacuum()) > 0  # now v1 files are unreachable
     assert vs.read("nation").count() == 3
     assert vs.read("nation", namespace="dev").count() == 2
+
+
+def test_sql_time_travel_over_versioned_store(spark, sf_dir, tmp_path):
+    """Delta-dialect time travel through Engine.sql: VERSION AS OF and
+    TIMESTAMP AS OF resolve to pinned file lists, zero-copy."""
+    from litebase_spark.snapshots import VersionedStore
+
+    eng = Engine(spark=spark)
+    vs = VersionedStore(spark, str(tmp_path / "tt"))
+    eng.attach_versioned_store(vs)
+    nation = load(spark, sf_dir, "nation")
+    vs.write("nation_tt", nation)
+    t_v1 = time.time()
+    time.sleep(0.01)
+    vs.write("nation_tt", nation.limit(5))
+    # current head also readable through the store
+    assert vs.read("nation_tt").count() == 5
+    r = eng.sql("SELECT count(*) AS n FROM nation_tt VERSION AS OF 1")
+    assert r.rows[0].n == nation.count()
+    r = eng.sql("SELECT count(*) AS n FROM nation_tt VERSION AS OF 2")
+    assert r.rows[0].n == 5
+    r = eng.sql(
+        f"SELECT count(*) AS n FROM nation_tt TIMESTAMP AS OF '{t_v1}'"
+    )
+    assert r.rows[0].n == nation.count()
