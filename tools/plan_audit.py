@@ -94,6 +94,10 @@ _REVIEWED_NONPUSHABLE = {
 _ALLOWED_COLLECT = {
     "cte_recursive_sql": "1 row: recursion date bounds",
     "knn_cosine_vectorized": "N_QUERIES (5) query vectors",
+    # bpe_learn_merges (helper, outside the builder body the AST gate
+    # walks) collects one argmax row per BPE round — listed here for
+    # transparency, same O(k) class as the k-means centroid collect.
+    "pipeline_bpe_merges": "4 argmax rows (1 per BPE round, via helper)",
 }
 
 _SCAN_RE = re.compile(r"^\(\d+\) Scan parquet", re.M)
