@@ -256,3 +256,43 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value"
         ),
     )
+
+
+@query(
+    "stream_static_enrich",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL 10 MINUTE, e.ts) AS window_start,
+           c.c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           {SQL_DSUM('e.value')} AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    description="Stream-static enrichment: the event stream joins the "
+    "customer dimension (static broadcast — re-read per micro-batch in "
+    "Structured Streaming, so dim updates are picked up without "
+    "restarts) and aggregates revenue per 10-minute window x market "
+    "segment. The streaming form is stateless on the join (no watermark "
+    "state: the static side is a broadcast hash build per batch) and "
+    "stateful only in the windowed agg — the canonical enrichment shape "
+    "at 100 TB. Batch twin shares the exact expressions; "
+    "tests/test_streaming.py asserts stream == batch.",
+    tags=("streaming", "join"),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    c = load(spark, sf_dir, "customer")
+    return (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .groupBy(F.window("ts", "10 minutes"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("c_mktsegment").alias("segment"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -232,3 +232,28 @@ def ohlc_bars(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
             "n_events",
         )
     )
+
+
+def static_enrich_counts(
+    stream: DataFrame, dim: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of stream_static_enrich: stream-static broadcast
+    join (stateless — Spark rebuilds the static hash side per
+    micro-batch, so dimension updates flow in without restarts) feeding
+    a watermarked windowed aggregate (the only stateful operator)."""
+    stream = _normalized_events(stream)
+    return (
+        stream.withWatermark("ts", watermark)
+        .join(F.broadcast(dim), stream.user_id == dim.c_custkey)
+        .groupBy(F.window("ts", "10 minutes"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("c_mktsegment").alias("segment"),
+            "n_events",
+            "sum_value",
+        )
+    )

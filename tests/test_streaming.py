@@ -285,3 +285,32 @@ def test_ohlc_stream_equals_batch_resample(spark, sf_dir):
     batch_df = REGISTRY["ts_ohlc_resample"].builder(spark, sf_dir)
     cols = ["user_id", "bucket", "open", "high", "low", "close", "n_events"]
     assert rows_set(stream_df, cols) == rows_set(batch_df, cols)
+
+
+def test_stream_static_enrich_equals_batch(spark, sf_dir):
+    """Stream-static broadcast join + windowed agg == the batch twin."""
+    import litebase_spark.operators  # noqa: F401
+    from litebase_spark.catalog import REGISTRY, load
+    from litebase_spark.streaming.windows import (
+        events_stream,
+        run_available_now,
+        static_enrich_counts,
+    )
+
+    dim = load(spark, sf_dir, "customer")
+    # complete mode emits windows still inside the watermark horizon at
+    # end-of-stream (same rationale as the tumbling parity test)
+    got = run_available_now(
+        static_enrich_counts(events_stream(spark, sf_dir), dim),
+        output_mode="complete",
+    )
+    want = REGISTRY["stream_static_enrich"].builder(spark, sf_dir)
+    g = {
+        (r["window_start"], r["segment"]): (r["n_events"], r["sum_value"])
+        for r in got.collect()
+    }
+    w = {
+        (r["window_start"], r["segment"]): (r["n_events"], r["sum_value"])
+        for r in want.collect()
+    }
+    assert g == w and len(g) > 0
