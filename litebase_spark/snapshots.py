@@ -367,6 +367,77 @@ class VersionedStore:
             forked.append(t)
         return forked
 
+    # -- archive backups (reference: pkg/backups/backup.go tar.gz) ----------
+
+    def backup_archive(
+        self, archive: str, snapshot_id: str | None = None
+    ) -> str:
+        """Write a self-contained tar.gz of one snapshot: its manifest
+        plus the pinned data files (stored under their store-relative
+        paths). The archive restores into a fresh VersionedStore with
+        `restore_archive` — the reference's portable backup format is
+        the same shape (tar.gz of the database files plus metadata,
+        pkg/backups/backup.go:32-70)."""
+        import tarfile
+
+        snaps = self.list_snapshots()
+        if snapshot_id is None:
+            if not snaps:
+                raise LookupError("no snapshots to back up")
+            snap = snaps[-1]
+        else:
+            match = [s for s in snaps if s["snapshot_id"] == snapshot_id]
+            if not match:
+                raise LookupError(f"no snapshot {snapshot_id}")
+            snap = match[0]
+        ns = snap["namespace"]
+        with tarfile.open(archive, "w:gz") as tar:
+            manifest = dict(snap)
+            manifest["files"] = {
+                t: [os.path.relpath(f, self.root) for f in self.files(t, v, ns)]
+                for t, v in snap["versions"].items()
+            }
+            payload = json.dumps(manifest).encode()
+            import io as _io
+            import tarfile as _tf
+
+            info = _tf.TarInfo("BACKUP_MANIFEST.json")
+            info.size = len(payload)
+            tar.addfile(info, _io.BytesIO(payload))
+            for t, v in snap["versions"].items():
+                for f in self.files(t, v, ns):
+                    tar.add(f, arcname=os.path.relpath(f, self.root))
+        return archive
+
+    @classmethod
+    def restore_archive(
+        cls, spark: SparkSession, archive: str, root: str
+    ) -> "VersionedStore":
+        """Materialize a backup archive as a fresh store: extract the
+        data files, then seed each table's version log with one entry
+        pointing at the restored files (version 1 of the new timeline —
+        the reference's restore likewise starts a fresh branch from the
+        backup point, pkg/backups/restore.go:24-70)."""
+        import tarfile
+
+        with tarfile.open(archive, "r:gz") as tar:
+            member = tar.extractfile("BACKUP_MANIFEST.json")
+            manifest = json.loads(member.read())
+            tar.extractall(root, filter="data")
+        store = cls(spark, root)
+        for t, rels in manifest["files"].items():
+            store._append_log(
+                "main",
+                t,
+                {
+                    "version": 1,
+                    "mode": "overwrite",
+                    "ts": time.time(),
+                    "files": [os.path.join(root, r) for r in rels],
+                },
+            )
+        return store
+
     # -- retention ----------------------------------------------------------
 
     def vacuum(self) -> list[str]:

@@ -219,3 +219,31 @@ def test_sql_time_travel_over_versioned_store(spark, sf_dir, tmp_path):
         f"SELECT count(*) AS n FROM nation_tt TIMESTAMP AS OF '{t_v1}'"
     )
     assert r.rows[0].n == nation.count()
+
+
+def test_backup_archive_roundtrip(spark, sf_dir, tmp_path):
+    """tar.gz backup of a pinned snapshot restores into a fresh store
+    with identical data (reference pkg/backups/backup.go analog)."""
+    from litebase_spark.snapshots import VersionedStore
+
+    vs = VersionedStore(spark, str(tmp_path / "src"))
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    vs.write("nation", nation)
+    vs.write("region", region)
+    vs.snapshot(label="backup-point")
+    vs.write("nation", nation.limit(3))  # post-snapshot divergence
+
+    archive = str(tmp_path / "backup.tar.gz")
+    assert vs.backup_archive(archive) == archive
+
+    restored = VersionedStore.restore_archive(
+        spark, archive, str(tmp_path / "dst")
+    )
+    # backup captured the snapshot (full nation), not the later head
+    assert restored.read("nation").count() == nation.count()
+    assert restored.read("region").count() == region.count()
+    assert restored.tables() == ["nation", "region"]
+    # restored store has its own timeline: writes work
+    restored.write("nation", nation.limit(2))
+    assert restored.read("nation").count() == 2
