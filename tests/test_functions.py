@@ -176,3 +176,93 @@ def test_json_tree_walk_nested_arrays(spark):
     assert rows["$.a.b[1]"] == ("object", None)
     assert rows["$.a.b[1].c"] == ("text", "x")
     assert rows["$.d"] == ("real", "2.5")
+
+
+def test_fts5_compile_property_vs_reference(spark):
+    """Property test: random MATCH expressions over a small grammar must
+    agree with a direct Python evaluator on a fixed corpus."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from litebase_spark.operators.text import fts5_compile, tokens
+
+    corpus = [
+        (1, "the big table scan runs fast"),
+        (2, "big data table big"),
+        (3, "table of big sizes"),
+        (4, "streaming merge of a table scan"),
+        (5, "fast scan big table fast"),
+        (6, "nothing relevant here"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id int, text string")
+    cols = {"text": tokens("text")}
+    toks = {i: t.split() for i, t in corpus}
+    vocab = ["big", "table", "scan", "fast", "merge", "sizes"]
+
+    def py_eval(node, words):
+        kind = node[0]
+        if kind == "term":
+            return node[1] in words
+        if kind == "prefix":
+            return any(w.startswith(node[1]) for w in words)
+        if kind == "initial":
+            return bool(words) and words[0] == node[1]
+        if kind == "phrase":
+            ws = node[1]
+            return any(
+                words[i : i + len(ws)] == ws
+                for i in range(len(words) - len(ws) + 1)
+            )
+        if kind == "near":
+            a, b, n = node[1], node[2], node[3]
+            pa = [i for i, w in enumerate(words) if w == a]
+            pb = [i for i, w in enumerate(words) if w == b]
+            return any(abs(p - q) - 1 <= n for p in pa for q in pb)
+        if kind == "and":
+            return py_eval(node[1], words) and py_eval(node[2], words)
+        if kind == "or":
+            return py_eval(node[1], words) or py_eval(node[2], words)
+        if kind == "not":
+            return py_eval(node[1], words) and not py_eval(node[2], words)
+        raise AssertionError(kind)
+
+    def gen(rng, depth=0):
+        choices = ["term", "prefix", "initial", "phrase", "near"]
+        if depth < 2:
+            choices += ["and", "or", "not"] * 2
+        kind = rng.choice(choices)
+        if kind == "term":
+            w = rng.choice(vocab)
+            return ("term", w), w
+        if kind == "prefix":
+            w = rng.choice(vocab)
+            p = w[: rng.randint(1, len(w))]
+            return ("prefix", p), f"{p}*"
+        if kind == "initial":
+            w = rng.choice(vocab)
+            return ("initial", w), f"^{w}"
+        if kind == "phrase":
+            ws = [rng.choice(vocab) for _ in range(rng.randint(1, 3))]
+            return ("phrase", ws), '"' + " ".join(ws) + '"'
+        if kind == "near":
+            a, b = rng.choice(vocab), rng.choice(vocab)
+            n = rng.randint(0, 4)
+            return ("near", a, b, n), f"NEAR({a} {b}, {n})"
+        l_ast, l_s = gen(rng, depth + 1)
+        r_ast, r_s = gen(rng, depth + 1)
+        if kind == "and":
+            return ("and", l_ast, r_ast), f"({l_s} AND {r_s})"
+        if kind == "or":
+            return ("or", l_ast, r_ast), f"({l_s} OR {r_s})"
+        return ("not", l_ast, r_ast), f"({l_s} NOT {r_s})"
+
+    rng = random.Random(20260814)
+    for trial in range(25):
+        ast_node, match = gen(rng)
+        pred = fts5_compile(match, cols, default="text")
+        got = sorted(
+            r.doc_id for r in docs.filter(pred).select("doc_id").collect()
+        )
+        want = sorted(i for i, ws in toks.items() if py_eval(ast_node, ws))
+        assert got == want, f"{match!r}: spark={got} py={want}"
