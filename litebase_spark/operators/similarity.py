@@ -1107,3 +1107,198 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("qid", "vec_id", "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-ADC: probe cells, score compressed int8 codes, rerank winners in float
+# ---------------------------------------------------------------------------
+
+_ADC_RERANK = 2 * TOP_K  # exact-rescore margin over the code-space scan
+
+
+def _knn_ivf_adc_oracle() -> str:
+    nrm = _SQL_NORM.format(a="embedding", n=DIM)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings
+    ), cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv, nrm AS cn
+      FROM e ORDER BY vec_id LIMIT {N_CENTROIDS}
+    ), scored AS (
+      SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
+             {_SQL_DOT.format(a='e.embedding', b='c.cv', n=DIM)}
+               / (e.nrm * c.cn) AS sim
+      FROM e CROSS JOIN cents c
+    ), assigned AS (
+      SELECT vec_id, embedding, nrm, cent_id AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, cent_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ), quant AS (
+      SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS ed,
+             list_min(list_transform(embedding, v -> CAST(v AS DOUBLE)))
+               AS q_min,
+             (list_max(list_transform(embedding, v -> CAST(v AS DOUBLE)))
+              - list_min(list_transform(embedding, v -> CAST(v AS DOUBLE))))
+               / 255.0 AS q_scale
+      FROM embeddings
+    ), coded AS (
+      SELECT vec_id,
+             list_transform(ed, v -> CAST(CASE WHEN q_scale = 0 THEN 0
+               ELSE LEAST(FLOOR((v - q_min) / q_scale), 255) END AS INT))
+               AS codes,
+             q_min, q_scale
+      FROM quant
+    ), corpus AS (
+      SELECT a.vec_id, a.embedding, a.nrm, a.cell,
+             list_transform(c.codes, x -> c.q_min + x * c.q_scale) AS dq
+      FROM assigned a JOIN coded c ON a.vec_id = c.vec_id
+    ), q AS (
+      SELECT vec_id AS qid, embedding AS qv, nrm AS qn
+      FROM assigned WHERE vec_id < {N_QUERIES}
+    ), qscored AS (
+      SELECT q.qid, q.qv, q.qn, c.cent_id,
+             {_SQL_DOT.format(a='q.qv', b='c.cv', n=DIM)}
+               / (q.qn * c.cn) AS qsim
+      FROM q CROSS JOIN cents c
+    ), probes AS (
+      SELECT qid, qv, qn, cent_id AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY qsim DESC, cent_id) AS pr
+        FROM qscored
+      ) WHERE pr <= {N_PROBE}
+    ), adc AS (
+      SELECT p.qid, c.vec_id, c.embedding, c.nrm, p.qv, p.qn,
+             {_SQL_DOT.format(a='p.qv', b='c.dq', n=DIM)}
+               / (p.qn * sqrt({_SQL_DOT.format(a='c.dq', b='c.dq', n=DIM)}))
+               AS adc_sim
+      FROM corpus c JOIN probes p
+        ON c.cell = p.cell AND c.vec_id != p.qid
+    ), shortlist AS (
+      SELECT qid, vec_id, embedding, nrm, qv, qn FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY adc_sim DESC, vec_id) AS rn
+        FROM adc
+      ) WHERE rn <= {_ADC_RERANK}
+    ), exact AS (
+      SELECT qid, vec_id,
+             ROUND({_SQL_DOT.format(a='qv', b='embedding', n=DIM)}
+               / (qn * nrm), 6) AS cos_sim
+      FROM shortlist
+    ), ranked AS (
+      SELECT qid, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM exact
+    )
+    SELECT qid, vec_id, cos_sim, rn AS rank FROM ranked WHERE rn <= {TOP_K}
+    """
+
+
+@query(
+    "knn_ivf_adc",
+    oracle=_knn_ivf_adc_oracle(),
+    description="IVF-ADC search: probe N_PROBE coarse cells, score "
+    "candidates against their int8 min/max-dequantized codes "
+    "(asymmetric distance computation — the float query against the "
+    "compressed corpus), shortlist 2k per query, then rerank the "
+    "shortlist with the exact float fold. This is the memory-bandwidth "
+    "layout for ANN at 100 TB: the probe scan touches 4x-smaller code "
+    "rows and only the 2k winners load full floats. FLOOR-based codes "
+    "and deterministic (score, vec_id) tie-breaks make the whole "
+    "pipeline — assignment, probes, ADC scores, shortlist, exact "
+    "rerank — oracle-exact.",
+    tags=("similarity", "ivf", "quantization"),
+)
+def knn_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    cents = (
+        e.orderBy("vec_id")
+        .limit(N_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cv"),
+            norm2(F.col("embedding")).alias("cn"),
+        )
+    )
+    csim = dot(F.col("embedding"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    assign_w = Window.partitionBy("vec_id").orderBy(
+        F.desc("sim"), F.asc("cent_id")
+    )
+    assigned = (
+        e.select("vec_id", "embedding", norm2(F.col("embedding")).alias("nrm"))
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "nrm", "cent_id", csim.alias("sim"))
+        .withColumn("rn", F.row_number().over(assign_w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "nrm", F.col("cent_id").alias("cell"))
+    )
+    # int8 min/max codes (the embedding_quantize_minmax expressions),
+    # dequantized once per row into the dq column the ADC fold scans
+    coded = (
+        e.select(
+            "vec_id",
+            F.expr("transform(embedding, v -> CAST(v AS DOUBLE))").alias("ed"),
+        )
+        .select(
+            "vec_id",
+            "ed",
+            F.array_min("ed").alias("q_min"),
+            ((F.array_max("ed") - F.array_min("ed")) / 255.0).alias("q_scale"),
+        )
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(transform(ed, v -> CAST(CASE WHEN q_scale = 0"
+                " THEN 0 ELSE LEAST(FLOOR((v - q_min) / q_scale), 255) END"
+                " AS INT)), x -> q_min + x * q_scale)"
+            ).alias("dq"),
+        )
+    )
+    corpus = assigned.join(coded, "vec_id")
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    probe_w = Window.partitionBy("qid").orderBy(F.desc("qsim"), F.asc("cent_id"))
+    qsim = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    probes = (
+        q.join(F.broadcast(cents))
+        .select("qid", "qv", "qn", "cent_id", qsim.alias("qsim"))
+        .withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= N_PROBE)
+        .select("qid", "qv", "qn", F.col("cent_id").alias("cell"))
+    )
+    adc_sim = dot(F.col("qv"), F.col("dq")) / (
+        F.col("qn") * F.sqrt(dot(F.col("dq"), F.col("dq")))
+    )
+    short_w = Window.partitionBy("qid").orderBy(
+        F.desc("adc_sim"), F.asc("vec_id")
+    )
+    shortlist = (
+        corpus.join(F.broadcast(probes), on="cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id", "embedding", "nrm", "qv", "qn",
+            adc_sim.alias("adc_sim"),
+        )
+        .withColumn("rn", F.row_number().over(short_w))
+        .filter(F.col("rn") <= _ADC_RERANK)
+    )
+    exact = dot(F.col("qv"), F.col("embedding")) / (F.col("qn") * F.col("nrm"))
+    rank_w = Window.partitionBy("qid").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        shortlist.select("qid", "vec_id", F.round(exact, 6).alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "vec_id", "cos_sim", "rank")
+    )

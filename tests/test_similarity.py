@@ -43,3 +43,24 @@ def test_int8_quantized_scoring_preserves_topk_recall(spark, sf_dir):
     want = {(r["qid"], r["vec_id"]) for r in exact.collect()}
     recall = len(got & want) / len(want)
     assert recall >= 0.8, (recall, got, want)
+
+
+def test_ivf_adc_recall_vs_exact_probe(spark, sf_dir):
+    """ADC shortlist + exact rerank recovers most of the probe-limited
+    exact top-k (quantization noise can only cost shortlist membership,
+    never a reported value — values are exact by construction)."""
+    import litebase_spark.operators  # noqa: F401
+    from litebase_spark.catalog import REGISTRY
+
+    adc = {
+        (r["qid"], r["vec_id"])
+        for r in REGISTRY["knn_ivf_adc"].builder(spark, sf_dir).collect()
+    }
+    exact = {
+        (r["qid"], r["vec_id"])
+        for r in REGISTRY["knn_ivf_probe"].builder(spark, sf_dir).collect()
+    }
+    assert len(adc) == len(exact) > 0
+    # int8 codes over 64 dims keep ADC ranking close to exact: allow a
+    # small boundary divergence, require high overlap
+    assert len(adc & exact) / len(exact) >= 0.8
