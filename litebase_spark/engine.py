@@ -101,8 +101,14 @@ class QueryMetrics:
     64-byte records keyed by statement hash; we keep exact samples locally
     and aggregate with percentile_approx when reading back at scale)."""
 
+    BUCKET_SECONDS = 60  # reference flushes per-second buckets every 5s;
+    # minute grain fits the driver-side read pattern
+
     def __init__(self) -> None:
         self._acc: dict[int, _MetricAccumulator] = {}
+        # time-bucketed log: bucket_ts -> statement_hash -> accumulator
+        # (reference pkg/logs/query_log.go keeps queue[time][checksum])
+        self._buckets: dict[int, dict[int, _MetricAccumulator]] = {}
 
     @staticmethod
     def statement_hash(sql: str) -> int:
@@ -110,7 +116,7 @@ class QueryMetrics:
         # (reference: pkg/database/database_connection.go:726-756).
         return zlib.crc32(sql.encode())
 
-    def record(self, sql: str, latency: float) -> None:
+    def record(self, sql: str, latency: float, ts: float | None = None) -> None:
         h = self.statement_hash(sql)
         acc = self._acc.get(h)
         if acc is None:
@@ -120,6 +126,16 @@ class QueryMetrics:
         acc.vmin = min(acc.vmin, latency)
         acc.vmax = max(acc.vmax, latency)
         acc.latencies.append(latency)
+        bucket = int((ts if ts is not None else time.time())
+                     // self.BUCKET_SECONDS) * self.BUCKET_SECONDS
+        bacc = self._buckets.setdefault(bucket, {}).get(h)
+        if bacc is None:
+            bacc = self._buckets[bucket][h] = _MetricAccumulator(statement=sql)
+        bacc.count += 1
+        bacc.total += latency
+        bacc.vmin = min(bacc.vmin, latency)
+        bacc.vmax = max(bacc.vmax, latency)
+        bacc.latencies.append(latency)
 
     def snapshot(self) -> list[dict[str, Any]]:
         out = []
@@ -154,10 +170,76 @@ class QueryMetrics:
         )
         return spark.createDataFrame(snap, schema=schema)
 
+    # -- time-bucketed query log (reference pkg/logs/query_log.go) ----------
+
+    @staticmethod
+    def _bucket_row(bucket: int, h: int, a: _MetricAccumulator) -> dict:
+        lat = sorted(a.latencies)
+
+        def pct(p: float) -> float:
+            return lat[min(len(lat) - 1, int(p * len(lat)))] if lat else 0.0
+
+        return {
+            "bucket_ts": bucket,
+            "statement_hash": h,
+            "statement": a.statement,
+            "count": a.count,
+            "avg": a.total / a.count if a.count else 0.0,
+            "min": a.vmin if a.count else 0.0,
+            "max": a.vmax,
+            "p50": pct(0.50),
+            "p90": pct(0.90),
+            "p99": pct(0.99),
+        }
+
+    def log_entries(
+        self, start: float | None = None, end: float | None = None
+    ) -> list[dict[str, Any]]:
+        """Per-(time-bucket, statement) metric rows, optionally windowed
+        — the reference's GET .../metrics/query with from/to filtering
+        over the flushed query log (pkg/logs/query_log.go)."""
+        out = []
+        for bucket in sorted(self._buckets):
+            if start is not None and bucket + self.BUCKET_SECONDS <= start:
+                continue
+            if end is not None and bucket > end:
+                continue
+            for h, a in sorted(self._buckets[bucket].items()):
+                out.append(self._bucket_row(bucket, h, a))
+        return out
+
+    def flush(self, path: str) -> int:
+        """Append the bucketed log to a JSON-lines file and clear the
+        in-memory queue (the reference's 5-second flush of closed
+        buckets to tiered storage). Returns rows flushed."""
+        import json as _json
+
+        rows = self.log_entries()
+        if rows:
+            with open(path, "a") as f:
+                for r in rows:
+                    f.write(_json.dumps(r) + "\n")
+        self._buckets.clear()
+        return len(rows)
+
+    @staticmethod
+    def read_log(spark: SparkSession, path: str) -> DataFrame:
+        """Flushed query-log readback as a DataFrame (distributed read —
+        at scale the log lands on shared storage and this is a plain
+        spark.read.json over partitioned files)."""
+        schema = (
+            "bucket_ts long, statement_hash long, statement string,"
+            " count long, avg double, min double, max double,"
+            " p50 double, p90 double, p99 double"
+        )
+        return spark.read.schema(schema).json(path)
+
 
 class Engine:
     """Session + catalog + query dispatch (reference resolver analog,
     SURVEY §2.A rows A2/A3/A6/A22)."""
+
+    PREPARED_CACHE_CAP = 256  # LFU-evicted (pkg/cache/lfu_cache.go role)
 
     def __init__(
         self,
@@ -168,6 +250,7 @@ class Engine:
         self.metrics = QueryMetrics()
         self.default_database = default_database
         self._plan_cache: dict[int, DataFrame] = {}
+        self._plan_freq: dict[int, int] = {}
         self._transactions: dict[str, "Transaction"] = {}
         self._autotxn: "Transaction | None" = None
         self._vstore = None  # attach_versioned_store enables time travel
@@ -333,13 +416,22 @@ class Engine:
         (reference: pkg/database/database_connection.go:726-756).
         Catalyst already caches plan fragments; this keeps the PYTHON-side
         DataFrame (parse+analyze done once) for repeated execution.
-        Read-only statements only — DML/DDL must re-resolve tables."""
+        Read-only statements only — DML/DDL must re-resolve tables.
+        Bounded with LFU eviction (reference pkg/cache/lfu_cache.go backs
+        the same role): at capacity the least-frequently-used statement
+        is dropped, so hot statements survive churn."""
         if classify_statement(statement) != "DQL":
             raise ValueError("prepared() caches read statements only")
         h = QueryMetrics.statement_hash(statement)
         df = self._plan_cache.get(h)
         if df is None:
+            if len(self._plan_cache) >= self.PREPARED_CACHE_CAP:
+                coldest = min(self._plan_freq, key=lambda k: self._plan_freq[k])
+                self._plan_cache.pop(coldest, None)
+                self._plan_freq.pop(coldest, None)
             df = self._plan_cache[h] = self.spark.sql(statement)
+            self._plan_freq[h] = 0
+        self._plan_freq[h] = self._plan_freq.get(h, 0) + 1
         return df
 
     def explain(self, statement: str, mode: str = "formatted") -> str:

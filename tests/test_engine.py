@@ -337,3 +337,47 @@ def test_dml_changes_observed_no_extra_scan(engine, spark):
     got = {r.id: r.v for r in eng.sql("SELECT * FROM t_obs").rows}
     assert got == {1: 1.0, 2: 2.0, 3: 13.0, 4: 14.0}
     eng.sql("DROP TABLE t_obs")
+
+
+def test_query_log_buckets_and_flush(spark, tmp_path):
+    """Time-bucketed query log (A22 depth): windowed readback, JSONL
+    flush, distributed re-read (reference pkg/logs/query_log.go)."""
+    from litebase_spark.engine import QueryMetrics
+
+    m = QueryMetrics()
+    m.record("SELECT 1", 0.010, ts=1000.0)
+    m.record("SELECT 1", 0.030, ts=1010.0)   # same minute bucket
+    m.record("SELECT 1", 0.020, ts=1070.0)   # next bucket
+    m.record("SELECT 2", 0.005, ts=1070.0)
+    rows = m.log_entries()
+    assert [(r["bucket_ts"], r["statement"], r["count"]) for r in rows] == [
+        (960, "SELECT 1", 2),
+        (1020, "SELECT 1", 1),
+        (1020, "SELECT 2", 1),
+    ]
+    # window filter: only the second bucket
+    assert {r["bucket_ts"] for r in m.log_entries(start=1020)} == {1020}
+    assert {r["bucket_ts"] for r in m.log_entries(end=1000)} == {960}
+    path = str(tmp_path / "querylog.jsonl")
+    assert m.flush(path) == 3
+    assert m.log_entries() == []  # queue cleared
+    back = m.read_log(spark, path)
+    assert back.count() == 3
+    got = {
+        (r["bucket_ts"], r["statement"]): r["count"] for r in back.collect()
+    }
+    assert got[(960, "SELECT 1")] == 2
+
+
+def test_prepared_cache_lfu_eviction(spark):
+    eng = Engine(spark=spark)
+    eng.PREPARED_CACHE_CAP = 2
+    hot = "SELECT 1 AS hot"
+    eng.prepared(hot)
+    eng.prepared(hot)  # freq 2
+    eng.prepared("SELECT 2 AS cold")  # freq 1
+    eng.prepared("SELECT 3 AS newer")  # evicts the cold one
+    h = eng.metrics.statement_hash
+    assert h(hot) in eng._plan_cache
+    assert h("SELECT 2 AS cold") not in eng._plan_cache
+    assert h("SELECT 3 AS newer") in eng._plan_cache
