@@ -203,9 +203,12 @@ class QueryServer:
                 return json.loads(raw or b"{}")
 
             def do_GET(self):  # noqa: N802 (stdlib API)
-                if self.path == "/health":
+                from urllib.parse import parse_qs, urlparse
+
+                parsed = urlparse(self.path)
+                if parsed.path == "/health":
                     return self._send(200, {"status": "ok"})
-                m = _METRICS_RE.match(self.path)
+                m = _METRICS_RE.match(parsed.path)
                 if m:
                     key = self._auth()
                     if key is None:
@@ -213,16 +216,21 @@ class QueryServer:
                     resource = f"database:{m.group(1)}:branch:{m.group(2)}"
                     if not key.allows(resource, "database:select"):
                         return self._send(403, {"status": "error", "message": "forbidden"})
-                    rows = server.engine.query_metrics().collect()
+                    qs = parse_qs(parsed.query)
+                    if "from" in qs or "to" in qs:
+                        # windowed bucketed log (reference QueryLogController
+                        # reads the flushed query log with a time range)
+                        data = server.engine.metrics.log_entries(
+                            start=float(qs["from"][0]) if "from" in qs else None,
+                            end=float(qs["to"][0]) if "to" in qs else None,
+                        )
+                    else:
+                        data = [
+                            {k: _json_value(v) for k, v in r.asDict().items()}
+                            for r in server.engine.query_metrics().collect()
+                        ]
                     return self._send(
-                        200,
-                        {
-                            "status": "success",
-                            "data": [
-                                {k: _json_value(v) for k, v in r.asDict().items()}
-                                for r in rows
-                            ],
-                        },
+                        200, {"status": "success", "data": data}
                     )
                 return self._send(404, {"status": "error"})
 

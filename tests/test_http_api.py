@@ -230,6 +230,27 @@ def test_metrics_endpoint(server):
     assert isinstance(body["data"], list)
 
 
+def test_metrics_endpoint_windowed(server):
+    server.engine.metrics.record("SELECT 42", 0.01, ts=5000.0)
+    code, body = _call(
+        server, "GET",
+        "/v1/databases/main/main/metrics/query?from=4980&to=5100",
+        token="reader:r3ad",
+    )
+    assert code == 200
+    stmts = {r["statement"] for r in body["data"]}
+    assert "SELECT 42" in stmts
+    assert all(4980 <= r["bucket_ts"] <= 5100 for r in body["data"])
+    code, body = _call(
+        server, "GET",
+        "/v1/databases/main/main/metrics/query?from=6000",
+        token="reader:r3ad",
+    )
+    assert body["data"] == [] or all(
+        r["bucket_ts"] >= 6000 for r in body["data"]
+    )
+
+
 def test_vacuum_rejected_as_error(server):
     code, body = _call(
         server, "POST", "/v1/databases/main/main/query",
