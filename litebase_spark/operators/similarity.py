@@ -1302,3 +1302,196 @@ def knn_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("qid", "vec_id", "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: per-subspace k-means codebooks (PQ proper)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces (PQ_M * PQ_SUB == DIM)
+PQ_SUB = 8  # dims per subspace
+PQ_K = 16  # centroids per subspace -> 4-bit codes
+PQ_ITERS = 1
+
+
+def _argmin_sub(cents: list, col_name: str):
+    """struct(d2, cid) of the nearest subspace centroid — the same
+    inlined-literal map-only argmin as _argmin_centroid, over an
+    arbitrary subvector column."""
+    return F.array_min(
+        F.transform(
+            F.lit(cents),
+            lambda c, i: F.struct(
+                _sqdist(F.col(col_name), c).alias("d2"), i.alias("cid")
+            ),
+        )
+    )
+
+
+def pq_fit(
+    e: DataFrame,
+    m: int = PQ_M,
+    sub: int = PQ_SUB,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: independent k-means per subspace slice.
+
+    Same distributed contract as kmeans_fit — the corpus never leaves
+    the executors; per subspace per iteration one map-only argmin pass
+    plus one fixed-point per-dim mean aggregate; only the m x k x sub
+    model reaches the driver (O(model) collects, the centroid-collect
+    pattern). Seeds are the first k subvectors by vec_id, so training
+    is deterministic end-to-end and the DuckDB oracle replays it.
+    """
+    e = e.select("vec_id", "embedding").localCheckpoint(eager=True)
+    books = []
+    for s in range(m):
+        sv = e.select(
+            "vec_id", F.slice("embedding", s * sub + 1, sub).alias("v")
+        )
+        seed_rows = sv.orderBy("vec_id").limit(k).collect()
+        cents = [[float(x) for x in r["v"]] for r in seed_rows]
+        for _ in range(iters):
+            best = _argmin_sub(cents, "v")
+            assigned = sv.select("v", best["cid"].alias("cid"))
+            per_dim = (
+                assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+                .groupBy("cid", "pos")
+                .agg(
+                    F.sum(
+                        F.floor(F.col("x").cast("double") * F.lit(_Q))
+                    ).alias("s"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+            )
+            by: dict[int, dict[int, float]] = {}
+            for r in per_dim.collect():
+                by.setdefault(r["cid"], {})[r["pos"]] = (
+                    float(r["s"]) / _Q / r["n"]
+                )
+            for cid, dims in by.items():
+                cents[cid] = [dims[p] for p in sorted(dims)]
+        books.append(cents)
+    return books
+
+
+def _pq_oracle(m: int = PQ_M, sub: int = PQ_SUB, k: int = PQ_K,
+               iters: int = PQ_ITERS) -> str:
+    def subdist(e: str, c: str) -> str:
+        d = f"(CAST({e}[i] AS DOUBLE) - CAST({c}[i] AS DOUBLE))"
+        return f"list_sum(list_transform(range(1, {sub} + 1), i -> {d} * {d}))"
+
+    q_sum = (
+        "CAST(SUM(CAST(FLOOR(CAST(v[t.i] AS DOUBLE)"
+        f" * {_Q!r}) AS BIGINT)) AS DOUBLE) / {_Q!r} / COUNT(*)"
+    )
+    parts = []
+    for s in range(m):
+        slc = (
+            f"list_transform(range({s * sub + 1}, {s * sub + sub + 1}),"
+            " i -> CAST(embedding[i] AS DOUBLE))"
+        )
+        parts.append(
+            f"sv{s} AS (SELECT vec_id, {slc} AS v FROM embeddings)"
+        )
+        parts.append(
+            f"""c{s}_0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             v AS cv
+      FROM sv{s} ORDER BY vec_id LIMIT {k}
+    )"""
+        )
+        for i in range(1, iters + 1):
+            parts.append(
+                f"""d{s}_{i} AS (
+      SELECT e.vec_id, e.v, c.cid, {subdist('e.v', 'c.cv')} AS d2
+      FROM sv{s} e CROSS JOIN c{s}_{i - 1} c
+    ), a{s}_{i} AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT vec_id, v, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cid) AS rn
+        FROM d{s}_{i}
+      ) WHERE rn = 1
+    ), u{s}_{i} AS (
+      SELECT cid, t.i AS pos, {q_sum} AS mval
+      FROM a{s}_{i}, range(1, {sub} + 1) t(i) GROUP BY cid, t.i
+    ), cn{s}_{i} AS (
+      SELECT cid, list(mval ORDER BY pos) AS cv FROM u{s}_{i} GROUP BY cid
+    ), c{s}_{i} AS (
+      SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
+      FROM c{s}_{i - 1} p LEFT JOIN cn{s}_{i} n ON n.cid = p.cid
+    )"""
+            )
+        parts.append(
+            f"""f{s} AS (
+      SELECT vec_id, cid AS code{s}, d2 AS e{s} FROM (
+        SELECT vec_id, cid, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cid) AS rn
+        FROM (SELECT e.vec_id, c.cid, {subdist('e.v', 'c.cv')} AS d2
+              FROM sv{s} e CROSS JOIN c{s}_{iters} c)
+      ) WHERE rn = 1
+    )"""
+        )
+    digest = " || ',' || ".join(f"CAST(code{s} AS VARCHAR)" for s in range(m))
+    err = " + ".join(f"e{s}" for s in range(m))
+    joins = "f0" + "".join(f" JOIN f{s} USING (vec_id)" for s in range(1, m))
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT vec_id, md5({digest}) AS codes_digest,
+           ROUND({err}, 6) AS recon_err
+    FROM {joins}
+    """
+    )
+
+
+@query(
+    "embedding_pq_codes",
+    oracle=_pq_oracle(),
+    description="Product quantization proper: 8 independent per-subspace "
+    "k-means codebooks (16 centroids x 8 dims each -> 4-bit codes, 64-d "
+    "vector compressed to 8 bytes) trained with deterministic seeds and "
+    "exact fixed-point Lloyd refinement, then every vector encoded by "
+    "per-subspace argmin. Emits the code digest and the reconstruction "
+    "squared error per vector — PQ is the 100 TB ANN memory layout "
+    "(IVF-PQ = ivf_cells partitioning + these codes + knn_ivf_adc's "
+    "scan-compressed/rerank-exact dataflow). Training, assignment, and "
+    "errors all replay bit-exact in the DuckDB oracle's unrolled CTEs.",
+    tags=("similarity", "quantization", "iterative"),
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    books = pq_fit(e)
+    out = e.select(
+        "vec_id",
+        *[
+            F.slice("embedding", s * PQ_SUB + 1, PQ_SUB).alias(f"v{s}")
+            for s in range(PQ_M)
+        ],
+    )
+    for s in range(PQ_M):
+        best = _argmin_sub(books[s], f"v{s}")
+        out = out.withColumn(f"best{s}", best)
+    digest = F.md5(
+        F.concat_ws(
+            ",",
+            *[
+                F.col(f"best{s}")["cid"].cast("string")
+                for s in range(PQ_M)
+            ],
+        )
+    )
+    err = F.col("best0")["d2"]
+    for s in range(1, PQ_M):
+        err = err + F.col(f"best{s}")["d2"]
+    return out.select(
+        "vec_id",
+        digest.alias("codes_digest"),
+        F.round(err, 6).alias("recon_err"),
+    )

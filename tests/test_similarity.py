@@ -64,3 +64,38 @@ def test_ivf_adc_recall_vs_exact_probe(spark, sf_dir):
     # int8 codes over 64 dims keep ADC ranking close to exact: allow a
     # small boundary divergence, require high overlap
     assert len(adc & exact) / len(exact) >= 0.8
+
+
+def test_pq_training_reduces_reconstruction_error(spark, sf_dir):
+    """One Lloyd round per subspace must not worsen — and should
+    measurably improve — mean reconstruction error vs raw seeds."""
+    from pyspark.sql import functions as F
+
+    from litebase_spark.catalog import load
+    from litebase_spark.operators.similarity import (
+        PQ_M,
+        PQ_SUB,
+        _argmin_sub,
+        pq_fit,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+
+    def mean_err(books):
+        out = e.select(
+            *[
+                F.slice("embedding", s * PQ_SUB + 1, PQ_SUB).alias(f"v{s}")
+                for s in range(PQ_M)
+            ]
+        )
+        err = None
+        for s in range(PQ_M):
+            d2 = _argmin_sub(books[s], f"v{s}")["d2"]
+            err = d2 if err is None else err + d2
+        return out.agg(F.avg(err)).collect()[0][0]
+
+    seeds = pq_fit(e, iters=0)
+    trained = pq_fit(e, iters=1)
+    e_seed, e_trained = mean_err(seeds), mean_err(trained)
+    assert e_trained <= e_seed
+    assert e_trained < 0.9 * e_seed  # a real improvement, not noise
