@@ -40,7 +40,7 @@ from litebase_spark.session import get_spark
 _DDL_PREFIXES = ("CREATE", "ALTER", "DROP", "TRUNCATE", "REPLACE")
 _DML_PREFIXES = ("INSERT", "UPDATE", "DELETE", "MERGE")
 _DQL_PREFIXES = ("SELECT", "WITH", "VALUES", "TABLE", "DESCRIBE", "SHOW", "EXPLAIN")
-_TCL_PREFIXES = ("BEGIN", "COMMIT", "END", "ROLLBACK")
+_TCL_PREFIXES = ("BEGIN", "COMMIT", "END", "ROLLBACK", "SAVEPOINT", "RELEASE")
 
 
 def classify_statement(sql: str) -> str:
@@ -557,6 +557,7 @@ class Engine:
         import re
 
         toks = re.findall(r"\w+", statement.upper())
+        raw_toks = re.findall(r"\w+", statement)
         kw = toks[0]
         if kw == "BEGIN":
             if self._autotxn is not None:
@@ -570,6 +571,21 @@ class Engine:
                 self._autotxn.commit()
             finally:
                 self._autotxn = None
+        elif kw in ("SAVEPOINT", "RELEASE") or (
+            kw == "ROLLBACK" and len(toks) > 1 and toks[1] == "TO"
+        ):
+            # SQLite savepoint dialect; requires an open transaction here
+            # (SQLite's implicit-txn savepoints are out of scope — the
+            # engine's txn unit is the shadow-view transaction)
+            if self._autotxn is None:
+                raise RuntimeError(f"no transaction is active for {kw}")
+            name = raw_toks[-1]
+            if kw == "SAVEPOINT":
+                self._autotxn.savepoint(name)
+            elif kw == "RELEASE":
+                self._autotxn.release(name)
+            else:
+                self._autotxn.rollback_to(name)
         else:  # ROLLBACK
             if self._autotxn is None:
                 raise RuntimeError("cannot rollback - no transaction is active")
@@ -939,6 +955,9 @@ class Transaction:
         self.state = "active"  # active | committed | rolled_back | expired
         # table -> (pre-image DataFrame or None for catalog tables, was_temp)
         self._touched: dict[str, tuple] = {}
+        # name -> {"touched": snapshot, "views": {table: DataFrame}};
+        # insertion order = savepoint stack order (SQLite semantics)
+        self._savepoints: dict[str, dict] = {}
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -973,12 +992,86 @@ class Transaction:
         self.state = "rolled_back"
         self.engine._transactions.pop(self.transaction_id, None)
 
+    # -- savepoints (SQLite SAVEPOINT/RELEASE/ROLLBACK TO; the reference
+    # grants database:savepoint, pkg/auth/database_privileges.go:43) -----
+
+    def savepoint(self, name: str) -> None:
+        """Mark the current txn state. Shadow views are immutable
+        DataFrame plans, so a savepoint is O(touched tables) plan refs —
+        no data copied (SQLite stacks WAL offsets the same way)."""
+        self._check_live()
+        spark = self.engine.spark
+        key = name.lower()
+        if key in self._savepoints:  # SQLite: reusing a name moves it
+            self._savepoints.pop(key)
+        self._savepoints[key] = {
+            "touched": dict(self._touched),
+            "views": {t: spark.table(t) for t in self._touched},
+        }
+
+    def _drop_after(self, key: str, inclusive: bool) -> None:
+        names = list(self._savepoints)
+        idx = names.index(key)
+        for n in names[idx if inclusive else idx + 1 :]:
+            self._savepoints.pop(n)
+
+    def rollback_to(self, name: str) -> None:
+        """Revert to the savepoint's state; the savepoint survives
+        (SQLite ROLLBACK TO), later savepoints are discarded."""
+        self._check_live()
+        key = name.lower()
+        sp = self._savepoints.get(key)
+        if sp is None:
+            raise LookupError(f"no such savepoint: {name}")
+        spark = self.engine.spark
+        for t, (pre, was_temp) in self._touched.items():
+            if t in sp["views"]:
+                sp["views"][t].createOrReplaceTempView(t)
+            elif was_temp and pre is not None:
+                pre.createOrReplaceTempView(t)  # untouched at savepoint
+            else:
+                spark.catalog.dropTempView(t)
+        self._touched = dict(sp["touched"])
+        self._drop_after(key, inclusive=False)
+
+    def release(self, name: str) -> None:
+        """Remove the savepoint (and its descendants), keeping state —
+        SQLite RELEASE folds the savepoint into its parent."""
+        self._check_live()
+        key = name.lower()
+        if key not in self._savepoints:
+            raise LookupError(f"no such savepoint: {name}")
+        self._drop_after(key, inclusive=True)
+
     # -- statement execution ------------------------------------------------
 
     def sql(self, statement: str, params: list | dict | None = None) -> QueryResult:
         self._check_live()
         t0 = time.time()
         stmt_class = classify_statement(statement)
+        if stmt_class == "TCL":
+            import re as _re
+
+            toks = _re.findall(r"\w+", statement.upper())
+            raw = _re.findall(r"\w+", statement)
+            if toks[0] == "SAVEPOINT":
+                self.savepoint(raw[-1])
+            elif toks[0] == "RELEASE":
+                self.release(raw[-1])
+            elif toks[0] == "ROLLBACK" and len(toks) > 1 and toks[1] == "TO":
+                self.rollback_to(raw[-1])
+            elif toks[0] in ("COMMIT", "END"):
+                self.commit()
+            elif toks[0] == "ROLLBACK":
+                self.rollback()
+            else:
+                raise RuntimeError(f"unsupported TCL inside txn: {statement}")
+            latency = time.time() - t0
+            self.engine.metrics.record(statement, latency)
+            return QueryResult(
+                columns=[], rows=[], row_count=0, changes=0,
+                latency=latency, statement_class="TCL",
+            )
         if stmt_class == "DML":
             changes = self._apply_dml(statement, params)
             latency = time.time() - t0

@@ -381,3 +381,43 @@ def test_prepared_cache_lfu_eviction(spark):
     assert h(hot) in eng._plan_cache
     assert h("SELECT 2 AS cold") not in eng._plan_cache
     assert h("SELECT 3 AS newer") in eng._plan_cache
+
+
+def test_savepoints_nested_rollback(spark, sf_dir):
+    """SAVEPOINT / ROLLBACK TO / RELEASE inside an interactive txn
+    (SQLite savepoint dialect; reference grants database:savepoint)."""
+    eng = Engine(spark)
+    eng.sql("DROP TABLE IF EXISTS t_sp")
+    eng.sql("CREATE TABLE t_sp (id BIGINT) USING PARQUET")
+    eng.sql("INSERT INTO t_sp VALUES (1)")
+    eng.sql("BEGIN IMMEDIATE")
+    eng.sql("INSERT INTO t_sp VALUES (2)")
+    eng.sql("SAVEPOINT sp1")
+    eng.sql("INSERT INTO t_sp VALUES (3)")
+    eng.sql("SAVEPOINT sp2")
+    eng.sql("INSERT INTO t_sp VALUES (4)")
+    assert eng.sql("SELECT count(*) AS n FROM t_sp").rows[0].n == 4
+    # revert to sp1: rows 3 and 4 vanish; sp2 is discarded
+    eng.sql("ROLLBACK TO sp1")
+    assert eng.sql("SELECT count(*) AS n FROM t_sp").rows[0].n == 2
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        eng.sql("ROLLBACK TO sp2")
+    # savepoint survives its own rollback; work after it commits
+    eng.sql("INSERT INTO t_sp VALUES (30)")
+    eng.sql("RELEASE sp1")
+    with _pytest.raises(Exception):
+        eng.sql("ROLLBACK TO sp1")  # released
+    eng.sql("COMMIT")
+    got = sorted(r.id for r in eng.sql("SELECT id FROM t_sp").rows)
+    assert got == [1, 2, 30]
+    eng.sql("DROP TABLE t_sp")
+
+
+def test_savepoint_requires_transaction(spark):
+    eng = Engine(spark)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        eng.sql("SAVEPOINT sp1")
