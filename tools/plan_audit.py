@@ -47,6 +47,7 @@ _ALLOWED_NL = {
     "dedup_embedding_blocked",
     "knn_ivf_probe",
     "knn_ivf_kmeans",
+    "knn_ivf_adc",  # 16-centroid broadcast assignment, same as ivf_probe
     "spatial_rtree_bbox_join",
     "q19_discounted_revenue",  # OR-of-conjuncts residual over broadcast
     "sketch_hll_union",  # 1-row grand-total cross join onto estimates
