@@ -1338,3 +1338,105 @@ def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("n_hits").alias("total_hits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filtering: hashed linear (fastText-style) scorer
+# ---------------------------------------------------------------------------
+
+_HLS_BUCKETS = 4096  # hashed feature space (2^12)
+
+
+def _hls_wnum_spark(bucket_expr: str) -> str:
+    """Deterministic integer pseudo-weight numerator in [-1000, 1000]
+    per hash bucket (weight = numerator / 1000). A real deployment
+    broadcasts a trained weights array indexed by the SAME bucket id;
+    deriving from the bucket hash keeps this frozen model reproducible
+    in both engines. INTEGER numerators make the per-doc sum
+    order-independent — exact under any partitioning AND any UNNEST
+    order on the oracle side."""
+    from litebase_spark.functions.portable import h60_spark
+
+    h = h60_spark(f"CONCAT('w_', CAST({bucket_expr} AS STRING))")
+    return f"(({h}) % 2001 - 1000)"
+
+
+def _hls_wnum_duck(bucket_expr: str) -> str:
+    from litebase_spark.functions.portable import h60_duck
+
+    h = h60_duck(f"'w_' || CAST({bucket_expr} AS VARCHAR)")
+    return f"(({h}) % 2001 - 1000)"
+
+
+def _hls_oracle() -> str:
+    from litebase_spark.functions.portable import h60_duck
+
+    bucket = f"({h60_duck('u')} % {_HLS_BUCKETS})"
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS w FROM documents
+    ), fx AS (
+      SELECT doc_id,
+             list_concat(w,
+               list_transform(range(1, len(w)),
+                 i -> w[i] || '_' || w[i+1])) AS fs
+      FROM tok WHERE len(w) > 0
+    ), feats AS (
+      SELECT doc_id, UNNEST(fs) AS u, len(fs) AS n FROM fx
+    ), scored AS (
+      SELECT doc_id,
+             CAST(SUM({_hls_wnum_duck(bucket)}) AS DOUBLE)
+               / 1000.0 / MAX(n) AS z
+      FROM feats GROUP BY doc_id
+    )
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + exp(-z)), 6) AS quality_prob,
+           CAST(1.0 / (1.0 + exp(-z)) >= 0.5 AS BOOLEAN) AS kept
+    FROM scored
+    """
+
+
+@query(
+    "text_hashed_linear_score",
+    oracle=_hls_oracle(),
+    description="Model-based quality filter with the fastText/DCLM "
+    "dataflow: unigram + bigram features hash into a fixed bucket "
+    "space, the document score is a mean of per-bucket weights through "
+    "a sigmoid, and documents below threshold are dropped. The weights "
+    "here are a frozen deterministic pseudo-model (md5-derived per "
+    "bucket, identical in the oracle); production swaps in a broadcast "
+    "trained-weights array indexed by the same bucket id — the Spark "
+    "dataflow (explode features -> per-doc sum -> sigmoid, one shuffle "
+    "keyed by doc) is exactly what a real classifier costs at 100 TB. "
+    "Fold order is fixed by per-doc feature position, so scores are "
+    "oracle-exact.",
+    tags=("text", "quality", "model"),
+)
+def text_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from litebase_spark.functions.portable import h60_spark
+
+    d = load(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    w = tokens("text")
+    feats = F.expr(
+        "concat(w, transform(sequence(1, size(w) - 1),"
+        " i -> concat(element_at(w, i), '_', element_at(w, i + 1))))"
+    )
+    bucket = f"({h60_spark('u')} % {_HLS_BUCKETS})"
+    wnum = _hls_wnum_spark(bucket)
+    z = F.expr(
+        f"CAST(aggregate(fs, 0L, (acc, u) -> acc + ({wnum})) AS DOUBLE)"
+        f" / 1000.0 / size(fs)"
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z")))
+    return (
+        d.select("doc_id", w.alias("w"))
+        .filter(F.size("w") > 0)
+        .select("doc_id", feats.alias("fs"))
+        .select("doc_id", z.alias("z"))
+        .select(
+            "doc_id",
+            F.round(prob, 6).alias("quality_prob"),
+            (prob >= 0.5).alias("kept"),
+        )
+    )
