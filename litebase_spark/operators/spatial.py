@@ -218,3 +218,87 @@ def geopoly_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.filter(geopoly_contains_point("px", "py")).select(
         "c_custkey", "px", "py"
     )
+
+
+def _box_corners():
+    return [("xmin", "ymin"), ("xmax", "ymin"), ("xmax", "ymax"), ("xmin", "ymax")]
+
+
+def _edge_hit_terms():
+    """Per fixed polygon edge (the L-shape is rectilinear, so every edge
+    is axis-parallel): segment-vs-box intersection as interval logic.
+    Returns (spark_exprs, duck_exprs) lists of boolean SQL strings valid
+    in both dialects (plain comparisons only)."""
+    terms = []
+    for (x1, y1), (x2, y2) in zip(_POLY, _POLY[1:] + _POLY[:1]):
+        if y1 == y2:  # horizontal: y = y1, x in [lo, hi]
+            lo, hi = min(x1, x2), max(x1, x2)
+            terms.append(
+                f"({y1} >= ymin AND {y1} <= ymax"
+                f" AND {lo} <= xmax AND {hi} >= xmin)"
+            )
+        else:  # vertical: x = x1, y in [lo, hi]
+            lo, hi = min(y1, y2), max(y1, y2)
+            terms.append(
+                f"({x1} >= xmin AND {x1} <= xmax"
+                f" AND {lo} <= ymax AND {hi} >= ymin)"
+            )
+    return terms
+
+
+def _vertex_in_box_terms():
+    return [
+        f"({vx} >= xmin AND {vx} <= xmax AND {vy} >= ymin AND {vy} <= ymax)"
+        for vx, vy in _POLY
+    ]
+
+
+def _geopoly_area_overlap_oracle() -> str:
+    shoelace = []
+    corners = _box_corners()
+    for (ax, ay), (bx, by) in zip(corners, corners[1:] + corners[:1]):
+        shoelace.append(f"({ax} * {by} - {bx} * {ay})")
+    area = f"CAST(ABS({' + '.join(shoelace)}) AS DOUBLE) / 2.0"
+    corner_in = " OR ".join(
+        "(" + _sql_ray_cast(_POLY).replace("px", cx).replace("py", cy) + ")"
+        for cx, cy in corners
+    )
+    overlap = " OR ".join(
+        _edge_hit_terms() + _vertex_in_box_terms() + [f"({corner_in})"]
+    )
+    return f"""
+    WITH boxes AS ({_SQL_BOXES})
+    SELECT s_suppkey, {area} AS area
+    FROM boxes WHERE {overlap}
+    """
+
+
+@query(
+    "geopoly_area_overlap",
+    oracle=_geopoly_area_overlap_oracle(),
+    description="Geopoly area + overlap (geopoly_area / geopoly_overlap "
+    "analogs, SQLITE_ENABLE_GEOPOLY): per-supplier box polygons get an "
+    "exact shoelace area (integer cross sums, one halving) and an EXACT "
+    "overlap test against the non-convex L-polygon — the polygon is "
+    "rectilinear, so segment-vs-box intersection reduces to interval "
+    "comparisons; box-inside-poly is covered by corner ray casts and "
+    "poly-inside-box by vertex containment. Pure comparison logic in "
+    "codegen, narrow map, no shuffle; for polygon SETS the bbox "
+    "grid-bucketing of spatial_rtree_bbox_join prefilters pairs first.",
+    tags=("spatial",),
+)
+def geopoly_area_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _boxes(spark, sf_dir)
+    corners = _box_corners()
+    shoelace = sum(
+        (F.col(ax) * F.col(by) - F.col(bx) * F.col(ay))
+        for (ax, ay), (bx, by) in zip(corners, corners[1:] + corners[:1])
+    )
+    area = F.abs(shoelace).cast("double") / 2.0
+    corner_in = None
+    for cx, cy in corners:
+        c = geopoly_contains_point(F.col(cx), F.col(cy))
+        corner_in = c if corner_in is None else (corner_in | c)
+    others = " OR ".join(_edge_hit_terms() + _vertex_in_box_terms())
+    overlap = F.expr(others) | corner_in
+    return b.filter(overlap).select("s_suppkey", area.alias("area"))

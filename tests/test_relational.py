@@ -241,3 +241,43 @@ def test_geopoly_ray_cast_known_points(spark):
         r.id for r in df.filter(geopoly_contains_point("px", "py")).collect()
     }
     assert got == {i for i, _, _, inside in pts if inside}
+
+
+def test_geopoly_overlap_matches_brute_force(spark, sf_dir):
+    """Exact rectilinear overlap == brute-force point-grid reference
+    (dense integer sampling of each box against a Python ray cast)."""
+    from litebase_spark.catalog import REGISTRY, load
+    from litebase_spark.operators.spatial import _POLY
+
+    def py_inside(px, py):
+        y = py + 0.5
+        n = 0
+        for (x1, y1), (x2, y2) in zip(_POLY, _POLY[1:] + _POLY[:1]):
+            if (y1 > y) != (y2 > y) and px < (x2 - x1) * (y - y1) / (y2 - y1) + x1:
+                n += 1
+        return n % 2 == 1
+
+    got = {
+        r["s_suppkey"]
+        for r in REGISTRY["geopoly_area_overlap"].builder(spark, sf_dir).collect()
+    }
+    boxes = [
+        (
+            r["s_suppkey"],
+            (r["s_suppkey"] * 53 + 3) % 1000,
+            (r["s_suppkey"] * 29 + 17) % 1000,
+            5 + r["s_suppkey"] % 20,
+        )
+        for r in load(spark, sf_dir, "supplier").select("s_suppkey").collect()
+    ]
+    want = set()
+    for k, cx, cy, hw in boxes:
+        # overlap iff some point of the CLOSED box is inside the closed
+        # polygon: sample every integer point (hw <= 24 -> <= 49x49)
+        if any(
+            py_inside(x, y) or (x, y) in set(zip(*zip(*_POLY)))
+            for x in range(cx - hw, cx + hw + 1)
+            for y in range(cy - hw, cy + hw + 1)
+        ):
+            want.add(k)
+    assert got == want
