@@ -92,11 +92,27 @@ def zorder_write(
     """Write `df` clustered by the Z-order of two integer expressions:
     range-partition by zkey into ~n_files buckets, sort within, write
     parquet. Each output file then covers a small rectangle of the
-    (cols[0], cols[1]) space, so min/max stats prune on either column."""
-    # pmod, not %: Spark's % is sign-preserving, and a negative operand
-    # into the bit interleave makes colliding/meaningless Z keys.
+    (cols[0], cols[1]) space, so min/max stats prune on either column.
+
+    Dimensions are RANGE-binNED into 256 buckets from a one-row min/max
+    pre-pass (monotone, alias-free). Round 2 binned with modulo, which
+    (a) fed negative operands into the interleave for negative values
+    and (b) aliased values 256 apart into the same bin — a file could
+    span the whole domain and footer stats pruned nothing."""
+    a, b = cols
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(F.expr(a)), F.max(F.expr(a)), F.min(F.expr(b)), F.max(F.expr(b))
+    ).collect()[0]
+
+    def bin_expr(col: str, lo, hi) -> str:
+        span = max(int(hi) - int(lo) + 1, 1)
+        return (
+            f"CAST(((CAST(({col}) AS BIGINT) - ({int(lo)})) * 256)"
+            f" / {span} AS INT)"
+        )
+
     zkey = F.expr(
-        _interleave_sql(f"pmod({cols[0]}, 256)", f"pmod({cols[1]}, 256)")
+        _interleave_sql(bin_expr(a, lo_a, hi_a), bin_expr(b, lo_b, hi_b))
     )
     (
         df.withColumn("__z", zkey)

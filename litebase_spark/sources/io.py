@@ -181,3 +181,50 @@ def write_bucketed(
     if sort_col:
         w = w.sortBy(sort_col)
     w.saveAsTable(table)
+
+
+def optimize_table(
+    spark: SparkSession,
+    path: str,
+    zorder_cols: tuple[str, str] | None = None,
+    format: str = "parquet",
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> tuple[int, int]:
+    """OPTIMIZE [ZORDER BY (a, b)] analog: compact small files to
+    ~target size and, when zorder_cols is given, cluster rows by the
+    Morton key while doing it — after the rewrite each file covers a
+    small rectangle of the (a, b) space, so parquet min/max footers
+    prune on EITHER column (the Delta OPTIMIZE ZORDER contract; the
+    reference's range-file layout plays this role,
+    pkg/storage/range.go:15-24). Returns (files_before, files_after)."""
+    import math
+
+    sc = spark.sparkContext
+    jvm_path = sc._jvm.org.apache.hadoop.fs.Path(path)  # type: ignore[union-attr]
+    fs = jvm_path.getFileSystem(sc._jsc.hadoopConfiguration())
+
+    def n_files() -> int:
+        return len(
+            [
+                f
+                for f in fs.listStatus(jvm_path)
+                if f.getPath().getName().startswith("part-")
+                or f.getPath().getName().endswith(f".{format}")
+            ]
+        )
+
+    if zorder_cols is None:
+        return compact_table(spark, path, format, target_file_bytes)
+    files_before = n_files()
+    total_bytes = sum(
+        f.getLen()
+        for f in fs.listStatus(jvm_path)
+        if f.getPath().getName().startswith("part-")
+        or f.getPath().getName().endswith(f".{format}")
+    )
+    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+    from litebase_spark.operators.layout import zorder_write
+
+    df = spark.read.format(format).load(path).localCheckpoint(eager=True)
+    zorder_write(df, zorder_cols, path, n_files=n_out)
+    return files_before, n_files()

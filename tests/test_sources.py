@@ -168,3 +168,60 @@ def test_zorder_write_negative_values_valid_layout(spark, tmp_path):
         ).alias("xd")
     )
     assert zkeys.filter(F.col("xd") < 0).count() == 0
+
+
+def test_optimize_table_zorder_compacts_and_clusters(spark, tmp_path):
+    """optimize_table(zorder) merges small files AND leaves each output
+    file covering a narrow rectangle of the key space (per-file parquet
+    min/max verified via DuckDB's footer metadata)."""
+    import duckdb
+
+    from litebase_spark.sources.io import optimize_table
+
+    out = str(tmp_path / "opt")
+    # 16 small shuffled files over a 2-d key space
+    df = (
+        spark.range(0, 20000)
+        .select(
+            F.pmod(F.hash(F.col("id")), F.lit(997)).alias("x"),
+            F.pmod(F.hash(F.col("id") * 7 + 1), F.lit(997)).alias("y"),
+        )
+        .repartition(16)
+    )
+    df.write.parquet(out)
+    con = duckdb.connect()
+
+    def spreads():
+        return con.sql(
+            f"""
+            SELECT file_name,
+                   MAX(CASE WHEN path_in_schema = 'x'
+                       THEN stats_max::BIGINT - stats_min::BIGINT END) AS xs,
+                   MAX(CASE WHEN path_in_schema = 'y'
+                       THEN stats_max::BIGINT - stats_min::BIGINT END) AS ys
+            FROM parquet_metadata('{out}/*.parquet')
+            GROUP BY file_name
+            """
+        ).fetchall()
+
+    base = spreads()
+    base_x = sum(r[1] for r in base) / len(base)
+    base_y = sum(r[2] for r in base) / len(base)
+    before, after = optimize_table(
+        spark, out, zorder_cols=("x", "y"), target_file_bytes=24 * 1024
+    )
+    assert before == 16 and 2 <= after < 16
+    back = spark.read.parquet(out)
+    assert back.count() == 20000
+    stats = spreads()
+    mean_x = sum(r[1] for r in stats) / len(stats)
+    mean_y = sum(r[2] for r in stats) / len(stats)
+    # unsorted files span ~the whole domain in both dims; z-range files
+    # localize both on average (boundary files legitimately straddle
+    # quadrants — z-order is approximate clustering, as in Delta
+    # OPTIMIZE ZORDER), and at least one file is a tight quadrant
+    assert mean_x < 0.72 * base_x and mean_y < 0.72 * base_y, (
+        (mean_x, base_x),
+        (mean_y, base_y),
+    )
+    assert any(r[1] <= 510 and r[2] <= 510 for r in stats), stats
