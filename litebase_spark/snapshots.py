@@ -367,6 +367,56 @@ class VersionedStore:
             forked.append(t)
         return forked
 
+    # -- change data feed (file-level CDF over the manifest log) ------------
+
+    def changes(
+        self,
+        table: str,
+        v_from: int,
+        v_to: int | None = None,
+        namespace: str = "main",
+    ) -> DataFrame:
+        """`table_changes(t, v_from, v_to)` analog (Delta CDF shape):
+        rows in files ADDED between the versions surface as inserts,
+        rows in files REMOVED as deletes, tagged in `_change_type`.
+        Versions are immutable file lists, so the diff is pure manifest
+        set algebra — zero data copied, and appends produce exactly the
+        appended rows. (Writes are append/overwrite, so there are no
+        row-level update_pre/postimage types to emit.)"""
+        from pyspark.sql import functions as F
+
+        old = set(self.files(table, v_from, namespace))
+        new = set(
+            self.files(table, v_to, namespace)
+            if v_to is not None
+            else self.files(table, None, namespace)
+        )
+        added, removed = sorted(new - old), sorted(old - new)
+        parts = []
+        if added:
+            parts.append(
+                self.spark.read.parquet(*added).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            )
+        if removed:
+            parts.append(
+                self.spark.read.parquet(*removed).withColumn(
+                    "_change_type", F.lit("delete")
+                )
+            )
+        if not parts:
+            schema = self.read(table, v_from, namespace).schema
+            return (
+                self.spark.createDataFrame([], schema)
+                .withColumn("_change_type", F.lit(""))
+                .limit(0)
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     # -- archive backups (reference: pkg/backups/backup.go tar.gz) ----------
 
     def backup_archive(
@@ -470,3 +520,89 @@ class VersionedStore:
                         os.remove(f)
                         deleted.append(f)
         return deleted
+
+
+class IncrementalAggView:
+    """Incrementally maintained aggregate view over a VersionedStore
+    table: COUNT(*) and SUM(value_col) per key_col.
+
+    The classic incremental-view-maintenance contract on an immutable
+    log: `refresh()` reads ONLY the files appended since the last
+    refresh (manifest diff via VersionedStore.changes), partial-
+    aggregates them, and merges into the stored state — at 100 TB a
+    refresh costs O(new data), not O(table). A non-append change
+    (overwrite/delete) falls back to one full recompute, exactly like
+    Delta/materialized-view engines invalidate on non-append commits.
+    State is itself a tiny parquet table in the store root.
+    """
+
+    def __init__(
+        self,
+        store: VersionedStore,
+        name: str,
+        table: str,
+        key_col: str,
+        value_col: str,
+    ) -> None:
+        self.store = store
+        self.name = name
+        self.table = table
+        self.key_col = key_col
+        self.value_col = value_col
+        self.state_path = os.path.join(store.root, "_views", name)
+        self.meta_path = self.state_path + ".json"
+
+    def _last_version(self) -> int | None:
+        if not os.path.exists(self.meta_path):
+            return None
+        with open(self.meta_path) as f:
+            return json.load(f)["version"]
+
+    def _aggregate(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        return df.groupBy(self.key_col).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(self.value_col).alias("total"),
+        )
+
+    def refresh(self) -> dict:
+        """Returns {"mode": "full"|"incremental", "version": v}."""
+        from pyspark.sql import functions as F
+
+        head_log = self.store._read_log("main", self.table)
+        head = head_log[-1]["version"]
+        last = self._last_version()
+        mode = "full"
+        if last is not None and last < head:
+            delta = self.store.changes(self.table, last, head)
+            if (delta.select("_change_type").distinct().count() <= 1
+                    and delta.filter(
+                        F.col("_change_type") == "delete"
+                    ).isEmpty()):
+                partial = self._aggregate(delta.drop("_change_type"))
+                state = self.store.spark.read.parquet(self.state_path)
+                merged = (
+                    state.unionByName(partial)
+                    .groupBy(self.key_col)
+                    .agg(
+                        F.sum("n").alias("n"),
+                        F.sum("total").alias("total"),
+                    )
+                )
+                merged.localCheckpoint(eager=True).write.mode(
+                    "overwrite"
+                ).parquet(self.state_path)
+                mode = "incremental"
+        if mode == "full":
+            if last == head and last is not None:
+                return {"mode": "noop", "version": head}
+            self._aggregate(self.store.read(self.table)).write.mode(
+                "overwrite"
+            ).parquet(self.state_path)
+        with open(self.meta_path, "w") as f:
+            json.dump({"version": head}, f)
+        return {"mode": mode, "version": head}
+
+    def read(self) -> DataFrame:
+        return self.store.spark.read.parquet(self.state_path)

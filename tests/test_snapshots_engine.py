@@ -247,3 +247,61 @@ def test_backup_archive_roundtrip(spark, sf_dir, tmp_path):
     # restored store has its own timeline: writes work
     restored.write("nation", nation.limit(2))
     assert restored.read("nation").count() == 2
+
+
+def test_changes_cdf_append_and_overwrite(spark, sf_dir, tmp_path):
+    """File-level change data feed: appends surface exactly the new
+    rows as inserts; an overwrite yields old-as-delete + new-as-insert.
+    Pure manifest set algebra — no data copied."""
+    from litebase_spark.snapshots import VersionedStore
+
+    vs = VersionedStore(spark, str(tmp_path / "cdf"))
+    nation = load(spark, sf_dir, "nation")
+    vs.write("n", nation.filter(F.col("n_nationkey") < 10))
+    vs.write("n", nation.filter(F.col("n_nationkey") >= 10), mode="append")
+    d = vs.changes("n", 1, 2)
+    assert d.filter(F.col("_change_type") == "delete").count() == 0
+    got = {r["n_nationkey"] for r in d.collect()}
+    assert got == {
+        r["n_nationkey"]
+        for r in nation.filter(F.col("n_nationkey") >= 10).collect()
+    }
+    vs.write("n", nation.limit(3))  # overwrite (v3)
+    d = vs.changes("n", 2, 3)
+    assert d.filter(F.col("_change_type") == "insert").count() == 3
+    assert (
+        d.filter(F.col("_change_type") == "delete").count() == nation.count()
+    )
+
+
+def test_incremental_agg_view_reads_only_delta(spark, sf_dir, tmp_path):
+    """Incremental refresh after an append aggregates ONLY the appended
+    files and matches a full recompute."""
+    from litebase_spark.snapshots import IncrementalAggView, VersionedStore
+
+    vs = VersionedStore(spark, str(tmp_path / "ivm"))
+    nation = load(spark, sf_dir, "nation")
+    vs.write("n", nation.filter(F.col("n_nationkey") < 10))
+    view = IncrementalAggView(vs, "by_region", "n", "n_regionkey", "n_nationkey")
+    assert view.refresh()["mode"] == "full"
+    assert view.refresh()["mode"] == "noop"
+    vs.write("n", nation.filter(F.col("n_nationkey") >= 10), mode="append")
+    # the delta scan must touch only version-2 files
+    delta_files = set(vs.changes("n", 1, 2).drop("_change_type").inputFiles())
+    v1_files = {f"file:{p}" for p in vs.files("n", 1)}
+    assert not (delta_files & v1_files)
+    assert view.refresh()["mode"] == "incremental"
+    got = {
+        r["n_regionkey"]: (r["n"], r["total"]) for r in view.read().collect()
+    }
+    want = {
+        r["n_regionkey"]: (r["n"], r["total"])
+        for r in nation.groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_nationkey").alias("total"))
+        .collect()
+    }
+    assert got == want
+    # overwrite invalidates: falls back to full recompute
+    vs.write("n", nation.limit(5))
+    assert view.refresh()["mode"] == "full"
+    assert view.read().agg(F.sum("n")).collect()[0][0] == 5
