@@ -376,3 +376,111 @@ def sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return years.unionAll(total)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch: fixed-bin histogram rollup
+# ---------------------------------------------------------------------------
+
+_QS_BINS = 64
+_QS_HI = 512000.0  # fixture o_totalprice < 500k; at scale derive from stats
+_QS_W = _QS_HI / _QS_BINS
+
+
+def _qs_est_duck(q: float) -> str:
+    target = f"({q!r} * CAST(n AS DOUBLE))"
+    return (
+        f"MIN(CASE WHEN CAST(cum AS DOUBLE) >= {target}"
+        f" AND CAST(cum - cnt AS DOUBLE) < {target}"
+        f" THEN bin * {_QS_W!r} + {_QS_W!r} *"
+        f" ({target} - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE)"
+        " END)"
+    )
+
+
+@query(
+    "agg_quantile_sketch_rollup",
+    oracle=f"""
+    WITH cells AS (
+      SELECT o_orderpriority AS pri, year(o_orderdate) AS y,
+             CAST(LEAST(FLOOR(o_totalprice / {_QS_W!r}),
+                        {_QS_BINS - 1}) AS BIGINT) AS bin,
+             COUNT(*) AS cnt
+      FROM orders GROUP BY 1, 2, 3
+    ), merged AS (
+      SELECT pri, bin, CAST(SUM(cnt) AS BIGINT) AS cnt
+      FROM cells GROUP BY pri, bin
+    ), cum AS (
+      SELECT pri, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY pri ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY pri) AS n
+      FROM merged
+    )
+    SELECT pri AS o_orderpriority,
+           CAST(MAX(n) AS BIGINT) AS n,
+           ROUND({_qs_est_duck(0.5)}, 6) AS est_p50,
+           ROUND({_qs_est_duck(0.9)}, 6) AS est_p90,
+           ROUND({_qs_est_duck(0.99)}, 6) AS est_p99
+    FROM cum GROUP BY pri
+    """,
+    description="Re-aggregatable quantile sketch rollup — the quantile "
+    "twin of agg_hll_sketch_rollup: per-(priority, year) fixed-bin "
+    "histograms from ONE scan merge by bin-count addition to any "
+    "coarser grain, then p50/p90/p99 come from the cumulative bins with "
+    "linear interpolation. Constant memory per cell (64 longs), "
+    "mergeable like t-digest but fully deterministic, so the estimates "
+    "are oracle-exact; the exact-percentile twin (agg_percentiles) "
+    "bounds the approximation in tests. At 100 TB: daily histogram "
+    "partials roll up to monthly/yearly quantiles without rescanning.",
+    tags=("agg", "approx", "sketch"),
+)
+def agg_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    cells = (
+        o.select(
+            F.col("o_orderpriority").alias("pri"),
+            F.year("o_orderdate").alias("y"),
+            F.least(
+                F.floor(F.col("o_totalprice") / _QS_W),
+                F.lit(_QS_BINS - 1),
+            )
+            .cast("bigint")
+            .alias("bin"),
+        )
+        .groupBy("pri", "y", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    merged = cells.groupBy("pri", "bin").agg(F.sum("cnt").alias("cnt"))
+    w_cum = (
+        Window.partitionBy("pri")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("pri")
+    cum = merged.select(
+        "pri",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+
+    def est(q: float):
+        target = F.lit(q) * F.col("n").cast("double")
+        prev = (F.col("cum") - F.col("cnt")).cast("double")
+        hit = (F.col("cum").cast("double") >= target) & (prev < target)
+        val = (
+            F.col("bin") * F.lit(_QS_W)
+            + F.lit(_QS_W) * (target - prev) / F.col("cnt").cast("double")
+        )
+        return F.min(F.when(hit, val))
+
+    return cum.groupBy(F.col("pri").alias("o_orderpriority")).agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.round(est(0.5), 6).alias("est_p50"),
+        F.round(est(0.9), 6).alias("est_p90"),
+        F.round(est(0.99), 6).alias("est_p99"),
+    )

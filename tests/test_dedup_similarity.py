@@ -275,3 +275,33 @@ def test_hll_sketch_rollup_lossless_merge(spark, sf_dir):
     assert out == direct  # merge is lossless, not just approximately equal
     for prio, est in out.items():
         assert abs(est - exact[prio]) / exact[prio] < 0.05
+
+
+def test_quantile_sketch_within_bin_width_of_exact(spark, sf_dir):
+    """Histogram-quantile estimates land within one bin width of the
+    exact percentiles (the sketch's worst-case error bound)."""
+    from pyspark.sql import functions as F
+
+    from litebase_spark.operators.skew import _QS_W
+
+    est = {
+        r["o_orderpriority"]: (r["est_p50"], r["est_p90"], r["est_p99"])
+        for r in REGISTRY["agg_quantile_sketch_rollup"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    exact = {
+        r["o_orderpriority"]: (r["p50"], r["p90"], r["p99"])
+        for r in load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+            F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for pri in est:
+        for e, x in zip(est[pri], exact[pri]):
+            assert abs(e - x) <= _QS_W, (pri, e, x)
