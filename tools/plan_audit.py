@@ -79,6 +79,8 @@ _REVIEWED_NONPUSHABLE = {
     "fts_match_syntax_full",  # compiled FTS5 boolean over token arrays
     "func_json_tree",  # RLIKE over rendered JSON
     "geopoly_point_in_polygon",  # ray-cast aggregate over polygon rings
+    "geopoly_area_overlap",  # interval/ray-cast logic over derived bboxes
+    "text_hashed_linear_score",  # size(tokens(text)) > 0
     "pipeline_pack_sequences",  # size(tokens(text)) > 0
     "spatial_rtree_bbox_join",  # derived bbox arithmetic (synth geometry)
     "text_bm25",  # size(filter(tokens)) predicates
