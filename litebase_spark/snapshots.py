@@ -606,3 +606,20 @@ class IncrementalAggView:
 
     def read(self) -> DataFrame:
         return self.store.spark.read.parquet(self.state_path)
+
+
+def versioned_read_stream(store: VersionedStore, table: str):
+    """Consume a VersionedStore table as a STREAM: Spark's file source
+    treats each committed transaction directory's files as newly
+    arrived data, so appends flow incrementally to any Structured
+    Streaming sink with exactly-once checkpointed progress — the
+    manifest store doubles as a CDC source for append-only tables
+    (overwrites would re-deliver replaced files; gate on append-only
+    pipelines or consume `changes()` batch-wise instead)."""
+    schema = store.read(table).schema
+    path = os.path.join(store.root, "store", table)
+    return (
+        store.spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(f"{path}/*")
+    )

@@ -305,3 +305,35 @@ def test_incremental_agg_view_reads_only_delta(spark, sf_dir, tmp_path):
     vs.write("n", nation.limit(5))
     assert view.refresh()["mode"] == "full"
     assert view.read().agg(F.sum("n")).collect()[0][0] == 5
+
+
+def test_versioned_store_streams_appends_incrementally(spark, sf_dir, tmp_path):
+    """The store is a streaming CDC source: a checkpointed availableNow
+    run delivers the initial files; after an append, the next run with
+    the SAME checkpoint delivers ONLY the appended rows."""
+    from litebase_spark.snapshots import VersionedStore, versioned_read_stream
+
+    vs = VersionedStore(spark, str(tmp_path / "cdc"))
+    nation = load(spark, sf_dir, "nation")
+    vs.write("n", nation.filter(F.col("n_nationkey") < 10))
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def drain():
+        q = (
+            versioned_read_stream(vs, "n")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(sink).count()
+
+    n_lo = nation.filter(F.col("n_nationkey") < 10).count()
+    assert drain() == n_lo
+    vs.write("n", nation.filter(F.col("n_nationkey") >= 10), mode="append")
+    # same checkpoint: only the appended files are delivered on top
+    assert drain() == nation.count()
+    assert drain() == nation.count()  # nothing new -> no re-delivery
