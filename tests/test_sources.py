@@ -266,3 +266,37 @@ def test_versioned_python_datasource(spark, sf_dir, tmp_path):
         for r in nation.filter(F.col("n_nationkey") < 10).collect()
     )
     assert got == want
+
+
+def test_versioned_datasource_write_roundtrip(spark, sf_dir, tmp_path):
+    """df.write.format('versioned'): tasks write immutable files, the
+    driver commits one manifest version; append/overwrite modes flow
+    into the same log the reader and VersionedStore resolve."""
+    from litebase_spark.snapshots import VersionedStore
+    from litebase_spark.sources.versioned_source import VersionedDataSource
+
+    spark.dataSource.register(VersionedDataSource)
+    root = str(tmp_path / "wds")
+    nation = load(spark, sf_dir, "nation")
+
+    def wr(df, mode):
+        (
+            df.write.format("versioned")
+            .option("root", root)
+            .option("table", "n")
+            .mode(mode)
+            .save()
+        )
+
+    wr(nation.filter(F.col("n_nationkey") < 10), "overwrite")
+    wr(nation.filter(F.col("n_nationkey") >= 10), "append")
+    vs = VersionedStore(spark, root)
+    assert vs.read("n").count() == nation.count()
+    assert vs.read("n", version=1).count() == nation.filter(
+        F.col("n_nationkey") < 10
+    ).count()
+    got = sorted(r["n_name"] for r in vs.read("n").collect())
+    assert got == sorted(r["n_name"] for r in nation.collect())
+    wr(nation.limit(3), "overwrite")
+    assert vs.read("n").count() == 3
+    assert vs.read("n", version=2).count() == nation.count()  # time travel
