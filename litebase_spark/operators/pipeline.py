@@ -454,3 +454,108 @@ def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "iteration int, pair string, n bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused quality gate: all corpus filters in one pass with drop attribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_quality_gate",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, text,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+               w -> length(w) > 0) AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id, source,
+             len(toks) AS n_words,
+             list_sum(list_transform(toks, w -> length(w))) * 1.0
+               / len(toks) AS mwl,
+             list_sum(list_transform(toks,
+               w -> CASE WHEN regexp_matches(w, '[a-z]')
+                    THEN 1 ELSE 0 END)) * 1.0 / len(toks) AS af,
+             len(list_filter(toks, w -> w IN
+               ('the','a','and','of','to','in'))) AS stop_hits,
+             len(list_filter(toks, w -> w IN
+               ('casino','viagra','lottery','jackpot','merge'))) AS block_hits,
+             MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon_id
+      FROM t
+    ), reasons AS (
+      SELECT source,
+             CASE
+               WHEN NOT (n_words BETWEEN 30 AND 100000
+                         AND mwl BETWEEN 3.0 AND 10.0
+                         AND af >= 0.8 AND stop_hits >= 2) THEN 'gopher'
+               WHEN block_hits > 0 THEN 'blocklist'
+               WHEN doc_id != canon_id THEN 'duplicate'
+               ELSE 'kept'
+             END AS verdict
+      FROM m
+    )
+    SELECT source, verdict, COUNT(*) AS n_docs
+    FROM reasons GROUP BY source, verdict
+    """,
+    description="Fused corpus quality gate: Gopher heuristics, the C4 "
+    "blocklist, and exact dedup evaluated in ONE pass with first-"
+    "failing-rule attribution (gopher -> blocklist -> duplicate -> "
+    "kept), reported per source — the audit table a data pipeline "
+    "publishes per ingestion batch. Heuristic rules are a narrow map; "
+    "dedup adds the single md5-keyed window; the per-(source, verdict) "
+    "rollup is a partial-aggregated shuffle. At 100 TB this replaces "
+    "three separate filter scans with one.",
+    tags=("pipeline", "quality"),
+)
+def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    toks = tokens("text")
+    base = d.select("doc_id", "source", "text", toks.alias("toks"))
+    n_words = F.size("toks")
+    mwl = (
+        F.aggregate(
+            F.transform(F.col("toks"), F.length),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        * F.lit(1.0)
+        / n_words
+    )
+    af = (
+        F.size(F.filter(F.col("toks"), lambda w: w.rlike("[a-z]")))
+        * F.lit(1.0)
+        / n_words
+    )
+    stop_hits = F.size(
+        F.filter(F.col("toks"), lambda w: w.isin("the", "a", "and", "of", "to", "in"))
+    )
+    block_hits = F.size(
+        F.filter(
+            F.col("toks"),
+            lambda w: w.isin("casino", "viagra", "lottery", "jackpot", "merge"),
+        )
+    )
+    canon = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    gopher_ok = (
+        n_words.between(30, 100000)
+        & mwl.between(3.0, 10.0)
+        & (af >= 0.8)
+        & (stop_hits >= 2)
+    )
+    verdict = (
+        F.when(~gopher_ok, "gopher")
+        .when(block_hits > 0, "blocklist")
+        .when(F.col("doc_id") != canon, "duplicate")
+        .otherwise("kept")
+    )
+    return (
+        base.select("doc_id", "source", "text", "toks")
+        .withColumn("canon_id", canon)
+        .select("source", verdict.alias("verdict"))
+        .groupBy("source", "verdict")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
