@@ -100,3 +100,34 @@ def test_bpe_merges_hand_computed(spark):
     assert merges[1] == (2, "l o", 4)
     # round 3: 'lo w'=4 wins
     assert merges[2] == (3, "lo w", 4)
+
+
+def test_quality_gate_attribution_order(spark):
+    """First-failing-rule attribution on a hand corpus: gopher beats
+    blocklist beats duplicate; only clean unique docs are kept."""
+    import litebase_spark.operators  # noqa: F401
+    from litebase_spark.catalog import REGISTRY
+
+    long_ok = ("the quick brown fox jumps over the lazy dog and runs far "
+               "to the old town in a quiet morning with many small birds ")
+    docs = spark.createDataFrame(
+        [
+            (1, long_ok * 2, "en", "s1", 100),            # kept
+            (2, "short text", "en", "s1", 10),            # gopher (too few)
+            (3, long_ok * 2 + " casino", "en", "s1", 100),  # blocklist
+            (4, long_ok * 2, "en", "s1", 100),            # duplicate of 1
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.createOrReplaceTempView("documents")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        out = {
+            (r["verdict"]): r["n_docs"]
+            for r in REGISTRY["pipeline_quality_gate"]
+            .builder(spark, td)
+            .collect()
+        }
+    assert out == {"kept": 1, "gopher": 1, "blocklist": 1, "duplicate": 1}
