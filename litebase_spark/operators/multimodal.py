@@ -113,10 +113,12 @@ def extract_features(media_df: DataFrame) -> DataFrame:
                     means.append(0.0)
                     entropies.append(0.0)
                     continue
-                arr = pd.Series(list(p))
-                means.append(float(arr.mean()))
-                # distinct-byte ratio as a cheap entropy proxy
-                entropies.append(float(arr.nunique()) / 256.0)
+                # exact int sum then ONE double division — bit-identical to
+                # the oracle's CAST(SUM(byte) AS DOUBLE) / n
+                means.append(float(sum(p)) / len(p))
+                # distinct-byte ratio as a cheap entropy proxy (/256 is a
+                # power of two: exact in both engines)
+                entropies.append(len(set(p)) / 256.0)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -267,16 +269,37 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_features",
-    oracle=None,  # pandas-UDF feature stub has no SQL equivalent
+    # The pandas-UDF byte statistics ARE replayable in SQL: hex() the
+    # payload and parse two hex chars per byte (fixtures guarantee
+    # non-empty text, so the UNNEST never drops a doc). This promoted the
+    # last rows-only query to oracle-exact.
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    bytes AS (
+      SELECT doc_id, n,
+        (strpos('0123456789ABCDEF', substr(hx, j*2+1, 1)) - 1) * 16 +
+        (strpos('0123456789ABCDEF', substr(hx, j*2+2, 1)) - 1) AS byte
+      FROM h, UNNEST(range(0, n)) AS t(j)
+    )
+    SELECT doc_id, 'text' AS modality, CAST(n AS BIGINT) AS n_bytes,
+           CAST(SUM(byte) AS DOUBLE) / n AS feat_mean,
+           CAST(COUNT(DISTINCT byte) AS DOUBLE) / 256 AS feat_entropy_proxy
+    FROM bytes GROUP BY doc_id, n
+    """,
     description="mapInPandas feature extraction over binary media "
     "(Arrow-batched; decode stubbed for non-text modalities — codecs "
-    "absent in this container). Returns per-item byte-statistics "
-    "features; rows-only check.",
+    "absent in this container). Per-item byte-statistics features, "
+    "oracle-replayed byte-by-byte from the hex encoding.",
     tags=("multimodal", "pandas_udf"),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = attach_media(load(spark, sf_dir, "documents"))
-    return extract_features(m).orderBy("doc_id")
+    # set-semantic result (driver compare sorts rows) — no global sort
+    return extract_features(m)
 
 
 @query(
