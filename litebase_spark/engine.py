@@ -254,6 +254,10 @@ class Engine:
         self._transactions: dict[str, "Transaction"] = {}
         self._autotxn: "Transaction | None" = None
         self._vstore = None  # attach_versioned_store enables time travel
+        # declared PRIMARY KEYs (parsed from CREATE TABLE or declared
+        # explicitly) — the conflict target for INSERT OR REPLACE/IGNORE
+        # and bare ON CONFLICT, like SQLite's rowid/unique machinery
+        self._primary_keys: dict[str, list[str]] = {}
         # SQLite-name shims (ifnull/iif/julianday/unixepoch/...) are part
         # of the dialect surface a reference user expects from plain
         # Engine.sql() — register them up front, UDF-free (SQL macros).
@@ -313,7 +317,11 @@ class Engine:
         returning = None
         if stmt_class == "DML":
             sql_text, returning = self._split_returning(sql_text)
-        if stmt_class == "DML" and sql_text.lstrip()[:6].upper() in ("UPDATE", "DELETE"):
+        if stmt_class == "DDL":
+            # CREATE TABLE ... PRIMARY KEY: record the key (conflict target
+            # for upserts) and strip the constraint Spark's parser rejects.
+            sql_text = self._register_primary_key(sql_text)
+        if stmt_class == "DML":
             changes = self._try_dml(sql_text)
             if changes is not None:
                 latency = time.time() - t0
@@ -743,6 +751,307 @@ class Engine:
         new_df.write.mode("overwrite").saveAsTable(table)
         return int(changes or 0)
 
+    # -- SQLite upsert dialect: INSERT OR REPLACE/IGNORE and
+    # INSERT ... ON CONFLICT [(cols)] DO NOTHING | DO UPDATE SET ...
+    # (reference surface: full SQLite upsert grammar through the query API,
+    # pkg/database/query.go DML classes; sqlite.org/lang_upsert.html).
+    # Executed as ONE full-outer join of target and deduplicated source —
+    # matched rows take the DO UPDATE assignments (`excluded.col` = the
+    # proposed row), source-only rows insert, target-only rows pass
+    # through. DO NOTHING never rewrites the table: it appends the
+    # anti-joined new rows only.
+
+    def declare_primary_key(self, table: str, cols: list[str]) -> None:
+        """Declare the conflict target used by INSERT OR REPLACE/IGNORE
+        and bare ON CONFLICT (SQLite reads it from the schema's PRIMARY
+        KEY/unique indexes; parquet tables carry no constraints, so the
+        engine keeps its own registry — also fed by CREATE TABLE parsing)."""
+        self._primary_keys[table.lower()] = list(cols)
+
+    def _register_primary_key(self, sql_text: str) -> str:
+        """Record PRIMARY KEY constraints in a CREATE TABLE and strip them
+        from the DDL (Spark's v1 parser rejects constraint syntax).
+        Handles both `col TYPE PRIMARY KEY` and `PRIMARY KEY (a, b)`."""
+        import re
+
+        m = re.match(
+            r"(?is)^(\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\()"
+            r"(.*)(\)\s*(?:USING\s+\w+\s*)?;?\s*)$",
+            sql_text,
+        )
+        if not m or "PRIMARY KEY" not in m.group(3).upper():
+            return sql_text
+        head, table, body, tail = m.groups()
+        parts, pk = [], []
+        for part in self._split_top_level(body):
+            tm = re.match(r"(?is)^\s*PRIMARY\s+KEY\s*\(([^)]*)\)\s*$", part)
+            if tm:  # table-level constraint: drop the whole element
+                pk = [c.strip() for c in tm.group(1).split(",")]
+                continue
+            cm = re.match(r"(?is)^(\s*(\w+)\s+.*?)\s+PRIMARY\s+KEY\s*(.*)$", part)
+            if cm:
+                pk = [cm.group(2)]
+                part = cm.group(1) + (" " + cm.group(3) if cm.group(3) else "")
+            parts.append(part)
+        if pk:
+            self.declare_primary_key(table, pk)
+        return head + ", ".join(p.strip() for p in parts) + tail
+
+    @staticmethod
+    def _rewrite_excluded(expr: str) -> str:
+        """`excluded.col` (the proposed insert row, SQLite upsert scope)
+        -> the join's `__exc_col` columns."""
+        import re
+
+        return re.sub(r"(?i)\bexcluded\s*\.\s*(\w+)", r"__exc_\1", expr)
+
+    def _parse_insert_upsert(self, statement: str):
+        """Parse the upsert INSERT forms; None for plain INSERT (which
+        Spark executes natively)."""
+        import re
+
+        m = re.match(
+            r"(?is)^\s*INSERT\s+(?:OR\s+(REPLACE|IGNORE)\s+)?INTO\s+"
+            r"(\w+)\s*(?:\(([^)]*)\))?\s*(VALUES\b.*|SELECT\b.*|WITH\b.*?)$",
+            statement.strip().rstrip(";"),
+        )
+        if not m:
+            return None
+        or_action, table, collist, body = m.groups()
+        action = conflict_cols = assignments = upd_where = None
+        cm = re.search(
+            r"(?is)\bON\s+CONFLICT\s*(?:\(([^)]*)\))?\s*DO\s+"
+            r"(NOTHING|UPDATE\s+SET\s+.*)$",
+            body,
+        )
+        if cm:
+            body = body[: cm.start()].strip()
+            if cm.group(1):
+                conflict_cols = [c.strip() for c in cm.group(1).split(",")]
+            rest = cm.group(2)
+            if rest.upper().startswith("NOTHING"):
+                action = "nothing"
+            else:
+                action = "update"
+                um = re.match(
+                    r"(?is)UPDATE\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$", rest
+                )
+                assignments = {}
+                for part in self._split_top_level(um.group(1)):
+                    c, _, e = part.partition("=")
+                    assignments[c.strip()] = e.strip()
+                upd_where = um.group(2)
+        elif or_action:
+            action = "replace" if or_action.upper() == "REPLACE" else "nothing"
+        if action is None:
+            return None  # plain INSERT: native path
+        if conflict_cols is None:
+            conflict_cols = self._primary_keys.get(table.lower())
+            if not conflict_cols:
+                raise ValueError(
+                    f"upsert on {table!r} needs a conflict target: declare a "
+                    "PRIMARY KEY (CREATE TABLE ... PRIMARY KEY or "
+                    "declare_primary_key) or write ON CONFLICT(cols)"
+                )
+        cols = [c.strip() for c in collist.split(",")] if collist else None
+        return {
+            "table": table, "cols": cols, "body": body, "action": action,
+            "conflict_cols": conflict_cols, "assignments": assignments,
+            "upd_where": upd_where,
+        }
+
+    def _insert_source(self, table: str, cols, body: str) -> DataFrame:
+        """Build the source DataFrame for an upsert INSERT: VALUES tuples
+        (tagged with their statement order, so within-statement conflicts
+        resolve like SQLite's sequential row processing) or a SELECT/CTE.
+        Missing columns fill with NULL; everything casts to the target
+        schema."""
+        from pyspark.sql import functions as F
+
+        tgt_schema = self.spark.table(table).schema
+        col_list = cols or tgt_schema.fieldNames()
+        if body.upper().startswith("VALUES"):
+            tuples = [
+                p.strip()
+                for p in self._split_top_level(
+                    body[len("VALUES"):]
+                )
+                if p.strip().startswith("(")
+            ]
+            seq_vals = ", ".join(
+                f"({i}, {t[1:]}" for i, t in enumerate(tuples)
+            )
+            src = self.spark.sql(
+                f"SELECT * FROM (VALUES {seq_vals} "
+                f"AS __v(__seq, {', '.join(col_list)}))"
+            )
+        else:
+            src = self.spark.sql(body).toDF(*col_list).withColumn(
+                "__seq", F.lit(0)
+            )
+        out = [F.col("__seq")]
+        for f in tgt_schema.fields:
+            if f.name in col_list:
+                out.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                out.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return src.select(out)
+
+    @staticmethod
+    def _dedup_source(src: DataFrame, conflict_cols, keep_last: bool) -> DataFrame:
+        """Within-statement conflict resolution: SQLite processes VALUES
+        rows sequentially, so REPLACE/DO UPDATE keep the LAST proposed row
+        per key and IGNORE/DO NOTHING keep the FIRST."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        order = F.col("__seq").desc() if keep_last else F.col("__seq").asc()
+        w = Window.partitionBy(*conflict_cols).orderBy(order)
+        return (
+            src.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__seq")
+        )
+
+    def _upsert_plan(
+        self, tgt: DataFrame, src: DataFrame, conflict_cols,
+        assignments, upd_where,
+    ):
+        """One-pass upsert: full-outer join target with the deduplicated
+        source on the conflict key; project the merged row. Returns
+        (new_df, changes) — new_df is localCheckpointed (one scan of the
+        target materializes it; the changes count and the table rewrite
+        both read the checkpoint). Scale: shuffles both sides on the
+        conflict key once; the source is statement-sized (VALUES) so AQE
+        broadcasts it in practice."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        cols = tgt.columns
+        dtypes = dict(tgt.dtypes)
+        t_ren = tgt.select(
+            [F.col(c).alias(f"__t_{c}") for c in cols]
+        ).withColumn("__t_present", F.lit(True))
+        s_ren = src.select(
+            [F.col(c).alias(f"__exc_{c}") for c in cols]
+        ).withColumn("__s_present", F.lit(True))
+        cond = reduce(
+            lambda a, b: a & b,
+            [t_ren[f"__t_{k}"] == s_ren[f"__exc_{k}"] for k in conflict_cols],
+        )
+        j = t_ren.join(s_ren, cond, "full_outer").select(
+            *[F.col(f"__t_{c}").alias(c) for c in cols],
+            *[F.col(f"__exc_{c}") for c in cols],
+            F.coalesce("__t_present", F.lit(False)).alias("__t_present"),
+            F.coalesce("__s_present", F.lit(False)).alias("__s_present"),
+        )
+        matched = F.col("__t_present") & F.col("__s_present")
+        src_only = ~F.col("__t_present") & F.col("__s_present")
+        gate = matched
+        if upd_where:
+            gate = matched & F.expr(self._rewrite_excluded(upd_where))
+        ck = j.withColumn("__changed", gate | src_only).localCheckpoint(
+            eager=True
+        )
+        changes = ck.filter("__changed").count()
+        final = []
+        for c in cols:
+            if c in assignments:
+                val = (
+                    F.when(
+                        gate,
+                        F.expr(
+                            self._rewrite_excluded(assignments[c])
+                        ).cast(dtypes[c]),
+                    )
+                    .when(src_only, F.col(f"__exc_{c}"))
+                    .otherwise(F.col(c))
+                )
+            else:
+                val = F.when(src_only, F.col(f"__exc_{c}")).otherwise(F.col(c))
+            final.append(val.alias(c))
+        return ck.select(final), changes
+
+    def _run_insert_upsert(self, parsed: dict) -> int:
+        """Execute a parsed upsert INSERT against the catalog table."""
+        table = parsed["table"]
+        action = parsed["action"]
+        src = self._insert_source(table, parsed["cols"], parsed["body"])
+        src = self._dedup_source(
+            src, parsed["conflict_cols"], keep_last=(action != "nothing")
+        )
+        tgt = self.spark.table(table)
+        if action == "nothing":
+            # append-only: no table rewrite, just the anti-joined new rows
+            new_rows = src.join(
+                tgt, on=parsed["conflict_cols"], how="left_anti"
+            ).select(tgt.columns).localCheckpoint(eager=True)
+            changes = new_rows.count()
+            if changes:
+                new_rows.write.insertInto(table)
+            return changes
+        if action == "replace":
+            assignments = {c: f"excluded.{c}" for c in tgt.columns}
+            upd_where = None
+        else:
+            assignments, upd_where = parsed["assignments"], parsed["upd_where"]
+        new_df, changes = self._upsert_plan(
+            tgt, src, parsed["conflict_cols"], assignments, upd_where
+        )
+        new_df.write.mode("overwrite").saveAsTable(table)
+        return changes
+
+    def _update_from_plan(
+        self, tgt: DataFrame, table: str, assignments,
+        from_clause: str, where,
+    ):
+        """UPDATE ... FROM (SQLite >= 3.33 joined update): tag target rows
+        with a row id, join the FROM source via plain SQL (assignments and
+        WHERE reference both sides, target under its own name), then stitch
+        new values back by row id. Multiple source matches per target row
+        pick one match (SQLite: 'unspecified'). Returns (new_df, changes)."""
+        from pyspark.sql import functions as F
+
+        dtypes = dict(tgt.dtypes)
+        rid = tgt.withColumn(
+            "__rid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=True)
+        rid.createOrReplaceTempView("__update_from_target")
+        assigned = list(assignments)
+        sel = [f"{table}.__rid AS __rid", "true AS __hit"] + [
+            f"({assignments[c]}) AS __new_{i}" for i, c in enumerate(assigned)
+        ]
+        sql = (
+            f"SELECT {', '.join(sel)} FROM __update_from_target AS {table}, "
+            f"{from_clause}"
+        )
+        if where:
+            sql += f" WHERE {where}"
+        m = (
+            self.spark.sql(sql)
+            .dropDuplicates(["__rid"])
+            .localCheckpoint(eager=True)
+        )
+        changes = m.count()
+        joined = rid.join(m, on="__rid", how="left")
+        final = []
+        for c in tgt.columns:
+            if c in assignments:
+                i = assigned.index(c)
+                final.append(
+                    F.when(
+                        F.col("__hit"),
+                        F.col(f"__new_{i}").cast(dtypes[c]),
+                    )
+                    .otherwise(F.col(c))
+                    .alias(c)
+                )
+            else:
+                final.append(F.col(c))
+        self.spark.catalog.dropTempView("__update_from_target")
+        return joined.select(final).localCheckpoint(eager=True), changes
+
     @staticmethod
     def _split_returning(statement: str):
         """Split a trailing ``RETURNING <exprs>`` clause off a DML
@@ -784,27 +1093,40 @@ class Engine:
         return df.collect(), list(df.columns)
 
     def _try_dml(self, statement: str):
-        """Intercept UPDATE/DELETE statements (unsupported by Spark on
-        parquet v1) and route them through the rewrite path. Returns
-        changes or None if not intercepted."""
+        """Intercept UPDATE/DELETE/upsert statements (unsupported by Spark
+        on parquet v1) and route them through the rewrite path. Returns
+        changes or None if not intercepted (plain INSERT falls through to
+        Spark's native INSERT)."""
         import re
 
         m = re.match(
-            r"(?is)\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?\s*$",
+            r"(?is)\s*UPDATE\s+(\w+)\s+SET\s+(.*?)"
+            r"(?:\s+FROM\s+(.+?))?(?:\s+WHERE\s+(.*))?\s*;?\s*$",
             statement,
         )
         if m:
-            table, set_clause, where = m.group(1), m.group(2), m.group(3)
+            table, set_clause, from_clause, where = m.groups()
             assignments = {}
             for part in self._split_top_level(set_clause):
                 c, _, e = part.partition("=")
                 assignments[c.strip()] = e.strip()
+            if from_clause:
+                new_df, changes = self._update_from_plan(
+                    self.spark.table(table), table, assignments,
+                    from_clause, where,
+                )
+                new_df.write.mode("overwrite").saveAsTable(table)
+                return changes
             return self.update_table(table, assignments, where)
         m = re.match(
-            r"(?is)\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*))?\s*$", statement
+            r"(?is)\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
+            statement,
         )
         if m:
             return self.delete_from(m.group(1), m.group(2))
+        parsed = self._parse_insert_upsert(statement)
+        if parsed is not None:
+            return self._run_insert_upsert(parsed)
         return None
 
     @classmethod
@@ -1103,6 +1425,55 @@ class Transaction:
 
         spark = self.engine.spark
         sql_text, args = Engine._bind(statement, params)
+        parsed = self.engine._parse_insert_upsert(sql_text)
+        if parsed is not None:
+            # upsert inside a txn: same one-pass plan, applied to the
+            # shadow view and re-published (no table write until COMMIT)
+            table = parsed["table"]
+            self._shadow(table)
+            tgt = spark.table(table)
+            src = self.engine._insert_source(table, parsed["cols"], parsed["body"])
+            src = Engine._dedup_source(
+                src, parsed["conflict_cols"],
+                keep_last=(parsed["action"] != "nothing"),
+            )
+            if parsed["action"] == "nothing":
+                new_rows = src.join(
+                    tgt, on=parsed["conflict_cols"], how="left_anti"
+                ).select(tgt.columns).localCheckpoint(eager=True)
+                changes = new_rows.count()
+                self._publish(table, tgt.unionByName(new_rows))
+                return changes
+            if parsed["action"] == "replace":
+                assignments, upd_where = (
+                    {c: f"excluded.{c}" for c in tgt.columns}, None
+                )
+            else:
+                assignments, upd_where = (
+                    parsed["assignments"], parsed["upd_where"]
+                )
+            new_df, changes = self.engine._upsert_plan(
+                tgt, src, parsed["conflict_cols"], assignments, upd_where
+            )
+            self._publish(table, new_df)
+            return changes
+        m = re.match(
+            r"(?is)\s*UPDATE\s+(\w+)\s+SET\s+(.*?)"
+            r"(?:\s+FROM\s+(.+?))?(?:\s+WHERE\s+(.*))?\s*;?\s*$",
+            sql_text,
+        )
+        if m and m.group(3):
+            table, set_clause, from_clause, where = m.groups()
+            self._shadow(table)
+            assignments = {}
+            for part in Engine._split_top_level(set_clause):
+                c, _, e = part.partition("=")
+                assignments[c.strip()] = e.strip()
+            new_df, changes = self.engine._update_from_plan(
+                spark.table(table), table, assignments, from_clause, where
+            )
+            self._publish(table, new_df)
+            return changes
         m = re.match(
             r"(?is)\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?\s*$",
             sql_text,

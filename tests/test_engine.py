@@ -421,3 +421,135 @@ def test_savepoint_requires_transaction(spark):
 
     with _pytest.raises(RuntimeError):
         eng.sql("SAVEPOINT sp1")
+
+
+# -- SQLite upsert dialect (INSERT OR REPLACE/IGNORE, ON CONFLICT) ---------
+# reference surface: full SQLite upsert grammar through the query API
+# (pkg/database/query.go DML classes; sqlite.org/lang_upsert.html)
+
+
+def test_insert_on_conflict_do_nothing(engine):
+    eng = engine
+    eng.sql("DROP TABLE IF EXISTS t_up1")
+    eng.sql("CREATE TABLE t_up1 (id BIGINT, v STRING) USING PARQUET")
+    eng.sql("INSERT INTO t_up1 VALUES (1,'a'),(2,'b')")
+    r = eng.sql(
+        "INSERT INTO t_up1 VALUES (2,'dup'),(3,'c'),(3,'dup2') "
+        "ON CONFLICT(id) DO NOTHING"
+    )
+    assert r.changes == 1  # only id=3 inserts; first proposed row wins
+    got = {x.id: x.v for x in eng.sql("SELECT * FROM t_up1").rows}
+    assert got == {1: "a", 2: "b", 3: "c"}
+    eng.sql("DROP TABLE t_up1")
+
+
+def test_insert_on_conflict_do_update_excluded(engine):
+    eng = engine
+    eng.sql("DROP TABLE IF EXISTS t_up2")
+    eng.sql("CREATE TABLE t_up2 (id BIGINT, v STRING, n BIGINT) USING PARQUET")
+    eng.sql("INSERT INTO t_up2 VALUES (1,'a',10),(2,'b',20)")
+    r = eng.sql(
+        "INSERT INTO t_up2 VALUES (2,'B',99),(3,'c',30) "
+        "ON CONFLICT(id) DO UPDATE SET v = excluded.v, n = n + excluded.n"
+    )
+    assert r.changes == 2  # one update + one insert
+    got = {x.id: (x.v, x.n) for x in eng.sql("SELECT * FROM t_up2").rows}
+    assert got == {1: ("a", 10), 2: ("B", 119), 3: ("c", 30)}
+    eng.sql("DROP TABLE t_up2")
+
+
+def test_insert_on_conflict_do_update_where(engine):
+    eng = engine
+    eng.sql("DROP TABLE IF EXISTS t_up3")
+    eng.sql("CREATE TABLE t_up3 (id BIGINT, n BIGINT) USING PARQUET")
+    eng.sql("INSERT INTO t_up3 VALUES (1,10),(2,20)")
+    r = eng.sql(
+        "INSERT INTO t_up3 VALUES (1,111),(2,222) "
+        "ON CONFLICT(id) DO UPDATE SET n = excluded.n WHERE n < 15"
+    )
+    assert r.changes == 1  # only id=1 passes the guard
+    got = {x.id: x.n for x in eng.sql("SELECT * FROM t_up3").rows}
+    assert got == {1: 111, 2: 20}
+    eng.sql("DROP TABLE t_up3")
+
+
+def test_insert_or_replace_and_ignore_use_declared_pk(engine):
+    eng = engine
+    eng.sql("DROP TABLE IF EXISTS t_up4")
+    # PRIMARY KEY parsed out of the DDL and registered as conflict target
+    eng.sql(
+        "CREATE TABLE t_up4 (id BIGINT PRIMARY KEY, v STRING) USING PARQUET"
+    )
+    eng.sql("INSERT INTO t_up4 VALUES (1,'a'),(2,'b')")
+    r = eng.sql("INSERT OR REPLACE INTO t_up4 VALUES (2,'B'),(3,'c')")
+    assert r.changes == 2
+    got = {x.id: x.v for x in eng.sql("SELECT * FROM t_up4").rows}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    r = eng.sql("INSERT OR IGNORE INTO t_up4 VALUES (3,'zz'),(4,'d')")
+    assert r.changes == 1
+    got = {x.id: x.v for x in eng.sql("SELECT * FROM t_up4").rows}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+    eng.sql("DROP TABLE t_up4")
+
+
+def test_table_level_primary_key_parsed(engine):
+    eng = engine
+    eng.sql("DROP TABLE IF EXISTS t_up5")
+    eng.sql(
+        "CREATE TABLE t_up5 (a BIGINT, b STRING, v BIGINT, "
+        "PRIMARY KEY (a, b)) USING PARQUET"
+    )
+    eng.sql("INSERT INTO t_up5 VALUES (1,'x',10)")
+    r = eng.sql("INSERT OR IGNORE INTO t_up5 VALUES (1,'x',99),(1,'y',20)")
+    assert r.changes == 1
+    got = {(x.a, x.b): x.v for x in eng.sql("SELECT * FROM t_up5").rows}
+    assert got == {(1, "x"): 10, (1, "y"): 20}
+    eng.sql("DROP TABLE t_up5")
+
+
+def test_upsert_requires_conflict_target(engine):
+    eng = engine
+    eng.sql("DROP TABLE IF EXISTS t_up6")
+    eng.sql("CREATE TABLE t_up6 (id BIGINT, v STRING) USING PARQUET")
+    with pytest.raises(ValueError, match="conflict target"):
+        eng.sql("INSERT OR REPLACE INTO t_up6 VALUES (1,'a')")
+    eng.sql("DROP TABLE t_up6")
+
+
+def test_update_from_joined(engine):
+    # SQLite >= 3.33 UPDATE ... FROM
+    eng = engine
+    eng.sql("DROP TABLE IF EXISTS t_uf")
+    eng.sql("DROP TABLE IF EXISTS t_uf_src")
+    eng.sql("CREATE TABLE t_uf (id BIGINT, price DOUBLE) USING PARQUET")
+    eng.sql("CREATE TABLE t_uf_src (id BIGINT, newprice DOUBLE) USING PARQUET")
+    eng.sql("INSERT INTO t_uf VALUES (1,1.0),(2,2.0),(3,3.0)")
+    eng.sql("INSERT INTO t_uf_src VALUES (1,10.0),(3,30.0)")
+    r = eng.sql(
+        "UPDATE t_uf SET price = s.newprice FROM t_uf_src s "
+        "WHERE t_uf.id = s.id"
+    )
+    assert r.changes == 2
+    got = {x.id: x.price for x in eng.sql("SELECT * FROM t_uf").rows}
+    assert got == {1: 10.0, 2: 2.0, 3: 30.0}
+    eng.sql("DROP TABLE t_uf")
+    eng.sql("DROP TABLE t_uf_src")
+
+
+def test_upsert_inside_transaction_rolls_back(engine):
+    eng = engine
+    eng.sql("DROP TABLE IF EXISTS t_uptx")
+    eng.sql("CREATE TABLE t_uptx (id BIGINT PRIMARY KEY, v STRING) USING PARQUET")
+    eng.sql("INSERT INTO t_uptx VALUES (1,'a'),(2,'b')")
+    txn = eng.begin()
+    r = txn.sql(
+        "INSERT INTO t_uptx VALUES (2,'B'),(3,'c') "
+        "ON CONFLICT(id) DO UPDATE SET v = excluded.v"
+    )
+    assert r.changes == 2
+    got = {x.id: x.v for x in txn.sql("SELECT * FROM t_uptx").rows}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    txn.sql("ROLLBACK")
+    got = {x.id: x.v for x in eng.sql("SELECT * FROM t_uptx").rows}
+    assert got == {1: "a", 2: "b"}
+    eng.sql("DROP TABLE t_uptx")
