@@ -383,7 +383,10 @@ def bpe_learn_merges(words: DataFrame, rounds: int) -> list[tuple]:
     return out
 
 
-def _bpe_oracle(rounds: int) -> str:
+def _bpe_ctes(rounds: int) -> list[str]:
+    """The unrolled merge-learning CTE chain shared by the merges oracle
+    and the encode oracle: w{i} = word states after i merges, b{i} = the
+    i-th learned (pair, count)."""
     pair_list = (
         "list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])"
     )
@@ -396,7 +399,6 @@ def _bpe_oracle(rounds: int) -> str:
       GROUP BY word
     )"""
     ]
-    selects = []
     for i in range(1, rounds + 1):
         prev = f"w{i - 1}"
         ctes.append(
@@ -414,14 +416,55 @@ def _bpe_oracle(rounds: int) -> str:
       FROM {prev}, b{i}
     )"""
         )
-        selects.append(
-            f"SELECT {i} AS iteration, pair, n FROM b{i}"
-        )
+    return ctes
+
+
+def _bpe_oracle(rounds: int) -> str:
+    selects = [
+        f"SELECT {i} AS iteration, pair, n FROM b{i}"
+        for i in range(1, rounds + 1)
+    ]
     return (
         "\n    WITH "
-        + ",\n    ".join(ctes)
+        + ",\n    ".join(_bpe_ctes(rounds))
         + "\n    "
         + "\n    UNION ALL\n    ".join(selects)
+    )
+
+
+def _bpe_encode_oracle(rounds: int) -> str:
+    """Relearn the merges (shared CTEs), then apply them to every document
+    as the same chained left-to-right replace the engine runs: words are
+    char-split and joined with a '_' separator token (outside the [a-z0-9]
+    token alphabet, so merges can never cross word boundaries)."""
+    expr = "' ' || base || ' '"
+    for i in range(1, rounds + 1):
+        expr = (
+            f"replace({expr}, ' ' || b{i}.pair || ' ', "
+            f"' ' || replace(b{i}.pair, ' ', '') || ' ')"
+        )
+    froms = ", ".join(f"b{i}" for i in range(1, rounds + 1))
+    return (
+        "\n    WITH "
+        + ",\n    ".join(_bpe_ctes(rounds))
+        + f""",
+    base AS (
+      SELECT doc_id, len(toks) AS n_words,
+             array_to_string(list_transform(toks,
+               w -> array_to_string(string_split(w, ''), ' ')), ' _ ')
+               AS base
+      FROM (SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS toks
+            FROM documents)
+      WHERE len(toks) > 0
+    ),
+    enc AS (
+      SELECT doc_id, n_words, trim({expr}) AS sym FROM base, {froms}
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(len(list_filter(string_split(sym, ' '), t -> t != '_'))
+                AS BIGINT) AS n_tokens,
+           md5(sym) AS enc_md5
+    FROM enc"""
     )
 
 
@@ -453,6 +496,61 @@ def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = bpe_learn_merges(words, _BPE_ROUNDS)
     return spark.createDataFrame(
         merges, "iteration int, pair string, n bigint"
+    )
+
+
+@query(
+    "pipeline_bpe_encode",
+    oracle=_bpe_encode_oracle(_BPE_ROUNDS),
+    description="Tokenizer application: encode every document with the "
+    "learned BPE merges. The merge list is O(rounds) driver-side state "
+    "inlined as a literal JVM replace() chain, so encoding is ONE "
+    "narrow map over the corpus — no shuffle, no Python, no join; at "
+    "100 TB this is the shape a dataloader-prep tokenization pass must "
+    "have (a real deployment persists the merges instead of relearning). "
+    "Words are char-split and joined with a '_' separator outside the "
+    "token alphabet so merges never cross word boundaries. Output is "
+    "per-doc word/token counts plus an md5 digest of the full encoded "
+    "token stream, oracle-exact against a relearn-and-replay in DuckDB.",
+    tags=("pipeline", "tokenizer"),
+)
+def pipeline_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.array_join(F.split("word", ""), " ").alias("sym"), "cnt"
+        )
+    )
+    merges = bpe_learn_merges(words, _BPE_ROUNDS)
+    toks = tokens("text")
+    base = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.array_join(
+            F.transform(
+                toks, lambda w: F.array_join(F.split(w, ""), " ")
+            ),
+            " _ ",
+        ).alias("base"),
+    ).filter(F.col("n_words") > 0)
+    enc = F.concat(F.lit(" "), F.col("base"), F.lit(" "))
+    for _, pair, _ in merges:
+        enc = F.replace(
+            enc,
+            F.lit(f" {pair} "),
+            F.lit(f" {pair.replace(' ', '')} "),
+        )
+    sym = F.trim(enc)
+    return base.select(
+        "doc_id",
+        "n_words",
+        F.size(
+            F.filter(F.split(sym, " "), lambda t: t != F.lit("_"))
+        ).cast("long").alias("n_tokens"),
+        F.md5(sym.cast("binary")).alias("enc_md5"),
     )
 
 
