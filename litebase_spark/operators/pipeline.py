@@ -657,3 +657,127 @@ def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "verdict")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain balancing + curriculum binning (corpus-mixing ops)
+# ---------------------------------------------------------------------------
+
+_DOMAIN_CAP = 15
+
+
+@query(
+    "pipeline_domain_cap",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               len({_SQL_TOKENS.format(c='text')}) AS n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY len({_SQL_TOKENS.format(c='text')})
+                                  DESC, doc_id) AS rn
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rn <= {_DOMAIN_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn > {_DOMAIN_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(MIN(CASE WHEN rn <= {_DOMAIN_CAP} THEN n_tokens END)
+                AS BIGINT) AS min_kept_tokens
+    FROM ranked
+    GROUP BY source
+    """,
+    description="Per-domain document cap (RefinedWeb/C4-style domain "
+    "balancing): rank documents within each source by token count and "
+    "keep the top N, reporting kept/dropped counts and the kept-quality "
+    "floor per domain. One shuffle: the rank window partitions by "
+    "source and the per-source aggregate reuses that partitioning "
+    "(Catalyst emits no second exchange). At 100 TB a pathologically "
+    "large domain makes its rank sort the straggler; the swap-in is a "
+    "two-phase partial top-N (per-partition top-N, then merge) which "
+    "this op's aggregate shape already accommodates.",
+    tags=("pipeline",),
+)
+def pipeline_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    ranked = d.select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                F.col("n_tokens").desc(), F.col("doc_id")
+            )
+        ),
+    )
+    kept = F.col("rn") <= _DOMAIN_CAP
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(~kept, 1).otherwise(0)).alias("n_dropped"),
+        F.min(F.when(kept, F.col("n_tokens"))).alias("min_kept_tokens"),
+    )
+
+
+@query(
+    "pipeline_quality_bins",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               len({_SQL_TOKENS.format(c='text')}) AS n_tokens,
+               ROUND(CAST(len(list_distinct({_SQL_TOKENS.format(c='text')}))
+                     AS DOUBLE)
+                     / len({_SQL_TOKENS.format(c='text')}), 6) AS score
+        FROM documents
+        WHERE len({_SQL_TOKENS.format(c='text')}) > 0
+    ),
+    binned AS (
+        SELECT n_tokens, score,
+               NTILE(10) OVER (ORDER BY score, doc_id) AS bin
+        FROM scored
+    )
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(score) AS min_score, MAX(score) AS max_score,
+           CAST(SUM(n_tokens) AS BIGINT) AS tok_sum,
+           CAST(bin AS DOUBLE) / 10 AS sample_rate
+    FROM binned
+    GROUP BY bin
+    """,
+    description="Curriculum/quality binning: decile documents by lexical "
+    "diversity (deterministic NTILE over (score, doc_id)) and emit each "
+    "bin's document count, score range, token budget, and a "
+    "quality-proportional sampling rate — the mixing table a curriculum "
+    "dataloader consumes. The NTILE is the only global-sort shuffle; at "
+    "100 TB the swap-in is approx_percentile bin edges (one aggregate) "
+    "with a broadcast range join, trading exact decile boundaries for "
+    "no global sort.",
+    tags=("pipeline",),
+)
+def pipeline_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = tokens("text")
+    scored = d.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(w)).cast("double") / F.size(w), 6
+        ).alias("score"),
+    ).filter(F.col("n_tokens") > 0)
+    binned = scored.withColumn(
+        "bin",
+        F.ntile(10).over(Window.orderBy(F.col("score"), F.col("doc_id"))),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("score").alias("min_score"),
+        F.max("score").alias("max_score"),
+        F.sum("n_tokens").alias("tok_sum"),
+        (F.col("bin").cast("double") / 10).alias("sample_rate"),
+    )
