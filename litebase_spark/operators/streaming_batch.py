@@ -296,3 +296,71 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "stream_left_outer_join",
+    oracle="""
+    WITH m AS (
+        SELECT MIN(mx) - INTERVAL 2 HOUR AS wmk FROM (
+            SELECT MAX(ts) AS mx FROM events
+            WHERE event_type IN ('purchase', 'click') GROUP BY event_type)
+    ),
+    p AS (
+        SELECT event_id AS p_event_id, user_id AS p_user, ts AS p_ts
+        FROM events, m
+        WHERE event_type = 'purchase' AND ts < m.wmk
+    ),
+    c AS (
+        SELECT event_id AS c_event_id, user_id AS c_user, ts AS c_ts,
+               value AS c_value
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT p.p_event_id, p.p_user, p.p_ts, c.c_event_id, c.c_ts, c.c_value
+    FROM p LEFT JOIN c
+      ON c.c_user = p.p_user
+     AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE
+     AND c.c_ts < p.p_ts
+    """,
+    description="Batch twin of the stream-stream LEFT OUTER interval "
+    "join (streaming/windows.py stream_stream_left_outer): every "
+    "purchase with the same user's clicks in the preceding 30 minutes, "
+    "NULL-extended when none. Restricted to purchases whose outer "
+    "result is watermark-final: the streaming global watermark is the "
+    "MIN across both sides' watermark nodes, i.e. "
+    "min(max purchase ts, max click ts) - 2h — exactly the horizon the "
+    "AvailableNow run evicts (and NULL-emits) unmatched purchases up "
+    "to; tests/test_streaming.py asserts stream == batch on it.",
+    tags=("streaming", "join"),
+)
+def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    wm = (
+        e.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("mx"))
+        .agg((F.min("mx") - F.expr("INTERVAL 2 HOURS")).alias("wmk"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(wm))
+        .filter(F.col("ts") < F.col("wmk"))
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    return p.join(
+        c,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "left",
+    ).select("p_event_id", "p_user", "p_ts", "c_event_id", "c_ts", "c_value")

@@ -204,6 +204,50 @@ def stream_stream_interval_join(
     ).select("p_event_id", "p_user", "p_ts", "c_event_id", "c_ts", "c_value")
 
 
+def stream_stream_left_outer(
+    stream: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase emits, with
+    clicks from the preceding 30 minutes or NULLs if none arrived.
+
+    Same bounded-state shape as the inner interval join; the outer
+    semantics add watermark-clocked emission: an unmatched purchase's
+    NULL row is held until the click-side watermark passes its horizon
+    (no earlier click can still arrive), then flushed. Under
+    Trigger.AvailableNow the terminal watermark stops `watermark` behind
+    max event time, so purchases in that tail never resolve — the parity
+    test (and the batch twin) therefore compare the watermark-final
+    subset only. In production the stream runs forever and every
+    purchase eventually resolves."""
+    e = _normalized_events(stream)
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_event_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("c_value"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "leftOuter",
+    ).select("p_event_id", "p_user", "p_ts", "c_event_id", "c_ts", "c_value")
+
+
 def ohlc_bars(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming twin of ts_ohlc_resample: 15-minute OHLC bars per user.
     open/close use min_by/max_by over the (ts, event_id) total order —

@@ -314,3 +314,37 @@ def test_stream_static_enrich_equals_batch(spark, sf_dir):
         for r in want.collect()
     }
     assert g == w and len(g) > 0
+
+
+def test_stream_stream_left_outer_equals_batch_on_final_subset(spark, sf_dir):
+    """LEFT OUTER stream-stream join: matched rows emit immediately;
+    NULL-extended rows emit once the watermark passes the purchase's
+    horizon. Under AvailableNow the terminal watermark is (max ts - 2h),
+    so parity holds exactly on purchases older than that — the same
+    subset the registered batch twin computes."""
+    from litebase_spark.catalog import REGISTRY
+    from litebase_spark.streaming.windows import (
+        events_stream,
+        run_available_now,
+        stream_stream_left_outer,
+    )
+    from litebase_spark.catalog import load
+    from pyspark.sql import functions as F
+
+    got = run_available_now(
+        stream_stream_left_outer(events_stream(spark, sf_dir))
+    )
+    e = load(spark, sf_dir, "events")
+    horizon = (
+        e.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("mx"))
+        .agg((F.min("mx") - F.expr("INTERVAL 2 HOURS")).alias("h"))
+    ).collect()[0]["h"]
+    got_final = got.filter(F.col("p_ts") < F.lit(horizon))
+    want = REGISTRY["stream_left_outer_join"].builder(spark, sf_dir)
+    assert sorted(map(tuple, got_final.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # the outer semantics actually fired: some purchases have no click
+    assert got_final.filter(F.col("c_event_id").isNull()).count() > 0
