@@ -1440,3 +1440,199 @@ def text_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (prob >= 0.5).alias("kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 (lexical) fused with embedding cosine (vector)
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_HYBRID_POOL = 50  # depth of each ranked list entering the fusion
+_HYBRID_TOP = 20
+
+
+@query(
+    "text_hybrid_retrieval",
+    oracle=None,  # assembled below (needs similarity-module SQL pieces)
+    description="Hybrid retrieval with reciprocal-rank fusion: the BM25 "
+    "lexical ranking and an embedding-cosine ranking (query vector = "
+    "vec 0, ids doc-aligned) each contribute 1/(60+rank) for their top-"
+    f"{_HYBRID_POOL}; the fused top-{_HYBRID_TOP} is the result — the "
+    "standard RAG retrieval shape. Both lists are TakeOrdered top-N "
+    "(O(k) per partition, never a global window sort), the rank windows "
+    "run on the N surviving rows, and the fusion is a tiny full-outer "
+    "join — at 100 TB the only corpus-sized work is the two scoring "
+    "maps. Ranks are taken over round-6 scores so they are "
+    "engine-stable; oracle replays both rankings and the fusion "
+    "exactly.",
+    tags=("text", "similarity", "fts"),
+)
+def text_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from litebase_spark.operators.similarity import dot, norm2
+
+    d = load(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    k1, b = _BM25_K1, _BM25_B
+    terms = _BM25_QUERY_TERMS
+
+    def tf_of(t):
+        return F.size(F.filter("words", lambda w: w == t))
+
+    perdoc = d.select("doc_id", tokens("text").alias("words")).select(
+        "doc_id",
+        F.size("words").alias("dl"),
+        *[tf_of(t).alias(f"tf{i}") for i, t in enumerate(terms)],
+    )
+    stats = perdoc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    parts = []
+    for i in range(len(terms)):
+        tf = F.col(f"tf{i}")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df{i}") + 0.5)
+            / (F.col(f"df{i}") + 0.5)
+            + 1.0
+        )
+        s = idf * (tf * (k1 + 1.0)) / (
+            tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+        parts.append(F.when(tf > 0, s).otherwise(F.lit(0.0)))
+    total = parts[0]
+    for p in parts[1:]:
+        total = total + p
+    any_tf = F.col("tf0")
+    for i in range(1, len(terms)):
+        any_tf = any_tf + F.col(f"tf{i}")
+    lex_top = (
+        perdoc.crossJoin(F.broadcast(stats))
+        .filter(any_tf > 0)
+        .select("doc_id", F.round(total, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_HYBRID_POOL)
+    )
+    lex = lex_top.withColumn(
+        "rl",
+        F.row_number().over(
+            Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        ),
+    ).select("doc_id", "rl")
+
+    e = load(spark, sf_dir, "embeddings")
+    e = e.repartition(spark.sparkContext.defaultParallelism)
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), norm2(F.col("embedding")).alias("qn")
+    )
+    sim = dot(F.col("qv"), F.col("embedding")) / (
+        F.col("qn") * norm2(F.col("embedding"))
+    )
+    vec_top = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(sim, 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+        .limit(_HYBRID_POOL)
+    )
+    vec = vec_top.withColumn(
+        "rv",
+        F.row_number().over(
+            Window.orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+        ),
+    ).select("doc_id", "rv")
+
+    fused = lex.join(vec, on="doc_id", how="full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (F.col("rl") + _RRF_K), F.lit(0.0))
+            + F.coalesce(1.0 / (F.col("rv") + _RRF_K), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+        F.col("rl").alias("lex_rank"),
+        F.col("rv").alias("vec_rank"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(
+        _HYBRID_TOP
+    )
+
+
+def _hybrid_oracle() -> str:
+    from litebase_spark.operators.similarity import DIM, _SQL_DOT, _SQL_NORM
+
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS words FROM documents
+    ),
+    doclen AS (SELECT doc_id, len(words) AS dl FROM tok),
+    stats AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM doclen
+    ),
+    tf AS (
+        SELECT t.doc_id, u.term, COUNT(*) AS tf
+        FROM tok t, UNNEST(t.words) AS u(term)
+        WHERE u.term IN {_BM25_QUERY_TERMS!r}
+        GROUP BY t.doc_id, u.term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    bm25 AS (
+        SELECT tf.doc_id,
+               ROUND(SUM(
+                   LN((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * (tf.tf * ({_BM25_K1} + 1.0))
+                   / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                      + {_BM25_B} * doclen.dl / stats.avgdl))
+               ), 6) AS bm25
+        FROM tf
+        JOIN df USING (term)
+        JOIN doclen ON doclen.doc_id = tf.doc_id
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    ),
+    lex AS (
+        SELECT doc_id, rl FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+                   AS rl
+            FROM bm25)
+        WHERE rl <= {_HYBRID_POOL}
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cos AS (
+        SELECT e.vec_id AS doc_id,
+               ROUND({_SQL_DOT.format(a='q.qv', b='e.embedding', n=DIM)}
+                 / ({_SQL_NORM.format(a='q.qv', n=DIM)}
+                    * {_SQL_NORM.format(a='e.embedding', n=DIM)}), 6)
+                   AS cos_sim
+        FROM embeddings e, q WHERE e.vec_id != 0
+    ),
+    vec AS (
+        SELECT doc_id, rv FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id)
+                   AS rv
+            FROM cos)
+        WHERE rv <= {_HYBRID_POOL}
+    ),
+    fused AS (
+        SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+               ROUND(COALESCE(1.0 / (rl + {_RRF_K}), 0)
+                     + COALESCE(1.0 / (rv + {_RRF_K}), 0), 6) AS rrf_score,
+               rl AS lex_rank, rv AS vec_rank
+        FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+    )
+    SELECT doc_id, rrf_score, lex_rank, vec_rank
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {_HYBRID_TOP}
+    """
+
+
+from litebase_spark.catalog import REGISTRY as _REGISTRY  # noqa: E402
+
+_REGISTRY["text_hybrid_retrieval"].oracle = _hybrid_oracle()
