@@ -484,3 +484,126 @@ def agg_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(est(0.9), 6).alias("est_p90"),
         F.round(est(0.99), 6).alias("est_p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (mergeable frequency sketch)
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH = 3
+_CMS_WIDTH = 64
+
+
+def _cms_bucket_exprs(key_sql: str, h60_fn, affine_fn) -> list[str]:
+    from litebase_spark.functions.portable import affine_constants
+
+    h = h60_fn(key_sql)
+    return [
+        f"({affine_fn(h, a, b)} % {_CMS_WIDTH})"
+        for a, b in affine_constants(_CMS_DEPTH)
+    ]
+
+
+def _cms_oracle() -> str:
+    from litebase_spark.functions.portable import affine_duck
+
+    bkts = _cms_bucket_exprs("CAST(user_id AS VARCHAR)", h60_duck, affine_duck)
+    rows = "\n        UNION ALL ".join(
+        f"SELECT {r} AS r, {bkts[r]} AS bkt FROM events"
+        for r in range(_CMS_DEPTH)
+    )
+    joins = "\n    ".join(
+        f"JOIN sk s{r} ON s{r}.r = {r} AND s{r}.bkt = exact.bkt{r}"
+        for r in range(_CMS_DEPTH)
+    )
+    least = ", ".join(f"s{r}.cnt" for r in range(_CMS_DEPTH))
+    bktcols = ", ".join(f"{bkts[r]} AS bkt{r}" for r in range(_CMS_DEPTH))
+    return f"""
+    WITH sk AS (
+        SELECT r, bkt, COUNT(*) AS cnt FROM (
+        {rows}
+        ) GROUP BY r, bkt
+    ),
+    exact AS (
+        SELECT user_id, bkt0, bkt1, bkt2, COUNT(*) AS n_exact FROM (
+            SELECT user_id, {bktcols} FROM events
+        ) GROUP BY user_id, bkt0, bkt1, bkt2
+    )
+    SELECT user_id, CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(LEAST({least}) AS BIGINT) AS cms_est
+    FROM exact
+    {joins}
+    ORDER BY n_exact DESC, user_id LIMIT 10
+    """
+
+
+@query(
+    "sketch_countmin_topk",
+    oracle=_cms_oracle(),
+    description="Count-min sketch heavy hitters: a depth-3 x width-64 "
+    "counter grid over the portable affine hash family estimates any "
+    "key's frequency as min over its three buckets (always >= exact). "
+    "The sketch build is one map-side-combinable aggregate collapsing "
+    "the corpus to 192 counters — mergeable across shards/days exactly "
+    "like the HLL register rollup — and the estimate lookup is three "
+    "broadcast joins against that 192-row table. The exact per-key "
+    "count rides along to exhibit the overestimate bound; a production "
+    "run keeps only the sketch. Deterministic hashes make it "
+    "oracle-exact.",
+    tags=("sketch", "approx"),
+)
+def sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from litebase_spark.functions.portable import affine_spark
+
+    e = load(spark, sf_dir, "events")
+    bkts = _cms_bucket_exprs(
+        "CAST(user_id AS STRING)", h60_spark, affine_spark
+    )
+    sketch = (
+        e.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            F.expr(bkts[r]).cast("long").alias("bkt"),
+                        )
+                        for r in range(_CMS_DEPTH)
+                    ]
+                )
+            ).alias("x")
+        )
+        .select("x.r", "x.bkt")
+        .groupBy("r", "bkt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = (
+        e.select(
+            "user_id",
+            *[
+                F.expr(bkts[r]).cast("long").alias(f"bkt{r}")
+                for r in range(_CMS_DEPTH)
+            ],
+        )
+        .groupBy("user_id", *[f"bkt{r}" for r in range(_CMS_DEPTH)])
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    out = exact
+    for r in range(_CMS_DEPTH):
+        s = sketch.filter(F.col("r") == r).select(
+            F.col("bkt").alias(f"sb{r}"), F.col("cnt").alias(f"cnt{r}")
+        )
+        out = out.join(
+            F.broadcast(s), out[f"bkt{r}"] == s[f"sb{r}"], "inner"
+        )
+    return (
+        out.select(
+            "user_id",
+            "n_exact",
+            F.least(*[F.col(f"cnt{r}") for r in range(_CMS_DEPTH)]).alias(
+                "cms_est"
+            ),
+        )
+        .orderBy(F.desc("n_exact"), F.asc("user_id"))
+        .limit(10)
+    )
