@@ -38,7 +38,7 @@ from litebase_spark.session import get_spark
 # Statement-prefix classes, mirroring reference pkg/database/query.go:46-102
 # (IsDDL/IsDML/IsDQL/IsPragma/IsVacuum/IsBegin/IsCommit/IsRollback).
 _DDL_PREFIXES = ("CREATE", "ALTER", "DROP", "TRUNCATE", "REPLACE")
-_DML_PREFIXES = ("INSERT", "UPDATE", "DELETE", "MERGE")
+_DML_PREFIXES = ("INSERT", "UPDATE", "DELETE", "MERGE", "REPLACE")
 _DQL_PREFIXES = ("SELECT", "WITH", "VALUES", "TABLE", "DESCRIBE", "SHOW", "EXPLAIN")
 _TCL_PREFIXES = ("BEGIN", "COMMIT", "END", "ROLLBACK", "SAVEPOINT", "RELEASE")
 
@@ -810,10 +810,13 @@ class Engine:
         Spark executes natively)."""
         import re
 
+        stmt = statement.strip().rstrip(";")
+        # REPLACE INTO is SQLite's alias for INSERT OR REPLACE INTO
+        stmt = re.sub(r"(?is)^\s*REPLACE\s+INTO\b", "INSERT OR REPLACE INTO", stmt)
         m = re.match(
             r"(?is)^\s*INSERT\s+(?:OR\s+(REPLACE|IGNORE)\s+)?INTO\s+"
             r"(\w+)\s*(?:\(([^)]*)\))?\s*(VALUES\b.*|SELECT\b.*|WITH\b.*?)$",
-            statement.strip().rstrip(";"),
+            stmt,
         )
         if not m:
             return None

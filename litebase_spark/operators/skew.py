@@ -607,3 +607,155 @@ def sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_exact"), F.asc("user_id"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join reduction (runtime-filter pattern)
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 1024  # m
+_BLOOM_K = 3
+_BLOOM_WORDS = _BLOOM_BITS // 32  # 32-bit words in BIGINTs: shifts stay
+# under bit 31, portable (DuckDB range-checks << into bit 63)
+
+
+def _bloom_pos_exprs(key_sql: str, h60_fn, affine_fn) -> list[str]:
+    from litebase_spark.functions.portable import affine_constants
+
+    h = h60_fn(key_sql)
+    return [
+        f"({affine_fn(h, a, b)} % {_BLOOM_BITS})"
+        for a, b in affine_constants(_BLOOM_K)
+    ]
+
+
+def _bloom_oracle() -> str:
+    from litebase_spark.functions.portable import affine_duck
+
+    build = _bloom_pos_exprs("CAST(c_custkey AS VARCHAR)", h60_duck, affine_duck)
+    probe = _bloom_pos_exprs("CAST(o_custkey AS VARCHAR)", h60_duck, affine_duck)
+    pos_union = "\n        UNION ALL ".join(
+        f"SELECT {e} AS p FROM keys" for e in build
+    )
+    joins = "\n    ".join(
+        f"LEFT JOIN bloom b{r} ON b{r}.w = (({probe[r]}) >> 5)"
+        for r in range(_BLOOM_K)
+    )
+    cand = " AND ".join(
+        f"(((COALESCE(b{r}.bits, 0) >> (({probe[r]}) & 31)) & 1) = 1)"
+        for r in range(_BLOOM_K)
+    )
+    return f"""
+    WITH keys AS (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    pos AS (
+        {pos_union}
+    ),
+    bloom AS (
+        SELECT p >> 5 AS w, bit_or(CAST(1 AS BIGINT) << (p & 31)) AS bits
+        FROM pos GROUP BY w
+    ),
+    probe AS (
+        SELECT ({cand}) AS bloom_pass,
+               (k.c_custkey IS NOT NULL) AS matched
+        FROM orders o
+        {joins}
+        LEFT JOIN (SELECT DISTINCT c_custkey FROM keys) k
+               ON k.c_custkey = o.o_custkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bloom_pass,
+           CAST(SUM(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true_match,
+           CAST(SUM(CASE WHEN bloom_pass AND NOT matched THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_false_pos
+    FROM probe
+    """
+
+
+@query(
+    "join_bloom_semi",
+    oracle=_bloom_oracle(),
+    description="Bloom-filter semi-join reduction — the runtime-filter "
+    "pattern that saves the big-side shuffle at 100 TB: the build side "
+    "(customers in one segment) collapses to a 1024-bit / 3-hash Bloom "
+    "filter (32 longs, one tiny aggregate + O(32) driver collect — the "
+    "same driver-accumulated shape as Spark's own InSubquery/bloom "
+    "runtime filters), inlined as a literal array so the probe over "
+    "orders is a PURE narrow map: no join, no shuffle, rows failing the "
+    "filter never move. The exact semi-join then runs only to count "
+    "true matches vs Bloom false positives — the m/k sizing signal "
+    "(production sizes m from the build-side NDV; 1024 bits over ~300 "
+    "keys is deliberately tight so the false-positive column is "
+    "non-trivial). Deterministic affine hashes make the filter, and "
+    "hence the counts, oracle-exact.",
+    tags=("join", "sketch", "scale"),
+)
+def join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from litebase_spark.functions.portable import affine_spark
+
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    build = _bloom_pos_exprs("CAST(c_custkey AS STRING)", h60_spark, affine_spark)
+    words = (
+        c.select(
+            F.explode(
+                F.array(*[F.expr(e).cast("long") for e in build])
+            ).alias("p")
+        )
+        .select(
+            F.expr("p DIV 32").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias(
+                "m"
+            ),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+        .collect()
+    )
+    bloom = {int(r["w"]): int(r["bits"]) for r in words}
+    # NB: the bit test stays Column-side (element_at + bitwiseAND): Spark's
+    # expression parser rejects `>>` (from the affine hash) appearing after
+    # an `array(...)` literal in the same expression text (nested-type
+    # grammar conflict), so the array literals must not share an F.expr
+    # with the hash.
+    arr = F.array(
+        *[F.lit(bloom.get(w, 0)).cast("long") for w in range(_BLOOM_WORDS)]
+    )
+    pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(32)])
+    probe = _bloom_pos_exprs("CAST(o_custkey AS STRING)", h60_spark, affine_spark)
+    o = load(spark, sf_dir, "orders")
+    cand = F.lit(True)
+    for r in range(_BLOOM_K):
+        word = F.element_at(arr, F.expr(f"CAST(({probe[r]}) DIV 32 AS INT)") + 1)
+        mask = F.element_at(pow2, F.expr(f"CAST(({probe[r]}) % 32 AS INT)") + 1)
+        cand = cand & (word.bitwiseAND(mask) != 0)
+    matched = c.distinct().withColumn("__m", F.lit(True))
+    return (
+        o.join(
+            F.broadcast(matched),
+            o.o_custkey == matched.c_custkey,
+            "left",
+        )
+        .select(
+            cand.alias("bloom_pass"),
+            F.coalesce(F.col("__m"), F.lit(False)).alias("matched"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0)).alias(
+                "n_bloom_pass"
+            ),
+            F.sum(F.when(F.col("matched"), 1).otherwise(0)).alias(
+                "n_true_match"
+            ),
+            F.sum(
+                F.when(F.col("bloom_pass") & ~F.col("matched"), 1).otherwise(0)
+            ).alias("n_false_pos"),
+        )
+    )

@@ -553,3 +553,16 @@ def test_upsert_inside_transaction_rolls_back(engine):
     got = {x.id: x.v for x in eng.sql("SELECT * FROM t_uptx").rows}
     assert got == {1: "a", 2: "b"}
     eng.sql("DROP TABLE t_uptx")
+
+
+def test_replace_into_alias(engine):
+    # SQLite REPLACE INTO == INSERT OR REPLACE INTO
+    eng = engine
+    eng.sql("DROP TABLE IF EXISTS t_rep")
+    eng.sql("CREATE TABLE t_rep (id BIGINT PRIMARY KEY, v STRING) USING PARQUET")
+    eng.sql("INSERT INTO t_rep VALUES (1,'a'),(2,'b')")
+    r = eng.sql("REPLACE INTO t_rep VALUES (2,'B'),(3,'c')")
+    assert r.changes == 2 and r.statement_class == "DML"
+    got = {x.id: x.v for x in eng.sql("SELECT * FROM t_rep").rows}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    eng.sql("DROP TABLE t_rep")
