@@ -364,3 +364,89 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") < F.col("p_ts")),
         "left",
     ).select("p_event_id", "p_user", "p_ts", "c_event_id", "c_ts", "c_value")
+
+
+@query(
+    "stream_full_outer_join",
+    oracle="""
+    WITH m AS (
+        SELECT MIN(mx) - INTERVAL 2 HOUR AS wmk FROM (
+            SELECT MAX(ts) AS mx FROM events
+            WHERE event_type IN ('purchase', 'click') GROUP BY event_type)
+    ),
+    p AS (
+        SELECT event_id AS p_event_id, user_id AS p_user, ts AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT event_id AS c_event_id, user_id AS c_user, ts AS c_ts,
+               value AS c_value
+        FROM events WHERE event_type = 'click'
+    ),
+    j AS (
+        SELECT p.p_event_id, p.p_user, p.p_ts,
+               c.c_event_id, c.c_user, c.c_ts, c.c_value
+        FROM p FULL OUTER JOIN c
+          ON c.c_user = p.p_user
+         AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE
+         AND c.c_ts < p.p_ts
+    )
+    SELECT j.* FROM j, m
+    WHERE (p_event_id IS NOT NULL AND c_event_id IS NOT NULL)
+       OR (c_event_id IS NULL AND p_ts < m.wmk)
+       OR (p_event_id IS NULL AND c_ts + INTERVAL 30 MINUTE < m.wmk)
+    """,
+    description="Batch twin of the stream-stream FULL OUTER interval "
+    "join: matched pairs plus NULL-extended unmatched rows on both "
+    "sides, each side restricted to its watermark-final horizon — "
+    "purchases finalize when the global watermark (min over both "
+    "sides' watermark nodes, 2h behind) passes p_ts; clicks when it "
+    "passes c_ts + the 30-minute forward join window. "
+    "tests/test_streaming.py asserts stream == batch on this set.",
+    tags=("streaming", "join"),
+)
+def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    wm = (
+        e.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("mx"))
+        .agg((F.min("mx") - F.expr("INTERVAL 2 HOURS")).alias("wmk"))
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    j = p.join(
+        c,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "full_outer",
+    )
+    matched = F.col("p_event_id").isNotNull() & F.col("c_event_id").isNotNull()
+    return (
+        j.crossJoin(F.broadcast(wm))
+        .filter(
+            matched
+            | (F.col("c_event_id").isNull() & (F.col("p_ts") < F.col("wmk")))
+            | (
+                F.col("p_event_id").isNull()
+                & (
+                    F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")
+                    < F.col("wmk")
+                )
+            )
+        )
+        .select(
+            "p_event_id", "p_user", "p_ts", "c_event_id", "c_user", "c_ts",
+            "c_value",
+        )
+    )

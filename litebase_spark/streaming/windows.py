@@ -248,6 +248,48 @@ def stream_stream_left_outer(
     ).select("p_event_id", "p_user", "p_ts", "c_event_id", "c_ts", "c_value")
 
 
+def stream_stream_full_outer(
+    stream: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join: matched purchase/click
+    pairs emit immediately; unmatched rows on EITHER side NULL-extend
+    once the watermark clears their horizon. The purchase side's horizon
+    is p_ts (no earlier click can arrive); the click side's is
+    c_ts + 30min (no purchase inside its forward join window can
+    arrive). The batch twin restricts each NULL side to its own
+    watermark-final horizon."""
+    e = _normalized_events(stream)
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_event_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("c_value"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "fullOuter",
+    ).select(
+        "p_event_id", "p_user", "p_ts", "c_event_id", "c_user", "c_ts",
+        "c_value",
+    )
+
+
 def ohlc_bars(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming twin of ts_ohlc_resample: 15-minute OHLC bars per user.
     open/close use min_by/max_by over the (ts, event_id) total order —

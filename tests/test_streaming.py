@@ -348,3 +348,44 @@ def test_stream_stream_left_outer_equals_batch_on_final_subset(spark, sf_dir):
     )
     # the outer semantics actually fired: some purchases have no click
     assert got_final.filter(F.col("c_event_id").isNull()).count() > 0
+
+
+def test_stream_stream_full_outer_equals_batch_on_final_subset(spark, sf_dir):
+    """FULL OUTER stream-stream join: matched pairs are deterministic;
+    each NULL side finalizes at its own horizon (purchases: watermark
+    passes p_ts; clicks: watermark passes c_ts + the 30-minute forward
+    window). The registered batch twin encodes exactly that set."""
+    from litebase_spark.catalog import REGISTRY, load
+    from litebase_spark.streaming.windows import (
+        events_stream,
+        run_available_now,
+        stream_stream_full_outer,
+    )
+    from pyspark.sql import functions as F
+
+    got = run_available_now(
+        stream_stream_full_outer(events_stream(spark, sf_dir))
+    )
+    e = load(spark, sf_dir, "events")
+    horizon = (
+        e.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("mx"))
+        .agg((F.min("mx") - F.expr("INTERVAL 2 HOURS")).alias("h"))
+    ).collect()[0]["h"]
+    matched = F.col("p_event_id").isNotNull() & F.col("c_event_id").isNotNull()
+    got_final = got.filter(
+        matched
+        | (F.col("c_event_id").isNull() & (F.col("p_ts") < F.lit(horizon)))
+        | (
+            F.col("p_event_id").isNull()
+            & (F.col("c_ts") + F.expr("INTERVAL 30 MINUTES") < F.lit(horizon))
+        )
+    )
+    want = REGISTRY["stream_full_outer_join"].builder(spark, sf_dir)
+    assert sorted(map(tuple, got_final.collect()), key=str) == sorted(
+        map(tuple, want.collect()), key=str
+    )
+    # both outer directions actually fired
+    assert got_final.filter(F.col("c_event_id").isNull()).count() > 0
+    assert got_final.filter(F.col("p_event_id").isNull()).count() > 0
