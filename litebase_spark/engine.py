@@ -47,8 +47,13 @@ def classify_statement(sql: str) -> str:
     """Classify a statement DDL/DML/DQL/PRAGMA/VACUUM/TCL/OTHER (analog of
     reference pkg/database/query.go:46-102 prefix classification, which
     routes reads vs writes and gates PRAGMA/VACUUM)."""
-    head = sql.lstrip().split(None, 1)
+    head = sql.lstrip().split(None, 2)
     kw = head[0].upper() if head else ""
+    if kw == "REPLACE":
+        # REPLACE INTO is SQLite DML (alias of INSERT OR REPLACE);
+        # REPLACE TABLE stays DDL
+        second = head[1].upper() if len(head) > 1 else ""
+        return "DML" if second == "INTO" else "DDL"
     if kw in _DDL_PREFIXES:
         return "DDL"
     if kw in _DML_PREFIXES:
