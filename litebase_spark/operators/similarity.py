@@ -1495,3 +1495,65 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         digest.alias("codes_digest"),
         F.round(err, 6).alias("recon_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: IVF probe recall against the exact baseline
+# ---------------------------------------------------------------------------
+
+
+def _recall_oracle() -> str:
+    from litebase_spark.catalog import REGISTRY
+
+    bf = REGISTRY["knn_cosine_bruteforce"].oracle
+    iv = REGISTRY["knn_ivf_probe"].oracle
+    return f"""
+    WITH bf AS ({bf}),
+    iv AS ({iv})
+    SELECT bf.qid,
+           CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN iv.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           ROUND(CAST(SUM(CASE WHEN iv.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*), 6) AS recall_at_k
+    FROM bf LEFT JOIN iv ON iv.qid = bf.qid AND iv.vec_id = bf.vec_id
+    GROUP BY bf.qid
+    """
+
+
+@query(
+    "knn_recall_eval",
+    oracle=None,  # assembled after both constituent queries register
+    description="ANN quality gate: recall@k of the probed-IVF search "
+    "against the exact brute-force top-k, per query — the evaluation "
+    "loop every production ANN deployment runs to tune nprobe/cells. "
+    "Composes the two registered searches (ground truth join on "
+    "(qid, vec_id)) into per-query hit counts; at 100 TB the ground "
+    "truth comes from a sampled query set, which is exactly this "
+    "dataflow with a sample() on the query side. Fully oracle-exact "
+    "because both constituent searches are.",
+    tags=("similarity", "eval"),
+)
+def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bf = knn_cosine_bruteforce(spark, sf_dir).select(
+        F.col("qid").alias("bq"), F.col("vec_id").alias("bv")
+    )
+    iv = knn_ivf_probe(spark, sf_dir).select(
+        F.col("qid").alias("iq"), F.col("vec_id").alias("iv"), F.lit(1).alias("hit")
+    )
+    j = bf.join(
+        iv, (F.col("bq") == F.col("iq")) & (F.col("bv") == F.col("iv")), "left"
+    )
+    n_hit = F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long")
+    return j.groupBy(F.col("bq").alias("qid")).agg(
+        F.count(F.lit(1)).alias("n_true"),
+        n_hit.alias("n_hit"),
+        F.round(
+            n_hit.cast("double") / F.count(F.lit(1)), 6
+        ).alias("recall_at_k"),
+    )
+
+
+from litebase_spark.catalog import REGISTRY as _SIM_REGISTRY  # noqa: E402
+
+_SIM_REGISTRY["knn_recall_eval"].oracle = _recall_oracle()
