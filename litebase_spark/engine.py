@@ -278,6 +278,7 @@ class Engine:
         params: list | dict | None = None,
         collect: bool = True,
         transaction_id: str | None = None,
+        timeout: float | None = None,
     ) -> QueryResult:
         """Execute a statement with optional positional/named parameters.
 
@@ -287,13 +288,19 @@ class Engine:
         ``transaction_id`` routes the statement into an open interactive
         transaction, mirroring the wire model's per-query transaction_id
         (reference: pkg/database/query_input.go:28-32, routing
-        pkg/http/query_controller.go:94-120).
+        pkg/http/query_controller.go:94-120). ``timeout`` (seconds) is
+        the statement-level analog of the reference's busy_timeout
+        (pkg/database/database_connection.go:52, 5000 ms): the
+        statement's Spark jobs run under a dedicated job group that a
+        watchdog timer cancels, surfacing TimeoutError.
         """
         if transaction_id is not None:
             txn = self._transactions.get(transaction_id)
             if txn is None:
                 raise LookupError(f"no open transaction {transaction_id!r}")
             return txn.sql(statement, params)
+        if timeout is not None:
+            return self._sql_with_timeout(statement, params, collect, timeout)
         t0 = time.time()
         head_class = classify_statement(statement)
         if head_class == "VACUUM":
@@ -327,14 +334,15 @@ class Engine:
             # for upserts) and strip the constraint Spark's parser rejects.
             sql_text = self._register_primary_key(sql_text)
         if stmt_class == "DML":
-            changes = self._try_dml(sql_text)
-            if changes is not None:
+            res = self._try_dml(sql_text, returning)
+            if res is not None:
+                changes, rrows, rcols = res
                 latency = time.time() - t0
                 self.metrics.record(statement, latency)
                 return QueryResult(
-                    columns=[],
-                    rows=[],
-                    row_count=0,
+                    columns=rcols,
+                    rows=rrows,
+                    row_count=len(rrows),
                     changes=changes,
                     latency=latency,
                     statement_class=stmt_class,
@@ -366,6 +374,44 @@ class Engine:
             latency=latency,
             statement_class=stmt_class,
         )
+
+    def _sql_with_timeout(
+        self,
+        statement: str,
+        params,
+        collect: bool,
+        timeout: float,
+    ) -> QueryResult:
+        """Run the statement inside a cancellable job group with a
+        watchdog timer — cancellation interrupts the statement's Spark
+        jobs only (other sessions/statements are untouched), and the
+        caller sees TimeoutError, like a busy_timeout expiry."""
+        import threading
+        import uuid as _uuid
+
+        sc = self.spark.sparkContext
+        group = f"litebase-stmt-{_uuid.uuid4().hex[:12]}"
+        fired = threading.Event()
+
+        def _cancel():
+            fired.set()
+            sc.cancelJobGroup(group)
+
+        sc.setJobGroup(group, statement[:80], interruptOnCancel=True)
+        timer = threading.Timer(timeout, _cancel)
+        timer.start()
+        try:
+            return self.sql(statement, params, collect)
+        except Exception:
+            if fired.is_set():
+                raise TimeoutError(
+                    f"statement exceeded {timeout}s and was cancelled "
+                    f"(job group {group})"
+                ) from None
+            raise
+        finally:
+            timer.cancel()
+            sc.setJobGroup("", "", False)
 
     def df(self, statement: str, params: list | dict | None = None) -> DataFrame:
         """Lazy variant: return the DataFrame without collecting."""
@@ -691,9 +737,18 @@ class Engine:
         ).write.insertInto(table)
         return obs.get["changes"]
 
-    def update_table(self, table: str, assignments: dict[str, str], where: str | None = None) -> int:
+    def update_table(
+        self,
+        table: str,
+        assignments: dict[str, str],
+        where: str | None = None,
+        returning: str | None = None,
+    ):
         """UPDATE table SET col=expr[, ...] [WHERE cond]; returns changes
-        observed during the rewrite scan (no separate count job)."""
+        observed during the rewrite scan (no separate count job). With
+        ``returning``, also evaluates the clause over the post-update
+        image of the affected rows (SQLite RETURNING semantics) and
+        returns (changes, rows, cols)."""
         from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
@@ -714,14 +769,29 @@ class Engine:
                 )
             else:
                 cols.append(F.col(c))
-        new_df = observed.select(cols).localCheckpoint(eager=True)
-        changes = obs.get["changes"]
-        new_df.write.mode("overwrite").saveAsTable(table)
-        return int(changes or 0)
+        new_full = observed.select(
+            cols + [cond.alias("__changed")]
+        ).localCheckpoint(eager=True)
+        changes = int(obs.get["changes"] or 0)
+        rows, rcols = [], []
+        if returning is not None:
+            rdf = self._returning_df(
+                new_full.filter("__changed").drop("__changed"), returning
+            )
+            rows, rcols = rdf.collect(), list(rdf.columns)
+        new_full.drop("__changed").write.mode("overwrite").saveAsTable(table)
+        return (changes, rows, rcols) if returning is not None else changes
 
-    def delete_from(self, table: str, where: str | None = None) -> int:
+    def delete_from(
+        self,
+        table: str,
+        where: str | None = None,
+        returning: str | None = None,
+    ):
         """DELETE FROM table [WHERE cond]; returns changes observed
-        during the rewrite scan (no separate count job)."""
+        during the rewrite scan (no separate count job). With
+        ``returning``, also evaluates the clause over the deleted rows
+        and returns (changes, rows, cols)."""
         from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
@@ -732,10 +802,18 @@ class Engine:
             obs,
             F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias("changes"),
         )
-        new_df = observed.filter(~cond).localCheckpoint(eager=True)
-        changes = obs.get["changes"]
-        new_df.write.mode("overwrite").saveAsTable(table)
-        return int(changes or 0)
+        ck = observed.withColumn("__del", cond).localCheckpoint(eager=True)
+        changes = int(obs.get["changes"] or 0)
+        rows, rcols = [], []
+        if returning is not None:
+            rdf = self._returning_df(
+                ck.filter("__del").drop("__del"), returning
+            )
+            rows, rcols = rdf.collect(), list(rdf.columns)
+        ck.filter(~F.col("__del")).drop("__del").write.mode(
+            "overwrite"
+        ).saveAsTable(table)
+        return (changes, rows, rcols) if returning is not None else changes
 
     def merge_upsert(self, table: str, source, on: list[str]) -> int:
         """MERGE (upsert) analog: source rows replace matches and append
@@ -979,10 +1057,13 @@ class Engine:
             else:
                 val = F.when(src_only, F.col(f"__exc_{c}")).otherwise(F.col(c))
             final.append(val.alias(c))
-        return ck.select(final), changes
+        return ck.select(final), ck.filter("__changed").select(final), changes
 
-    def _run_insert_upsert(self, parsed: dict) -> int:
-        """Execute a parsed upsert INSERT against the catalog table."""
+    def _run_insert_upsert(self, parsed: dict, returning: str | None = None):
+        """Execute a parsed upsert INSERT against the catalog table.
+        Returns (changes, returning_rows, returning_cols) — RETURNING
+        projects the post-statement image of the affected rows, SQLite
+        upsert semantics."""
         table = parsed["table"]
         action = parsed["action"]
         src = self._insert_source(table, parsed["cols"], parsed["body"])
@@ -990,25 +1071,32 @@ class Engine:
             src, parsed["conflict_cols"], keep_last=(action != "nothing")
         )
         tgt = self.spark.table(table)
+        rows, rcols = [], []
         if action == "nothing":
             # append-only: no table rewrite, just the anti-joined new rows
             new_rows = src.join(
                 tgt, on=parsed["conflict_cols"], how="left_anti"
             ).select(tgt.columns).localCheckpoint(eager=True)
             changes = new_rows.count()
+            if returning is not None:
+                rdf = self._returning_df(new_rows, returning)
+                rows, rcols = rdf.collect(), list(rdf.columns)
             if changes:
                 new_rows.write.insertInto(table)
-            return changes
+            return changes, rows, rcols
         if action == "replace":
             assignments = {c: f"excluded.{c}" for c in tgt.columns}
             upd_where = None
         else:
             assignments, upd_where = parsed["assignments"], parsed["upd_where"]
-        new_df, changes = self._upsert_plan(
+        new_df, affected, changes = self._upsert_plan(
             tgt, src, parsed["conflict_cols"], assignments, upd_where
         )
+        if returning is not None:
+            rdf = self._returning_df(affected, returning)
+            rows, rcols = rdf.collect(), list(rdf.columns)
         new_df.write.mode("overwrite").saveAsTable(table)
-        return changes
+        return changes, rows, rcols
 
     def _update_from_plan(
         self, tgt: DataFrame, table: str, assignments,
@@ -1100,11 +1188,13 @@ class Engine:
         )
         return df.collect(), list(df.columns)
 
-    def _try_dml(self, statement: str):
+    def _try_dml(self, statement: str, returning: str | None = None):
         """Intercept UPDATE/DELETE/upsert statements (unsupported by Spark
         on parquet v1) and route them through the rewrite path. Returns
-        changes or None if not intercepted (plain INSERT falls through to
-        Spark's native INSERT)."""
+        (changes, returning_rows, returning_cols) or None if not
+        intercepted (plain INSERT falls through to Spark's native
+        INSERT). RETURNING (SQLite >= 3.35 applies it to every DML form)
+        projects over the post-statement image of the affected rows."""
         import re
 
         m = re.match(
@@ -1124,18 +1214,28 @@ class Engine:
                     from_clause, where,
                 )
                 new_df.write.mode("overwrite").saveAsTable(table)
-                return changes
-            return self.update_table(table, assignments, where)
+                return changes, [], []
+            r = self.update_table(table, assignments, where, returning)
+            return r if returning else (r, [], [])
         m = re.match(
             r"(?is)\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
             statement,
         )
         if m:
-            return self.delete_from(m.group(1), m.group(2))
+            r = self.delete_from(m.group(1), m.group(2), returning)
+            return r if returning else (r, [], [])
         parsed = self._parse_insert_upsert(statement)
         if parsed is not None:
-            return self._run_insert_upsert(parsed)
+            return self._run_insert_upsert(parsed, returning)
         return None
+
+    def _returning_df(self, df: DataFrame, returning: str) -> DataFrame:
+        exprs = (
+            ["*"]
+            if returning.strip() == "*"
+            else [e.strip() for e in self._split_top_level(returning)]
+        )
+        return df.selectExpr(*exprs)
 
     @classmethod
     def _insert_values_count(cls, statement: str) -> int:
@@ -1460,7 +1560,7 @@ class Transaction:
                 assignments, upd_where = (
                     parsed["assignments"], parsed["upd_where"]
                 )
-            new_df, changes = self.engine._upsert_plan(
+            new_df, _affected, changes = self.engine._upsert_plan(
                 tgt, src, parsed["conflict_cols"], assignments, upd_where
             )
             self._publish(table, new_df)

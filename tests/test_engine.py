@@ -566,3 +566,44 @@ def test_replace_into_alias(engine):
     got = {x.id: x.v for x in eng.sql("SELECT * FROM t_rep").rows}
     assert got == {1: "a", 2: "B", 3: "c"}
     eng.sql("DROP TABLE t_rep")
+
+
+def test_returning_on_update_delete_and_upsert(engine):
+    # SQLite >= 3.35: RETURNING applies to every DML form
+    eng = engine
+    eng.sql("DROP TABLE IF EXISTS t_ret")
+    eng.sql("CREATE TABLE t_ret (id BIGINT PRIMARY KEY, v BIGINT) USING PARQUET")
+    eng.sql("INSERT INTO t_ret VALUES (1,10),(2,20),(3,30)")
+
+    r = eng.sql("UPDATE t_ret SET v = v * 2 WHERE id <= 2 RETURNING id, v")
+    assert r.changes == 2 and r.columns == ["id", "v"]
+    assert sorted((x.id, x.v) for x in r.rows) == [(1, 20), (2, 40)]
+
+    r = eng.sql("DELETE FROM t_ret WHERE id = 3 RETURNING *")
+    assert r.changes == 1 and [(x.id, x.v) for x in r.rows] == [(3, 30)]
+
+    r = eng.sql(
+        "INSERT INTO t_ret VALUES (2,5),(9,90) "
+        "ON CONFLICT(id) DO UPDATE SET v = v + excluded.v RETURNING id, v"
+    )
+    assert r.changes == 2
+    assert sorted((x.id, x.v) for x in r.rows) == [(2, 45), (9, 90)]
+    eng.sql("DROP TABLE t_ret")
+
+
+def test_statement_timeout_cancels_job(engine):
+    # busy_timeout analog (database_connection.go:52): the watchdog
+    # cancels the statement's job group and raises TimeoutError
+    import time as _time
+
+    eng = engine
+    t0 = _time.time()
+    with pytest.raises(TimeoutError, match="cancelled"):
+        eng.sql(
+            "SELECT count(*) AS n FROM range(100000000) a "
+            "CROSS JOIN range(100000) b",
+            timeout=1.5,
+        )
+    assert _time.time() - t0 < 30
+    # the session is healthy afterwards
+    assert eng.sql("SELECT 1 AS one").rows[0].one == 1
