@@ -51,6 +51,7 @@ _ALLOWED_NL = {
     "spatial_rtree_bbox_join",
     "q19_discounted_revenue",  # OR-of-conjuncts residual over broadcast
     "sketch_hll_union",  # 1-row grand-total cross join onto estimates
+    "knn_recall_eval",  # composes bruteforce + ivf_probe (both declared)
 }
 
 # Operators that intentionally run Arrow-batched Python (mapInPandas /
@@ -90,6 +91,12 @@ _REVIEWED_NONPUSHABLE = {
     "text_quality_score",  # computed quality components
     "text_repetition_ratio",  # size(tokens) threshold
     "text_topk_bigrams",  # size(tokens) >= 2
+    # round 4 additions, each verified by plan inspection:
+    "pipeline_bpe_encode",  # size(tokens(text)) > 0
+    "pipeline_quality_bins",  # size(tokens(text)) > 0
+    "sketch_countmin_topk",  # isnotnull(affine-hash bucket exprs) join guards
+    "text_hybrid_retrieval",  # any_tf > 0 (BM25 side; embedding-side
+    # vec_id filters DO push: PushedFilters [IsNotNull, EqualTo] verified)
 }
 
 # Registered builders allowed a driver-side collect because it is O(k)
@@ -101,6 +108,10 @@ _ALLOWED_COLLECT = {
     # walks) collects one argmax row per BPE round — listed here for
     # transparency, same O(k) class as the k-means centroid collect.
     "pipeline_bpe_merges": "4 argmax rows (1 per BPE round, via helper)",
+    "pipeline_bpe_encode": "4 argmax rows (1 per BPE round, via helper)",
+    "join_bloom_semi": "32 Bloom words (1024-bit filter) — the "
+    "runtime-filter build, same driver-accumulated shape as Spark's own "
+    "bloom pushdown",
 }
 
 _SCAN_RE = re.compile(r"^\(\d+\) Scan parquet", re.M)
