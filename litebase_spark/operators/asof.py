@@ -339,3 +339,154 @@ def ts_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Event analytics: funnel conversion + cohort retention
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_funnel_steps",
+    oracle="""
+    WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    vc AS (
+        SELECT DISTINCT c.user_id, c.ts AS c_ts
+        FROM v JOIN c ON c.user_id = v.user_id
+         AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+    ),
+    vcp AS (
+        SELECT DISTINCT p.user_id
+        FROM vc JOIN p ON p.user_id = vc.user_id
+         AND p.ts > vc.c_ts AND p.ts <= vc.c_ts + INTERVAL 1 HOUR
+    )
+    SELECT CAST((SELECT COUNT(DISTINCT user_id) FROM v) AS BIGINT)
+               AS n_viewed,
+           CAST((SELECT COUNT(DISTINCT user_id) FROM vc) AS BIGINT)
+               AS n_clicked_after_view,
+           CAST((SELECT COUNT(DISTINCT user_id) FROM vcp) AS BIGINT)
+               AS n_purchased_after_click,
+           ROUND(CAST((SELECT COUNT(DISTINCT user_id) FROM vc) AS DOUBLE)
+                 / (SELECT COUNT(DISTINCT user_id) FROM v), 6)
+               AS view_to_click,
+           ROUND(CAST((SELECT COUNT(DISTINCT user_id) FROM vcp) AS DOUBLE)
+                 / (SELECT COUNT(DISTINCT user_id) FROM vc), 6)
+               AS click_to_purchase
+    """,
+    description="Funnel conversion (view -> click within 1h -> purchase "
+    "within 1h): users reaching each stage via a cascade of interval "
+    "semi-joins, deduplicated at every stage so intermediate pair "
+    "growth is bounded by distinct (user, step-event) — the ClickHouse "
+    "windowFunnel shape expressed as joins. All joins key on user_id "
+    "(one shuffle partitioning reused); at 100 TB add a coarse "
+    "time-bucket to the join key so a user's history never "
+    "concentrates in one task.",
+    tags=("timeseries", "analytics"),
+)
+def ts_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select("user_id", "ts")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    hour = F.expr("INTERVAL 1 HOUR")
+    vc = (
+        v.join(
+            c,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("c_ts") > F.col("ts"))
+            & (F.col("c_ts") <= F.col("ts") + hour),
+        )
+        .select(F.col("c_user").alias("user_id"), "c_ts")
+        .distinct()
+    )
+    vcp = (
+        vc.join(
+            p,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + hour),
+        )
+        .select(F.col("p_user").alias("user_id"))
+        .distinct()
+    )
+    n1 = v.select("user_id").distinct().count()
+    n2 = vc.select("user_id").distinct().count()
+    n3 = vcp.count()
+    return spark.createDataFrame(
+        [(n1, n2, n3, round(n2 / n1, 6), round(n3 / n2, 6))],
+        "n_viewed bigint, n_clicked_after_view bigint, "
+        "n_purchased_after_click bigint, view_to_click double, "
+        "click_to_purchase double",
+    )
+
+
+@query(
+    "ts_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week
+        FROM events
+    ),
+    sizes AS (
+        SELECT cohort_week, COUNT(*) AS n_cohort
+        FROM first_seen GROUP BY cohort_week
+    )
+    SELECT CAST(f.cohort_week AS TIMESTAMP) AS cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.act_week) // 7 AS BIGINT)
+               AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active,
+           CAST(s.n_cohort AS BIGINT) AS n_cohort,
+           ROUND(CAST(COUNT(DISTINCT a.user_id) AS DOUBLE) / s.n_cohort, 6)
+               AS retention
+    FROM activity a
+    JOIN first_seen f ON f.user_id = a.user_id
+    JOIN sizes s ON s.cohort_week = f.cohort_week
+    GROUP BY 1, week_offset, s.n_cohort
+    """,
+    description="Weekly cohort retention: users grouped by first-seen "
+    "week; retention[k] = share of the cohort active k weeks later — "
+    "the standard growth-analytics matrix. Two aggregates and one "
+    "user-keyed join; cohort sizes broadcast back. Distinct-activity "
+    "dedup happens BEFORE the join so the shuffle carries (user, week) "
+    "pairs, not raw events.",
+    tags=("timeseries", "analytics"),
+)
+def ts_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("act_week")
+    ).distinct()
+    sizes = first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    j = activity.join(first_seen, "user_id").withColumn(
+        "week_offset",
+        (F.datediff("act_week", "cohort_week") / 7).cast("long"),
+    )
+    return (
+        j.join(F.broadcast(sizes), "cohort_week")
+        .groupBy("cohort_week", "week_offset", "n_cohort")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "n_cohort",
+            F.round(
+                F.col("n_active").cast("double") / F.col("n_cohort"), 6
+            ).alias("retention"),
+        )
+    )
