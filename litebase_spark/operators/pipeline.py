@@ -781,3 +781,40 @@ def pipeline_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("tok_sum"),
         (F.col("bin").cast("double") / 10).alias("sample_rate"),
     )
+
+
+_K_ANON = 5
+
+
+@query(
+    "pipeline_k_anonymity",
+    oracle=f"""
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT c_nationkey, c_mktsegment, CAST(n AS BIGINT) AS n,
+           n >= {_K_ANON} AS k_ok
+    FROM g
+    """,
+    description="k-anonymity audit over quasi-identifier groups "
+    "(nation x market segment, k={k}): group sizes plus a suppression "
+    "flag for groups smaller than k — the privacy gate a training-data "
+    "release pipeline runs before shipping attributes. One "
+    "map-side-combinable aggregate; the flagged groups drive either "
+    "suppression (filter) or generalization (coarser quasi-identifier) "
+    "upstream.".format(k=_K_ANON),
+    tags=("pipeline", "privacy"),
+)
+def pipeline_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n",
+            (F.col("n") >= _K_ANON).alias("k_ok"),
+        )
+    )
