@@ -1660,3 +1660,90 @@ def orderby_collate_nocase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.lower("c_name"), "c_custkey")
         .limit(50)
     )
+
+
+@query(
+    "stats_regression",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sq,
+             SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)
+                 * CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sqq,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS se,
+             SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      AS HUGEINT)
+                 * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS see,
+             SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)
+                 * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sqe
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           ROUND((CAST(sqe AS DOUBLE) / 10000.0
+                  - (CAST(sq AS DOUBLE) / 100.0)
+                    * (CAST(se AS DOUBLE) / 100.0) / n)
+                 / (CAST(sqq AS DOUBLE) / 10000.0
+                    - (CAST(sq AS DOUBLE) / 100.0)
+                      * (CAST(sq AS DOUBLE) / 100.0) / n), 6) AS slope,
+           ROUND(CAST(se AS DOUBLE) / 100.0 / n
+                 - ((CAST(sqe AS DOUBLE) / 10000.0
+                     - (CAST(sq AS DOUBLE) / 100.0)
+                       * (CAST(se AS DOUBLE) / 100.0) / n)
+                    / (CAST(sqq AS DOUBLE) / 10000.0
+                       - (CAST(sq AS DOUBLE) / 100.0)
+                         * (CAST(sq AS DOUBLE) / 100.0) / n))
+                   * (CAST(sq AS DOUBLE) / 100.0 / n), 6) AS intercept,
+           ROUND(((CAST(sqe AS DOUBLE) / 10000.0
+                   - (CAST(sq AS DOUBLE) / 100.0)
+                     * (CAST(se AS DOUBLE) / 100.0) / n)
+                  * (CAST(sqe AS DOUBLE) / 10000.0
+                     - (CAST(sq AS DOUBLE) / 100.0)
+                       * (CAST(se AS DOUBLE) / 100.0) / n))
+                 / ((CAST(sqq AS DOUBLE) / 10000.0
+                     - (CAST(sq AS DOUBLE) / 100.0)
+                       * (CAST(sq AS DOUBLE) / 100.0) / n)
+                    * (CAST(see AS DOUBLE) / 10000.0
+                       - (CAST(se AS DOUBLE) / 100.0)
+                         * (CAST(se AS DOUBLE) / 100.0) / n)), 6) AS r2
+    FROM s ORDER BY l_returnflag
+    """,
+    description="SQL-standard linear regression aggregates (regr_slope/"
+    "regr_intercept/regr_r2 of extendedprice on quantity per return "
+    "flag) computed from exact integer sufficient statistics — the "
+    "native regr_* implementations differ between engines in the last "
+    "double bits, so the engine recomputes them the agg_stats_moments "
+    "way: fixed-point sums (exact, order-independent, mergeable "
+    "partials) with bit-identical final double arithmetic on both "
+    "sides. One map-side-combinable aggregate at any scale.",
+    tags=("aggregate", "stats"),
+)
+def stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    qc = fp("l_quantity")
+    ec = fp("l_extendedprice")
+    s = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qc).alias("sq"),
+        F.sum(qc * qc).alias("sqq"),
+        F.sum(ec).alias("se"),
+        F.sum(ec.cast("decimal(38,0)") * ec).alias("see"),
+        F.sum(qc * ec).alias("sqe"),
+    )
+    n = F.col("n")
+    sqd = F.col("sq") / 100.0
+    sed = F.col("se") / 100.0
+    sqqd = F.col("sqq") / 10000.0
+    seed = F.col("see").cast("double") / 10000.0
+    sqed = F.col("sqe") / 10000.0
+    num = sqed - sqd * sed / n
+    denx = sqqd - sqd * sqd / n
+    deny = seed - sed * sed / n
+    slope = num / denx
+    return s.select(
+        "l_returnflag",
+        n.cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(sed / n - slope * (sqd / n), 6).alias("intercept"),
+        F.round((num * num) / (denx * deny), 6).alias("r2"),
+    ).orderBy("l_returnflag")
