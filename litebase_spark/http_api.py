@@ -281,18 +281,27 @@ class QueryServer:
                         return self._send(403, {"status": "error", "message": f"forbidden: requires {priv}"})
                     params = decode_parameters(q.get("parameters"))
                     is_write = classify_statement(stmt) in ("DML", "DDL", "MAINT", "TCL")
+                    # per-query busy_timeout analog: timeout_ms rides the
+                    # wire payload (connection busy_timeout 5000 ms,
+                    # database_connection.go:52)
+                    tmo = q.get("timeout_ms")
+                    tmo = (float(tmo) / 1000.0) if tmo else None
                     try:
                         if is_write:
                             with server.write_lock:
                                 res = server.engine.sql(
                                     stmt, params,
                                     transaction_id=q.get("transaction_id"),
+                                    timeout=tmo,
                                 )
                         else:
                             res = server.engine.sql(
                                 stmt, params,
                                 transaction_id=q.get("transaction_id"),
+                                timeout=tmo,
                             )
+                    except TimeoutError as e:
+                        return self._send(408, {"status": "error", "message": str(e)[:500]})
                     except Exception as e:
                         return self._send(400, {"status": "error", "message": str(e)[:500]})
                     out.append(result_envelope(q.get("id"), res))

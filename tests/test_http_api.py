@@ -258,3 +258,27 @@ def test_vacuum_rejected_as_error(server):
         token="admin:s3cret",
     )
     assert code == 400 and "VACUUM" in body["message"]
+
+
+def test_per_query_timeout_ms_returns_408(server):
+    # busy_timeout over the wire (database_connection.go:52): the
+    # statement's job group is cancelled and the API answers 408
+    path = "/v1/databases/main/main/query"
+    q = {
+        "queries": [
+            {
+                "id": "slow",
+                "statement": (
+                    "SELECT count(*) AS n FROM range(100000000) a "
+                    "CROSS JOIN range(100000) b"
+                ),
+                "timeout_ms": 1500,
+            }
+        ]
+    }
+    code, body = _call(server, "POST", path, q, token="admin:s3cret")
+    assert code == 408 and "cancelled" in body["message"]
+    # session healthy afterwards
+    ok = {"queries": [{"id": "1", "statement": "SELECT 1 AS x"}]}
+    code, body = _call(server, "POST", path, ok, token="admin:s3cret")
+    assert code == 200 and body["data"][0]["rows"] == [[1]]
