@@ -286,6 +286,15 @@ _SQL_SHIMS = {
     "sqlite_quote": "CREATE OR REPLACE TEMPORARY FUNCTION sqlite_quote(s STRING) "
     "RETURNS STRING RETURN CASE WHEN s IS NULL THEN 'NULL' "
     "ELSE concat('''', replace(s, '''', ''''''), '''') END",
+    # SQLite planner hints: no-op pass-throughs (SQLite evaluates them to
+    # their first argument; sqlite.org/lang_corefunc.html#likely). Typed
+    # BOOLEAN — the hint position in practice wraps predicates.
+    "likely": "CREATE OR REPLACE TEMPORARY FUNCTION likely(x BOOLEAN) "
+    "RETURNS BOOLEAN RETURN x",
+    "unlikely": "CREATE OR REPLACE TEMPORARY FUNCTION unlikely(x BOOLEAN) "
+    "RETURNS BOOLEAN RETURN x",
+    "likelihood": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "likelihood(x BOOLEAN, p DOUBLE) RETURNS BOOLEAN RETURN x",
 }
 
 
