@@ -45,3 +45,79 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# State API v2: transformWithStateInPandas (Spark 4)
+# ---------------------------------------------------------------------------
+
+def state_v2_available() -> bool:
+    """transformWithStateInPandas needs google.protobuf in the Python
+    workers (the state-server protocol is protobuf-framed). Absent in
+    this container — the operator is gated, not stubbed: with protobuf
+    installed it runs as-is (the pytest marks itself skipped here)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_user_peaks_v2(stream: DataFrame) -> DataFrame:
+    """Per-user running (count, fixed-point total, peak value) on the
+    Spark 4 state API v2: ValueState via a StatefulProcessor — the
+    successor of applyInPandasWithState with typed state handles, timers,
+    and TTL. Totals accumulate in integer cents so results are exact and
+    order-independent (the portable fixed-point rule)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    class UserPeaks(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "totals",
+                StructType(
+                    [
+                        StructField("cnt", LongType()),
+                        StructField("cents", LongType()),
+                        StructField("peak_cents", LongType()),
+                    ]
+                ),
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            cnt, cents, peak = (
+                tuple(self._st.get()) if self._st.exists() else (0, 0, 0)
+            )
+            for pdf in rows:
+                cnt += len(pdf)
+                c = (pdf["value"] * 100).round().astype("int64")
+                cents += int(c.sum())
+                if len(c):
+                    peak = max(peak, int(c.max()))
+            self._st.update((cnt, cents, peak))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [cnt],
+                    "total_value": [cents / 100.0],
+                    "peak_value": [peak / 100.0],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        UserPeaks(),
+        outputStructType=(
+            "user_id bigint, n_events bigint, total_value double, "
+            "peak_value double"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -3,6 +3,8 @@ batch-mode (oracle-verified) twins on the same fixture."""
 
 from __future__ import annotations
 
+import pytest
+
 import litebase_spark.operators  # noqa: F401
 from litebase_spark.catalog import REGISTRY
 from litebase_spark.streaming.windows import (
@@ -389,3 +391,42 @@ def test_stream_stream_full_outer_equals_batch_on_final_subset(spark, sf_dir):
     # both outer directions actually fired
     assert got_final.filter(F.col("c_event_id").isNull()).count() > 0
     assert got_final.filter(F.col("p_event_id").isNull()).count() > 0
+
+
+def test_state_v2_running_peaks_matches_batch(spark, sf_dir):
+    """State API v2 (transformWithStateInPandas): per-user running
+    count/total/peak equals the batch aggregate after an AvailableNow
+    replay. Needs google.protobuf in the workers (the state-server
+    protocol); skipped where absent."""
+    from litebase_spark.streaming.stateful import (
+        running_user_peaks_v2,
+        state_v2_available,
+    )
+
+    if not state_v2_available():
+        pytest.skip("google.protobuf not available: state API v2 gated")
+    from litebase_spark.catalog import load
+    from litebase_spark.streaming.windows import (
+        _normalized_events,
+        events_stream,
+        run_available_now,
+    )
+    from pyspark.sql import functions as F
+
+    stream = _normalized_events(events_stream(spark, sf_dir))
+    got = run_available_now(
+        running_user_peaks_v2(stream), output_mode="update"
+    )
+    e = load(spark, sf_dir, "events")
+    want = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+            "total_value"
+        ),
+        (F.max(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+            "peak_value"
+        ),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
