@@ -311,6 +311,30 @@ class Engine:
                 "VACUUM is not allowed through the query API; "
                 "use litebase_spark.sources.io.compact_table"
             )
+        import re as _re
+
+        eqp = _re.match(
+            r"(?is)^\s*EXPLAIN\s+QUERY\s+PLAN\s+(.+)$", statement
+        )
+        if eqp:
+            # SQLite EXPLAIN QUERY PLAN dialect (sqlite.org/eqp.html):
+            # (id, parent, notused, detail) rows over the Catalyst plan
+            from pyspark.sql import Row as _Row
+
+            rows = [
+                _Row(id=i, parent=p, notused=n, detail=d)
+                for i, p, n, d in self.explain_query_plan(eqp.group(1))
+            ]
+            latency = time.time() - t0
+            self.metrics.record(statement, latency)
+            return QueryResult(
+                columns=["id", "parent", "notused", "detail"],
+                rows=rows,
+                row_count=len(rows),
+                changes=0,
+                latency=latency,
+                statement_class="DQL",
+            )
         if head_class == "PRAGMA":
             return self._run_pragma(statement, t0)
         if head_class == "MAINT":
@@ -492,6 +516,32 @@ class Engine:
             self._plan_freq[h] = 0
         self._plan_freq[h] = self._plan_freq.get(h, 0) + 1
         return df
+
+    def explain_query_plan(self, statement: str) -> list[tuple]:
+        """SQLite ``EXPLAIN QUERY PLAN`` dialect: rows of
+        (id, parent, notused, detail) — here the detail lines are the
+        physical-plan tree of the Catalyst plan, one operator per row,
+        parent derived from tree indentation (sqlite.org/eqp.html shape
+        over a Spark plan)."""
+        import re
+
+        tree = self.explain(statement, mode="simple")
+        rows, stack = [], []  # stack of (indent, id)
+        next_id = 1
+        for line in tree.splitlines():
+            m = re.match(r"^([ :+|*-]*)(\(?\d*\)?\s*)?([A-Za-z].*)$", line)
+            if not m or not m.group(3).strip():
+                continue
+            if m.group(3).startswith("== "):
+                continue
+            indent = len(m.group(1))
+            while stack and stack[-1][0] >= indent:
+                stack.pop()
+            parent = stack[-1][1] if stack else 0
+            rows.append((next_id, parent, 0, m.group(3).strip()))
+            stack.append((indent, next_id))
+            next_id += 1
+        return rows
 
     def explain(self, statement: str, mode: str = "formatted") -> str:
         """EXPLAIN pass-through (PRAGMA-analog introspection, M3/A13)."""

@@ -607,3 +607,19 @@ def test_statement_timeout_cancels_job(engine):
     assert _time.time() - t0 < 30
     # the session is healthy afterwards
     assert eng.sql("SELECT 1 AS one").rows[0].one == 1
+
+
+def test_explain_query_plan_dialect(engine, sf_dir):
+    # SQLite EXPLAIN QUERY PLAN shape (sqlite.org/eqp.html): rows of
+    # (id, parent, notused, detail) over the Catalyst physical plan
+    engine.register_parquet_dir(sf_dir, ["orders"])
+    r = engine.sql(
+        "EXPLAIN QUERY PLAN SELECT o_orderstatus, count(*) FROM orders "
+        "WHERE o_totalprice > 1000 GROUP BY o_orderstatus"
+    )
+    assert r.columns == ["id", "parent", "notused", "detail"]
+    assert r.row_count >= 3
+    details = " | ".join(x.detail for x in r.rows)
+    assert "HashAggregate" in details and "Scan" in details
+    roots = [x for x in r.rows if x.parent == 0]
+    assert len(roots) >= 1 and r.rows[0].id == 1
