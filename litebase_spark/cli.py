@@ -12,6 +12,7 @@ Meta-commands (SQLite-shell dialect the reference's users know):
   .schema <table>     show columns
   .mode table|csv     output format
   .timer on|off       per-statement latency
+  .eqp on|off         EXPLAIN QUERY PLAN preamble
   .changes            print `changes` after DML
   .help               this text
   .quit / .exit       leave
@@ -30,6 +31,7 @@ _HELP = """\
 .schema <table>     show columns and types
 .mode table|csv     set output format
 .timer on|off       toggle per-statement latency
+.eqp on|off         print EXPLAIN QUERY PLAN before each query
 .changes            toggle printing `changes` after DML
 .help               show this help
 .quit / .exit       leave the shell"""
@@ -74,6 +76,7 @@ class Shell:
         self.out = out or sys.stdout
         self.mode = "table"
         self.timer = False
+        self.eqp = False
         self.show_changes = True
 
     def _p(self, text: str = "") -> None:
@@ -118,6 +121,10 @@ class Shell:
                 self._p("usage: .mode table|csv")
         elif cmd == ".timer":
             self.timer = bool(args and args[0] == "on")
+        elif cmd == ".eqp":
+            # sqlite3 shell parity: print EXPLAIN QUERY PLAN before each
+            # subsequent statement (sqlite.org/cli.html#index_eqp)
+            self.eqp = bool(args and args[0] == "on")
         elif cmd == ".changes":
             self.show_changes = not self.show_changes
         else:
@@ -127,6 +134,16 @@ class Shell:
     # -- statements ---------------------------------------------------------
 
     def _execute(self, statement: str) -> None:
+        from litebase_spark.engine import classify_statement
+
+        if self.eqp and classify_statement(statement) == "DQL":
+            try:
+                for r in self.engine.sql(
+                    f"EXPLAIN QUERY PLAN {statement}"
+                ).rows:
+                    self._p(f"{r.id}|{r.parent}|{r.notused}|{r.detail}")
+            except Exception as e:
+                self._p(f"eqp error: {str(e).splitlines()[0]}")
         try:
             res = self.engine.sql(statement)
         except Exception as e:

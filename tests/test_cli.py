@@ -83,3 +83,12 @@ def test_trailing_statement_without_semicolon(shell):
 def test_formatters_null_handling():
     assert format_table(["x"], [(None,)]).count("|") == 4
     assert format_csv(["x", "y"], [(None, 1)]) == "x,y\n,1"
+
+
+def test_eqp_meta_command(shell):
+    sh, out = shell
+    sh.run([".eqp on", "SELECT 1 AS x;", ".eqp off", "SELECT 2 AS y;"])
+    text = out.getvalue()
+    # EQP rows precede the first query only
+    assert "1|0|0|" in text
+    assert text.count("1|0|0|") == 1
