@@ -95,6 +95,12 @@ class AccessKeyManager:
     def store(self, key: AccessKey) -> None:
         self._keys[key.access_key_id] = key
 
+    def list_ids(self) -> list[str]:
+        return sorted(self._keys)
+
+    def revoke(self, key_id: str) -> bool:
+        return self._keys.pop(key_id, None) is not None
+
     def authenticate(self, header: str | None) -> AccessKey | None:
         if not header or not header.startswith("Bearer "):
             return None
@@ -158,6 +164,15 @@ def decode_parameters(params: list[dict] | None):
 
 _QUERY_RE = re.compile(r"^/v1/databases/([^/]+)/([^/]+)/query$")
 _METRICS_RE = re.compile(r"^/v1/databases/([^/]+)/([^/]+)/metrics/query$")
+_SNAP_RE = re.compile(r"^/v1/databases/([^/]+)/([^/]+)/snapshots$")
+_BACKUP_RE = re.compile(r"^/v1/databases/([^/]+)/([^/]+)/backups$")
+_BACKUP_ID_RE = re.compile(r"^/v1/databases/([^/]+)/([^/]+)/backups/([^/]+)$")
+_RESTORE_RE = re.compile(r"^/v1/databases/([^/]+)/([^/]+)/restore$")
+_BRANCH_RE = re.compile(r"^/v1/databases/([^/]+)/branches$")
+_DBS_RE = re.compile(r"^/v1/databases$")
+_DB_RE = re.compile(r"^/v1/databases/([^/]+)$")
+_KEYS_RE = re.compile(r"^/v1/access-keys$")
+_KEY_ID_RE = re.compile(r"^/v1/access-keys/([^/]+)$")
 _TXN_RE = re.compile(r"^/v1/databases/([^/]+)/([^/]+)/transactions$")
 _TXN_ID_RE = re.compile(
     r"^/v1/databases/([^/]+)/([^/]+)/transactions/([^/]+)(/commit)?$"
@@ -174,9 +189,11 @@ class QueryServer:
         keys: AccessKeyManager,
         host: str = "127.0.0.1",
         port: int = 0,
+        store=None,  # VersionedStore: enables snapshot/backup/restore routes
     ) -> None:
         self.engine = engine
         self.keys = keys
+        self.store = store
         self.write_lock = threading.Lock()  # driver = single writer
         server = self
 
@@ -232,6 +249,31 @@ class QueryServer:
                     return self._send(
                         200, {"status": "success", "data": data}
                     )
+                m = _SNAP_RE.match(parsed.path)
+                if m:
+                    key = self._auth()
+                    if key is None:
+                        return self._send(401, {"status": "error", "message": "invalid access key"})
+                    if not self._manage_ok(key, m.group(1), m.group(2)):
+                        return self._send(403, {"status": "error", "message": "forbidden"})
+                    if server.store is None:
+                        return self._send(503, {"status": "error", "message": "no versioned store attached"})
+                    return self._send(200, {"status": "success", "data": server.store.list_snapshots()})
+                m = _BACKUP_RE.match(parsed.path)
+                if m:
+                    key = self._auth()
+                    if key is None:
+                        return self._send(401, {"status": "error", "message": "invalid access key"})
+                    if not self._manage_ok(key, m.group(1), m.group(2)):
+                        return self._send(403, {"status": "error", "message": "forbidden"})
+                    return self._send(200, {"status": "success", "data": self._backup_list()})
+                if _KEYS_RE.match(parsed.path):
+                    key = self._auth()
+                    if key is None:
+                        return self._send(401, {"status": "error", "message": "invalid access key"})
+                    if not key.allows("*", "access-key:manage"):
+                        return self._send(403, {"status": "error", "message": "forbidden"})
+                    return self._send(200, {"status": "success", "data": server.keys.list_ids()})
                 return self._send(404, {"status": "error"})
 
             def do_POST(self):  # noqa: N802
@@ -247,6 +289,22 @@ class QueryServer:
                 m = _TXN_ID_RE.match(self.path)
                 if m and m.group(4):
                     return self._txn_commit(key, m.group(1), m.group(2), m.group(3))
+                m = _SNAP_RE.match(self.path)
+                if m:
+                    return self._snapshot_create(key, m.group(1), m.group(2))
+                m = _BACKUP_RE.match(self.path)
+                if m:
+                    return self._backup_create(key, m.group(1), m.group(2))
+                m = _RESTORE_RE.match(self.path)
+                if m:
+                    return self._restore(key, m.group(1), m.group(2))
+                m = _BRANCH_RE.match(self.path)
+                if m:
+                    return self._branch_create(key, m.group(1))
+                if _DBS_RE.match(self.path):
+                    return self._database_create(key)
+                if _KEYS_RE.match(self.path):
+                    return self._key_create(key)
                 return self._send(404, {"status": "error"})
 
             def do_DELETE(self):  # noqa: N802
@@ -256,7 +314,164 @@ class QueryServer:
                 m = _TXN_ID_RE.match(self.path)
                 if m and not m.group(4):
                     return self._txn_rollback(key, m.group(1), m.group(2), m.group(3))
+                m = _BACKUP_ID_RE.match(self.path)
+                if m:
+                    return self._backup_delete(key, m.group(1), m.group(2), m.group(3))
+                m = _KEY_ID_RE.match(self.path)
+                if m:
+                    return self._key_delete(key, m.group(1))
+                m = _DB_RE.match(self.path)
+                if m:
+                    return self._database_delete(key, m.group(1))
                 return self._send(404, {"status": "error"})
+
+            # -- admin controllers (reference routes.go backups/snapshots/
+            # restore/branches/databases/access-keys surface) ---------------
+
+            def _manage_ok(self, key, db, branch) -> bool:
+                return key.allows(
+                    f"database:{db}:branch:{branch}", "database:manage"
+                )
+
+            def _backup_dir(self) -> str:
+                import os
+
+                d = os.path.join(server.store.root, "backups")
+                os.makedirs(d, exist_ok=True)
+                return d
+
+            def _backup_list(self) -> list[str]:
+                import os
+
+                if server.store is None:
+                    return []
+                d = self._backup_dir()
+                return sorted(
+                    f[: -len(".tar.gz")]
+                    for f in os.listdir(d)
+                    if f.endswith(".tar.gz")
+                )
+
+            def _snapshot_create(self, key, db, branch):
+                if not self._manage_ok(key, db, branch):
+                    return self._send(403, {"status": "error", "message": "forbidden"})
+                if server.store is None:
+                    return self._send(503, {"status": "error", "message": "no versioned store attached"})
+                body = self._body()
+                snap = server.store.snapshot(
+                    label=body.get("label", ""), namespace=branch
+                )
+                return self._send(201, {"status": "success", "data": {
+                    "snapshot_id": snap.snapshot_id,
+                    "created_at": snap.created_at,
+                    "label": snap.label,
+                    "tables": snap.tables,
+                }})
+
+            def _backup_create(self, key, db, branch):
+                import os
+                import time as _time
+
+                if not self._manage_ok(key, db, branch):
+                    return self._send(403, {"status": "error", "message": "forbidden"})
+                if server.store is None:
+                    return self._send(503, {"status": "error", "message": "no versioned store attached"})
+                body = self._body()
+                backup_id = f"backup-{int(_time.time() * 1e6)}"
+                path = os.path.join(self._backup_dir(), f"{backup_id}.tar.gz")
+                try:
+                    server.store.backup_archive(
+                        path, snapshot_id=body.get("snapshot_id")
+                    )
+                except LookupError as e:
+                    return self._send(400, {"status": "error", "message": str(e)})
+                return self._send(201, {"status": "success", "data": {"backup_id": backup_id}})
+
+            def _backup_delete(self, key, db, branch, backup_id):
+                import os
+
+                if not self._manage_ok(key, db, branch):
+                    return self._send(403, {"status": "error", "message": "forbidden"})
+                if server.store is None:
+                    return self._send(503, {"status": "error", "message": "no versioned store attached"})
+                path = os.path.join(self._backup_dir(), f"{backup_id}.tar.gz")
+                if not os.path.exists(path):
+                    return self._send(404, {"status": "error", "message": "no such backup"})
+                os.remove(path)
+                return self._send(200, {"status": "success"})
+
+            def _restore(self, key, db, branch):
+                if not self._manage_ok(key, db, branch):
+                    return self._send(403, {"status": "error", "message": "forbidden"})
+                if server.store is None:
+                    return self._send(503, {"status": "error", "message": "no versioned store attached"})
+                body = self._body()
+                ts = body.get("timestamp")
+                if ts is None:
+                    return self._send(400, {"status": "error", "message": "timestamp is required"})
+                try:
+                    views = server.store.restore_at(
+                        float(ts), view_prefix=f"{db}_{branch}_restore"
+                    )
+                except LookupError as e:
+                    return self._send(400, {"status": "error", "message": str(e)})
+                return self._send(200, {"status": "success", "data": {"views": views}})
+
+            def _branch_create(self, key, db):
+                if not key.allows(f"database:{db}:branch:main", "database:manage"):
+                    return self._send(403, {"status": "error", "message": "forbidden"})
+                if server.store is None:
+                    return self._send(503, {"status": "error", "message": "no versioned store attached"})
+                body = self._body()
+                name = body.get("name")
+                if not name:
+                    return self._send(400, {"status": "error", "message": "name is required"})
+                tables = server.store.create_branch(
+                    name, source=body.get("source", "main")
+                )
+                return self._send(201, {"status": "success", "data": {"branch": name, "tables": tables}})
+
+            def _database_create(self, key):
+                if not key.allows("*", "database:manage"):
+                    return self._send(403, {"status": "error", "message": "forbidden"})
+                body = self._body()
+                name = body.get("name")
+                if not name:
+                    return self._send(400, {"status": "error", "message": "name is required"})
+                with server.write_lock:
+                    server.engine.create_database(name)
+                return self._send(201, {"status": "success", "data": {"database": name}})
+
+            def _database_delete(self, key, db):
+                if not key.allows("*", "database:manage"):
+                    return self._send(403, {"status": "error", "message": "forbidden"})
+                with server.write_lock:
+                    server.engine.drop_database(db)
+                return self._send(200, {"status": "success"})
+
+            def _key_create(self, key):
+                if not key.allows("*", "access-key:manage"):
+                    return self._send(403, {"status": "error", "message": "forbidden"})
+                body = self._body()
+                kid, secret = body.get("access_key_id"), body.get("secret")
+                if not kid or not secret:
+                    return self._send(400, {"status": "error", "message": "access_key_id and secret are required"})
+                stmts = [
+                    AccessKeyStatement(
+                        resources=s.get("resources", []),
+                        privileges=s.get("privileges", []),
+                    )
+                    for s in body.get("statements", [])
+                ]
+                server.keys.store(AccessKey(kid, secret, stmts))
+                return self._send(201, {"status": "success", "data": {"access_key_id": kid}})
+
+            def _key_delete(self, key, key_id):
+                if not key.allows("*", "access-key:manage"):
+                    return self._send(403, {"status": "error", "message": "forbidden"})
+                if not server.keys.revoke(key_id):
+                    return self._send(404, {"status": "error", "message": "no such key"})
+                return self._send(200, {"status": "success"})
 
             # -- controllers ------------------------------------------------
 

@@ -282,3 +282,66 @@ def test_per_query_timeout_ms_returns_408(server):
     ok = {"queries": [{"id": "1", "statement": "SELECT 1 AS x"}]}
     code, body = _call(server, "POST", path, ok, token="admin:s3cret")
     assert code == 200 and body["data"][0]["rows"] == [[1]]
+
+
+def test_admin_routes_snapshots_backups_restore_keys(spark, tmp_path):
+    """Reference §2.C admin surface: snapshots, backups, restore,
+    branches, databases, access-key CRUD over the wire."""
+    import time as _time
+
+    from litebase_spark.snapshots import VersionedStore
+
+    store = VersionedStore(spark, str(tmp_path / "store"))
+    store.write("t", spark.range(5).selectExpr("id", "id * 2 AS v"))
+    keys = AccessKeyManager()
+    keys.store(AccessKey("admin", "s3cret", [AccessKeyStatement(["*"], ["*"])]))
+    srv = QueryServer(Engine(spark=spark), keys, store=store)
+    srv.start()
+    try:
+        base = "/v1/databases/main/main"
+        # snapshot
+        code, body = _call(srv, "POST", f"{base}/snapshots",
+                           {"label": "wire"}, token="admin:s3cret")
+        assert code == 201 and body["data"]["tables"] == ["t"]
+        code, body = _call(srv, "GET", f"{base}/snapshots", token="admin:s3cret")
+        assert code == 200 and body["data"][-1]["label"] == "wire"
+        # backup lifecycle
+        code, body = _call(srv, "POST", f"{base}/backups", {}, token="admin:s3cret")
+        assert code == 201
+        bid = body["data"]["backup_id"]
+        code, body = _call(srv, "GET", f"{base}/backups", token="admin:s3cret")
+        assert code == 200 and bid in body["data"]
+        code, _ = _call(srv, "DELETE", f"{base}/backups/{bid}", token="admin:s3cret")
+        assert code == 200
+        code, body = _call(srv, "GET", f"{base}/backups", token="admin:s3cret")
+        assert bid not in body["data"]
+        # restore at now -> zero-copy views
+        code, body = _call(srv, "POST", f"{base}/restore",
+                           {"timestamp": _time.time()}, token="admin:s3cret")
+        assert code == 200 and body["data"]["views"] == ["t"]
+        assert spark.table("main_main_restore__t").count() == 5
+        # branch fork
+        code, body = _call(srv, "POST", "/v1/databases/main/branches",
+                           {"name": "dev"}, token="admin:s3cret")
+        assert code == 201 and body["data"]["tables"] == ["t"]
+        # access-key CRUD + use
+        code, body = _call(srv, "POST", "/v1/access-keys",
+                           {"access_key_id": "svc", "secret": "pw",
+                            "statements": [{"resources": ["*"],
+                                            "privileges": ["database:query",
+                                                           "database:select"]}]},
+                           token="admin:s3cret")
+        assert code == 201
+        q = {"queries": [{"id": "1", "statement": "SELECT 1 AS x"}]}
+        code, body = _call(srv, "POST", f"{base}/query", q, token="svc:pw")
+        assert code == 200 and body["data"][0]["rows"] == [[1]]
+        code, _ = _call(srv, "GET", "/v1/access-keys", token="svc:pw")
+        assert code == 403  # key management needs access-key:manage
+        code, body = _call(srv, "GET", "/v1/access-keys", token="admin:s3cret")
+        assert code == 200 and "svc" in body["data"]
+        code, _ = _call(srv, "DELETE", "/v1/access-keys/svc", token="admin:s3cret")
+        assert code == 200
+        code, _ = _call(srv, "POST", f"{base}/query", q, token="svc:pw")
+        assert code == 401  # revoked
+    finally:
+        srv.stop()
