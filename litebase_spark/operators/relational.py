@@ -1747,3 +1747,28 @@ def stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sed / n - slope * (sqd / n), 6).alias("intercept"),
         F.round((num * num) / (denx * deny), 6).alias("r2"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "sql_group_by_all",
+    oracle="""
+    SELECT source, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY ALL ORDER BY ALL
+    """,
+    description="Modern SQL dialect: GROUP BY ALL / ORDER BY ALL "
+    "(grouping keys inferred from the non-aggregate select list) — "
+    "supported natively by both Spark 4 and DuckDB; the engine passes "
+    "the text straight through spark.sql. Beyond-SQLite surface a "
+    "reference user migrating queries gets for free.",
+    tags=("sql", "aggregate"),
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from litebase_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(
+        "SELECT source, lang, COUNT(*) AS n_docs, "
+        "SUM(n_chars) AS total_chars "
+        "FROM documents GROUP BY ALL ORDER BY ALL"
+    )
