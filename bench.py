@@ -69,6 +69,12 @@ HEADLINE = [
     "pipeline_training_corpus",
     "pipeline_train_test_split",
     "pipeline_pack_sequences",
+    # round 4
+    "pipeline_bpe_encode",
+    "text_hybrid_retrieval",
+    "join_bloom_semi",
+    "sketch_countmin_topk",
+    "ts_funnel_steps",
 ]
 
 
