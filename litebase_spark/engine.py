@@ -1116,9 +1116,9 @@ class Engine:
         upsert semantics."""
         table = parsed["table"]
         action = parsed["action"]
-        src = self._insert_source(table, parsed["cols"], parsed["body"])
+        src_raw = self._insert_source(table, parsed["cols"], parsed["body"])
         src = self._dedup_source(
-            src, parsed["conflict_cols"], keep_last=(action != "nothing")
+            src_raw, parsed["conflict_cols"], keep_last=(action != "nothing")
         )
         tgt = self.spark.table(table)
         rows, rcols = [], []
@@ -1142,11 +1142,30 @@ class Engine:
         new_df, affected, changes = self._upsert_plan(
             tgt, src, parsed["conflict_cols"], assignments, upd_where
         )
+        if action == "replace":
+            # SQLite counts EVERY processed row (a within-statement
+            # re-replacement counts again), not the post-dedup set —
+            # verified differentially vs stdlib sqlite3
+            changes = self._source_row_count(parsed["body"], src_raw)
         if returning is not None:
             rdf = self._returning_df(affected, returning)
             rows, rcols = rdf.collect(), list(rdf.columns)
         new_df.write.mode("overwrite").saveAsTable(table)
         return changes, rows, rcols
+
+    @classmethod
+    def _source_row_count(cls, body: str, src) -> int:
+        """Pre-dedup source cardinality: parsed for VALUES (no job),
+        counted for SELECT sources."""
+        if body.upper().startswith("VALUES"):
+            return len(
+                [
+                    p
+                    for p in cls._split_top_level(body[len("VALUES"):])
+                    if p.strip().startswith("(")
+                ]
+            )
+        return src.count()
 
     def _update_from_plan(
         self, tgt: DataFrame, table: str, assignments,
@@ -1590,9 +1609,11 @@ class Transaction:
             table = parsed["table"]
             self._shadow(table)
             tgt = spark.table(table)
-            src = self.engine._insert_source(table, parsed["cols"], parsed["body"])
+            src_raw = self.engine._insert_source(
+                table, parsed["cols"], parsed["body"]
+            )
             src = Engine._dedup_source(
-                src, parsed["conflict_cols"],
+                src_raw, parsed["conflict_cols"],
                 keep_last=(parsed["action"] != "nothing"),
             )
             if parsed["action"] == "nothing":
@@ -1613,6 +1634,9 @@ class Transaction:
             new_df, _affected, changes = self.engine._upsert_plan(
                 tgt, src, parsed["conflict_cols"], assignments, upd_where
             )
+            if parsed["action"] == "replace":
+                # SQLite counts every processed row (see _run_insert_upsert)
+                changes = Engine._source_row_count(parsed["body"], src_raw)
             self._publish(table, new_df)
             return changes
         m = re.match(

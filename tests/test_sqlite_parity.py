@@ -1,0 +1,154 @@
+"""Differential parity vs REAL SQLite (Python stdlib sqlite3).
+
+The reference embeds SQLite itself (pkg/sqlite3/sqlite3.go), so the
+sharpest possible check of the engine's upsert/RETURNING/joined-UPDATE
+dialect is to run the SAME statements through an actual SQLite
+connection and compare final table states, `changes` counts, and
+RETURNING rows. Statement batches are deterministic (seeded), with one
+deliberate constraint: within-statement duplicate conflict keys are
+only generated for OR REPLACE / DO NOTHING forms, where the engine's
+set-based dedup (last/first proposed row wins) provably matches
+SQLite's sequential row processing; DO UPDATE batches use unique keys
+(sequential re-application of `n = n + excluded.n` to the same key is
+inherently row-by-row, out of scope for a set-based engine and
+documented as such).
+"""
+
+from __future__ import annotations
+
+import random
+import sqlite3
+
+import pytest
+
+from litebase_spark.engine import Engine
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    return Engine(spark)
+
+
+def _fresh(eng, name):
+    eng.sql(f"DROP TABLE IF EXISTS {name}")
+    import shutil
+
+    shutil.rmtree(f"spark-warehouse/{name}", ignore_errors=True)
+    eng.sql(
+        f"CREATE TABLE {name} (id BIGINT PRIMARY KEY, v STRING, n BIGINT) "
+        "USING PARQUET"
+    )
+    con = sqlite3.connect(":memory:")
+    con.execute(f"CREATE TABLE {name} (id INTEGER PRIMARY KEY, v TEXT, n INTEGER)")
+    return con
+
+def _state_spark(eng, name):
+    return sorted(
+        (x.id, x.v, x.n) for x in eng.sql(f"SELECT * FROM {name}").rows
+    )
+
+
+def _state_sqlite(con, name):
+    return sorted(tuple(r) for r in con.execute(f"SELECT * FROM {name}"))
+
+
+def _apply_both(eng, con, name, stmt):
+    """Run one statement on both engines; return (changes_spark,
+    changes_sqlite, returning_spark, returning_sqlite)."""
+    r = eng.sql(stmt)
+    before = con.total_changes
+    cur = con.execute(stmt)
+    rows_sqlite = sorted(tuple(x) for x in cur.fetchall())
+    con.commit()
+    rows_spark = sorted(tuple(x) for x in r.rows)
+    return r.changes, con.total_changes - before, rows_spark, rows_sqlite
+
+
+def test_upsert_state_parity_randomized(eng):
+    rng = random.Random(20260814)
+    con = _fresh(eng, "p_up")
+    # seed rows
+    seed = ", ".join(
+        f"({i}, '{rng.choice('abcde')}', {rng.randint(0, 50)})"
+        for i in range(8)
+    )
+    _apply_both(eng, con, "p_up", f"INSERT INTO p_up VALUES {seed}")
+    for step in range(12):
+        form = rng.choice(["replace", "ignore", "do_update", "do_nothing"])
+        if form in ("replace", "ignore", "do_nothing"):
+            # duplicate keys allowed: set-based dedup == sequential here
+            keys = [rng.randint(0, 12) for _ in range(3)]
+        else:
+            keys = rng.sample(range(0, 13), 3)
+        vals = ", ".join(
+            f"({k}, '{rng.choice('vwxyz')}', {rng.randint(0, 50)})"
+            for k in keys
+        )
+        if form == "replace":
+            stmt = f"REPLACE INTO p_up VALUES {vals}"
+        elif form == "ignore":
+            stmt = f"INSERT OR IGNORE INTO p_up VALUES {vals}"
+        elif form == "do_nothing":
+            stmt = f"INSERT INTO p_up VALUES {vals} ON CONFLICT(id) DO NOTHING"
+        else:
+            stmt = (
+                f"INSERT INTO p_up VALUES {vals} "
+                "ON CONFLICT(id) DO UPDATE SET v = excluded.v, "
+                "n = n + excluded.n"
+            )
+        cs, cq, _, _ = _apply_both(eng, con, "p_up", stmt)
+        assert cs == cq, f"step {step} ({form}): changes {cs} != {cq}\n{stmt}"
+        assert _state_spark(eng, "p_up") == _state_sqlite(con, "p_up"), (
+            f"step {step} ({form}) diverged:\n{stmt}"
+        )
+    eng.sql("DROP TABLE p_up")
+
+
+def test_do_update_where_guard_matches_sqlite(eng):
+    con = _fresh(eng, "p_grd")
+    _apply_both(eng, con, "p_grd", "INSERT INTO p_grd VALUES (1,'a',5),(2,'b',40)")
+    stmt = (
+        "INSERT INTO p_grd VALUES (1,'X',100),(2,'Y',200),(3,'c',7) "
+        "ON CONFLICT(id) DO UPDATE SET v = excluded.v, n = excluded.n "
+        "WHERE n < 10"
+    )
+    cs, cq, _, _ = _apply_both(eng, con, "p_grd", stmt)
+    assert cs == cq
+    assert _state_spark(eng, "p_grd") == _state_sqlite(con, "p_grd")
+    eng.sql("DROP TABLE p_grd")
+
+
+def test_returning_rows_match_sqlite(eng):
+    con = _fresh(eng, "p_ret")
+    _apply_both(eng, con, "p_ret", "INSERT INTO p_ret VALUES (1,'a',10),(2,'b',20),(3,'c',30)")
+    for stmt in [
+        "UPDATE p_ret SET n = n * 2 WHERE id <= 2 RETURNING id, v, n",
+        "DELETE FROM p_ret WHERE n >= 40 RETURNING id, n",
+        "INSERT INTO p_ret VALUES (2,'z',1),(9,'q',9) "
+        "ON CONFLICT(id) DO UPDATE SET n = n + excluded.n RETURNING id, n",
+    ]:
+        cs, cq, rs, rq = _apply_both(eng, con, "p_ret", stmt)
+        assert cs == cq, stmt
+        assert rs == rq, f"RETURNING diverged for {stmt}: {rs} vs {rq}"
+        assert _state_spark(eng, "p_ret") == _state_sqlite(con, "p_ret")
+    eng.sql("DROP TABLE p_ret")
+
+
+def test_update_from_matches_sqlite(eng):
+    con = _fresh(eng, "p_uf")
+    eng.sql("DROP TABLE IF EXISTS p_uf_src")
+    import shutil
+
+    shutil.rmtree("spark-warehouse/p_uf_src", ignore_errors=True)
+    eng.sql("CREATE TABLE p_uf_src (id BIGINT, bump BIGINT) USING PARQUET")
+    con.execute("CREATE TABLE p_uf_src (id INTEGER, bump INTEGER)")
+    _apply_both(eng, con, "p_uf", "INSERT INTO p_uf VALUES (1,'a',10),(2,'b',20),(3,'c',30)")
+    _apply_both(eng, con, "p_uf", "INSERT INTO p_uf_src VALUES (1, 100), (3, 300)")
+    stmt = (
+        "UPDATE p_uf SET n = n + s.bump FROM p_uf_src s WHERE p_uf.id = s.id"
+    )
+    cs, cq, _, _ = _apply_both(eng, con, "p_uf", stmt)
+    assert cs == cq
+    assert _state_spark(eng, "p_uf") == _state_sqlite(con, "p_uf")
+    eng.sql("DROP TABLE p_uf")
+    eng.sql("DROP TABLE p_uf_src")
