@@ -5,9 +5,11 @@ from litebase_spark.operators import (  # noqa: F401
     asof,
     dedup,
     functions_cov,
+    graph,
     layout,
     multimodal,
     pipeline,
+    profiling,
     recursion,
     relational,
     similarity,

@@ -490,3 +490,79 @@ def ts_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+@query(
+    "ts_anomaly_zscore",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             epoch(date_trunc('hour', ts))::BIGINT AS hr_s,
+             COUNT(*)::BIGINT AS x
+      FROM events GROUP BY 1, 2, 3
+    ),
+    w AS (
+      SELECT event_type, hr, x,
+             COUNT(x) OVER trail AS n,
+             COALESCE(SUM(x) OVER trail, 0)::BIGINT AS s,
+             COALESCE(SUM(x * x) OVER trail, 0)::BIGINT AS q
+      FROM hourly
+      WINDOW trail AS (PARTITION BY event_type ORDER BY hr_s
+                       RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING)
+    )
+    SELECT event_type, hr, x AS n_events, n AS win_hours,
+           s AS win_sum,
+           (n * x - s) * (n * x - s) * (n - 1) AS lhs_e,
+           9 * n * (n * q - s * s) AS rhs_e
+    FROM w
+    WHERE n >= 12
+      AND (n * x - s) * (n * x - s) * (n - 1) > 9 * n * (n * q - s * s)
+    ORDER BY event_type, hr
+    """,
+    description="Rolling z-score anomaly flags over hourly event counts "
+    "(|z| > 3 vs the trailing 24 h, current hour excluded): one shuffle "
+    "for the hourly rollup, one window exchange keyed by event_type "
+    "with a RANGE frame over epoch seconds. The z test is cleared of "
+    "division/sqrt entirely — (n*x - s)^2 * (n-1) > 9 * n * (n*q - s^2) "
+    "is the same inequality in pure integer sufficient statistics "
+    "(count/sum/sum-of-squares), so the flag set is bit-identical in "
+    "any engine and partition-invariant. The 100 TB shape: per-key "
+    "windows over pre-aggregated buckets, never raw events.",
+    tags=("timeseries", "anomaly", "window"),
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("hr"),
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+        .withColumn("hr_s", F.unix_timestamp("hr"))
+    )
+    trail = (
+        Window.partitionBy("event_type")
+        .orderBy("hr_s")
+        .rangeBetween(-86400, -3600)
+    )
+    w = hourly.select(
+        "event_type", "hr", "x",
+        F.count("x").over(trail).alias("n"),
+        F.coalesce(F.sum("x").over(trail), F.lit(0)).alias("s"),
+        F.coalesce(F.sum(F.col("x") * F.col("x")).over(trail), F.lit(0))
+        .alias("q"),
+    )
+    lhs = F.expr("(n * x - s) * (n * x - s) * (n - 1)")
+    rhs = F.expr("9 * n * (n * q - s * s)")
+    return (
+        w.filter((F.col("n") >= 12) & (lhs > rhs))
+        .select(
+            "event_type", "hr",
+            F.col("x").alias("n_events"),
+            F.col("n").alias("win_hours"),
+            F.col("s").alias("win_sum"),
+            lhs.alias("lhs_e"),
+            rhs.alias("rhs_e"),
+        )
+        .orderBy("event_type", "hr")
+    )

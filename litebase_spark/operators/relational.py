@@ -1772,3 +1772,49 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SUM(n_chars) AS total_chars "
         "FROM documents GROUP BY ALL ORDER BY ALL"
     )
+
+
+@query(
+    "window_count_distinct",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           COUNT(DISTINCT l_suppkey) OVER (PARTITION BY l_orderkey)
+               AS n_supp,
+           COUNT(DISTINCT l_returnflag) OVER (PARTITION BY l_orderkey)
+               AS n_flags
+    FROM lineitem
+    WHERE l_orderkey <= 2000
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    description="COUNT(DISTINCT) OVER a partition — Spark rejects "
+    "DISTINCT window aggregates, so it is emulated exactly as "
+    "dense_rank over (partition ORDER BY value) followed by MAX over "
+    "the bare partition: both windows share one exchange keyed by "
+    "l_orderkey (one shuffle, per-partition sorts only — never a "
+    "global sort). NULL values are excluded from the count like the "
+    "SQL semantics (none in these columns). Oracle is DuckDB's native "
+    "DISTINCT window aggregate.",
+    tags=("window", "distinct"),
+)
+def window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 2000)
+        .select("l_orderkey", "l_linenumber", "l_suppkey", "l_returnflag")
+    )
+    part = Window.partitionBy("l_orderkey")
+
+    def count_distinct_over(col: str) -> F.Column:
+        rk = F.dense_rank().over(part.orderBy(col))
+        return F.max(rk).over(part)
+
+    return (
+        li.select(
+            "l_orderkey", "l_linenumber",
+            count_distinct_over("l_suppkey").alias("n_supp"),
+            count_distinct_over("l_returnflag").alias("n_flags"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )

@@ -1636,3 +1636,70 @@ def _hybrid_oracle() -> str:
 from litebase_spark.catalog import REGISTRY as _REGISTRY  # noqa: E402
 
 _REGISTRY["text_hybrid_retrieval"].oracle = _hybrid_oracle()
+
+
+@query(
+    "text_dup_5gram_fraction",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id, u.gram
+      FROM tok, UNNEST(list_transform(range(1, len(w) - 3),
+                       i -> array_to_string(w[i:i+4], ' '))) AS u(gram)
+      WHERE len(w) >= 5
+    ),
+    df AS (
+      SELECT gram, COUNT(DISTINCT doc_id) AS ndocs FROM g GROUP BY gram
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(*) FILTER (ndocs >= 2) AS dup_grams,
+           (COUNT(*) FILTER (ndocs >= 2) * 1000000) // COUNT(*)
+               AS dup_frac_e6
+    FROM g JOIN df USING (gram)
+    GROUP BY doc_id
+    ORDER BY dup_frac_e6 DESC, doc_id
+    LIMIT 100
+    """,
+    description="Cross-document duplicate 5-gram fraction (the "
+    "Gopher/MassiveText dup-ngram quality signal, computed corpus-wide "
+    "rather than within-doc): word 5-grams via a JVM slice transform, "
+    "one shuffle keyed by gram for the document-frequency aggregate, "
+    "join back, per-doc coverage in integer e-6 fixed point (DIV, not "
+    "double division — engine-identical, no rounding ties). Top-100 "
+    "most-duplicated docs via TakeOrdered. At 100 TB the gram shuffle "
+    "carries (hash, partial count) pairs and hot boilerplate grams are "
+    "exactly the keys AQE skew-split handles.",
+    tags=("text", "ngram", "dedup"),
+)
+def text_dup_5gram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = tokens("text")
+    grams5 = F.expr(
+        "transform(sequence(1, size(w) - 4), "
+        "i -> concat_ws(' ', slice(w, i, 5)))"
+    )
+    g = (
+        d.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 5)
+        .select("doc_id", F.explode(grams5).alias("gram"))
+    )
+    df_ = g.groupBy("gram").agg(
+        F.count_distinct("doc_id").alias("ndocs"))
+    return (
+        g.join(df_, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("ndocs") >= 2, 1)).alias("dup_grams"),
+        )
+        .select(
+            "doc_id", "n_grams", "dup_grams",
+            F.expr("(dup_grams * 1000000) DIV n_grams")
+            .alias("dup_frac_e6"),
+        )
+        .orderBy(F.desc("dup_frac_e6"), "doc_id")
+        .limit(100)
+    )

@@ -1,0 +1,82 @@
+"""PageRank: hand-graph semantics vs an integer reference replay, plus
+mass-accounting and fixture-level shape checks."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from litebase_spark.operators.graph import (
+    _DAMP_DEN,
+    _DAMP_NUM,
+    _SCALE,
+    graph_pagerank,
+    pagerank,
+    purchase_edges,
+)
+
+
+def reference_pagerank(nodes, edges, iters):
+    """Pure-Python integer replay of the registered algorithm."""
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base = _SCALE // n
+    teleport = (_DAMP_DEN - _DAMP_NUM) * base // _DAMP_DEN
+    rank = {v: base for v in nodes}
+    for _ in range(iters):
+        dangling = sum(r for v, r in rank.items() if v not in outdeg)
+        in_mass = {v: 0 for v in nodes}
+        for s, d in edges:
+            in_mass[d] += rank[s] // outdeg[s]
+        share = dangling // n
+        rank = {
+            v: teleport + _DAMP_NUM * (in_mass[v] + share) // _DAMP_DEN
+            for v in nodes
+        }
+    return rank
+
+
+@pytest.mark.parametrize("iters", [1, 3])
+def test_pagerank_matches_integer_reference(spark, iters):
+    # A -> B, A -> C, B -> C; C dangling. Asymmetric on purpose.
+    nodes_py = [1, 2, 3]
+    edges_py = [(1, 2), (1, 3), (2, 3)]
+    nodes = spark.createDataFrame([(v,) for v in nodes_py], "node long")
+    edges = spark.createDataFrame(edges_py, "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(nodes, edges, 3, iters=iters).collect()
+    }
+    assert got == reference_pagerank(nodes_py, edges_py, iters)
+
+
+def test_pagerank_mass_approximately_conserved(spark):
+    nodes_py = list(range(1, 8))
+    edges_py = [(1, 2), (2, 3), (3, 1), (4, 1), (5, 6), (6, 5), (1, 7)]
+    nodes = spark.createDataFrame([(v,) for v in nodes_py], "node long")
+    edges = spark.createDataFrame(edges_py, "src long, dst long")
+    ranks = pagerank(nodes, edges, len(nodes_py), iters=5)
+    total = ranks.agg(F.sum("rank")).collect()[0][0]
+    # Integer truncation leaks at most a few units per node per round.
+    assert abs(total - _SCALE) < len(nodes_py) * 5 * 200
+    assert ranks.filter(F.col("rank") <= 0).count() == 0
+
+
+def test_pagerank_fixture_shape(spark, sf_dir):
+    out = graph_pagerank(spark, sf_dir).collect()
+    assert len(out) == 25
+    ranks = [r["rank_e12"] for r in out]
+    assert ranks == sorted(ranks, reverse=True)
+    # Every supplier with sales should outrank leaf customers: the top
+    # of the purchase graph is supplier-dominated.
+    assert out[0]["node_kind"] == "supplier"
+    # Deterministic across runs (partition-invariant integer algebra).
+    again = [tuple(r) for r in graph_pagerank(spark, sf_dir).collect()]
+    assert again == [tuple(r) for r in out]
+
+
+def test_purchase_edges_distinct(spark, sf_dir):
+    e = purchase_edges(spark, sf_dir)
+    assert e.count() == e.distinct().count()

@@ -91,6 +91,7 @@ _REVIEWED_NONPUSHABLE = {
     "text_quality_score",  # computed quality components
     "text_repetition_ratio",  # size(tokens) threshold
     "text_topk_bigrams",  # size(tokens) >= 2
+    "text_dup_5gram_fraction",  # size(tokens(text)) >= 5
     # round 4 additions, each verified by plan inspection:
     "pipeline_bpe_encode",  # size(tokens(text)) > 0
     "pipeline_quality_bins",  # size(tokens(text)) > 0
