@@ -75,6 +75,11 @@ HEADLINE = [
     "join_bloom_semi",
     "sketch_countmin_topk",
     "ts_funnel_steps",
+    # round 3 continuation
+    "graph_pagerank",
+    "text_dup_5gram_fraction",
+    "ts_anomaly_zscore",
+    "profile_lineitem_stats",
 ]
 
 

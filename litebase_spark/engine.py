@@ -371,6 +371,8 @@ class Engine:
                     latency=latency,
                     statement_class=stmt_class,
                 )
+        if _re.search(r"(?i)\bsqlite_master\b", sql_text):
+            self._refresh_sqlite_master()
         df = self.spark.sql(sql_text, args=args) if args else self.spark.sql(sql_text)
         if collect and stmt_class in ("DQL", "OTHER"):
             rows = df.collect()
@@ -558,6 +560,79 @@ class Engine:
         (table_info etc. — allowlist pkg/auth/pragma_list.go:3)."""
         return self.spark.sql(f"DESCRIBE TABLE {table}").collect()
 
+    def _refresh_sqlite_master(self) -> None:
+        """Materialize the ``sqlite_master`` schema table
+        (sqlite.org/schematab.html) as a temp view over the live Spark
+        catalog, so ``SELECT * FROM sqlite_master`` works through the
+        query API exactly as it does against the reference (every SQLite
+        client introspects this way). Columns match SQLite:
+        (type, name, tbl_name, rootpage, sql); ``sql`` is reconstructed
+        from the Spark schema, with the declared PRIMARY KEY (upsert
+        conflict-target registry) folded back in. Rebuilt lazily on
+        each statement that references it — O(catalog), no data scan."""
+        rows = []
+        page = 2  # SQLite roots user tables at page >= 2; views are 0
+        for t in self.spark.catalog.listTables():
+            # Spark reports temp views as TEMPORARY; both are views in
+            # sqlite_master terms (SQLite keeps temp objects in
+            # sqlite_temp_master — folded in here, single-session engine).
+            is_view = t.tableType in ("VIEW", "TEMPORARY")
+            try:
+                fields = self.spark.table(t.name).schema.fields
+            except Exception:
+                continue
+            cols = ", ".join(
+                f"{f.name} {f.dataType.simpleString().upper()}"
+                for f in fields
+            )
+            pk = self._primary_keys.get(t.name)
+            if pk and not is_view:
+                cols += f", PRIMARY KEY ({', '.join(pk)})"
+            kind = "view" if is_view else "table"
+            create = (
+                f"CREATE {'VIEW' if is_view else 'TABLE'} "
+                f"{t.name} ({cols})"
+            )
+            rows.append((kind, t.name, t.name,
+                         0 if is_view else page, create))
+            if not is_view:
+                page += 1
+        schema = ("type string, name string, tbl_name string, "
+                  "rootpage int, sql string")
+        self.spark.createDataFrame(rows, schema).createOrReplaceTempView(
+            "sqlite_master")
+
+    def _refresh_sqlite_stat1(self, names: list[str]) -> None:
+        """Populate ``sqlite_stat1`` after ANALYZE (sqlite.org/fileformat2
+        §stat1): one row per analyzed table, (tbl, idx, stat) with stat's
+        leading integer = row count, exactly the part of SQLite's format
+        a planner consumes. Row counts come from the catalog statistics
+        COMPUTE STATISTICS just gathered (no second scan); tables whose
+        stats are unavailable fall back to a count, mirroring ANALYZE's
+        own full-scan cost. Like SQLite, the table only exists once
+        ANALYZE has run."""
+        rows = []
+        for name in names:
+            nrow = None
+            try:
+                for r in self.spark.sql(
+                    f"DESCRIBE TABLE EXTENDED {name}"
+                ).collect():
+                    if r.col_name == "Statistics" and "rows" in str(r.data_type):
+                        nrow = int(str(r.data_type).split()[-2])
+                        break
+            except Exception:
+                pass
+            if nrow is None:
+                try:
+                    nrow = self.spark.table(name).count()
+                except Exception:
+                    continue
+            rows.append((name, None, str(nrow)))
+        self.spark.createDataFrame(
+            rows, "tbl string, idx string, stat string"
+        ).createOrReplaceTempView("sqlite_stat1")
+
     # -- PRAGMA surface (A13) -----------------------------------------------
     #
     # The reference filters pragmas through an allowlist: read-only
@@ -652,6 +727,12 @@ class Engine:
                 except Exception:
                     if target:  # explicit target must exist as a table
                         raise
+            # sqlite_stat1 becomes queryable after ANALYZE, like SQLite.
+            stat_names = (
+                [target] if target
+                else [t.name for t in self.spark.catalog.listTables()]
+            )
+            self._refresh_sqlite_stat1(stat_names)
         latency = time.time() - t0
         self.metrics.record(statement, latency)
         return QueryResult(

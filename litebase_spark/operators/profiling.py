@@ -7,16 +7,20 @@ catalog statistics (`ANALYZE TABLE ... COMPUTE STATISTICS`), but a data
 engineer also needs the *profile itself* — per-column null rates,
 cardinalities, ranges — for data-quality gates over a 100 TB corpus.
 
-Scale design: ONE scan computes every per-column aggregate
-simultaneously (a single agg node; count/min/max fold map-side). The
-exact per-column DISTINCT counts make Catalyst plan an Expand (one
-shuffled pass per distinct column fused into one stage) — exact is the
-oracle-checkable form shipped here; at 100 TB you swap the exact
-count_distinct for approx_count_distinct (HLL, one pass, mergeable —
-see operators/skew.py) column-for-column. min/max involve no
-summation, so doubles are engine-exact without fixed-point games; the
-profile rows are unpivoted from the single aggregate row (no second
-scan).
+Scale design: one aggregate branch PER COLUMN, each scanning only its
+own column (columnar pruned scans — `ReadSchema` is a single field per
+branch), unioned into one plan. This deliberately avoids the
+alternative "one scan, N exact distincts" shape: multiple DISTINCT
+aggregates in one agg make Catalyst plan an Expand that multiplies
+every input row by N before the shuffle (measured 25.7 s vs 0.9 s at
+sf0.1 for 11 columns — the Expand is the scale-killer, not the extra
+scans, because columnar scans of single columns are nearly free while
+an 11x row blowup through one exchange is not). Each branch has
+exactly one DISTINCT, which Spark rewrites into the classic two-stage
+partial-dedup aggregate — map-side combine, no Expand. At 100 TB the
+per-column swap is approx_count_distinct (HLL, mergeable — see
+operators/skew.py). min/max involve no summation, so doubles are
+engine-exact without fixed-point games.
 """
 
 from __future__ import annotations
@@ -89,43 +93,36 @@ def _oracle() -> str:
 )
 def profile_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    branches = []
     for c, kind in _COLS:
-        aggs.append(F.count(c).alias(f"cnt_{c}"))
-        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
         if kind == "ts":
-            aggs.append(
-                F.unix_timestamp(F.min(c)).cast("double").alias(f"min_{c}"))
-            aggs.append(
-                F.unix_timestamp(F.max(c)).cast("double").alias(f"max_{c}"))
-        elif kind == "num":
-            aggs.append(F.min(c).cast("double").alias(f"min_{c}"))
-            aggs.append(F.max(c).cast("double").alias(f"max_{c}"))
+            mn = F.unix_timestamp(F.min(c)).cast("double")
+            mx = F.unix_timestamp(F.max(c)).cast("double")
         else:
-            aggs.append(F.min(c).alias(f"min_{c}"))
-            aggs.append(F.max(c).alias(f"max_{c}"))
-    one = li.agg(*aggs)
-    # Unpivot by exploding an array of per-column structs over the ONE
-    # aggregate row — a union of 11 projections would re-run the scan
-    # per branch; this stays a single pass.
-    entries = []
-    for c, kind in _COLS:
-        entries.append(F.struct(
+            mn = F.min(c).cast("double" if kind == "num" else "string")
+            mx = F.max(c).cast("double" if kind == "num" else "string")
+        one = li.select(c).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(c).alias("cnt"),
+            F.count_distinct(F.col(c)).alias("nd"),
+            mn.alias("mn"),
+            mx.alias("mx"),
+        )
+        branches.append(one.select(
             F.lit(c).alias("column_name"),
-            F.col("n_rows").alias("n_rows"),
-            (F.col("n_rows") - F.col(f"cnt_{c}")).alias("n_null"),
-            F.col(f"nd_{c}").alias("n_distinct"),
-            (F.col(f"min_{c}") if kind != "str"
-             else F.lit(None)).cast("double").alias("min_num"),
-            (F.col(f"max_{c}") if kind != "str"
-             else F.lit(None)).cast("double").alias("max_num"),
-            (F.col(f"min_{c}") if kind == "str"
-             else F.lit(None)).cast("string").alias("min_str"),
-            (F.col(f"max_{c}") if kind == "str"
-             else F.lit(None)).cast("string").alias("max_str"),
+            "n_rows",
+            (F.col("n_rows") - F.col("cnt")).alias("n_null"),
+            F.col("nd").alias("n_distinct"),
+            (F.col("mn") if kind != "str" else F.lit(None))
+            .cast("double").alias("min_num"),
+            (F.col("mx") if kind != "str" else F.lit(None))
+            .cast("double").alias("max_num"),
+            (F.col("mn") if kind == "str" else F.lit(None))
+            .cast("string").alias("min_str"),
+            (F.col("mx") if kind == "str" else F.lit(None))
+            .cast("string").alias("max_str"),
         ))
-    return (
-        one.select(F.explode(F.array(*entries)).alias("p"))
-        .select("p.*")
-        .orderBy("column_name")
-    )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionAll(b)
+    return out.orderBy("column_name")

@@ -623,3 +623,33 @@ def test_explain_query_plan_dialect(engine, sf_dir):
     assert "HashAggregate" in details and "Scan" in details
     roots = [x for x in r.rows if x.parent == 0]
     assert len(roots) >= 1 and r.rows[0].id == 1
+
+
+def test_sqlite_master_and_stat1_views(engine):
+    engine.sql("CREATE TABLE t_sm (a BIGINT PRIMARY KEY, b STRING) USING PARQUET")
+    try:
+        engine.sql("INSERT INTO t_sm VALUES (1, 'x'), (2, 'y')")
+        res = engine.sql(
+            "SELECT type, name, sql FROM sqlite_master WHERE name = 't_sm'")
+        assert res.row_count == 1
+        row = res.rows[0]
+        assert row.type == "table"
+        assert "CREATE TABLE t_sm" in row.sql
+        assert "PRIMARY KEY (a)" in row.sql
+        # sqlite_stat1 exists only after ANALYZE, like SQLite
+        engine.sql("ANALYZE t_sm")
+        stat = engine.sql("SELECT tbl, idx, stat FROM sqlite_stat1 "
+                          "WHERE tbl = 't_sm'")
+        assert stat.row_count == 1
+        assert stat.rows[0].stat.split()[0] == "2"
+        assert stat.rows[0].idx is None
+        # views appear with type='view' and rootpage 0
+        engine.sql("CREATE TEMP VIEW v_sm AS SELECT a FROM t_sm")
+        vres = engine.sql("SELECT type, rootpage FROM sqlite_master "
+                          "WHERE name = 'v_sm'")
+        assert vres.row_count == 1
+        assert vres.rows[0].type == "view"
+        assert vres.rows[0].rootpage == 0
+    finally:
+        engine.sql("DROP VIEW IF EXISTS v_sm")
+        engine.sql("DROP TABLE IF EXISTS t_sm")

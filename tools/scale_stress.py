@@ -1,0 +1,162 @@
+"""Scale-stress harness: measure how plans behave as data grows 1x-16x.
+
+sf0.1 is the largest driver-provided fixture; this tool manufactures
+4x / 16x fact-table replicas (key-shifted unions — facts grow, dims stay
+fixed, exactly how a real warehouse scales) and times a representative
+operator per family at each scale. The question it answers is the
+100 TB question in miniature: is the time curve ~linear in fact rows
+(shuffle-bound plans should be n log n at worst), or does some plan hide
+quadratic work / a driver bottleneck that only shows past the bench SF?
+
+Replication contract: o_orderkey/l_orderkey/doc_id/event_id/vec_id are
+shifted by k*1e9 per replica k, so keys stay unique, join fan-outs per
+key stay constant, and group cardinalities scale the way production
+growth scales them. Dimension tables (region/nation/customer/supplier/
+part) are NOT replicated. Pair-forming similarity ops (minhash/LSH/
+embedding dedup) are excluded by design: replicated text forms n-times
+larger duplicate clusters, so their work profile changes semantically,
+not just in volume — their scale arguments live in SCALE.md (banding
+math), not in a replica test.
+
+Usage: python tools/scale_stress.py [--scales 1,4,16] [--out SCALE_STRESS.md]
+Writes a markdown table + one JSON line to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+WORK = "/tmp/litebase_scale_stress"
+
+# (table, key columns to shift per replica)
+_FACTS = {
+    "orders": ("o_orderkey",),
+    "lineitem": ("l_orderkey",),
+    "events": ("event_id",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+_DIMS = ("region", "nation", "customer", "supplier", "part")
+
+# One representative per plan family; all linear-work by design.
+QUERIES = [
+    "q1_pricing_summary",        # scan + wide agg
+    "q9_product_profit",         # multi-join star
+    "q18_large_volume_customer", # semi-join on an aggregate
+    "window_running_sum",        # keyed window
+    "dedup_exact",               # hash-groupBy dedup
+    "agg_approx_distinct",       # portable HLL sketch
+    "text_quality_score",        # narrow JVM text map
+    "text_bm25",                 # posting-list top-k retrieval
+    "pipeline_pack_sequences",   # per-shard running-sum packing
+    "graph_pagerank",            # iterative: 5 shuffle rounds
+    "ts_anomaly_zscore",         # bucketed window analytics
+    "profile_lineitem_stats",    # one-scan multi-distinct profile
+]
+
+_SHIFT = 10**9
+
+
+def build_replica(spark, k: int) -> str:
+    """Write the k-times replicated fixture dir (idempotent)."""
+    out = f"{WORK}/x{k}"
+    marker = f"{out}/.complete"
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    from pyspark.sql import functions as F
+
+    for t in _DIMS:
+        spark.read.parquet(f"{BASE}/{t}.parquet").write.mode(
+            "overwrite").parquet(f"{out}/{t}.parquet")
+    for t, keys in _FACTS.items():
+        df = spark.read.parquet(f"{BASE}/{t}.parquet")
+        parts = []
+        for i in range(k):
+            p = df
+            for key in keys:
+                p = p.withColumn(key, F.col(key) + F.lit(i * _SHIFT))
+            parts.append(p)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionAll(p)
+        u.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    open(marker, "w").close()
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="1,4,16")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    scales = [int(s) for s in args.scales.split(",")]
+
+    import litebase_spark.operators  # noqa: F401
+    from litebase_spark.catalog import REGISTRY
+    from litebase_spark.session import get_spark
+
+    spark = get_spark("scale-stress")
+    spark.range(1).count()
+
+    def run(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    dirs = {}
+    for k in scales:
+        t0 = time.time()
+        dirs[k] = build_replica(spark, k) if k > 1 else BASE
+        print(f"# replica x{k} ready in {time.time() - t0:.1f}s",
+              file=sys.stderr)
+
+    results: dict[str, dict[int, float]] = {}
+    for name in QUERIES:
+        spec = REGISTRY[name]
+        results[name] = {}
+        for k in scales:
+            df = spec.builder(spark, dirs[k])
+            run(df)  # warm (plan + first exec)
+            per = []
+            for _ in range(2):
+                t0 = time.time()
+                run(df)
+                per.append(time.time() - t0)
+            best = min(per)
+            results[name][k] = round(best, 3)
+            print(f"# {name} x{k}: {best:.2f}s", file=sys.stderr)
+
+    lines = ["# SCALE_STRESS — fact-replica scaling, sf0.1 base, "
+             f"local[{spark.sparkContext.defaultParallelism}]", "",
+             "| query | " + " | ".join(f"x{k} s" for k in scales)
+             + " | x16/x1 | per-row ratio |",
+             "|---|" + "---|" * (len(scales) + 2)]
+    hi, lo = max(scales), min(scales)
+    for name, row in results.items():
+        ratio = row[hi] / row[lo] if row[lo] else float("nan")
+        per_row = ratio / (hi / lo)
+        lines.append(
+            f"| {name} | "
+            + " | ".join(f"{row[k]:.2f}" for k in scales)
+            + f" | {ratio:.1f}x | {per_row:.2f} |"
+        )
+    md = "\n".join(lines) + "\n"
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(md)
+    print(md, file=sys.stderr)
+    print(json.dumps({"metric": "scale_stress", "scales": scales,
+                      "queries": results}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
