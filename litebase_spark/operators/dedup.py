@@ -275,21 +275,12 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame, n_bands: int = N_BANDS, n_hashes: int = N_HASHES
+def band_signatures(
+    sigs: DataFrame, n_bands: int, rows_per_band: int
 ) -> DataFrame:
-    """Band the signatures and emit candidate pairs per matching bucket.
-
-    (band, hash(band-slice)) is the shuffle key — bucket sizes are the
-    only quadratic term, and hot buckets can be salted/capped. This is
-    the SURVEY §7.3 design rule: every dedup operator LSH-partitioned,
-    never a cross join.
-    """
-    rows_per_band = n_hashes // n_bands
-    # Materialize signatures before the self-join: both join sides reuse
-    # the computed signatures instead of re-deriving the whole
-    # tokenize->shingle->hash pipeline per side.
-    sigs = sigs.localCheckpoint(eager=True)
+    """Explode (doc_id, sig) into one row per LSH band:
+    (doc_id, sig, band, bucket) with bucket = md5 of the band's
+    signature slice — the shuffle key for every minhash join."""
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(n_bands - 1)),
         lambda b: F.struct(
@@ -305,9 +296,27 @@ def lsh_candidate_pairs(
             ).alias("bucket"),
         ),
     )
-    banded = sigs.select(
+    return sigs.select(
         "doc_id", "sig", F.explode(bands).alias("bb")
     ).select("doc_id", "sig", "bb.band", "bb.bucket")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, n_bands: int = N_BANDS, n_hashes: int = N_HASHES
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs per matching bucket.
+
+    (band, hash(band-slice)) is the shuffle key — bucket sizes are the
+    only quadratic term, and hot buckets can be salted/capped. This is
+    the SURVEY §7.3 design rule: every dedup operator LSH-partitioned,
+    never a cross join.
+    """
+    rows_per_band = n_hashes // n_bands
+    # Materialize signatures before the self-join: both join sides reuse
+    # the computed signatures instead of re-deriving the whole
+    # tokenize->shingle->hash pipeline per side.
+    sigs = sigs.localCheckpoint(eager=True)
+    banded = band_signatures(sigs, n_bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     est = (
@@ -1013,4 +1022,134 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "keep"
             ),
         )
+    )
+
+
+def _incremental_oracle() -> str:
+    """DuckDB replay of the incremental probe: same signature/banding
+    CTEs as _minhash_lsh_oracle, asymmetric index<-batch join, best
+    match per new doc."""
+    rows = N_HASHES // N_BANDS
+    sig_items = ",\n        ".join(
+        f"list_min(list_transform(bh, x -> {affine_duck('x', a, b)}))"
+        for a, b in _MINHASH_AB
+    )
+    arms = "\n      UNION ALL\n".join(
+        "      SELECT doc_id, sig, {b} AS band, md5({cc}) AS bucket"
+        " FROM sig".format(
+            b=b,
+            cc=" || ',' || ".join(
+                f"CAST(sig[{b * rows + j + 1}] AS VARCHAR)"
+                for j in range(rows)
+            ),
+        )
+        for b in range(N_BANDS)
+    )
+    matches = " + ".join(
+        f"CASE WHEN i.sig[{k}] = n.sig[{k}] THEN 1 ELSE 0 END"
+        for k in range(1, N_HASHES + 1)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, CASE WHEN len(w) >= 3
+          THEN list_distinct(list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+          ELSE [array_to_string(w, ' ')] END AS shingles
+      FROM toks WHERE len(w) > 0
+    ), base AS (
+      SELECT doc_id, list_transform(shingles, s -> {h60_duck('s')}) AS bh
+      FROM sh
+    ), sig AS (
+      SELECT doc_id, [{sig_items}] AS sig FROM base
+    ), banded AS (
+{arms}
+    ), cand AS (
+      SELECT DISTINCT n.doc_id AS new_doc, i.doc_id AS idx_doc,
+             ({matches}) / {float(N_HASHES)} AS est
+      FROM banded i JOIN banded n
+        ON i.band = n.band AND i.bucket = n.bucket
+      WHERE (n.doc_id % 5) = 0 AND (i.doc_id % 5) <> 0
+        AND ({matches}) / {float(N_HASHES)} >= 0.4
+    ), best AS (
+      SELECT new_doc, idx_doc, est,
+             ROW_NUMBER() OVER (PARTITION BY new_doc
+                                ORDER BY est DESC, idx_doc) AS rn
+      FROM cand
+    )
+    SELECT d.doc_id,
+           (b.idx_doc IS NOT NULL) AS is_dup,
+           b.idx_doc AS dup_of,
+           b.est AS est_jaccard
+    FROM documents d
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.new_doc
+    WHERE (d.doc_id % 5) = 0
+    ORDER BY d.doc_id
+    """
+
+
+@query(
+    "dedup_incremental_minhash",
+    oracle=_incremental_oracle(),
+    description="Incremental near-dedup — the continuous-ingestion "
+    "production shape: an arriving batch (doc_id % 5 = 0, ~20%) is "
+    "probed against the already-ingested corpus index (the rest) "
+    "through the SAME banded minhash join as dedup_minhash_lsh, never "
+    "a batch x corpus comparison. Per new document: admit, or "
+    "duplicate-of with the best-matching index doc (est Jaccard >= "
+    "0.4, deterministic tie-break). At 100 TB the index side's banded "
+    "signatures are a persisted table partitioned by (band, bucket) — "
+    "only the batch recomputes signatures, and the probe shuffles the "
+    "batch alone. est = matches/32 is exact in both engines (power-of-"
+    "two divisor).",
+    tags=("dedup", "lsh", "incremental"),
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d).localCheckpoint(eager=True)
+    banded = band_signatures(sigs, N_BANDS, N_HASHES // N_BANDS)
+    idx = banded.filter(F.pmod("doc_id", F.lit(5)) != 0).alias("i")
+    new = banded.filter(F.pmod("doc_id", F.lit(5)) == 0).alias("n")
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("i.sig", "n.sig", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / N_HASHES
+    )
+    cand = (
+        idx.join(
+            new,
+            (F.col("i.band") == F.col("n.band"))
+            & (F.col("i.bucket") == F.col("n.bucket")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_doc"),
+            F.col("i.doc_id").alias("idx_doc"),
+            est.alias("est"),
+        )
+        .filter(F.col("est") >= 0.4)
+        .dropDuplicates(["new_doc", "idx_doc"])
+    )
+    w = Window.partitionBy("new_doc").orderBy(F.desc("est"), "idx_doc")
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    batch = d.filter(F.pmod("doc_id", F.lit(5)) == 0).select("doc_id")
+    return (
+        batch.join(best, batch.doc_id == best.new_doc, "left")
+        .select(
+            "doc_id",
+            F.col("idx_doc").isNotNull().alias("is_dup"),
+            F.col("idx_doc").alias("dup_of"),
+            F.col("est").alias("est_jaccard"),
+        )
+        .orderBy("doc_id")
     )

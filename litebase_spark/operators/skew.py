@@ -559,34 +559,44 @@ def sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bkts = _cms_bucket_exprs(
         "CAST(user_id AS STRING)", h60_spark, affine_spark
     )
-    sketch = (
-        e.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(r).alias("r"),
-                            F.expr(bkts[r]).cast("long").alias("bkt"),
-                        )
-                        for r in range(_CMS_DEPTH)
-                    ]
-                )
-            ).alias("x")
-        )
-        .select("x.r", "x.bkt")
-        .groupBy("r", "bkt")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    # One scan: exact per-key counts first (plain long groupBy), THEN
+    # the md5 affine hashes on the distinct keys only — the portable
+    # hash family is string md5 work, so hashing per distinct user
+    # instead of per event (and never re-scanning events for the sketch,
+    # which aggregates the exact counts) measured 1.6 s -> ~0.4 s at
+    # sf0.1. Checkpointed because sketch build and probe both reuse it
+    # (same discipline as the minhash signature table, dedup.py:753).
     exact = (
-        e.select(
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .select(
             "user_id",
+            "n_exact",
             *[
                 F.expr(bkts[r]).cast("long").alias(f"bkt{r}")
                 for r in range(_CMS_DEPTH)
             ],
         )
-        .groupBy("user_id", *[f"bkt{r}" for r in range(_CMS_DEPTH)])
-        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .localCheckpoint(eager=True)
+    )
+    sketch = (
+        exact.select(
+            "n_exact",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            F.col(f"bkt{r}").alias("bkt"),
+                        )
+                        for r in range(_CMS_DEPTH)
+                    ]
+                )
+            ).alias("x"),
+        )
+        .select("x.r", "x.bkt", "n_exact")
+        .groupBy("r", "bkt")
+        .agg(F.sum("n_exact").alias("cnt"))
     )
     out = exact
     for r in range(_CMS_DEPTH):

@@ -85,3 +85,30 @@ def test_ts_anomaly_flags_injected_spike(spark):
     assert 60 in flagged  # the spike
     # a flat series' other hours are not anomalies
     assert flagged == {60}
+
+
+def test_incremental_minhash_flags_known_dup(spark):
+    import tempfile
+
+    from litebase_spark.operators.dedup import dedup_incremental_minhash
+
+    shared = ("the quick brown fox jumps over the lazy dog and then "
+              "runs far away into the deep green forest tonight")
+    docs = spark.createDataFrame(
+        [
+            (3, shared),                        # index (3 % 5 != 0)
+            (5, shared),                        # batch, dup of 3
+            (10, "completely unrelated text about database engines "
+                 "and storage formats with nothing shared at all"),
+            (7, "another index document that matches nothing else"),
+        ],
+        "doc_id long, text string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        out = {r["doc_id"]: r for r in
+               dedup_incremental_minhash(spark, d).collect()}
+    assert set(out) == {5, 10}          # only the batch is reported
+    assert out[5]["is_dup"] and out[5]["dup_of"] == 3
+    assert out[5]["est_jaccard"] == 1.0  # identical text
+    assert not out[10]["is_dup"] and out[10]["dup_of"] is None
