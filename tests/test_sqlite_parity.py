@@ -152,3 +152,54 @@ def test_update_from_matches_sqlite(eng):
     assert _state_spark(eng, "p_uf") == _state_sqlite(con, "p_uf")
     eng.sql("DROP TABLE p_uf")
     eng.sql("DROP TABLE p_uf_src")
+
+
+def test_sqlite_master_parity(eng):
+    con = _fresh(eng, "p_sm")
+    try:
+        got = eng.sql(
+            "SELECT type, name, tbl_name FROM sqlite_master "
+            "WHERE name = 'p_sm'")
+        want = list(con.execute(
+            "SELECT type, name, tbl_name FROM sqlite_master "
+            "WHERE name = 'p_sm'"))
+        assert [(r.type, r.name, r.tbl_name) for r in got.rows] == want
+        # a view shows up as type='view' with rootpage 0 on both sides
+        eng.sql("CREATE TEMP VIEW p_sm_v AS SELECT id FROM p_sm")
+        con.execute("CREATE VIEW p_sm_v AS SELECT id FROM p_sm")
+        g = eng.sql("SELECT type, rootpage FROM sqlite_master "
+                    "WHERE name = 'p_sm_v'")
+        w = list(con.execute("SELECT type, rootpage FROM sqlite_master "
+                             "WHERE name = 'p_sm_v'"))
+        assert [(r.type, r.rootpage) for r in g.rows] == w
+    finally:
+        eng.sql("DROP VIEW IF EXISTS p_sm_v")
+        eng.sql("DROP TABLE IF EXISTS p_sm")
+
+
+def test_values_statement_parity(eng):
+    con = sqlite3.connect(":memory:")
+    stmt = "VALUES (1, 'a'), (2, 'b'), (3, NULL)"
+    got = sorted(tuple(r) for r in eng.sql(stmt).rows)
+    want = sorted(tuple(r) for r in con.execute(stmt))
+    assert got == want
+
+
+def test_analyze_stat1_leading_integer_semantics(eng):
+    """SQLite's sqlite_stat1 stat column leads with the row count (one
+    row per index; our indexless analog emits (tbl, NULL, nrow)). Check
+    the semantic both sides: leading integer == COUNT(*)."""
+    con = _fresh(eng, "p_an")
+    try:
+        _apply_both(eng, con, "p_an",
+                    "INSERT INTO p_an VALUES (1,'a',1), (2,'b',2), (3,'c',3)")
+        con.execute("CREATE INDEX p_an_idx ON p_an(v)")
+        con.execute("ANALYZE")
+        eng.sql("ANALYZE p_an")
+        want = list(con.execute(
+            "SELECT stat FROM sqlite_stat1 WHERE tbl = 'p_an'"))[0][0]
+        got = eng.sql(
+            "SELECT stat FROM sqlite_stat1 WHERE tbl = 'p_an'").rows[0].stat
+        assert int(got.split()[0]) == int(want.split()[0]) == 3
+    finally:
+        eng.sql("DROP TABLE IF EXISTS p_an")
