@@ -80,3 +80,22 @@ def test_pagerank_fixture_shape(spark, sf_dir):
 def test_purchase_edges_distinct(spark, sf_dir):
     e = purchase_edges(spark, sf_dir)
     assert e.count() == e.distinct().count()
+
+
+@pytest.mark.parametrize("seed", [7, 42, 1234])
+def test_pagerank_random_graphs_match_reference(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    nodes_py = list(range(1, 21))
+    edges_py = sorted({
+        (rng.randint(1, 20), rng.randint(1, 20)) for _ in range(40)
+    })
+    edges_py = [(s, d) for s, d in edges_py if s != d]
+    nodes = spark.createDataFrame([(v,) for v in nodes_py], "node long")
+    edges = spark.createDataFrame(edges_py, "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(nodes, edges, 20, iters=4).collect()
+    }
+    assert got == reference_pagerank(nodes_py, edges_py, 4)
