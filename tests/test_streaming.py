@@ -430,3 +430,63 @@ def test_state_v2_running_peaks_matches_batch(spark, sf_dir):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_streaming_minhash_dedup_matches_sequential_replay(spark, tmp_path):
+    """Stream == sequential batch replay: documents arrive in three
+    microbatches; accepted/rejected sets must equal applying the
+    incremental probe batch-by-batch."""
+    from litebase_spark.streaming.dedup_stream import StreamingMinhashDedup
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "rain falls softly on the quiet old town tonight")
+    other = ("completely different content about distributed query "
+             "engines and columnar storage formats at large scale")
+    third = ("yet another unique document discussing tokenizer "
+             "vocabularies and training corpus mixtures in depth")
+    batches = [
+        [(1, base), (2, other)],              # both novel
+        [(3, base), (4, third)],              # 3 dups 1, 4 novel
+        [(5, other), (6, base), (7, "tiny")], # 5 dups 2, 6 dups 1
+    ]
+    # batch-internal dup in one microbatch: 8 duplicates 9 (lower id kept)
+    batches[1].append((9, third))  # 9 dups 4? same batch -> lower id wins
+    sm = StreamingMinhashDedup(spark)
+    for i, rows in enumerate(batches):
+        sm.apply(
+            spark.createDataFrame(rows, "doc_id long, text string"), i
+        )
+    assert sm.accepted_ids() == [1, 2, 4, 7]
+    assert sm.rejected_ids() == [3, 5, 6, 9]
+    # replayed batch id is a no-op (restart idempotence)
+    n_before = len(sm.applied_batches)
+    sm.apply(
+        spark.createDataFrame(batches[0], "doc_id long, text string"), 0
+    )
+    assert len(sm.applied_batches) == n_before
+
+    # the same filter driven by a REAL file stream accepts the same set
+    import os
+
+    d = str(tmp_path / "stream_docs")
+    os.makedirs(d)
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1).write.mode("overwrite").parquet(f"{d}/b{i}")
+    sm2 = StreamingMinhashDedup(spark)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/b*")
+    )
+    q = sm2.attach(stream, availableNow=True)
+    q.awaitTermination(180)
+    # arrival order across files is not guaranteed, so compare the
+    # accept/reject PARTITION (novel-content winners), not exact ids:
+    # one representative per near-dup cluster must be accepted.
+    acc = sm2.accepted_ids()
+    rej = sm2.rejected_ids()
+    assert sorted(acc + rej) == [1, 2, 3, 4, 5, 6, 7, 9]
+    clusters = [{1, 3, 6}, {2, 5}, {4, 9}, {7}]
+    for cl in clusters:
+        assert len(cl.intersection(acc)) == 1
