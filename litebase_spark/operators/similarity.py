@@ -1557,3 +1557,73 @@ def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 from litebase_spark.catalog import REGISTRY as _SIM_REGISTRY  # noqa: E402
 
 _SIM_REGISTRY["knn_recall_eval"].oracle = _recall_oracle()
+
+
+@query(
+    "knn_filtered_search",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.qid, e.vec_id, e.label,
+               ROUND({_SQL_DOT.format(a='q.qv', b='e.embedding', n=DIM)}
+                 / ({_SQL_NORM.format(a='q.qv', n=DIM)}
+                    * {_SQL_NORM.format(a='e.embedding', n=DIM)}), 6)
+                   AS cos_sim
+        FROM q JOIN embeddings e
+          ON e.label = q.qlabel AND e.vec_id != q.qid
+    ),
+    ranked AS (
+        SELECT qid, vec_id, label, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored
+    )
+    SELECT qid, vec_id, label, cos_sim, rn AS rank
+    FROM ranked WHERE rn <= {TOP_K}
+    """,
+    description="Filtered vector search (metadata predicate + ANN, the "
+    "retrieval shape vector stores call 'pre-filtering'): each query "
+    "retrieves top-k cosine neighbors RESTRICTED to rows sharing its "
+    "label — the filter is an equi-join key, so Catalyst prunes "
+    "non-matching rows BEFORE any dot product is computed rather than "
+    "discarding scored candidates afterwards (post-filtering loses "
+    "recall at fixed probe budgets; pre-filtering never does). At "
+    "100 TB the label partition prunes files too (partitioned/bucketed "
+    "layout), and the per-pair work drops by the filter selectivity. "
+    "Same exact scoring fold as knn_cosine_bruteforce, per-query top-k "
+    "via window — O(k) rows leave each partition.",
+    tags=("similarity", "filter"),
+)
+def knn_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    e = e.repartition(spark.sparkContext.defaultParallelism)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+        norm2(F.col("embedding")).alias("qn"),
+    )
+    from pyspark.sql import Window
+
+    sim = dot(F.col("qv"), F.col("embedding")) / (
+        F.col("qn") * F.col("cn")
+    )
+    scored = (
+        e.select(
+            "vec_id", "label", "embedding",
+            norm2(F.col("embedding")).alias("cn"),
+        )
+        .join(
+            F.broadcast(q),
+            (F.col("label") == F.col("qlabel"))
+            & (F.col("vec_id") != F.col("qid")),
+        )
+        .select("qid", "vec_id", "label", F.round(sim, 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "vec_id", "label", "cos_sim", "rank")
+    )

@@ -112,3 +112,23 @@ def test_incremental_minhash_flags_known_dup(spark):
     assert out[5]["is_dup"] and out[5]["dup_of"] == 3
     assert out[5]["est_jaccard"] == 1.0  # identical text
     assert not out[10]["is_dup"] and out[10]["dup_of"] is None
+
+
+def test_knn_filtered_search_respects_predicate(spark, sf_dir):
+    from litebase_spark.catalog import load
+    from litebase_spark.operators.similarity import (
+        TOP_K,
+        knn_filtered_search,
+    )
+
+    out = knn_filtered_search(spark, sf_dir).collect()
+    labels = {r["vec_id"]: r["label"] for r in
+              load(spark, sf_dir, "embeddings").select(
+                  "vec_id", "label").collect()}
+    by_q = {}
+    for r in out:
+        assert r["label"] == labels[r["qid"]]  # pre-filter honored
+        by_q.setdefault(r["qid"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= TOP_K
