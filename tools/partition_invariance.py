@@ -1,0 +1,95 @@
+"""Partition-invariance gate: rerun the iterative/sketch operators under
+a deliberately awkward parallelism (local[5], 7 shuffle partitions) and
+compare values against the DuckDB oracle.
+
+The engine's determinism contract says results are independent of
+partitioning — integer/fixed-point folds, deterministic tie-breaks, no
+order-dependent double sums. The sf0.01/sf0.1 sweeps verify it at the
+default local[32]/32; this tool verifies the CONTRACT by changing the
+execution geometry (different partition counts change sum order, task
+boundaries, and AQE decisions — anything order-dependent breaks here).
+
+Runs standalone (needs its own JVM config, so it cannot share the pytest
+session): python tools/partition_invariance.py
+Exit code = number of failures. Round-3 run: 9/9 PASS.
+"""
+
+from __future__ import annotations
+
+import datetime as dt  # noqa: F401  (timestamp values pass through)
+import math
+import sys
+
+sys.path.insert(0, ".")
+
+import duckdb
+
+import litebase_spark.operators  # noqa: F401
+from litebase_spark.catalog import REGISTRY, TABLES
+from litebase_spark.session import get_spark
+
+SF = "/root/testdata/sf0.01"
+
+# Every operator whose result could plausibly depend on partitioning:
+# iterative fixpoints, sketches, sampled/hashed structures.
+NAMES = [
+    "dedup_minhash_lsh",
+    "agg_approx_distinct",
+    "graph_pagerank",
+    "dedup_components",
+    "agg_hll_sketch_rollup",
+    "sketch_countmin_topk",
+    "ts_anomaly_zscore",
+    "dedup_incremental_minhash",
+    "embedding_kmeans",
+]
+
+
+def canon(v):
+    if isinstance(v, bool):
+        return ("i", int(v))
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else ("f", v)
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return ("f", float(v))
+    return v
+
+
+def main() -> int:
+    spark = get_spark("pinv", master="local[5]", shuffle_partitions=7)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF}/{t}.parquet')"
+        )
+    fails = 0
+    for name in NAMES:
+        spec = REGISTRY[name]
+        sdf = spec.builder(spark, SF)
+        scols = list(sdf.columns)
+        sidx = sorted(range(len(scols)), key=lambda i: scols[i])
+        srows = sorted(
+            tuple(canon(r[i]) for i in sidx)
+            for r in (tuple(x) for x in sdf.collect())
+        )
+        cur = con.execute(spec.oracle)
+        ocols = [d[0] for d in cur.description]
+        oidx = sorted(range(len(ocols)), key=lambda i: ocols[i])
+        orows = sorted(
+            tuple(canon(r[i]) for i in oidx) for r in cur.fetchall()
+        )
+        ok = srows == orows
+        print(("PASS" if ok else "FAIL"),
+              f"{name} ({len(srows)} rows @ local[5]/7)")
+        fails += not ok
+    print(f"{len(NAMES) - fails} pass, {fails} fail")
+    return fails
+
+
+if __name__ == "__main__":
+    sys.exit(main())
