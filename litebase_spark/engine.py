@@ -263,6 +263,12 @@ class Engine:
         # explicitly) — the conflict target for INSERT OR REPLACE/IGNORE
         # and bare ON CONFLICT, like SQLite's rowid/unique machinery
         self._primary_keys: dict[str, list[str]] = {}
+        # declared secondary indexes (CREATE INDEX): metadata-only, like
+        # the PRIMARY KEY registry — Parquet min/max stats + partition/
+        # Z-order layout are the physical analog (SURVEY §2.B row 2), so
+        # an index declaration records intent and feeds introspection
+        # (PRAGMA index_list/index_info, sqlite_master, sqlite_stat1).
+        self._indexes: dict[str, dict] = {}
         # SQLite-name shims (ifnull/iif/julianday/unixepoch/...) are part
         # of the dialect surface a reference user expects from plain
         # Engine.sql() — register them up front, UDF-free (SQL macros).
@@ -354,6 +360,9 @@ class Engine:
         if stmt_class == "DML":
             sql_text, returning = self._split_returning(sql_text)
         if stmt_class == "DDL":
+            res = self._try_index_ddl(sql_text, t0)
+            if res is not None:
+                return res
             # CREATE TABLE ... PRIMARY KEY: record the key (conflict target
             # for upserts) and strip the constraint Spark's parser rejects.
             sql_text = self._register_primary_key(sql_text)
@@ -560,6 +569,56 @@ class Engine:
         (table_info etc. — allowlist pkg/auth/pragma_list.go:3)."""
         return self.spark.sql(f"DESCRIBE TABLE {table}").collect()
 
+    def _try_index_ddl(self, sql_text: str, t0: float):
+        """CREATE INDEX / DROP INDEX as metadata DDL (SQLite surface the
+        reference inherits wholesale). Spark has no secondary indexes —
+        Parquet min/max footers, partition pruning and the Z-order
+        layout path (operators/layout.py) are the physical equivalent —
+        so the declaration is recorded, surfaced through PRAGMA
+        index_list/index_info, sqlite_master and sqlite_stat1, and
+        DROPped symmetrically. Returns None when the statement is not
+        index DDL."""
+        import re as _re
+
+        m = _re.match(
+            r"(?is)^\s*CREATE\s+(UNIQUE\s+)?INDEX\s+(IF\s+NOT\s+EXISTS\s+)?"
+            r"([A-Za-z_][\w]*)\s+ON\s+([A-Za-z_][\w.]*)\s*\(([^)]*)\)\s*;?\s*$",
+            sql_text,
+        )
+        if m:
+            uniq, if_not, name, table, cols = m.groups()
+            if name in self._indexes:
+                if if_not:
+                    return self._index_result(t0, sql_text)
+                raise ValueError(f"index {name} already exists")
+            self._indexes[name] = {
+                "table": table,
+                "cols": [c.strip() for c in cols.split(",") if c.strip()],
+                "unique": bool(uniq),
+                "sql": sql_text.strip().rstrip(";"),
+            }
+            return self._index_result(t0, sql_text)
+        m = _re.match(
+            r"(?is)^\s*DROP\s+INDEX\s+(IF\s+EXISTS\s+)?"
+            r"([A-Za-z_][\w]*)\s*;?\s*$",
+            sql_text,
+        )
+        if m:
+            if_exists, name = m.groups()
+            if name not in self._indexes and not if_exists:
+                raise ValueError(f"no such index: {name}")
+            self._indexes.pop(name, None)
+            return self._index_result(t0, sql_text)
+        return None
+
+    def _index_result(self, t0: float, statement: str) -> QueryResult:
+        latency = time.time() - t0
+        self.metrics.record(statement, latency)
+        return QueryResult(
+            columns=[], rows=[], row_count=0, changes=0,
+            latency=latency, statement_class="DDL",
+        )
+
     def _refresh_sqlite_master(self) -> None:
         """Materialize the ``sqlite_master`` schema table
         (sqlite.org/schematab.html) as a temp view over the live Spark
@@ -597,6 +656,10 @@ class Engine:
                          0 if is_view else page, create))
             if not is_view:
                 page += 1
+        for iname, meta in self._indexes.items():
+            rows.append(("index", iname, meta["table"], page,
+                         meta["sql"]))
+            page += 1
         schema = ("type string, name string, tbl_name string, "
                   "rootpage int, sql string")
         self.spark.createDataFrame(rows, schema).createOrReplaceTempView(
@@ -628,7 +691,15 @@ class Engine:
                     nrow = self.spark.table(name).count()
                 except Exception:
                     continue
-            rows.append((name, None, str(nrow)))
+            # like SQLite: one stat row per index on the table; tables
+            # without indexes get the (tbl, NULL, nrow) analog row
+            idx_names = [i for i, m in self._indexes.items()
+                         if m["table"] == name]
+            if idx_names:
+                for iname in idx_names:
+                    rows.append((name, iname, str(nrow)))
+            else:
+                rows.append((name, None, str(nrow)))
         self.spark.createDataFrame(
             rows, "tbl string, idx string, stat string"
         ).createOrReplaceTempView("sqlite_stat1")
@@ -667,12 +738,36 @@ class Engine:
         elif name == "database_list":
             df = self.spark.sql("SHOW DATABASES")
         elif name == "index_list":
-            # No secondary indexes on Parquet — truthfully empty, with the
-            # schema SQLite uses (seq, name, unique, origin, partial).
-            df = self.spark.sql(
-                "SELECT * FROM VALUES (0, '', 0, '', 0) "
-                "AS t(seq, name, `unique`, origin, partial) WHERE 1 = 0"
-            )
+            # Declared indexes (metadata-only — Parquet stats/layout are
+            # the physical analog) in SQLite's schema
+            # (seq, name, unique, origin, partial).
+            decls = [
+                (i, iname, int(meta["unique"]), "c", 0)
+                for i, (iname, meta) in enumerate(
+                    m for m in self._indexes.items()
+                    if m[1]["table"] == arg
+                )
+            ]
+            schema = "seq int, name string, `unique` int, origin string, partial int"
+            df = self.spark.createDataFrame(decls, schema)
+        elif name == "index_info":
+            meta = self._indexes.get(arg)
+            if meta is None:
+                raise LookupError(f"no such index: {arg}")
+            try:
+                table_cols = [
+                    f.name for f in self.spark.table(meta["table"]).schema
+                ]
+            except Exception:
+                table_cols = []
+            info = [
+                (seq,
+                 table_cols.index(c) if c in table_cols else -1,
+                 c)
+                for seq, c in enumerate(meta["cols"])
+            ]
+            df = self.spark.createDataFrame(
+                info, "seqno int, cid int, name string")
         elif name == "user_version":
             df = self.spark.sql("SELECT 0 AS user_version")
         else:

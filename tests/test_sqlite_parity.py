@@ -203,3 +203,51 @@ def test_analyze_stat1_leading_integer_semantics(eng):
         assert int(got.split()[0]) == int(want.split()[0]) == 3
     finally:
         eng.sql("DROP TABLE IF EXISTS p_an")
+
+
+def test_create_index_introspection_parity(eng):
+    con = _fresh(eng, "p_ix")
+    try:
+        stmt = "CREATE INDEX p_ix_vn ON p_ix(v, n)"
+        eng.sql(stmt)
+        con.execute(stmt)
+        # PRAGMA index_list: (seq, name, unique, origin, partial)
+        got = [(r.seq, r.name, r[2], r.origin, r.partial)
+               for r in eng.sql("PRAGMA index_list(p_ix)").rows]
+        want = list(con.execute("PRAGMA index_list(p_ix)"))
+        assert got == want
+        # PRAGMA index_info: (seqno, cid, name) — column positions
+        got = [tuple(r) for r in eng.sql("PRAGMA index_info(p_ix_vn)").rows]
+        want = list(con.execute("PRAGMA index_info(p_ix_vn)"))
+        assert got == want
+        # sqlite_master row
+        g = eng.sql("SELECT type, name, tbl_name, sql FROM sqlite_master "
+                    "WHERE type = 'index' AND name = 'p_ix_vn'")
+        w = list(con.execute("SELECT type, name, tbl_name, sql FROM "
+                             "sqlite_master WHERE type='index' AND "
+                             "name='p_ix_vn'"))
+        assert [tuple(r) for r in g.rows] == w
+        # stat1 after ANALYZE: one row per index, leading int = rowcount
+        _apply_both(eng, con, "p_ix",
+                    "INSERT INTO p_ix VALUES (1,'a',1), (2,'b',2)")
+        eng.sql("ANALYZE p_ix")
+        con.execute("ANALYZE")
+        g = eng.sql("SELECT tbl, idx, stat FROM sqlite_stat1 "
+                    "WHERE tbl = 'p_ix'").rows
+        w = list(con.execute("SELECT tbl, idx, stat FROM sqlite_stat1 "
+                             "WHERE tbl='p_ix'"))
+        assert [(r.tbl, r.idx) for r in g] == [(x[0], x[1]) for x in w]
+        assert int(g[0].stat.split()[0]) == int(w[0][2].split()[0]) == 2
+        # duplicate CREATE INDEX fails, IF NOT EXISTS doesn't, DROP works
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            eng.sql(stmt)
+        eng.sql("CREATE INDEX IF NOT EXISTS p_ix_vn ON p_ix(v, n)")
+        eng.sql("DROP INDEX p_ix_vn")
+        assert eng.sql("PRAGMA index_list(p_ix)").row_count == 0
+        with _pytest.raises(Exception):
+            eng.sql("DROP INDEX p_ix_vn")
+        eng.sql("DROP INDEX IF EXISTS p_ix_vn")
+    finally:
+        eng.sql("DROP TABLE IF EXISTS p_ix")
