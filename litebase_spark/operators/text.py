@@ -1708,3 +1708,71 @@ def text_dup_5gram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dup_frac_e6"), "doc_id")
         .limit(100)
     )
+
+
+@query(
+    "text_tfidf_keywords",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, u.term
+      FROM (SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS w
+            FROM documents), UNNEST(w) AS u(term)
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+      WHERE tf.doc_id < 100 AND df.df * 2 <= n_docs
+    ),
+    ranked AS (
+      SELECT doc_id, term, tf, df,
+             ROUND(score, 6) AS tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, tfidf, rank
+    FROM ranked WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+    description="Per-document TF-IDF keyword extraction (top-3 terms per "
+    "doc, ubiquitous terms with df > N/2 excluded): document frequency "
+    "and corpus size come from the WHOLE corpus (one shuffle keyed by "
+    "term over the deduped (doc, term) counts), the per-doc scoring "
+    "joins only the selected docs' term rows against the df table, and "
+    "ranking is a per-doc window — never a global sort. The classic "
+    "keyword/feature signal for corpus exploration and labeling; ranks "
+    "computed on the unrounded score with a term tie-break so they are "
+    "engine-stable.",
+    tags=("text", "tfidf", "keywords"),
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.localCheckpoint(eager=True)  # df, n_docs and scoring reuse it
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.agg(F.count_distinct("doc_id").alias("n_docs"))
+    score = F.col("tf") * F.log(
+        F.col("n_docs").cast("double") / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        tf.filter(F.col("doc_id") < 100)
+        .join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("df") * 2 <= F.col("n_docs"))
+        .select("doc_id", "term", "tf", "df", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df",
+                F.round("score", 6).alias("tfidf"), "rank")
+        .orderBy("doc_id", "rank")
+    )

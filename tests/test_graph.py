@@ -99,3 +99,22 @@ def test_pagerank_random_graphs_match_reference(spark, seed):
         for r in pagerank(nodes, edges, 20, iters=4).collect()
     }
     assert got == reference_pagerank(nodes_py, edges_py, 4)
+
+
+def test_triangle_count_hand_graph(spark, tmp_path):
+    """Orders {1:(A,B,C), 2:(A,B,C), 3:(A,B), 4:(B,D), 5:(B,D)}:
+    edges with >=2 co-orders are AB, AC, BC, BD -> exactly one triangle
+    (A,B,C); BD dangles off it."""
+    from litebase_spark.operators.graph import graph_triangle_count
+
+    rows = []
+    baskets = {1: "ABC", 2: "ABC", 3: "AB", 4: "BD", 5: "BD"}
+    part_id = {c: i + 1 for i, c in enumerate("ABCD")}
+    for ok, parts in baskets.items():
+        for c in parts:
+            rows.append((ok, part_id[c]))
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    d = str(tmp_path / "tri")
+    li.write.parquet(f"{d}/lineitem.parquet")
+    out = [tuple(r) for r in graph_triangle_count(spark, d).collect()]
+    assert out == [(1, 2, 3)]  # (A, B, C), once, canonically ordered

@@ -132,3 +132,20 @@ def test_knn_filtered_search_respects_predicate(spark, sf_dir):
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= TOP_K
+
+
+def test_tfidf_keywords_shape(spark, sf_dir):
+    from litebase_spark.operators.text import text_tfidf_keywords
+
+    out = text_tfidf_keywords(spark, sf_dir).collect()
+    assert out, "some doc below id 100 must yield keywords"
+    by_doc = {}
+    for r in out:
+        assert r["doc_id"] < 100
+        assert r["tfidf"] > 0  # df <= N/2 => ln(N/df) >= ln 2 > 0
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["tfidf"]))
+    for pairs in by_doc.values():
+        ranks = [p[0] for p in sorted(pairs)]
+        scores = [p[1] for p in sorted(pairs)]
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert scores == sorted(scores, reverse=True)
