@@ -32,14 +32,19 @@ def asof_join(
     right_ts: str,
     right_payload: list[str],
     prefix: str = "r_",
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the latest right row of the same `on` key
-    with right_ts <= left_ts (inclusive). Left rows keep all their columns;
-    right payload columns arrive as `prefix`+name (null when no match).
+    with right_ts <= left_ts (inclusive) — or, with
+    ``direction="forward"``, the EARLIEST right row with
+    right_ts >= left_ts. Left rows keep all their columns; right payload
+    columns arrive as `prefix`+name (null when no match).
 
     Implementation: tag both sides, union on (key, ts), and take the
     running last non-null right payload per key ordered by (ts, side) —
-    right rows sort before left rows at equal ts so `<=` matches.
+    right rows sort before left rows at equal ts so the inclusive bound
+    matches; forward direction simply reverses the sweep order (ts
+    descending), same single shuffle.
     """
     payload = F.struct(*[F.col(c) for c in right_payload]).alias("__asof")
     r = right.select(
@@ -56,9 +61,14 @@ def asof_join(
         F.lit(None).cast(r.schema["__asof"].dataType).alias("__asof"),
         *left.columns,
     )
+    order = (
+        [F.desc("__ts"), F.asc("__side")]
+        if direction == "forward"
+        else [F.asc("__ts"), F.asc("__side")]
+    )
     w = (
         Window.partitionBy("__key")
-        .orderBy("__ts", "__side")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     swept = l.unionByName(r).withColumn(
@@ -565,4 +575,55 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             rhs.alias("rhs_e"),
         )
         .orderBy("event_type", "hr")
+    )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, event_id, value FROM (
+        SELECT user_id, ts, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click') WHERE rn = 1
+    ),
+    purchases AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           c.event_id AS r_event_id, c.ts AS r_ts, c.value AS r_value
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts <= c.ts
+    """,
+    description="Forward as-of join (merge_asof direction='forward'): "
+    "each purchase joined to the same user's EARLIEST click at-or-after "
+    "it — the post-purchase attribution shape. Same union+window sweep "
+    "as join_asof with the sweep order reversed (ts descending): still "
+    "ONE shuffle on user_id, no pair explosion. Oracle is DuckDB's "
+    "native ASOF with the inequality flipped.",
+    tags=("asof", "join", "timeseries"),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    dedup_w = Window.partitionBy("user_id", "ts").orderBy(
+        F.col("event_id").desc())
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(dedup_w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["event_id", "ts", "value"],
+        direction="forward",
     )
