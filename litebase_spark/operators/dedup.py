@@ -1153,3 +1153,70 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _dedup_recall_oracle() -> str:
+    from litebase_spark.catalog import REGISTRY
+
+    truth = REGISTRY["dedup_ngram_jaccard"].oracle
+    cand = REGISTRY["dedup_minhash_lsh"].oracle
+    return f"""
+    WITH truth AS ({truth}),
+    cand AS ({cand})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+           (SELECT COUNT(*) FROM cand) AS n_candidates,
+           CAST(SUM(CASE WHEN cand.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           (SUM(CASE WHEN cand.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+            * 1000000) // COUNT(*) AS recall_e6
+    FROM truth LEFT JOIN cand
+      ON cand.doc_a = truth.doc_a AND cand.doc_b = truth.doc_b
+    """
+
+
+@query(
+    "pipeline_dedup_recall",
+    oracle=None,  # assembled below from the two registered oracles
+    description="Dedup quality gate: recall of the MinHash-LSH candidate "
+    "pairs against exact n-gram Jaccard ground truth (threshold 0.5) — "
+    "the evaluation every production dedup pipeline runs when tuning "
+    "bands/rows/threshold. Composes two oracle-exact registered "
+    "queries; recall in integer e-6 fixed point (DIV — no rounding "
+    "ties). At 100 TB ground truth comes from a sampled corpus slice, "
+    "which is this same dataflow behind a hash-sample filter.",
+    tags=("dedup", "eval", "pipeline"),
+)
+def pipeline_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("ta"), F.col("doc_b").alias("tb"))
+    # candidate set is referenced twice (join probe + its own count):
+    # checkpoint once, and bring the count in as a 1-row cross join
+    # (scalar-subquery shape), not a driver-side action at build time
+    cand = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("ca"), F.col("doc_b").alias("cb"),
+        F.lit(1).alias("hit")).localCheckpoint(eager=True)
+    cand_n = cand.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    j = truth.join(
+        cand,
+        (F.col("ta") == F.col("ca")) & (F.col("tb") == F.col("cb")),
+        "left",
+    )
+    n_hits = F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long")
+    return (
+        j.agg(
+            F.count(F.lit(1)).alias("n_true_pairs"),
+            n_hits.alias("n_hits"),
+            F.expr(
+                "CAST(sum(coalesce(hit, 0)) * 1000000 AS BIGINT)"
+                " DIV count(1)"
+            ).alias("recall_e6"),
+        )
+        .crossJoin(cand_n)
+        .select("n_true_pairs", "n_candidates", "n_hits", "recall_e6")
+    )
+
+
+from litebase_spark.catalog import REGISTRY as _DEDUP_REGISTRY  # noqa: E402
+
+_DEDUP_REGISTRY["pipeline_dedup_recall"].oracle = _dedup_recall_oracle()
