@@ -75,6 +75,57 @@ def is_write(sql: str) -> bool:
     return classify_statement(sql) in ("DDL", "DML")
 
 
+_SQLITE_CAST_TYPES = {
+    # SQLite type name -> Spark type. INTEGER maps to BIGINT because
+    # SQLite's INTEGER storage class is 64-bit; NUMERIC maps to DOUBLE
+    # (full prefix-parsing affinity is a documented deviation).
+    "TEXT": "STRING",
+    "REAL": "DOUBLE",
+    "BLOB": "BINARY",
+    "NUMERIC": "DOUBLE",
+    "INTEGER": "BIGINT",
+}
+
+
+def _rewrite_sqlite_casts(sql: str) -> str:
+    """Map SQLite type names inside CAST(... AS <type>) to Spark types.
+
+    Scoped strictly to CAST expressions (depth-tracked to the matching
+    close paren), so a column alias that happens to be named `text` is
+    never touched — the fixtures' documents.text would otherwise be a
+    landmine for a blanket regex."""
+    import re as _re
+
+    out = []
+    i = 0
+    pat = _re.compile(r"(?is)\bCAST\s*\(")
+    tail = _re.compile(
+        r"(?is)(\bAS\s+)(TEXT|REAL|BLOB|NUMERIC|INTEGER)(\s*)$"
+    )
+    while True:
+        m = pat.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            return "".join(out)
+        depth, j = 1, m.end()
+        while j < len(sql) and depth:
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+            j += 1
+        inner = _rewrite_sqlite_casts(sql[m.end():j - 1])
+        tm = tail.search(inner)
+        if tm:
+            inner = (inner[: tm.start()] + tm.group(1)
+                     + _SQLITE_CAST_TYPES[tm.group(2).upper()]
+                     + tm.group(3))
+        out.append(sql[i:m.end()])
+        out.append(inner)
+        out.append(sql[j - 1:j])
+        i = j
+
+
 @dataclass
 class QueryResult:
     """Result envelope mirroring reference pkg/database/query_response.go:15-50."""
@@ -356,6 +407,7 @@ class Engine:
         stmt_class = classify_statement(statement)
         sql_text, args = self._bind(statement, params)
         sql_text = self._rewrite_time_travel(sql_text)
+        sql_text = _rewrite_sqlite_casts(sql_text)
         returning = None
         if stmt_class == "DML":
             sql_text, returning = self._split_returning(sql_text)
@@ -452,6 +504,7 @@ class Engine:
         """Lazy variant: return the DataFrame without collecting."""
         sql_text, args = self._bind(statement, params)
         sql_text = self._rewrite_time_travel(sql_text)
+        sql_text = _rewrite_sqlite_casts(sql_text)
         return self.spark.sql(sql_text, args=args) if args else self.spark.sql(sql_text)
 
     # -- time travel over a VersionedStore (A21 SQL surface) ----------------

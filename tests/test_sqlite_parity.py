@@ -251,3 +251,15 @@ def test_create_index_introspection_parity(eng):
         eng.sql("DROP INDEX IF EXISTS p_ix_vn")
     finally:
         eng.sql("DROP TABLE IF EXISTS p_ix")
+
+
+def test_sqlite_cast_type_names_parity(eng):
+    con = sqlite3.connect(":memory:")
+    stmt = ("SELECT CAST(3.7 AS INTEGER) AS a, CAST(5 AS REAL) AS b, "
+            "CAST(42 AS TEXT) AS c, CAST(-9.99 AS INTEGER) AS d")
+    got = [tuple(r) for r in eng.sql(stmt).rows]
+    want = [tuple(r) for r in con.execute(stmt)]
+    assert got == want  # truncation toward zero, 64-bit ints, '42'
+    # alias named `text` must survive the rewrite untouched
+    r = eng.sql("SELECT 7 AS text")
+    assert r.columns == ["text"] and r.rows[0].text == 7
