@@ -11,7 +11,7 @@ boundaries, and AQE decisions — anything order-dependent breaks here).
 
 Runs standalone (needs its own JVM config, so it cannot share the pytest
 session): python tools/partition_invariance.py
-Exit code = number of failures. Round-3 run: 9/9 PASS.
+Exit code = number of failures. Round-3 run: 13/13 PASS.
 """
 
 from __future__ import annotations
@@ -42,6 +42,10 @@ NAMES = [
     "ts_anomaly_zscore",
     "dedup_incremental_minhash",
     "embedding_kmeans",
+    "graph_triangle_count",
+    "text_tfidf_keywords",
+    "knn_filtered_search",
+    "pipeline_dedup_recall",
 ]
 
 
