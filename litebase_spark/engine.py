@@ -408,6 +408,11 @@ class Engine:
         sql_text, args = self._bind(statement, params)
         sql_text = self._rewrite_time_travel(sql_text)
         sql_text = _rewrite_sqlite_casts(sql_text)
+        from litebase_spark.functions.dialect import (
+            rewrite_sqlite_functions as _rw_fns,
+        )
+
+        sql_text = _rw_fns(sql_text)
         returning = None
         if stmt_class == "DML":
             sql_text, returning = self._split_returning(sql_text)
@@ -505,6 +510,11 @@ class Engine:
         sql_text, args = self._bind(statement, params)
         sql_text = self._rewrite_time_travel(sql_text)
         sql_text = _rewrite_sqlite_casts(sql_text)
+        from litebase_spark.functions.dialect import (
+            rewrite_sqlite_functions as _rw_fns,
+        )
+
+        sql_text = _rw_fns(sql_text)
         return self.spark.sql(sql_text, args=args) if args else self.spark.sql(sql_text)
 
     # -- time travel over a VersionedStore (A21 SQL surface) ----------------

@@ -1,0 +1,311 @@
+"""SQL-text dialect rewriter: SQLite scalar-function calls -> Spark SQL.
+
+The compat layer (functions/compat.py) gives every SQLite scalar a
+Python Column helper, and a handful of names are SQL-registered as
+typed temporary functions — but typed SQL UDFs cannot express the
+generic/variadic SQLite forms (iif over any type, char(...) variadic,
+scalar max/min, strftime's literal format, GLOB's pattern language,
+datetime modifiers). Those become a *textual* rewrite here, applied by
+``Engine.sql`` after parameter binding: each call site is located with
+a quote- and paren-aware scanner (never inside string literals,
+requires word boundary, arguments split at top level and rewritten
+recursively) and replaced with the equivalent Spark expression.
+
+Reference surface: sqlite.org/lang_corefunc.html and lang_datefunc.html
+(the reference enables the full core-function set, pkg/sqlite3).
+Unsupported spots are left untouched so the resolver error names the
+original function.
+"""
+
+from __future__ import annotations
+
+import re
+
+from litebase_spark.functions.compat import strftime_format
+
+_WORD_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def _split_args(s: str) -> list[str] | None:
+    """Split a call's argument text at top-level commas; None if the
+    text is unbalanced. Tracks single-quoted strings ('' escapes)."""
+    args, depth, cur, i = [], 0, [], 0
+    while i < len(s):
+        ch = s[i]
+        if ch == "'":
+            j = i + 1
+            while j < len(s):
+                if s[j] == "'":
+                    if j + 1 < len(s) and s[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            cur.append(s[i : j + 1])
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return None
+        if ch == "," and depth == 0:
+            args.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    args.append("".join(cur).strip())
+    return args
+
+
+def _literal(arg: str) -> str | None:
+    """The Python string value of a SQL single-quoted literal, else None."""
+    a = arg.strip()
+    if len(a) >= 2 and a[0] == "'" and a[-1] == "'":
+        return a[1:-1].replace("''", "'")
+    return None
+
+
+def _glob_regex(pattern: str) -> str:
+    """SQLite GLOB pattern -> anchored Java regex (mirrors
+    compat.glob_match, as text)."""
+    out, i = [], 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        elif ch == "[":
+            j = pattern.find("]", i + 1)
+            if j == -1:
+                out.append("\\[")
+            else:
+                body = pattern[i + 1 : j]
+                if body.startswith("^"):
+                    body = "^" + re.escape(body[1:])
+                else:
+                    body = re.escape(body)
+                # keep ranges like a-z usable
+                body = body.replace("\\-", "-")
+                out.append(f"[{body}]")
+                i = j
+        else:
+            out.append(re.escape(ch))
+        i += 1
+    return "^" + "".join(out) + "$"
+
+
+_TRUNC = {"start of day": "day", "start of month": "month",
+          "start of year": "year"}
+_SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+
+
+def _apply_modifier(expr: str, mod: str) -> str | None:
+    """One SQLite date modifier applied to a timestamp expression, as
+    SQL text (mirrors compat.sqlite_datetime)."""
+    m = mod.strip().lower()
+    if m in _TRUNC:
+        return f"date_trunc('{_TRUNC[m]}', {expr})"
+    sign, body = 1, m
+    if m.startswith(("+", "-")):
+        sign = -1 if m[0] == "-" else 1
+        body = m[1:].strip()
+    num_s, _, unit = body.partition(" ")
+    try:
+        num = float(num_s)
+    except ValueError:
+        return None
+    unit = unit.strip().rstrip("s")
+    if unit in _SECONDS:
+        delta = int(sign * num * _SECONDS[unit] * 1e6)
+        return f"timestamp_micros(unix_micros({expr}) + {delta})"
+    if unit == "month":
+        return f"({expr} + INTERVAL {int(sign * num)} MONTH)"
+    if unit == "year":
+        return f"({expr} + INTERVAL {int(sign * num * 12)} MONTH)"
+    return None
+
+
+def _dt_chain(ts_arg: str, mods: list[str]) -> str | None:
+    expr = f"CAST({ts_arg} AS TIMESTAMP)"
+    for a in mods:
+        lit = _literal(a)
+        if lit is None:
+            return None
+        expr2 = _apply_modifier(expr, lit)
+        if expr2 is None:
+            return None
+        expr = expr2
+    return expr
+
+
+_TYPEOF_CASE = (
+    "CASE WHEN typeof({a}) = 'void' THEN 'null' "
+    "WHEN typeof({a}) = 'string' THEN 'text' "
+    "WHEN typeof({a}) IN ('int','bigint','smallint','tinyint','boolean')"
+    " THEN 'integer' "
+    "WHEN typeof({a}) IN ('double','float') OR typeof({a}) LIKE 'decimal%'"
+    " THEN 'real' "
+    "WHEN typeof({a}) = 'binary' THEN 'blob' "
+    "ELSE typeof({a}) END"
+)
+
+
+_PRINTF_DIR = re.compile(r"%[-+ #0]*\d*(?:\.\d+)?([diouxXeEfgGcs])")
+
+
+def _printf_call(args: list[str]) -> str:
+    """printf with SQLite's numeric laxity: when the format is a
+    literal, cast each argument to the type its directive expects
+    (Spark's printf raises on e.g. %f over a DECIMAL literal)."""
+    fmt = _literal(args[0])
+    if fmt is None or len(args) == 1:
+        return f"printf({', '.join(args)})"
+    kinds = _PRINTF_DIR.findall(fmt)
+    cast_args = [args[0]]
+    for i, a in enumerate(args[1:]):
+        kind = kinds[i] if i < len(kinds) else "s"
+        if kind in "eEfgG":
+            cast_args.append(f"CAST({a} AS DOUBLE)")
+        elif kind in "diouxX":
+            cast_args.append(f"CAST({a} AS BIGINT)")
+        else:
+            cast_args.append(f"CAST({a} AS STRING)")
+    return f"printf({', '.join(cast_args)})"
+
+
+def _xform(name: str, args: list[str]) -> str | None:
+    """Replacement text for one call, or None to leave it unchanged."""
+    n = name.lower()
+    j = ", ".join(args)
+    if n == "iif" and len(args) == 3:
+        return f"if({j})"
+    if n in ("format", "printf") and len(args) >= 1:
+        return _printf_call(args)
+    if n in ("ltrim", "rtrim") and len(args) == 2:
+        # SQLite: ltrim(x, chars); Spark's two-arg form is
+        # (trimStr, srcStr) — swap
+        return f"{n}({args[1]}, {args[0]})"
+    if n == "trim" and len(args) == 2:
+        return f"btrim({j})"  # btrim takes (str, trimStr) like SQLite
+    if n in ("max", "min") and len(args) >= 2:
+        return f"{'greatest' if n == 'max' else 'least'}({j})"
+    if n == "char" and len(args) >= 2:
+        return "concat(" + ", ".join(f"char({a})" for a in args) + ")"
+    if n == "like" and len(args) in (2, 3):
+        esc = f" ESCAPE {args[2]}" if len(args) == 3 else ""
+        return f"(({args[1]}) LIKE ({args[0]}){esc})"
+    if n == "quote" and len(args) == 1:
+        return f"sqlite_quote({j})"
+    if n == "unicode" and len(args) == 1:
+        return f"ascii({j})"
+    if n == "zeroblob" and len(args) == 1:
+        return f"unhex(repeat('00', {args[0]}))"
+    if n == "typeof" and len(args) == 1:
+        return _TYPEOF_CASE.format(a=args[0])
+    if n == "glob" and len(args) == 2:
+        pat = _literal(args[0])
+        if pat is None:
+            return None
+        rx = _glob_regex(pat).replace("\\", "\\\\").replace("'", "''")
+        return f"(({args[1]}) RLIKE '{rx}')"
+    if n == "strftime" and len(args) >= 2:
+        fmt = _literal(args[0])
+        chain = _dt_chain(args[1], args[2:])
+        if fmt is None or chain is None:
+            return None
+        if fmt == "%s":
+            return f"CAST(unix_timestamp({chain}) AS STRING)"
+        try:
+            jfmt = strftime_format(fmt)
+        except ValueError:
+            return None
+        return f"date_format({chain}, '{jfmt}')"
+    if n == "datetime" and len(args) >= 1:
+        chain = _dt_chain(args[0], args[1:])
+        if chain is None:
+            return None
+        return f"date_format({chain}, 'yyyy-MM-dd HH:mm:ss')"
+    if n == "date" and len(args) >= 2:
+        chain = _dt_chain(args[0], args[1:])
+        if chain is None:
+            return None
+        return f"date_format({chain}, 'yyyy-MM-dd')"
+    if n == "time" and len(args) >= 1:
+        chain = _dt_chain(args[0], args[1:])
+        if chain is None:
+            return None
+        return f"date_format({chain}, 'HH:mm:ss')"
+    return None
+
+
+_NAMES = {
+    "iif", "format", "printf", "max", "min", "char", "like", "quote",
+    "unicode", "zeroblob", "typeof", "glob", "strftime", "datetime",
+    "date", "time", "ltrim", "rtrim", "trim",
+}
+
+
+def rewrite_sqlite_functions(sql: str) -> str:
+    """Rewrite SQLite scalar-function call sites to Spark SQL text."""
+    out, i = [], 0
+    while i < len(sql):
+        ch = sql[i]
+        if ch == "'":  # skip string literals wholesale
+            j = i + 1
+            while j < len(sql):
+                if sql[j] == "'":
+                    if j + 1 < len(sql) and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        m = _WORD_RE.match(sql, i)
+        if m and (i == 0 or not (sql[i - 1].isalnum()
+                                 or sql[i - 1] in "_.")):
+            word = m.group(0)
+            k = m.end()
+            while k < len(sql) and sql[k] in " \t\n":
+                k += 1
+            if word.lower() in _NAMES and k < len(sql) and sql[k] == "(":
+                depth, j = 1, k + 1
+                while j < len(sql) and depth:
+                    if sql[j] == "'":
+                        j2 = j + 1
+                        while j2 < len(sql):
+                            if sql[j2] == "'":
+                                if j2 + 1 < len(sql) and sql[j2 + 1] == "'":
+                                    j2 += 2
+                                    continue
+                                break
+                            j2 += 1
+                        j = j2 + 1
+                        continue
+                    if sql[j] == "(":
+                        depth += 1
+                    elif sql[j] == ")":
+                        depth -= 1
+                    j += 1
+                inner = rewrite_sqlite_functions(sql[k + 1 : j - 1])
+                args = _split_args(inner)
+                repl = _xform(word, args) if args is not None else None
+                if repl is not None:
+                    out.append(repl)
+                else:
+                    out.append(sql[i:k + 1])
+                    out.append(inner)
+                    out.append(")")
+                i = j
+                continue
+            out.append(word)
+            i = m.end()
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)

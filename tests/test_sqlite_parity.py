@@ -263,3 +263,41 @@ def test_sqlite_cast_type_names_parity(eng):
     # alias named `text` must survive the rewrite untouched
     r = eng.sql("SELECT 7 AS text")
     assert r.columns == ["text"] and r.rows[0].text == 7
+
+
+SCALAR_PARITY_EXPRS = [
+    "iif(1 < 2, 'y', 'n')", "quote('it''s')", "quote(NULL)",
+    "like('h%', 'hello')", "glob('h*', 'hello')", "glob('h[ae]llo', 'hello')",
+    "glob('x?z', 'xyz')", "typeof(42)", "typeof(1.5)", "typeof('x')",
+    "typeof(NULL)", "typeof(X'00')", "max(1, 5, 3)", "min(2, 9)",
+    "char(72, 105)", "unicode('A')", "format('%.2f', 3.14159)",
+    "printf('%5d|%s', 42, 'ab')", "printf('%x', 255)",
+    "strftime('%Y-%m', '2024-03-15')",
+    "strftime('%s', '2024-03-15 00:00:00')",
+    "strftime('%H:%M', '2024-03-15 07:08:09', '+90 minutes')",
+    "date('2024-03-15', '+1 month')", "date('2024-03-31', 'start of month')",
+    "datetime('2024-03-15 10:00:00', '-90 minutes')",
+    "datetime('2024-03-15 10:00:00', '+2 days', 'start of day')",
+    "time('2024-03-15 10:30:45')", "hex(zeroblob(3))",
+    "ltrim('xxy', 'x')", "rtrim('yxx', 'x')", "trim('xyx', 'x')",
+    "ltrim('  a')", "trim('  a  ')",
+    "upper(iif(length('ab') = 2, 'ok', 'no'))",
+    "ifnull(NULL, 7)", "nullif(3, 3)", "abs(-4.5)",
+    "substr('hello', -3)", "instr('hello', 'll')", "round(2.5)",
+    "hex('AB')", "sign(-3)", "5 % 3", "1 << 4", "6 & 3", "~5",
+    "julianday('2024-01-01')", "unixepoch('2024-01-01')",
+]
+
+
+def test_scalar_function_differential(eng):
+    """Every expression evaluates identically through Engine.sql and a
+    real SQLite connection (the dialect rewriter makes the SQLite
+    scalar surface SQL-callable, not just Python-callable)."""
+    con = sqlite3.connect(":memory:")
+    bad = []
+    for e in SCALAR_PARITY_EXPRS:
+        want = con.execute(f"SELECT {e}").fetchone()[0]
+        got = eng.sql(f"SELECT {e} AS v").rows[0].v
+        if got != want:
+            bad.append((e, got, want))
+    assert not bad, bad
