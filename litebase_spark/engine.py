@@ -320,6 +320,10 @@ class Engine:
         # an index declaration records intent and feeds introspection
         # (PRAGMA index_list/index_info, sqlite_master, sqlite_stat1).
         self._indexes: dict[str, dict] = {}
+        # connection-scope counters behind SQLite's changes() /
+        # total_changes() functions (sqlite.org/lang_corefunc.html)
+        self._last_changes = 0
+        self._total_changes = 0
         # SQLite-name shims (ifnull/iif/julianday/unixepoch/...) are part
         # of the dialect surface a reference user expects from plain
         # Engine.sql() — register them up front, UDF-free (SQL macros).
@@ -413,6 +417,7 @@ class Engine:
         )
 
         sql_text = _rw_fns(sql_text)
+        sql_text = self._rewrite_connection_fns(sql_text)
         returning = None
         if stmt_class == "DML":
             sql_text, returning = self._split_returning(sql_text)
@@ -427,6 +432,8 @@ class Engine:
             res = self._try_dml(sql_text, returning)
             if res is not None:
                 changes, rrows, rcols = res
+                self._last_changes = changes
+                self._total_changes += changes
                 latency = time.time() - t0
                 self.metrics.record(statement, latency)
                 return QueryResult(
@@ -454,6 +461,9 @@ class Engine:
             changes = self._changes_from(res)
             if changes == 0 and stmt_class == "DML":
                 changes = self._insert_values_count(sql_text)
+            if stmt_class == "DML":
+                self._last_changes = changes
+                self._total_changes += changes
             if returning is not None:
                 rows, columns = self._returning_rows(sql_text, returning)
         latency = time.time() - t0
@@ -631,6 +641,27 @@ class Engine:
         """DESCRIBE analog of the reference's introspection pragmas
         (table_info etc. — allowlist pkg/auth/pragma_list.go:3)."""
         return self.spark.sql(f"DESCRIBE TABLE {table}").collect()
+
+    def _rewrite_connection_fns(self, sql_text: str) -> str:
+        """Connection-scope SQLite functions: changes()/total_changes()
+        substitute the engine's DML counters (the reference captures
+        sqlite3_changes the same way, resolver.go:127-130);
+        sqlite_version() reports the emulated dialect version;
+        random() maps to a full-range signed 64-bit value (Spark's
+        rand() is [0,1)). Textual, word-boundary, call-site only."""
+        import re as _re
+
+        subs = [
+            (r"(?i)(?<![\w.])changes\s*\(\s*\)", str(self._last_changes)),
+            (r"(?i)(?<![\w.])total_changes\s*\(\s*\)",
+             str(self._total_changes)),
+            (r"(?i)(?<![\w.])sqlite_version\s*\(\s*\)", "'3.45.3'"),
+            (r"(?i)(?<![\w.])random\s*\(\s*\)",
+             "CAST((rand() - 0.5) * 1.844674407370955E19 AS BIGINT)"),
+        ]
+        for pat, repl in subs:
+            sql_text = _re.sub(pat, repl, sql_text)
+        return sql_text
 
     def _try_index_ddl(self, sql_text: str, t0: float):
         """CREATE INDEX / DROP INDEX as metadata DDL (SQLite surface the

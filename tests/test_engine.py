@@ -653,3 +653,21 @@ def test_sqlite_master_and_stat1_views(engine):
     finally:
         engine.sql("DROP VIEW IF EXISTS v_sm")
         engine.sql("DROP TABLE IF EXISTS t_sm")
+
+
+def test_changes_and_total_changes_functions(engine):
+    engine.sql("CREATE TABLE t_ch (a BIGINT, b STRING) USING PARQUET")
+    try:
+        base = engine.sql("SELECT total_changes() AS t").rows[0].t
+        engine.sql("INSERT INTO t_ch VALUES (1, 'x'), (2, 'y'), (3, 'z')")
+        assert engine.sql("SELECT changes() AS c").rows[0].c == 3
+        engine.sql("DELETE FROM t_ch WHERE a = 1")
+        assert engine.sql("SELECT changes() AS c").rows[0].c == 1
+        assert (engine.sql("SELECT total_changes() AS t").rows[0].t
+                == base + 4)
+        v = engine.sql("SELECT sqlite_version() AS v").rows[0].v
+        assert v.count(".") == 2
+        r = engine.sql("SELECT random() AS r").rows[0].r
+        assert isinstance(r, int)
+    finally:
+        engine.sql("DROP TABLE IF EXISTS t_ch")
