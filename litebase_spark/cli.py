@@ -33,6 +33,7 @@ _HELP = """\
 .timer on|off       toggle per-statement latency
 .eqp on|off         print EXPLAIN QUERY PLAN before each query
 .changes            toggle printing `changes` after DML
+.indexes [table]    list declared indexes
 .help               show this help
 .quit / .exit       leave the shell"""
 
@@ -127,6 +128,16 @@ class Shell:
             self.eqp = bool(args and args[0] == "on")
         elif cmd == ".changes":
             self.show_changes = not self.show_changes
+        elif cmd == ".indexes":
+            # sqlite3 shell parity (sqlite.org/cli.html): list declared
+            # indexes, optionally filtered to one table
+            table = args[0] if args else None
+            names = sorted(
+                name
+                for name, meta in self.engine._indexes.items()
+                if table is None or meta["table"] == table
+            )
+            self._p("  ".join(names))
         else:
             self._p(f"unknown command {cmd} (try .help)")
         return True

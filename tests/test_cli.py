@@ -92,3 +92,19 @@ def test_eqp_meta_command(shell):
     # EQP rows precede the first query only
     assert "1|0|0|" in text
     assert text.count("1|0|0|") == 1
+
+
+def test_indexes_meta_command(shell):
+    sh, out = shell
+    sh.engine.sql(
+        "CREATE TABLE t_cli_ix (a BIGINT, b STRING) USING PARQUET")
+    try:
+        sh.engine.sql("CREATE INDEX t_cli_ix_a ON t_cli_ix(a)")
+        sh.run([".indexes", ".indexes t_cli_ix"])
+        assert out.getvalue().count("t_cli_ix_a") == 2
+        before = out.getvalue()
+        sh.run([".indexes other_table"])
+        assert "t_cli_ix_a" not in out.getvalue()[len(before):]
+    finally:
+        sh.engine.sql("DROP INDEX IF EXISTS t_cli_ix_a")
+        sh.engine.sql("DROP TABLE IF EXISTS t_cli_ix")
