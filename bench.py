@@ -80,6 +80,8 @@ HEADLINE = [
     "text_dup_5gram_fraction",
     "ts_anomaly_zscore",
     "profile_lineitem_stats",
+    "text_substring_dedup",
+    "pipeline_weighted_sample",
 ]
 
 

@@ -818,3 +818,82 @@ def pipeline_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") >= _K_ANON).alias("k_ok"),
         )
     )
+
+
+from litebase_spark.functions.portable import h60_duck, h60_spark  # noqa: E402
+
+
+@query(
+    "pipeline_weighted_sample",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             len({_SQL_TOKENS.format(c='text')}) AS n_tokens,
+             (len(list_distinct({_SQL_TOKENS.format(c='text')})) * 1000000)
+                 // len({_SQL_TOKENS.format(c='text')}) AS w_e6,
+             {h60_duck("CAST(doc_id AS VARCHAR)")} % 1000000 AS u_e6
+      FROM documents
+      WHERE len({_SQL_TOKENS.format(c='text')}) > 0
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (u_e6 < w_e6 // 2) AS n_sampled,
+           (SUM(w_e6 // 2)) // COUNT(*) AS expected_e6,
+           (COUNT(*) FILTER (u_e6 < w_e6 // 2) * 1000000) // COUNT(*)
+               AS realized_e6,
+           CAST(COALESCE(SUM(n_tokens) FILTER (u_e6 < w_e6 // 2), 0)
+               AS BIGINT) AS sampled_tokens
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+    description="Quality-weighted deterministic Bernoulli sampling — the "
+    "corpus-curation primitive behind quality-proportional resampling "
+    "(FineWeb/DCLM style: keep high-quality documents with higher "
+    "probability instead of a hard threshold). Per-document inclusion "
+    "probability = lexical-diversity weight / 2, decided by comparing a "
+    "portable md5-derived uniform (h60 % 1e6) against the integer e-6 "
+    "weight — no rand(), so the sample is IDENTICAL across runs, "
+    "engines, partitionings, and re-executions at 100 TB (a re-run "
+    "samples the same documents, which makes downstream caching and "
+    "incremental builds sound). Entirely integer arithmetic; one narrow "
+    "map + partial agg, the only exchange carries per-source partial "
+    "sums. Output audits expected vs realized rate per source.",
+    tags=("pipeline", "sampling", "llm"),
+)
+def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = tokens("text")
+    u = F.expr(h60_spark("CAST(doc_id AS STRING)")) % 1000000
+    scored = (
+        d.select(
+            "doc_id",
+            "source",
+            F.size(w).alias("n_tokens"),
+            F.size(F.array_distinct(w)).alias("n_distinct"),
+            u.alias("u_e6"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "w_e6", F.expr("(n_distinct * 1000000) DIV n_tokens")
+        )
+    )
+    keep = F.col("u_e6") < F.expr("w_e6 DIV 2")
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(keep.cast("long")).alias("n_sampled"),
+            F.expr("SUM(w_e6 DIV 2)").alias("_sw"),
+            F.sum(F.when(keep, F.col("n_tokens")).otherwise(F.lit(0)))
+            .cast("bigint").alias("sampled_tokens"),
+        )
+        .select(
+            "source", "n_docs", "n_sampled",
+            F.expr("_sw DIV n_docs").alias("expected_e6"),
+            F.expr("(n_sampled * 1000000) DIV n_docs")
+            .alias("realized_e6"),
+            "sampled_tokens",
+        )
+        .orderBy("source")
+    )

@@ -1711,6 +1711,138 @@ def text_dup_5gram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_substring_dedup",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS w FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, len(w) AS n_tokens, u.pos,
+             md5(array_to_string(w[u.pos:u.pos+7], ' ')) AS gh
+      FROM tok, UNNEST(range(1, len(w) - 6)) AS u(pos)
+      WHERE len(w) >= 8
+    ),
+    cnt AS (SELECT gh, COUNT(*) AS c FROM occ GROUP BY gh),
+    dup AS (
+      SELECT o.doc_id, o.n_tokens, o.pos, o.pos + 8 AS e
+      FROM occ o JOIN cnt USING (gh) WHERE cnt.c >= 2
+    ),
+    isl AS (
+      SELECT doc_id, n_tokens, pos, e,
+             CASE WHEN pos > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -1)
+                  THEN 1 ELSE 0 END AS ni
+      FROM dup
+    ),
+    grp AS (
+      SELECT doc_id, n_tokens, pos, e,
+             SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, n_tokens, island,
+             MIN(pos) AS s, MAX(e) AS e2
+      FROM grp GROUP BY doc_id, n_tokens, island
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_spans,
+           CAST(SUM(e2 - s) AS BIGINT) AS dup_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+           (CAST(SUM(e2 - s) AS BIGINT) * 1000000) // MAX(n_tokens)
+               AS dup_frac_e6
+    FROM spans
+    GROUP BY doc_id
+    ORDER BY dup_frac_e6 DESC, doc_id
+    LIMIT 100
+    """,
+    description="Exact duplicated-SUBSTRING span detection — the "
+    "suffix-array exact-substring dedup signal (Lee et al. 2021, "
+    "'Deduplicating Training Data Makes Language Models Better') "
+    "re-expressed as distributed k-gram anchoring: every 8-token gram "
+    "that occurs >= 2 times ANYWHERE in the corpus (cross- or "
+    "within-document, matching the suffix-array criterion) anchors a "
+    "duplicated interval [pos, pos+8); per-document overlapping/"
+    "adjacent anchors merge into maximal spans via gaps-and-islands "
+    "(running-max window, island id = prefix sum of gap starts) — so a "
+    "30-token verbatim repeat reports as ONE 30-token span, not 23 "
+    "grams. Output: per-doc merged span count, duplicated-token total "
+    "and e-6 fixed-point coverage (DIV — engine-identical). The gram "
+    "shuffle is keyed on md5(gram) (16-byte key, not the raw text — "
+    "the exchange stays narrow at 100 TB) and the occurrence re-join "
+    "is the same hash; per-doc merging is one window over only the "
+    "anchored rows. Unlike text_chunk_dedup (fixed chunk boundaries) "
+    "this finds duplicated spans at ARBITRARY offsets, the property "
+    "that makes suffix-array dedup strictly stronger than chunk "
+    "hashing.",
+    tags=("text", "ngram", "dedup", "llm"),
+)
+def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = tokens("text")
+    grams8 = F.expr(
+        "transform(sequence(1, size(w) - 7), "
+        "i -> struct(i AS pos, md5(concat_ws(' ', slice(w, i, 8))) AS gh))"
+    )
+    occ = (
+        d.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 8)
+        .select(
+            "doc_id",
+            F.size("w").alias("n_tokens"),
+            F.explode(grams8).alias("g"),
+        )
+        .select(
+            "doc_id", "n_tokens",
+            F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"),
+        )
+    )
+    cnt = occ.groupBy("gh").agg(F.count(F.lit(1)).alias("c"))
+    dup = (
+        occ.join(cnt.filter(F.col("c") >= 2), "gh")
+        .select("doc_id", "n_tokens", "pos",
+                (F.col("pos") + F.lit(8)).alias("e"))
+    )
+    ws = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max("e").over(
+        ws.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = dup.withColumn(
+        "ni",
+        F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1)
+        .otherwise(0),
+    )
+    grp = isl.withColumn(
+        "island",
+        F.sum("ni").over(ws.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = grp.groupBy("doc_id", "n_tokens", "island").agg(
+        F.min("pos").alias("s"), F.max("e").alias("e2")
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("e2") - F.col("s")).cast("bigint")
+            .alias("dup_tokens"),
+            F.max("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            "doc_id", "n_spans", "dup_tokens", "n_tokens",
+            F.expr("(dup_tokens * 1000000) DIV n_tokens")
+            .alias("dup_frac_e6"),
+        )
+        .orderBy(F.desc("dup_frac_e6"), "doc_id")
+        .limit(100)
+    )
+
+
+@query(
     "text_tfidf_keywords",
     oracle=f"""
     WITH tok AS (
