@@ -18,6 +18,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from litebase_spark.catalog import load, query
+from litebase_spark.functions.portable import (
+    h60_duck as _h60_duck,
+    h60_spark as _h60_spark,
+)
 
 # Tokenizer shared by all text ops: lowercase, split on non-alphanumeric
 # runs, drop empties. Same regex on the DuckDB side.
@@ -1647,7 +1651,7 @@ _REGISTRY["text_hybrid_retrieval"].oracle = _hybrid_oracle()
     g AS (
       SELECT doc_id, u.gram
       FROM tok, UNNEST(list_transform(range(1, len(w) - 3),
-                       i -> array_to_string(w[i:i+4], ' '))) AS u(gram)
+                       i -> {_h60_duck("array_to_string(w[i:i+4], ' ')")})) AS u(gram)
       WHERE len(w) >= 5
     ),
     df AS (
@@ -1718,7 +1722,7 @@ def text_dup_5gram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     occ AS (
       SELECT doc_id, len(w) AS n_tokens, u.pos,
-             md5(array_to_string(w[u.pos:u.pos+7], ' ')) AS gh
+             {_h60_duck("array_to_string(w[u.pos:u.pos+7], ' ')")} AS gh
       FROM tok, UNNEST(range(1, len(w) - 6)) AS u(pos)
       WHERE len(w) >= 8
     ),
@@ -1771,10 +1775,11 @@ def text_dup_5gram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "30-token verbatim repeat reports as ONE 30-token span, not 23 "
     "grams. Output: per-doc merged span count, duplicated-token total "
     "and e-6 fixed-point coverage (DIV — engine-identical). The gram "
-    "shuffle is keyed on md5(gram) (16-byte key, not the raw text — "
-    "the exchange stays narrow at 100 TB) and the occurrence re-join "
-    "is the same hash; per-doc merging is one window over only the "
-    "anchored rows. Unlike text_chunk_dedup (fixed chunk boundaries) "
+    "shuffle is keyed on the portable 60-bit md5-derived hash (8-byte "
+    "BIGINT key, not the raw gram text — the exchange stays narrow at "
+    "100 TB) and the occurrence re-join is the same hash; per-doc "
+    "merging is one window over only the anchored rows. Unlike "
+    "text_chunk_dedup (fixed chunk boundaries) "
     "this finds duplicated spans at ARBITRARY offsets, the property "
     "that makes suffix-array dedup strictly stronger than chunk "
     "hashing.",
@@ -1785,9 +1790,10 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     w = tokens("text")
+    gh8 = _h60_spark("concat_ws(' ', slice(w, i, 8))")
     grams8 = F.expr(
         "transform(sequence(1, size(w) - 7), "
-        "i -> struct(i AS pos, md5(concat_ws(' ', slice(w, i, 8))) AS gh))"
+        f"i -> struct(i AS pos, {gh8} AS gh))"
     )
     occ = (
         d.select("doc_id", w.alias("w"))

@@ -98,6 +98,8 @@ _REVIEWED_NONPUSHABLE = {
     "sketch_countmin_topk",  # isnotnull(affine-hash bucket exprs) join guards
     "text_hybrid_retrieval",  # any_tf > 0 (BM25 side; embedding-side
     # vec_id filters DO push: PushedFilters [IsNotNull, EqualTo] verified)
+    "text_substring_dedup",  # size(tokens(text)) >= 8 gram-anchor guard
+    "pipeline_weighted_sample",  # size(tokens(text)) > 0 weight guard
 }
 
 # Registered builders allowed a driver-side collect because it is O(k)
