@@ -11,7 +11,7 @@ boundaries, and AQE decisions — anything order-dependent breaks here).
 
 Runs standalone (needs its own JVM config, so it cannot share the pytest
 session): python tools/partition_invariance.py
-Exit code = number of failures. Round-3 run: 13/13 PASS.
+Exit code = number of failures. Round-3 run: 15/15 PASS.
 """
 
 from __future__ import annotations
@@ -46,6 +46,8 @@ NAMES = [
     "text_tfidf_keywords",
     "knn_filtered_search",
     "pipeline_dedup_recall",
+    "text_substring_dedup",
+    "pipeline_weighted_sample",
 ]
 
 
