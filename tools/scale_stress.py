@@ -60,6 +60,8 @@ QUERIES = [
     "graph_pagerank",            # iterative: 5 shuffle rounds
     "ts_anomaly_zscore",         # bucketed window analytics
     "profile_lineitem_stats",    # one-scan multi-distinct profile
+    "text_substring_dedup",      # gram-anchored span merge (2 exchanges)
+    "pipeline_weighted_sample",  # hash-decided sampling (narrow map)
 ]
 
 _SHIFT = 10**9
