@@ -3,7 +3,9 @@ user surface, re-expressed over Engine).
 
 Reference parity (behavioral, not structural):
   * routes — POST /v1/databases/{db}/{branch}/query (batch of typed
-    queries), GET .../metrics/query, POST .../transactions,
+    queries), POST .../query/stream (pipelined NDJSON frames; SELECT
+    results stream via toLocalIterator, never collected server-side),
+    GET .../metrics/query, POST .../transactions,
     POST .../transactions/{id}/commit, DELETE .../transactions/{id}
     (pkg/http/routes.go:252-303);
   * request shape — {"queries": [{id, statement, parameters,
@@ -163,6 +165,7 @@ def decode_parameters(params: list[dict] | None):
 # -- server ------------------------------------------------------------------
 
 _QUERY_RE = re.compile(r"^/v1/databases/([^/]+)/([^/]+)/query$")
+_QSTREAM_RE = re.compile(r"^/v1/databases/([^/]+)/([^/]+)/query/stream$")
 _METRICS_RE = re.compile(r"^/v1/databases/([^/]+)/([^/]+)/metrics/query$")
 _SNAP_RE = re.compile(r"^/v1/databases/([^/]+)/([^/]+)/snapshots$")
 _BACKUP_RE = re.compile(r"^/v1/databases/([^/]+)/([^/]+)/backups$")
@@ -283,6 +286,9 @@ class QueryServer:
                 m = _QUERY_RE.match(self.path)
                 if m:
                     return self._query(key, m.group(1), m.group(2))
+                m = _QSTREAM_RE.match(self.path)
+                if m:
+                    return self._query_stream(key, m.group(1), m.group(2))
                 m = _TXN_RE.match(self.path)
                 if m:
                     return self._txn_store(key, m.group(1), m.group(2))
@@ -521,6 +527,128 @@ class QueryServer:
                         return self._send(400, {"status": "error", "message": str(e)[:500]})
                     out.append(result_envelope(q.get("id"), res))
                 return self._send(200, {"status": "success", "data": out})
+
+            def _query_stream(self, key, db, branch):
+                """POST .../query/stream — the reference's pipelined
+                streaming protocol (pkg/http/routes.go `query/stream`,
+                SURVEY §3.2) re-expressed as NDJSON frames over a
+                streamed HTTP response (documented deviation: the
+                reference frames a custom binary protocol; the framing
+                here is line-delimited JSON, the PIPELINING is the
+                faithful part).
+
+                Frames, one JSON object per line, flushed as produced:
+                  {"id", "type": "columns", "columns": [...]}
+                  {"id", "type": "rows", "rows": [[...], ...]}   (batches)
+                  {"id", "type": "end", "row_count", "changes", "latency"}
+                  {"id", "type": "error", "message"}             (aborts)
+
+                SELECT results are NOT collected on the server: the
+                DataFrame streams through `toLocalIterator` partition by
+                partition (prefetching one ahead), so the first rows
+                frame goes out while later partitions are still
+                computing — at cluster scale the response pipeline is
+                bounded by one partition of memory, never the full
+                result. Writes execute under the single-writer lock and
+                emit only the end frame. A statement error emits an
+                error frame and aborts the remaining pipeline, matching
+                the reference's fail-fast stream semantics.
+                """
+                import time as _time
+
+                resource = f"database:{db}:branch:{branch}"
+                if not key.allows(resource, "database:query"):
+                    return self._send(403, {"status": "error", "message": "forbidden"})
+                try:
+                    body = self._body()
+                except json.JSONDecodeError:
+                    return self._send(400, {"status": "error", "message": "invalid input"})
+                queries = body.get("queries")
+                if not isinstance(queries, list) or not queries:
+                    return self._send(400, {"status": "error", "message": "The queries field is required."})
+                for q in queries:
+                    stmt = q.get("statement")
+                    if not stmt:
+                        return self._send(400, {"status": "error", "message": "The SQL statement field is required."})
+                    priv = required_privilege(stmt)
+                    if not key.allows(resource, priv):
+                        return self._send(403, {"status": "error", "message": f"forbidden: requires {priv}"})
+
+                self.send_response(200)
+                self.send_header("Content-Type", "application/x-ndjson")
+                self.send_header("Connection", "close")
+                self.end_headers()
+
+                def frame(obj) -> bool:
+                    try:
+                        self.wfile.write(
+                            (json.dumps(obj) + "\n").encode()
+                        )
+                        self.wfile.flush()
+                        return True
+                    except (BrokenPipeError, ConnectionError):
+                        return False  # client went away: stop producing
+
+                for q in queries:
+                    stmt, qid = q["statement"], q.get("id")
+                    params = decode_parameters(q.get("parameters"))
+                    cls = classify_statement(stmt)
+                    is_write = cls in ("DML", "DDL", "MAINT", "TCL")
+                    t0 = _time.time()
+                    try:
+                        if is_write or q.get("transaction_id"):
+                            # writes / transactional statements take the
+                            # collected path (single-writer lock; txn
+                            # shadow views are not lazy-streamable)
+                            with server.write_lock:
+                                res = server.engine.sql(
+                                    stmt, params,
+                                    transaction_id=q.get("transaction_id"),
+                                )
+                            if not frame({"id": qid, "type": "columns",
+                                          "columns": res.columns}):
+                                return
+                            if res.rows and not frame(
+                                {"id": qid, "type": "rows",
+                                 "rows": [[_json_value(v) for v in r]
+                                          for r in res.rows]}
+                            ):
+                                return
+                            if not frame({"id": qid, "type": "end",
+                                          "row_count": res.row_count,
+                                          "changes": res.changes,
+                                          "latency": res.latency}):
+                                return
+                            continue
+                        df = server.engine.df(stmt, params)
+                        if not frame({"id": qid, "type": "columns",
+                                      "columns": df.columns}):
+                            return
+                        n, batch = 0, []
+                        for row in df.toLocalIterator(
+                            prefetchPartitions=True
+                        ):
+                            batch.append([_json_value(v) for v in row])
+                            n += 1
+                            if len(batch) >= 256:
+                                if not frame({"id": qid, "type": "rows",
+                                              "rows": batch}):
+                                    return
+                                batch = []
+                        if batch and not frame(
+                            {"id": qid, "type": "rows", "rows": batch}
+                        ):
+                            return
+                        latency = _time.time() - t0
+                        server.engine.metrics.record(stmt, latency)
+                        if not frame({"id": qid, "type": "end",
+                                      "row_count": n, "changes": 0,
+                                      "latency": latency}):
+                            return
+                    except Exception as e:
+                        frame({"id": qid, "type": "error",
+                               "message": str(e)[:500]})
+                        return  # fail-fast: abort the remaining pipeline
 
             def _txn_store(self, key, db, branch):
                 resource = f"database:{db}:branch:{branch}"

@@ -345,3 +345,71 @@ def test_admin_routes_snapshots_backups_restore_keys(spark, tmp_path):
         assert code == 401  # revoked
     finally:
         srv.stop()
+
+
+def _stream_call(srv, path, body, token):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}",
+        data=json.dumps(body).encode(),
+        method="POST",
+    )
+    req.add_header("Authorization", f"Bearer {token}")
+    with urllib.request.urlopen(req) as resp:
+        ctype = resp.headers.get("Content-Type")
+        frames = [json.loads(line) for line in resp.read().splitlines()]
+    return ctype, frames
+
+
+def test_query_stream_pipelines_frames(server):
+    # a multi-row SELECT followed by a second statement: frames must
+    # arrive in pipeline order (columns -> rows -> end per query)
+    path = "/v1/databases/main/main/query/stream"
+    q = {
+        "queries": [
+            {"id": "a", "statement":
+                "SELECT id, id * 2 AS dbl FROM RANGE(600) AS t(id)"},
+            {"id": "b", "statement": "SELECT 'x' AS s"},
+        ]
+    }
+    ctype, frames = _stream_call(server, path, q, "admin:s3cret")
+    assert ctype == "application/x-ndjson"
+    kinds = [(f["id"], f["type"]) for f in frames]
+    assert kinds[0] == ("a", "columns")
+    assert kinds[-1] == ("b", "end")
+    a_rows = [r for f in frames
+              if f["id"] == "a" and f["type"] == "rows"
+              for r in f["rows"]]
+    assert len(a_rows) == 600 and a_rows[0][1] == a_rows[0][0] * 2
+    # 600 rows with 256-row batching -> at least 2 rows frames (the
+    # response is framed, not one monolithic body)
+    assert sum(1 for f in frames
+               if f["id"] == "a" and f["type"] == "rows") >= 2
+    a_end = next(f for f in frames
+                 if f["id"] == "a" and f["type"] == "end")
+    assert a_end["row_count"] == 600
+    b = [f for f in frames if f["id"] == "b"]
+    assert [f["type"] for f in b] == ["columns", "rows", "end"]
+    assert b[1]["rows"] == [["x"]]
+
+
+def test_query_stream_error_aborts_pipeline(server):
+    path = "/v1/databases/main/main/query/stream"
+    q = {
+        "queries": [
+            {"id": "bad", "statement": "SELECT * FROM no_such_table_xyz"},
+            {"id": "after", "statement": "SELECT 1 AS x"},
+        ]
+    }
+    _, frames = _stream_call(server, path, q, "admin:s3cret")
+    assert frames[-1]["type"] == "error" and frames[-1]["id"] == "bad"
+    # fail-fast: nothing for the statement after the failure
+    assert not any(f["id"] == "after" for f in frames)
+
+
+def test_query_stream_enforces_privileges(server):
+    path = "/v1/databases/main/main/query/stream"
+    q = {"queries": [
+        {"id": "1", "statement": "CREATE TABLE h_s (id BIGINT) USING PARQUET"}
+    ]}
+    code, body = _call(server, "POST", path, q, token="reader:r3ad")
+    assert code == 403 and "database:manage" in body["message"]
