@@ -34,6 +34,7 @@ _HELP = """\
 .eqp on|off         print EXPLAIN QUERY PLAN before each query
 .changes            toggle printing `changes` after DML
 .indexes [table]    list declared indexes
+.metrics            per-statement latency telemetry (query logs)
 .help               show this help
 .quit / .exit       leave the shell"""
 
@@ -138,6 +139,13 @@ class Shell:
                 if table is None or meta["table"] == table
             )
             self._p("  ".join(names))
+        elif cmd == ".metrics":
+            # reference CLI `database query logs` analog: the engine's
+            # per-statement-hash latency telemetry (count/avg/min/max/
+            # p50/p90/p99 — pkg/logs/query_metric.go:14-28) as a table
+            df = self.engine.query_metrics()
+            rows = [tuple(r) for r in df.collect()]
+            self._p(format_table(df.columns, rows))
         else:
             self._p(f"unknown command {cmd} (try .help)")
         return True

@@ -108,3 +108,15 @@ def test_indexes_meta_command(shell):
     finally:
         sh.engine.sql("DROP INDEX IF EXISTS t_cli_ix_a")
         sh.engine.sql("DROP TABLE IF EXISTS t_cli_ix")
+
+
+def test_metrics_meta_command(shell):
+    sh, out = shell
+    sh.run(["SELECT 41 + 1 AS answer;"])
+    before = len(out.getvalue())
+    sh.run([".metrics"])
+    text = out.getvalue()[before:]
+    # the telemetry table includes the statement just executed with its
+    # count and latency percentiles (query_metric.go shape)
+    assert "p50" in text and "p99" in text
+    assert "41 + 1" in text
