@@ -1427,6 +1427,52 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "transform_unpivot",
+    oracle="""
+    WITH agg AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n_rows,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT l_partkey) AS n_part
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, measure, value FROM (
+      SELECT l_returnflag, 'n_rows' AS measure, n_rows AS value FROM agg
+      UNION ALL
+      SELECT l_returnflag, 'n_supp', n_supp FROM agg
+      UNION ALL
+      SELECT l_returnflag, 'n_part', n_part FROM agg
+    )
+    ORDER BY l_returnflag, measure
+    """,
+    description="UNPIVOT / melt — the inverse of agg_pivot: wide "
+    "per-flag aggregate columns rotated into (key, measure, value) "
+    "rows. Spark's DataFrame.unpivot compiles to a single Expand node "
+    "over the aggregated rows — one pass, no join, no re-scan — and "
+    "because the Expand runs AFTER the aggregation its 3x row "
+    "multiplication applies to the handful of aggregate rows, not the "
+    "fact table (the order that matters at 100 TB; melting raw facts "
+    "first would triple the scan volume). Oracle is the portable "
+    "UNION ALL rotation.",
+    tags=("agg", "pivot", "unpivot"),
+)
+def transform_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    agg = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct("l_partkey").alias("n_part"),
+    )
+    return (
+        agg.unpivot(
+            ["l_returnflag"], ["n_rows", "n_supp", "n_part"],
+            "measure", "value",
+        )
+        .orderBy("l_returnflag", "measure")
+    )
+
+
+@query(
     "agg_stats_moments",
     oracle="""
     WITH s AS (
