@@ -627,3 +627,118 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_payload=["event_id", "ts", "value"],
         direction="forward",
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, event_id, value FROM (
+        SELECT user_id, ts, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click') WHERE rn = 1
+    ),
+    purchases AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    b AS (
+      SELECT p.event_id, p.user_id, p.ts,
+             c.event_id AS b_id, c.ts AS b_ts, c.value AS b_val
+      FROM purchases p ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+    ),
+    f AS (
+      SELECT p.event_id,
+             c.event_id AS f_id, c.ts AS f_ts, c.value AS f_val
+      FROM purchases p ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts <= c.ts
+    ),
+    j AS (
+      SELECT b.*, f.f_id, f.f_ts, f.f_val,
+             CASE
+               WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+               WHEN f_ts IS NULL THEN 'backward'
+               WHEN b_ts IS NULL THEN 'forward'
+               WHEN epoch_us(ts) - epoch_us(b_ts)
+                    <= epoch_us(f_ts) - epoch_us(ts) THEN 'backward'
+               ELSE 'forward'
+             END AS picked
+      FROM b JOIN f USING (event_id)
+    )
+    SELECT event_id, user_id, ts,
+           CASE picked WHEN 'backward' THEN b_id
+                       WHEN 'forward' THEN f_id END AS r_event_id,
+           CASE picked WHEN 'backward' THEN b_ts
+                       WHEN 'forward' THEN f_ts END AS r_ts,
+           CASE picked WHEN 'backward' THEN b_val
+                       WHEN 'forward' THEN f_val END AS r_value,
+           picked
+    FROM j
+    """,
+    description="Nearest as-of join (merge_asof direction='nearest'): "
+    "each purchase joined to the same user's click CLOSEST in time, "
+    "either side, tie broken toward backward. Composition of the two "
+    "existing one-shuffle sweeps — backward attach, forward attach, "
+    "integer microsecond-distance pick (no float time math) — so the "
+    "plan is two keyed window sweeps over the same user_id "
+    "partitioning, still no pair explosion. The sensor/record "
+    "alignment shape (align each reading to the nearest reference "
+    "tick). Oracle composes DuckDB's native ASOF both directions.",
+    tags=("asof", "join", "timeseries"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    dedup_w = Window.partitionBy("user_id", "ts").orderBy(
+        F.col("event_id").desc())
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(dedup_w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    b = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_payload=["event_id", "ts", "value"],
+        prefix="b_", direction="backward",
+    ).withColumnsRenamed(
+        {"b_event_id": "b_id", "b_ts": "b_ts", "b_value": "b_val"}
+    )
+    j = asof_join(
+        b, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_payload=["event_id", "ts", "value"],
+        prefix="f_", direction="forward",
+    ).withColumnsRenamed(
+        {"f_event_id": "f_id", "f_ts": "f_ts", "f_value": "f_val"}
+    )
+    picked = (
+        F.when(F.col("b_ts").isNull() & F.col("f_ts").isNull(),
+               F.lit(None).cast("string"))
+        .when(F.col("f_ts").isNull(), F.lit("backward"))
+        .when(F.col("b_ts").isNull(), F.lit("forward"))
+        .when(
+            # NTZ -> TIMESTAMP cast is identity under the UTC session tz
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("b_ts").cast("timestamp"))
+            <= F.unix_micros(F.col("f_ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp")),
+            F.lit("backward"),
+        )
+        .otherwise(F.lit("forward"))
+    )
+    j = j.withColumn("picked", picked)
+    pick = lambda bc, fc: (  # noqa: E731
+        F.when(F.col("picked") == "backward", F.col(bc))
+        .when(F.col("picked") == "forward", F.col(fc))
+    )
+    return j.select(
+        "event_id", "user_id", "ts",
+        pick("b_id", "f_id").alias("r_event_id"),
+        pick("b_ts", "f_ts").alias("r_ts"),
+        pick("b_val", "f_val").alias("r_value"),
+        "picked",
+    )

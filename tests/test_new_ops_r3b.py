@@ -82,3 +82,32 @@ def test_weighted_sample_matches_manual_hash_decision(spark):
     # deterministic: a re-run samples the identical set
     assert {s: r.asDict() for s, r in out.items()} == \
         {s: r.asDict() for s, r in again.items()}
+
+
+def test_asof_nearest_picks_closer_side_with_backward_ties(spark):
+    import datetime as dt
+
+    from litebase_spark.operators.asof import join_asof_nearest
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)  # noqa: E731
+    rows = [
+        # (event_id, ts, user_id, event_type, value)
+        (1, t(0), 1, "click", 1.0),
+        (2, t(10), 1, "click", 2.0),
+        (3, t(4), 1, "purchase", 0.0),   # 4 min back vs 6 fwd -> backward
+        (4, t(5), 1, "purchase", 0.0),   # 5 vs 5 tie -> backward
+        (5, t(7), 1, "purchase", 0.0),   # 7 vs 3 -> forward
+        (6, t(1), 2, "purchase", 0.0),   # user 2 has no clicks -> null
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(f"{d}/events.parquet")
+        out = {r["event_id"]: r for r in
+               join_asof_nearest(spark, d).collect()}
+    assert out[3]["picked"] == "backward" and out[3]["r_event_id"] == 1
+    assert out[4]["picked"] == "backward" and out[4]["r_event_id"] == 1
+    assert out[5]["picked"] == "forward" and out[5]["r_event_id"] == 2
+    assert out[6]["picked"] is None and out[6]["r_event_id"] is None
