@@ -43,7 +43,7 @@ MIN_DISTINCT_RATIO = 0.30
     ),
     deduped AS (
         SELECT * FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY norm_text
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(norm_text)
                                          ORDER BY doc_id) AS rn
             FROM filtered) WHERE rn = 1
     )
@@ -57,50 +57,62 @@ MIN_DISTINCT_RATIO = 0.30
     """,
     description="End-to-end training-corpus prep in one plan: tokenize -> "
     "quality filter (length + lexical diversity) -> language filter -> "
-    "exact near-dup removal (normalized text, keep lowest doc_id) -> "
-    "per-source corpus accounting. Narrow filters run before the dedup "
-    "shuffle; the tokenizer expression is shared by Catalyst CSE. At "
-    "100 TB the dedup key (normalized text) would be a fingerprint hash "
-    "(text_fingerprint) to keep the exchange rows small.",
+    "exact near-dup removal (md5 of normalized text, keep lowest doc_id) "
+    "-> per-source corpus accounting. Narrow filters run before the dedup "
+    "shuffle; the tokenizer materializes ONCE in its own projection (no "
+    "reliance on CSE across aggregate expressions). The dedup is a "
+    "map-side-combining groupBy(md5(norm_text)) + min(struct(...)) — the "
+    "exchange carries a 32-char digest and four scalars, never the "
+    "normalized document text, and partial aggregation collapses "
+    "duplicates before the shuffle (the round-3 row_number window "
+    "shuffled and sorted the full text). The oracle groups by the same "
+    "md5, so both engines compute the identical function.",
     tags=("pipeline", "text", "dedup"),
 )
 def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    d = load(spark, sf_dir, "documents")
+    # Only the CHEAP metadata filter (lang) goes before the tokenizer —
+    # it pushes down to the scan for free. The token-derived predicates
+    # (n_tokens, distinct_ratio) are functions of the text alone, hence
+    # CONSTANT within a dedup group (same norm_text => same token list),
+    # so they apply equivalently AFTER the dedup aggregate — where
+    # Catalyst cannot push them back below the agg into the
+    # single-row-group scan (the round-3 plan pushed
+    # size(tokens(text)) >= 20 into the 1-partition scan, serializing
+    # the tokenizer AND computing it twice).
+    d = load(spark, sf_dir, "documents").filter(F.col("lang") == "en")
     d = d.repartition(spark.sparkContext.defaultParallelism)
-    words = tokens("text")
-    scored = (
-        d.select(
-            "doc_id",
-            "source",
-            "lang",
-            F.size(words).alias("n_tokens"),
-            (
-                F.size(F.array_distinct(words)).cast("double")
-                / F.size(words)
-            ).alias("distinct_ratio"),
-            F.lower(
-                F.trim(F.regexp_replace("text", r"\s+", " "))
-            ).alias("norm_text"),
-        )
-        .filter(F.col("n_tokens") >= MIN_TOKENS)
-        .filter(
-            (F.col("distinct_ratio") >= MIN_DISTINCT_RATIO)
-            & (F.col("lang") == "en")
-        )
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).alias("n_tokens"),
+        (
+            F.size(F.array_distinct(tokens("text"))).cast("double")
+            / F.size(tokens("text"))
+        ).alias("distinct_ratio"),
+        F.md5(
+            F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+        ).alias("dig"),
     )
-    w = Window.partitionBy("norm_text").orderBy("doc_id")
-    deduped = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+    # keep-lowest-doc_id dedup as an aggregate: min over a struct whose
+    # first field is the unique doc_id == the window row_number pick,
+    # but with map-side partial combine and a digest-keyed exchange
+    deduped = scored.groupBy("dig").agg(
+        F.min(
+            F.struct("doc_id", "source", "n_tokens", "distinct_ratio")
+        ).alias("s")
     )
     return (
-        deduped.groupBy("source")
+        deduped.filter(
+            (F.col("s.n_tokens") >= MIN_TOKENS)
+            & (F.col("s.distinct_ratio") >= MIN_DISTINCT_RATIO)
+        )
+        .groupBy(F.col("s.source").alias("source"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("total_tokens"),
-            F.round(F.avg("distinct_ratio"), 6).alias("avg_distinct_ratio"),
+            F.sum("s.n_tokens").alias("total_tokens"),
+            F.round(F.avg("s.distinct_ratio"), 6).alias(
+                "avg_distinct_ratio"
+            ),
         )
         .orderBy("source")
     )

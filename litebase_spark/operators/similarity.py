@@ -502,48 +502,93 @@ def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
-    cents = (
+    # The coarse quantizer IS the model: N_CENTROIDS (16) rows collected
+    # to the driver (O(k), same class as the k-means centroid collect)
+    # and re-entered as a literal struct array. Assignment then becomes a
+    # pure per-row projection — transform() over the 16 centroids +
+    # array_max argmin — instead of the round-3 crossJoin + row_number
+    # window, which shuffled corpus x 16 rows twice (24 exchanges).
+    cent_rows = (
         e.orderBy("vec_id")
         .limit(N_CENTROIDS)
-        .select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("embedding").alias("cv"),
-            norm2(F.col("embedding")).alias("cn"),
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    # Centroid norms are computed driver-side with the same sequential
+    # left-to-right IEEE-double fold as the JVM norm2 (and the oracle's
+    # sqrt(list_sum(...))) — bit-identical by construction, and hoisted
+    # out of the per-row lambda (norm2(c.cv) inside transform() is NOT
+    # constant-folded: it would re-run 16 x dim multiplies per corpus
+    # row).
+    import math
+
+    def _py_norm(vec) -> float:
+        acc = 0.0
+        for v in vec:
+            acc = acc + float(v) * float(v)
+        return math.sqrt(acc)
+
+    cents_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["vec_id"])).alias("cent_id"),
+                F.array(
+                    *[F.lit(float(v)) for v in r["embedding"]]
+                ).alias("cv"),
+                F.lit(_py_norm(r["embedding"])).alias("cn"),
+            )
+            for r in cent_rows
+        ]
+    )
+    # Per-row: sims to all centroids as (sim, -cent_id) structs; lexical
+    # array_max = highest sim, ties to the LOWEST cent_id — identical to
+    # the oracle's (sim DESC, cent_id ASC) row_number tie-break. The
+    # centroid norm is a constant-folded JVM expression (same fold order
+    # as the oracle's sqrt(list_sum(...))).
+    def cell_sims(vec, nrm):
+        return F.transform(
+            cents_arr,
+            lambda c: F.struct(
+                (dot(vec, c["cv"]) / (nrm * c["cn"])).alias("sim"),
+                (-c["cent_id"]).alias("neg_id"),
+            ),
         )
+
+    assigned = e.select(
+        "vec_id",
+        "embedding",
+        norm2(F.col("embedding")).alias("nrm"),
+    ).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        (-F.array_max(cell_sims(F.col("embedding"), F.col("nrm")))["neg_id"])
+        .alias("cell"),
     )
-    # build: one pass assigning every vector to its nearest centroid
-    # (argmin over a broadcast of N_CENTROIDS rows; the (sim, cent_id)
-    # window tie-break keeps the assignment deterministic — max_by on a
-    # bare double is unspecified under ties, which an oracle-checked
-    # operator cannot afford). Row norm computed once, not per-centroid.
-    csim = dot(F.col("embedding"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
-    assign_w = Window.partitionBy("vec_id").orderBy(
-        F.desc("sim"), F.asc("cent_id")
-    )
-    scored = (
-        e.select("vec_id", "embedding", norm2(F.col("embedding")).alias("nrm"))
-        .crossJoin(F.broadcast(cents))
-        .select("vec_id", "embedding", "nrm", "cent_id", csim.alias("sim"))
-    )
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(assign_w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "nrm", F.col("cent_id").alias("cell"))
-    )
-    # query side: probe the N_PROBE nearest cells
-    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+    # query side: N_QUERIES rows probe their N_PROBE nearest cells —
+    # sort the 16 (sim, cent_id) pairs per query (array_sort on
+    # (-sim, cent_id) = sim DESC, cent_id ASC), slice, explode. All
+    # expression-level; the probe list broadcasts to the search join.
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qv"),
-        F.col("nrm").alias("qn"),
+        norm2(F.col("embedding")).alias("qn"),
     )
-    probe_w = Window.partitionBy("qid").orderBy(F.desc("qsim"), F.asc("cent_id"))
-    qsim = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
-    probes = (
-        q.join(F.broadcast(cents))
-        .select("qid", "qv", "qn", "cent_id", qsim.alias("qsim"))
-        .withColumn("pr", F.row_number().over(probe_w))
-        .filter(F.col("pr") <= N_PROBE)
-        .select("qid", "qv", "qn", F.col("cent_id").alias("cell"))
+    qsims = F.transform(
+        cents_arr,
+        lambda c: F.struct(
+            (-(dot(F.col("qv"), c["cv"]) / (F.col("qn") * c["cn"])))
+            .alias("neg_sim"),
+            c["cent_id"].alias("cent_id"),
+        ),
+    )
+    probes = q.select(
+        "qid",
+        "qv",
+        "qn",
+        F.explode(
+            F.slice(F.array_sort(qsims), 1, N_PROBE)["cent_id"]
+        ).alias("cell"),
     )
     # search: candidates restricted to probed cells, exact rerank
     rsim = dot(F.col("qv"), F.col("embedding")) / (F.col("qn") * F.col("nrm"))

@@ -115,6 +115,8 @@ _ALLOWED_COLLECT = {
     "join_bloom_semi": "32 Bloom words (1024-bit filter) — the "
     "runtime-filter build, same driver-accumulated shape as Spark's own "
     "bloom pushdown",
+    "knn_ivf_probe": "N_CENTROIDS (16) coarse-quantizer rows — the IVF "
+    "model, same O(k) class as the k-means centroid collect",
 }
 
 _SCAN_RE = re.compile(r"^\(\d+\) Scan parquet", re.M)
