@@ -552,7 +552,11 @@ class QueryServer:
                 result. Writes execute under the single-writer lock and
                 emit only the end frame. A statement error emits an
                 error frame and aborts the remaining pipeline, matching
-                the reference's fail-fast stream semantics.
+                the reference's fail-fast stream semantics. Per-query
+                ``timeout_ms`` is honored exactly as on the batch
+                endpoint; a timed statement is collected (not streamed)
+                so the engine watchdog can cancel its job group, and an
+                expiry surfaces as an error frame.
                 """
                 import time as _time
 
@@ -591,19 +595,45 @@ class QueryServer:
 
                 for q in queries:
                     stmt, qid = q["statement"], q.get("id")
-                    params = decode_parameters(q.get("parameters"))
-                    cls = classify_statement(stmt)
-                    is_write = cls in ("DML", "DDL", "MAINT", "TCL")
                     t0 = _time.time()
+                    # everything per-query runs inside the try: a bad
+                    # typed parameter or classifier error must emit an
+                    # error frame, not drop the connection mid-stream
+                    # (headers are already sent — no 400 path remains)
                     try:
-                        if is_write or q.get("transaction_id"):
+                        params = decode_parameters(q.get("parameters"))
+                        cls = classify_statement(stmt)
+                        is_write = cls in ("DML", "DDL", "MAINT", "TCL")
+                        # per-query busy_timeout analog, matching the
+                        # batch /query endpoint. A timed statement takes
+                        # the COLLECTED path: engine.sql's job-group
+                        # watchdog needs the jobs on the handler thread,
+                        # and toLocalIterator serves jobs from its own
+                        # thread where the group does not propagate —
+                        # a bounded-latency statement is bounded-size
+                        # anyway, so collecting loses nothing.
+                        tmo = q.get("timeout_ms")
+                        tmo = (float(tmo) / 1000.0) if tmo else None
+                        if (
+                            is_write
+                            or q.get("transaction_id")
+                            or tmo is not None
+                        ):
                             # writes / transactional statements take the
                             # collected path (single-writer lock; txn
                             # shadow views are not lazy-streamable)
-                            with server.write_lock:
+                            import contextlib as _ctx
+
+                            lock = (
+                                server.write_lock
+                                if is_write or q.get("transaction_id")
+                                else _ctx.nullcontext()
+                            )
+                            with lock:
                                 res = server.engine.sql(
                                     stmt, params,
                                     transaction_id=q.get("transaction_id"),
+                                    timeout=tmo,
                                 )
                             if not frame({"id": qid, "type": "columns",
                                           "columns": res.columns}):

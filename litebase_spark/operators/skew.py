@@ -39,11 +39,41 @@ def salted_join(
     salt_from: str,
     n_salts: int = 8,
     how: str = "inner",
+    adaptive: bool = True,
 ) -> DataFrame:
     """Equi-join robust to a hot `on` key: the skewed side picks a
     deterministic salt per row; the other side is replicated n_salts
     times; the join key becomes (on, salt). Output columns match a plain
-    ``skewed.join(other, on, how)``."""
+    ``skewed.join(other, on, how)``.
+
+    ``adaptive`` mirrors Spark's own runtime join-strategy demotion:
+    when Catalyst's size estimate for the non-skewed side is under the
+    session broadcast threshold, salting is pure overhead — a broadcast
+    hash join never shuffles by key, so no task can own a hot key in
+    the first place. The salted plan only engages when the build side
+    is genuinely too big to broadcast (the regime where skew can
+    actually strand an executor). Costs no job: the decision reads
+    driver-side plan statistics.
+    """
+    if adaptive:
+        try:
+            size = int(
+                str(
+                    other._jdf.queryExecution()
+                    .optimizedPlan()
+                    .stats()
+                    .sizeInBytes()
+                )
+            )
+            thr = int(
+                other.sparkSession.conf.get(
+                    "spark.sql.autoBroadcastJoinThreshold"
+                )
+            )
+        except Exception:
+            size, thr = None, -1
+        if size is not None and 0 < size <= thr:
+            return skewed.join(F.broadcast(other), on=on, how=how)
     salted_l = skewed.withColumn(
         "__salt", F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts))
     )
@@ -68,12 +98,18 @@ def salted_join(
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     """,
-    description="Salted shuffle join (manual skew mitigation): lineitem "
-    "fans into 8 sub-keys of l_orderkey, orders replicates 8x, join on "
-    "(key, salt). Results are identical to the plain join (the oracle IS "
-    "the plain join); the plan guarantees no single task ever owns a "
-    "whole hot key. Use when AQE splitting is not enough (one key >> one "
-    "executor's memory).",
+    description="ADAPTIVE salted join (manual skew mitigation with "
+    "Spark-style strategy demotion): when Catalyst's size estimate says "
+    "the non-skewed side fits the broadcast threshold — as orders does "
+    "at bench SFs — the operator emits a plain broadcast hash join "
+    "(skew-immune by construction, nothing shuffles by key). Only past "
+    "the threshold does the salted plan engage: lineitem fans into 8 "
+    "sub-keys of l_orderkey, orders replicates 8x, join on (key, salt), "
+    "so no single task ever owns a whole hot key even when AQE "
+    "splitting is not enough (one key >> one executor's memory). "
+    "Results are identical either way (the oracle IS the plain join); "
+    "tests force the skew regime and assert the salted plan + equal "
+    "rows.",
     tags=("join", "skew"),
 )
 def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1681,9 +1681,15 @@ _REGISTRY["text_hybrid_retrieval"].oracle = _hybrid_oracle()
 def text_dup_5gram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     w = tokens("text")
+    # hash each gram to the portable 60-bit BIGINT INSIDE the transform —
+    # the same _h60 the oracle applies, so both engines group by the
+    # identical function (a collision, however unlikely, merges the same
+    # grams on both sides) and the gram shuffle carries an 8-byte key
+    # instead of a ~40-byte string
+    _gram_txt = "concat_ws(' ', slice(w, i, 5))"
     grams5 = F.expr(
         "transform(sequence(1, size(w) - 4), "
-        "i -> concat_ws(' ', slice(w, i, 5)))"
+        f"i -> {_h60_spark(_gram_txt)})"
     )
     g = (
         d.select("doc_id", w.alias("w"))

@@ -406,6 +406,40 @@ def test_query_stream_error_aborts_pipeline(server):
     assert not any(f["id"] == "after" for f in frames)
 
 
+def test_query_stream_bad_parameter_emits_error_frame(server):
+    # malformed typed parameter (non-numeric INTEGER): decode happens
+    # after headers are sent, so the failure must surface as an error
+    # frame on the stream — never a dropped connection
+    path = "/v1/databases/main/main/query/stream"
+    q = {
+        "queries": [
+            {"id": "bad", "statement": "SELECT ? AS x",
+             "parameters": [{"type": "INTEGER", "value": "not-a-number"}]},
+            {"id": "after", "statement": "SELECT 1 AS x"},
+        ]
+    }
+    _, frames = _stream_call(server, path, q, "admin:s3cret")
+    assert frames[-1]["type"] == "error" and frames[-1]["id"] == "bad"
+    assert not any(f["id"] == "after" for f in frames)
+
+
+def test_query_stream_honors_timeout_ms(server):
+    # the busy_timeout analog the batch endpoint honors: a 1 ms budget
+    # cannot cover a real Spark job, so the stream must emit an error
+    # frame mentioning cancellation instead of running unbounded
+    path = "/v1/databases/main/main/query/stream"
+    q = {
+        "queries": [
+            {"id": "slow", "timeout_ms": 1500, "statement":
+                "SELECT count(*) AS n FROM range(100000000) a "
+                "CROSS JOIN range(100000) b"},
+        ]
+    }
+    _, frames = _stream_call(server, path, q, "admin:s3cret")
+    err = [f for f in frames if f["type"] == "error"]
+    assert err and "cancelled" in err[0]["message"]
+
+
 def test_query_stream_enforces_privileges(server):
     path = "/v1/databases/main/main/query/stream"
     q = {"queries": [

@@ -139,6 +139,54 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     ).count()
 
 
+def test_salted_join_adaptive_broadcast_and_forced_skew(spark, sf_dir):
+    """Adaptive demotion: below the broadcast threshold the operator
+    must emit a broadcast hash join (no salt machinery); with the
+    threshold off and a whale-key fixture, the salted shuffle plan must
+    engage and still match the plain join row-for-row."""
+    from litebase_spark.catalog import load
+    from litebase_spark.operators.skew import salted_join
+
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    # orders at test SF is tiny -> adaptive path must broadcast
+    plan = (
+        salted_join(l, o, on="l_orderkey", salt_from="l_orderkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "__salt" not in plan
+
+    # forced skew regime: one whale key owning 90% of the fact side,
+    # broadcast disabled so the join must shuffle -> salted plan
+    thr_key = "spark.sql.autoBroadcastJoinThreshold"
+    old_thr = spark.conf.get(thr_key)
+    spark.conf.set(thr_key, "-1")
+    try:
+        fact = spark.range(0, 20000).selectExpr(
+            "CASE WHEN id % 10 < 9 THEN 7 ELSE id END AS k",
+            "id AS payload",
+        )
+        dim = spark.range(0, 20000).selectExpr("id AS k", "id * 2 AS attr")
+        salted = salted_join(fact, dim, on="k", salt_from="k")
+        plan2 = salted._jdf.queryExecution().executedPlan().toString()
+        assert "__salt" in plan2
+        assert "BroadcastHashJoin" not in plan2
+        plain = fact.join(dim, on="k")
+        assert salted.count() == plain.count()
+        got = {
+            (r["k"], r["payload"], r["attr"]) for r in salted.collect()
+        }
+        want = {(r["k"], r["payload"], r["attr"]) for r in plain.collect()}
+        assert got == want
+    finally:
+        spark.conf.set(thr_key, old_thr)
+
+
 def test_approx_distinct_within_5pct(spark, sf_dir):
     """Builtin approx_count_distinct (HLL++, rsd=0.02) stays within 5%
     of exact; the portable-HLL query's own bound lives in
