@@ -77,18 +77,50 @@ def is_write(sql: str) -> bool:
 
 _SQLITE_CAST_TYPES = {
     # SQLite type name -> Spark type. INTEGER maps to BIGINT because
-    # SQLite's INTEGER storage class is 64-bit; NUMERIC maps to DOUBLE
-    # (full prefix-parsing affinity is a documented deviation).
+    # SQLite's INTEGER storage class is 64-bit.
     "TEXT": "STRING",
-    "REAL": "DOUBLE",
     "BLOB": "BINARY",
-    "NUMERIC": "DOUBLE",
-    "INTEGER": "BIGINT",
 }
+
+# SQLite CAST applies *prefix parsing*: CAST('42abc' AS INTEGER) = 42,
+# CAST('3.7xyz' AS REAL) = 3.7, CAST('junk' AS INTEGER) = 0 (see
+# sqlite.org/lang_expr.html#castexpr; the reference binds through
+# pkg/sqlite3/statement.go:103-159 over dynamically-typed storage).
+# The rewrite tries, in order: Spark's native cast (covers numeric
+# operands and clean strings, including int64 that a double round-trip
+# would corrupt, and double->bigint clamping at +/-2^63 like SQLite);
+# a double parse (clean real strings like '3.9' -> 3); the longest
+# numeric prefix; then SQLite's 0 default. NUMERIC stays DOUBLE-typed
+# (Spark columns are statically typed — documented deviation: SQLite
+# would narrow 42.0 back to integer 42).
+# NB: these are SQL string literals — Spark's parser unescapes '\\s'
+# to the regex \s (escapedStringLiterals is off by default).
+_INT_PREFIX_RX = r"^\\s*([+-]?[0-9]+)"
+_REAL_PREFIX_RX = (
+    r"^\\s*[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?"
+)
+
+
+def _int_affinity(x: str) -> str:
+    return (
+        f"COALESCE(TRY_CAST({x} AS BIGINT), "
+        f"CAST(TRY_CAST({x} AS DOUBLE) AS BIGINT), "
+        f"TRY_CAST(regexp_extract(CAST({x} AS STRING), "
+        f"'{_INT_PREFIX_RX}', 1) AS BIGINT), CAST(0 AS BIGINT))"
+    )
+
+
+def _real_affinity(x: str) -> str:
+    return (
+        f"COALESCE(TRY_CAST({x} AS DOUBLE), "
+        f"TRY_CAST(regexp_extract(CAST({x} AS STRING), "
+        f"'{_REAL_PREFIX_RX}', 0) AS DOUBLE), CAST(0.0 AS DOUBLE))"
+    )
 
 
 def _rewrite_sqlite_casts(sql: str) -> str:
-    """Map SQLite type names inside CAST(... AS <type>) to Spark types.
+    """Map SQLite CAST semantics onto Spark: type-name translation for
+    TEXT/BLOB, full prefix-parsing affinity for INTEGER/REAL/NUMERIC.
 
     Scoped strictly to CAST expressions (depth-tracked to the matching
     close paren), so a column alias that happens to be named `text` is
@@ -117,8 +149,20 @@ def _rewrite_sqlite_casts(sql: str) -> str:
         inner = _rewrite_sqlite_casts(sql[m.end():j - 1])
         tm = tail.search(inner)
         if tm:
+            ty = tm.group(2).upper()
+            operand = inner[: tm.start()].rstrip()
+            if ty == "INTEGER":
+                out.append(sql[i:m.start()])
+                out.append(_int_affinity(operand))
+                i = j
+                continue
+            if ty in ("REAL", "NUMERIC"):
+                out.append(sql[i:m.start()])
+                out.append(_real_affinity(operand))
+                i = j
+                continue
             inner = (inner[: tm.start()] + tm.group(1)
-                     + _SQLITE_CAST_TYPES[tm.group(2).upper()]
+                     + _SQLITE_CAST_TYPES[ty]
                      + tm.group(3))
         out.append(sql[i:m.end()])
         out.append(inner)
@@ -413,10 +457,11 @@ class Engine:
         sql_text = self._rewrite_time_travel(sql_text)
         sql_text = _rewrite_sqlite_casts(sql_text)
         from litebase_spark.functions.dialect import (
+            rewrite_integer_literal_division as _rw_div,
             rewrite_sqlite_functions as _rw_fns,
         )
 
-        sql_text = _rw_fns(sql_text)
+        sql_text = _rw_div(_rw_fns(sql_text))
         sql_text = self._rewrite_connection_fns(sql_text)
         returning = None
         if stmt_class == "DML":
@@ -521,10 +566,11 @@ class Engine:
         sql_text = self._rewrite_time_travel(sql_text)
         sql_text = _rewrite_sqlite_casts(sql_text)
         from litebase_spark.functions.dialect import (
+            rewrite_integer_literal_division as _rw_div,
             rewrite_sqlite_functions as _rw_fns,
         )
 
-        sql_text = _rw_fns(sql_text)
+        sql_text = _rw_div(_rw_fns(sql_text))
         return self.spark.sql(sql_text, args=args) if args else self.spark.sql(sql_text)
 
     # -- time travel over a VersionedStore (A21 SQL surface) ----------------

@@ -309,3 +309,53 @@ def rewrite_sqlite_functions(sql: str) -> str:
         out.append(ch)
         i += 1
     return "".join(out)
+
+
+# -- SQLite integer division ------------------------------------------------
+#
+# SQLite `/` performs INTEGER division when both operands carry INTEGER
+# affinity: 7/2 = 3, -9/2 = -4 (truncation toward zero), 7/0 = NULL.
+# Spark `/` always returns DOUBLE. Operand storage classes are not
+# recoverable from SQL text in general, but the ubiquitous case a ported
+# query hits — integer LITERALS on both sides — is: rewrite
+# `<int-literal> / <int-literal>` to Spark's `DIV`, which shares
+# SQLite's truncation-toward-zero and NULL-on-zero (ANSI mode off)
+# semantics and returns BIGINT, so 7/2 prints 3, not 3.5. Chains fold
+# left-associatively across repeated passes (8/2/2 -> 8 DIV 2 DIV 2).
+# Column-typed operands remain true division (documented deviation;
+# `DIV` is available explicitly).
+
+_INT_DIV_RE = re.compile(
+    # left literal: not part of an identifier/float (no [\w.$] before),
+    # right literal: not continued by a fraction/exponent/identifier
+    r"(?<![\w.$])([0-9]+)\s*/\s*([0-9]+)(?![\w.])"
+)
+
+
+def rewrite_integer_literal_division(sql: str) -> str:
+    """Rewrite int-literal / int-literal to DIV, skipping string
+    literals (a '/' inside quotes is data, not an operator)."""
+    parts = []
+    i = 0
+    while i < len(sql):
+        if sql[i] == "'":
+            j = i + 1
+            while j < len(sql):
+                if sql[j] == "'":
+                    if j + 1 < len(sql) and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            parts.append(sql[i:j + 1])
+            i = j + 1
+            continue
+        j = sql.find("'", i)
+        seg = sql[i:] if j == -1 else sql[i:j]
+        prev = None
+        while prev != seg:
+            prev = seg
+            seg = _INT_DIV_RE.sub(r"\1 DIV \2", seg)
+        parts.append(seg)
+        i = len(sql) if j == -1 else j
+    return "".join(parts)

@@ -286,6 +286,16 @@ SCALAR_PARITY_EXPRS = [
     "substr('hello', -3)", "instr('hello', 'll')", "round(2.5)",
     "hex('AB')", "sign(-3)", "5 % 3", "1 << 4", "6 & 3", "~5",
     "julianday('2024-01-01')", "unixepoch('2024-01-01')",
+    # CAST prefix-parsing affinity (sqlite.org/lang_expr.html#castexpr)
+    "CAST('42abc' AS INTEGER)", "CAST('3.7xyz' AS REAL)",
+    "CAST('  -12 things' AS INTEGER)", "CAST('abc' AS INTEGER)",
+    "CAST('' AS INTEGER)", "CAST('abc' AS REAL)",
+    "CAST('3.9' AS INTEGER)", "CAST('-3e2junk' AS REAL)",
+    "CAST('9223372036854775807' AS INTEGER)",
+    "CAST(3.7 AS INTEGER)", "CAST(-9.99 AS INTEGER)",
+    # integer division (INTEGER-affinity operands divide integrally)
+    "7/2", "-9/2", "8/2/2", "1+7/2", "7/2.0", "7.0/2",
+    "CAST(7/2 AS REAL)",
 ]
 
 
