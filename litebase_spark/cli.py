@@ -196,9 +196,226 @@ class Shell:
             self._execute("\n".join(buf))
 
 
+# -- management subcommands (reference pkg/cli/cmd/* command tree:
+# database create/delete/list/query-logs, backup create/list/delete,
+# restore, access-key create/list/show/update/delete, user
+# create/list/show/update/delete, status) — thin HTTP clients against a
+# running QueryServer, like the reference CLI against its server. -----
+
+
+class AdminClient:
+    """HTTP client for the management API (--url/--token or the
+    LITEBASE_URL / LITEBASE_TOKEN environment, mirroring the reference
+    profile mechanism pkg/cli/cmd/profile.go)."""
+
+    def __init__(self, url: str, token: str) -> None:
+        self.url = url.rstrip("/")
+        self.token = token
+
+    def request(self, method: str, path: str, body=None):
+        import json as _json
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.url + path,
+            data=_json.dumps(body).encode() if body is not None else None,
+            method=method,
+        )
+        if self.token:
+            req.add_header("Authorization", f"Bearer {self.token}")
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status, _json.loads(r.read() or b"{}")
+        except urllib.error.HTTPError as e:
+            try:
+                return e.code, _json.loads(e.read() or b"{}")
+            except ValueError:
+                return e.code, {}
+
+
+def _stmts_arg(raw: str | None):
+    import json as _json
+
+    return _json.loads(raw) if raw else []
+
+
+def admin_main(argv: list[str], out=None) -> int:
+    """Dispatch one management subcommand; returns a process exit code.
+    Output is JSON on stdout (scripts pipe it), exit 0 iff HTTP 2xx."""
+    import argparse
+    import json as _json
+    import os
+
+    out = out or sys.stdout
+    p = argparse.ArgumentParser(prog="litebase-spark")
+    p.add_argument("--url", default=os.environ.get(
+        "LITEBASE_URL", "http://127.0.0.1:8080"))
+    p.add_argument("--token", default=os.environ.get("LITEBASE_TOKEN", ""))
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("status")
+
+    db = sub.add_parser("database").add_subparsers(dest="sub", required=True)
+    db.add_parser("list")
+    for name in ("create", "delete"):
+        sp = db.add_parser(name)
+        sp.add_argument("name")
+    ql = db.add_parser("query-logs")
+    ql.add_argument("name")
+    ql.add_argument("branch")
+    ql.add_argument("--from", dest="t_from", default=None)
+    ql.add_argument("--to", dest="t_to", default=None)
+    q = db.add_parser("query")
+    q.add_argument("name")
+    q.add_argument("branch")
+    q.add_argument("statement")
+
+    bk = sub.add_parser("backup").add_subparsers(dest="sub", required=True)
+    for name in ("create", "list"):
+        sp = bk.add_parser(name)
+        sp.add_argument("name")
+        sp.add_argument("branch")
+    sp = bk.add_parser("delete")
+    sp.add_argument("name")
+    sp.add_argument("branch")
+    sp.add_argument("backup_id")
+
+    rs = sub.add_parser("restore")
+    rs.add_argument("name")
+    rs.add_argument("branch")
+    rs.add_argument("timestamp", type=float)
+
+    ak = sub.add_parser("access-key").add_subparsers(dest="sub", required=True)
+    ak.add_parser("list")
+    sp = ak.add_parser("create")
+    sp.add_argument("access_key_id")
+    sp.add_argument("secret")
+    sp.add_argument("--statements", default=None)
+    for name in ("show", "delete"):
+        sp = ak.add_parser(name)
+        sp.add_argument("access_key_id")
+    sp = ak.add_parser("update")
+    sp.add_argument("access_key_id")
+    sp.add_argument("--statements", required=True)
+
+    us = sub.add_parser("user").add_subparsers(dest="sub", required=True)
+    us.add_parser("list")
+    sp = us.add_parser("create")
+    sp.add_argument("username")
+    sp.add_argument("password")
+    sp.add_argument("--statements", default=None)
+    for name in ("show", "delete"):
+        sp = us.add_parser(name)
+        sp.add_argument("username")
+    sp = us.add_parser("update")
+    sp.add_argument("username")
+    sp.add_argument("--password", default=None)
+    sp.add_argument("--statements", default=None)
+
+    a = p.parse_args(argv)
+    c = AdminClient(a.url, a.token)
+
+    if a.cmd == "status":
+        code, body = c.request("GET", "/health")
+    elif a.cmd == "database":
+        if a.sub == "list":
+            code, body = c.request("GET", "/v1/databases")
+        elif a.sub == "create":
+            code, body = c.request("POST", "/v1/databases", {"name": a.name})
+        elif a.sub == "delete":
+            code, body = c.request("DELETE", f"/v1/databases/{a.name}")
+        elif a.sub == "query-logs":
+            qs = []
+            if a.t_from:
+                qs.append(f"from={a.t_from}")
+            if a.t_to:
+                qs.append(f"to={a.t_to}")
+            tail = ("?" + "&".join(qs)) if qs else ""
+            code, body = c.request(
+                "GET",
+                f"/v1/databases/{a.name}/{a.branch}/metrics/query{tail}",
+            )
+        else:  # query
+            code, body = c.request(
+                "POST",
+                f"/v1/databases/{a.name}/{a.branch}/query",
+                {"queries": [{"id": "cli", "statement": a.statement}]},
+            )
+    elif a.cmd == "backup":
+        base = f"/v1/databases/{a.name}/{a.branch}/backups"
+        if a.sub == "create":
+            code, body = c.request("POST", base)
+        elif a.sub == "list":
+            code, body = c.request("GET", base)
+        else:
+            code, body = c.request("DELETE", f"{base}/{a.backup_id}")
+    elif a.cmd == "restore":
+        code, body = c.request(
+            "POST",
+            f"/v1/databases/{a.name}/{a.branch}/restore",
+            {"timestamp": a.timestamp},
+        )
+    elif a.cmd == "access-key":
+        if a.sub == "list":
+            code, body = c.request("GET", "/v1/access-keys")
+        elif a.sub == "create":
+            code, body = c.request("POST", "/v1/access-keys", {
+                "access_key_id": a.access_key_id,
+                "secret": a.secret,
+                "statements": _stmts_arg(a.statements),
+            })
+        elif a.sub == "show":
+            code, body = c.request(
+                "GET", f"/v1/access-keys/{a.access_key_id}")
+        elif a.sub == "update":
+            code, body = c.request(
+                "PUT", f"/v1/access-keys/{a.access_key_id}",
+                {"statements": _stmts_arg(a.statements)})
+        else:
+            code, body = c.request(
+                "DELETE", f"/v1/access-keys/{a.access_key_id}")
+    else:  # user
+        if a.sub == "list":
+            code, body = c.request("GET", "/v1/users")
+        elif a.sub == "create":
+            code, body = c.request("POST", "/v1/users", {
+                "username": a.username,
+                "password": a.password,
+                "statements": _stmts_arg(a.statements),
+            })
+        elif a.sub == "show":
+            code, body = c.request("GET", f"/v1/users/{a.username}")
+        elif a.sub == "update":
+            payload = {}
+            if a.password is not None:
+                payload["password"] = a.password
+            if a.statements is not None:
+                payload["statements"] = _stmts_arg(a.statements)
+            code, body = c.request(
+                "PUT", f"/v1/users/{a.username}", payload)
+        else:
+            code, body = c.request("DELETE", f"/v1/users/{a.username}")
+
+    print(_json.dumps(body, indent=2, default=str), file=out)
+    return 0 if 200 <= code < 300 else 1
+
+
+_ADMIN_CMDS = {
+    "status", "database", "backup", "restore", "access-key", "user",
+}
+
+
 def main() -> int:
-    """litebase-spark sql shell: reads stdin, UTC session, history via
-    readline when interactive."""
+    """litebase-spark CLI: management subcommands (reference
+    pkg/cli/cmd tree) when the first argument names one; otherwise the
+    sql shell: reads stdin, UTC session, history via readline when
+    interactive."""
+    argv = sys.argv[1:]
+    if argv and (argv[0] in _ADMIN_CMDS or (
+        argv[0].startswith("--") and any(x in _ADMIN_CMDS for x in argv)
+    )):
+        return admin_main(argv)
     from litebase_spark.session import get_spark
 
     try:

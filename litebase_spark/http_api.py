@@ -114,6 +114,69 @@ class AccessKeyManager:
         return key
 
 
+@dataclass
+class User:
+    """Named principal with password + grants (reference
+    pkg/auth/user.go:5-18 — User carries Statements exactly like an
+    access key; UserResponse omits the password)."""
+
+    username: str
+    password: str
+    statements: list[AccessKeyStatement] = field(default_factory=list)
+    created_at: str = ""
+    updated_at: str = ""
+
+    def as_response(self) -> dict:
+        return {
+            "username": self.username,
+            "statements": [
+                {"resources": s.resources, "privileges": s.privileges}
+                for s in self.statements
+            ],
+            "created_at": self.created_at,
+            "updated_at": self.updated_at,
+        }
+
+
+class UserManager:
+    """CRUD + authentication for users (reference
+    pkg/auth/user_manager.go; routes pkg/http/routes.go:17-52). A user
+    authenticates with the same Bearer id:secret scheme as an access
+    key and is authorized through their statements."""
+
+    def __init__(self) -> None:
+        self._users: dict[str, User] = {}
+
+    @staticmethod
+    def _now() -> str:
+        return dt.datetime.now(dt.timezone.utc).isoformat()
+
+    def all(self) -> list[User]:
+        return [self._users[u] for u in sorted(self._users)]
+
+    def get(self, username: str) -> User | None:
+        return self._users.get(username)
+
+    def store(self, user: User) -> None:
+        user.created_at = user.created_at or self._now()
+        user.updated_at = self._now()
+        self._users[user.username] = user
+
+    def delete(self, username: str) -> bool:
+        return self._users.pop(username, None) is not None
+
+    def authenticate(self, header: str | None) -> AccessKey | None:
+        if not header or not header.startswith("Bearer "):
+            return None
+        token = header[len("Bearer ") :]
+        name, _, password = token.partition(":")
+        u = self._users.get(name)
+        if u is None or u.password != password:
+            return None
+        # adapt to the AccessKey authorization interface
+        return AccessKey(u.username, u.password, u.statements)
+
+
 # -- JSON encoding of engine results ----------------------------------------
 
 
@@ -176,6 +239,8 @@ _DBS_RE = re.compile(r"^/v1/databases$")
 _DB_RE = re.compile(r"^/v1/databases/([^/]+)$")
 _KEYS_RE = re.compile(r"^/v1/access-keys$")
 _KEY_ID_RE = re.compile(r"^/v1/access-keys/([^/]+)$")
+_USERS_RE = re.compile(r"^/v1/users$")
+_USER_ID_RE = re.compile(r"^/v1/users/([^/]+)$")
 _TXN_RE = re.compile(r"^/v1/databases/([^/]+)/([^/]+)/transactions$")
 _TXN_ID_RE = re.compile(
     r"^/v1/databases/([^/]+)/([^/]+)/transactions/([^/]+)(/commit)?$"
@@ -193,9 +258,11 @@ class QueryServer:
         host: str = "127.0.0.1",
         port: int = 0,
         store=None,  # VersionedStore: enables snapshot/backup/restore routes
+        users: UserManager | None = None,
     ) -> None:
         self.engine = engine
         self.keys = keys
+        self.users = users or UserManager()
         self.store = store
         self.write_lock = threading.Lock()  # driver = single writer
         server = self
@@ -213,9 +280,11 @@ class QueryServer:
                 self.wfile.write(data)
 
             def _auth(self) -> AccessKey | None:
-                return server.keys.authenticate(
-                    self.headers.get("Authorization")
-                )
+                h = self.headers.get("Authorization")
+                key = server.keys.authenticate(h)
+                if key is not None:
+                    return key
+                return server.users.authenticate(h)
 
             def _body(self) -> dict:
                 n = int(self.headers.get("Content-Length") or 0)
@@ -277,6 +346,57 @@ class QueryServer:
                     if not key.allows("*", "access-key:manage"):
                         return self._send(403, {"status": "error", "message": "forbidden"})
                     return self._send(200, {"status": "success", "data": server.keys.list_ids()})
+                m = _KEY_ID_RE.match(parsed.path)
+                if m:
+                    key = self._auth()
+                    if key is None:
+                        return self._send(401, {"status": "error", "message": "invalid access key"})
+                    if not key.allows("*", "access-key:manage"):
+                        return self._send(403, {"status": "error", "message": "forbidden"})
+                    k = server.keys._keys.get(m.group(1))
+                    if k is None:
+                        return self._send(404, {"status": "error", "message": "no such key"})
+                    # AccessKeyControllerShow: id + statements, never the
+                    # secret (routes.go:62-66)
+                    return self._send(200, {"status": "success", "data": {
+                        "access_key_id": k.access_key_id,
+                        "statements": [
+                            {"resources": s.resources,
+                             "privileges": s.privileges}
+                            for s in k.statements
+                        ],
+                    }})
+                if _DBS_RE.match(parsed.path):
+                    key = self._auth()
+                    if key is None:
+                        return self._send(401, {"status": "error", "message": "invalid access key"})
+                    if not key.allows("*", "database:manage"):
+                        return self._send(403, {"status": "error", "message": "forbidden"})
+                    names = sorted(
+                        d.name
+                        for d in server.engine.spark.catalog.listDatabases()
+                    )
+                    return self._send(200, {"status": "success", "data": names})
+                if _USERS_RE.match(parsed.path):
+                    key = self._auth()
+                    if key is None:
+                        return self._send(401, {"status": "error", "message": "invalid access key"})
+                    if not key.allows("*", "cluster:manage"):
+                        return self._send(403, {"status": "error", "message": "forbidden"})
+                    return self._send(200, {"status": "success", "data": [
+                        u.as_response() for u in server.users.all()
+                    ]})
+                m = _USER_ID_RE.match(parsed.path)
+                if m:
+                    key = self._auth()
+                    if key is None:
+                        return self._send(401, {"status": "error", "message": "invalid access key"})
+                    if not key.allows("*", "cluster:manage"):
+                        return self._send(403, {"status": "error", "message": "forbidden"})
+                    u = server.users.get(m.group(1))
+                    if u is None:
+                        return self._send(404, {"status": "error", "message": "no such user"})
+                    return self._send(200, {"status": "success", "data": u.as_response()})
                 return self._send(404, {"status": "error"})
 
             def do_POST(self):  # noqa: N802
@@ -311,6 +431,20 @@ class QueryServer:
                     return self._database_create(key)
                 if _KEYS_RE.match(self.path):
                     return self._key_create(key)
+                if _USERS_RE.match(self.path):
+                    return self._user_create(key)
+                return self._send(404, {"status": "error"})
+
+            def do_PUT(self):  # noqa: N802
+                key = self._auth()
+                if key is None:
+                    return self._send(401, {"status": "error", "message": "invalid access key"})
+                m = _USER_ID_RE.match(self.path)
+                if m:
+                    return self._user_update(key, m.group(1))
+                m = _KEY_ID_RE.match(self.path)
+                if m:
+                    return self._key_update(key, m.group(1))
                 return self._send(404, {"status": "error"})
 
             def do_DELETE(self):  # noqa: N802
@@ -326,6 +460,9 @@ class QueryServer:
                 m = _KEY_ID_RE.match(self.path)
                 if m:
                     return self._key_delete(key, m.group(1))
+                m = _USER_ID_RE.match(self.path)
+                if m:
+                    return self._user_delete(key, m.group(1))
                 m = _DB_RE.match(self.path)
                 if m:
                     return self._database_delete(key, m.group(1))
@@ -477,6 +614,82 @@ class QueryServer:
                     return self._send(403, {"status": "error", "message": "forbidden"})
                 if not server.keys.revoke(key_id):
                     return self._send(404, {"status": "error", "message": "no such key"})
+                return self._send(200, {"status": "success"})
+
+            def _key_update(self, key, key_id):
+                # AccessKeyControllerUpdate (routes.go:77-82): replace the
+                # key's privilege statements; the secret is immutable
+                if not key.allows("*", "access-key:manage"):
+                    return self._send(403, {"status": "error", "message": "forbidden"})
+                k = server.keys._keys.get(key_id)
+                if k is None:
+                    return self._send(404, {"status": "error", "message": "no such key"})
+                body = self._body()
+                stmts = body.get("statements")
+                if not isinstance(stmts, list):
+                    return self._send(400, {"status": "error", "message": "statements is required"})
+                k.statements = [
+                    AccessKeyStatement(
+                        resources=s.get("resources", []),
+                        privileges=s.get("privileges", []),
+                    )
+                    for s in stmts
+                ]
+                return self._send(200, {"status": "success", "data": {"access_key_id": key_id}})
+
+            # -- user controllers (reference pkg/http/user_controller.go;
+            # routes.go:17-52 — index/show/store/update/destroy, all under
+            # cluster:manage) ----------------------------------------------
+
+            def _user_create(self, key):
+                if not key.allows("*", "cluster:manage"):
+                    return self._send(403, {"status": "error", "message": "forbidden"})
+                body = self._body()
+                name, pw = body.get("username"), body.get("password")
+                if not name or not pw:
+                    return self._send(400, {"status": "error", "message": "username and password are required"})
+                if len(pw) < 8:
+                    # UserControllerStoreRequest validate:"min=8"
+                    return self._send(400, {"status": "error", "message": "password must be at least 8 characters"})
+                stmts = [
+                    AccessKeyStatement(
+                        resources=s.get("resources", []),
+                        privileges=s.get("privileges", []),
+                    )
+                    for s in body.get("statements", [])
+                ]
+                u = User(name, pw, stmts)
+                server.users.store(u)
+                return self._send(201, {"status": "success", "data": u.as_response()})
+
+            def _user_update(self, key, username):
+                if not key.allows("*", "cluster:manage"):
+                    return self._send(403, {"status": "error", "message": "forbidden"})
+                u = server.users.get(username)
+                if u is None:
+                    return self._send(404, {"status": "error", "message": "no such user"})
+                body = self._body()
+                pw = body.get("password")
+                if pw is not None:
+                    if len(pw) < 8:
+                        return self._send(400, {"status": "error", "message": "password must be at least 8 characters"})
+                    u.password = pw
+                if body.get("statements") is not None:
+                    u.statements = [
+                        AccessKeyStatement(
+                            resources=s.get("resources", []),
+                            privileges=s.get("privileges", []),
+                        )
+                        for s in body["statements"]
+                    ]
+                server.users.store(u)
+                return self._send(200, {"status": "success", "data": u.as_response()})
+
+            def _user_delete(self, key, username):
+                if not key.allows("*", "cluster:manage"):
+                    return self._send(403, {"status": "error", "message": "forbidden"})
+                if not server.users.delete(username):
+                    return self._send(404, {"status": "error", "message": "no such user"})
                 return self._send(200, {"status": "success"})
 
             # -- controllers ------------------------------------------------

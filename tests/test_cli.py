@@ -120,3 +120,87 @@ def test_metrics_meta_command(shell):
     # count and latency percentiles (query_metric.go shape)
     assert "p50" in text and "p99" in text
     assert "41 + 1" in text
+
+
+def test_admin_subcommands_drive_management_api(spark):
+    """The management CLI (reference pkg/cli/cmd tree: database/user/
+    access-key/status) is a thin client over the HTTP API: spin a real
+    QueryServer, drive admin_main, assert exit codes + JSON output."""
+    import json
+
+    from litebase_spark.cli import admin_main
+    from litebase_spark.http_api import (
+        AccessKey,
+        AccessKeyManager,
+        AccessKeyStatement,
+        QueryServer,
+    )
+
+    keys = AccessKeyManager()
+    keys.store(AccessKey("root", "pw", [AccessKeyStatement(["*"], ["*"])]))
+    srv = QueryServer(Engine(spark=spark), keys)
+    srv.start()
+    try:
+        base = ["--url", f"http://127.0.0.1:{srv.port}", "--token", "root:pw"]
+
+        def run(args):
+            buf = io.StringIO()
+            rc = admin_main(base + args, out=buf)
+            return rc, json.loads(buf.getvalue())
+
+        rc, body = run(["status"])
+        assert rc == 0 and body["status"] == "ok"
+
+        rc, body = run(["database", "list"])
+        assert rc == 0 and "default" in body["data"]
+
+        rc, _ = run(["database", "create", "cli_db"])
+        assert rc == 0
+        rc, body = run(["database", "list"])
+        assert "cli_db" in body["data"]
+        rc, _ = run(["database", "delete", "cli_db"])
+        assert rc == 0
+
+        rc, body = run(["database", "query", "main", "main",
+                        "SELECT 2 + 2 AS four"])
+        assert rc == 0 and body["data"][0]["rows"] == [[4]]
+
+        rc, body = run(["database", "query-logs", "main", "main"])
+        assert rc == 0 and isinstance(body["data"], list)
+
+        rc, _ = run(["user", "create", "cliuser", "longenough",
+                     "--statements",
+                     '[{"resources": ["*"], "privileges": ["*"]}]'])
+        assert rc == 0
+        rc, body = run(["user", "show", "cliuser"])
+        assert rc == 0 and body["data"]["username"] == "cliuser"
+        rc, _ = run(["user", "update", "cliuser", "--password",
+                     "evenlonger1"])
+        assert rc == 0
+        rc, _ = run(["user", "delete", "cliuser"])
+        assert rc == 0
+        rc, _ = run(["user", "show", "cliuser"])
+        assert rc == 1  # 404 -> nonzero exit
+
+        rc, _ = run(["access-key", "create", "clikey", "secret9",
+                     "--statements",
+                     '[{"resources": ["*"], "privileges": ["database:query", "database:select"]}]'])
+        assert rc == 0
+        rc, body = run(["access-key", "list"])
+        assert rc == 0 and "clikey" in body["data"]
+        rc, body = run(["access-key", "show", "clikey"])
+        assert rc == 0 and body["data"]["statements"]
+        rc, _ = run(["access-key", "update", "clikey", "--statements",
+                     '[{"resources": ["*"], "privileges": ["*"]}]'])
+        assert rc == 0
+        rc, _ = run(["access-key", "delete", "clikey"])
+        assert rc == 0
+
+        # backup listing works (empty) even without a store; creating
+        # one needs a VersionedStore attached -> 503, exit 1
+        rc, body = run(["backup", "list", "main", "main"])
+        assert rc == 0 and body["data"] == []
+        rc, _ = run(["backup", "create", "main", "main"])
+        assert rc == 1
+    finally:
+        srv.stop()

@@ -447,3 +447,82 @@ def test_query_stream_enforces_privileges(server):
     ]}
     code, body = _call(server, "POST", path, q, token="reader:r3ad")
     assert code == 403 and "database:manage" in body["message"]
+
+
+def test_user_crud_lifecycle_and_grant_flip(server):
+    """Users surface (reference routes.go:17-52 + user_controller.go):
+    create -> list/show (no password leaked) -> the user authenticates
+    with Bearer username:password -> a denied query flips to allowed
+    after a PUT grant update -> delete revokes access."""
+    base = "/v1/databases/main/main"
+    # create: password policy enforced (validate min=8)
+    code, body = _call(server, "POST", "/v1/users",
+                       {"username": "ana", "password": "short"},
+                       token="admin:s3cret")
+    assert code == 400
+    code, body = _call(
+        server, "POST", "/v1/users",
+        {"username": "ana", "password": "s3cret-pw",
+         "statements": [{"resources": ["database:other:branch:main"],
+                         "privileges": ["database:query",
+                                        "database:select"]}]},
+        token="admin:s3cret")
+    assert code == 201 and body["data"]["username"] == "ana"
+    assert "password" not in body["data"]
+
+    # index + show require cluster:manage; reader key is forbidden
+    code, body = _call(server, "GET", "/v1/users", token="admin:s3cret")
+    assert code == 200 and [u["username"] for u in body["data"]] == ["ana"]
+    code, _ = _call(server, "GET", "/v1/users", token="reader:r3ad")
+    assert code == 403
+    code, body = _call(server, "GET", "/v1/users/ana", token="admin:s3cret")
+    assert code == 200 and body["data"]["statements"]
+
+    # ana authenticates but is NOT granted on main:main yet
+    q = {"queries": [{"id": "1", "statement": "SELECT 1 AS x"}]}
+    code, _ = _call(server, "POST", f"{base}/query", q, token="ana:wrong")
+    assert code == 401
+    code, _ = _call(server, "POST", f"{base}/query", q, token="ana:s3cret-pw")
+    assert code == 403
+
+    # grant flip: PUT replaces statements -> the same query now succeeds
+    code, _ = _call(
+        server, "PUT", "/v1/users/ana",
+        {"statements": [{"resources": ["database:main:branch:main"],
+                         "privileges": ["database:query",
+                                        "database:select"]}]},
+        token="admin:s3cret")
+    assert code == 200
+    code, body = _call(server, "POST", f"{base}/query", q,
+                       token="ana:s3cret-pw")
+    assert code == 200 and body["data"][0]["rows"] == [[1]]
+
+    # delete revokes authentication entirely
+    code, _ = _call(server, "DELETE", "/v1/users/ana", token="admin:s3cret")
+    assert code == 200
+    code, _ = _call(server, "POST", f"{base}/query", q, token="ana:s3cret-pw")
+    assert code == 401
+
+
+def test_access_key_show_and_update(server):
+    """AccessKey show/update (routes.go:62-82): show returns statements
+    but never the secret; update replaces the grants in place."""
+    code, _ = _call(server, "POST", "/v1/access-keys",
+                    {"access_key_id": "rot", "secret": "p4ss",
+                     "statements": [{"resources": ["*"],
+                                     "privileges": ["database:query"]}]},
+                    token="admin:s3cret")
+    assert code == 201
+    code, body = _call(server, "GET", "/v1/access-keys/rot",
+                       token="admin:s3cret")
+    assert code == 200 and body["data"]["access_key_id"] == "rot"
+    assert "secret" not in json.dumps(body)
+    code, _ = _call(server, "PUT", "/v1/access-keys/rot",
+                    {"statements": [{"resources": ["*"],
+                                     "privileges": ["*"]}]},
+                    token="admin:s3cret")
+    assert code == 200
+    code, body = _call(server, "GET", "/v1/access-keys/rot",
+                       token="admin:s3cret")
+    assert body["data"]["statements"][0]["privileges"] == ["*"]
+    _call(server, "DELETE", "/v1/access-keys/rot", token="admin:s3cret")
