@@ -364,6 +364,17 @@ class Engine:
         # an index declaration records intent and feeds introspection
         # (PRAGMA index_list/index_info, sqlite_master, sqlite_stat1).
         self._indexes: dict[str, dict] = {}
+        # statement-level AFTER triggers (SQLite DDL family
+        # SQLITE_CREATE_TRIGGER/SQLITE_DROP_TRIGGER, reference
+        # pkg/sqlite3/constants.go:74-77): trigger name -> {event,
+        # table, body statements, original sql}. Semantics: the body
+        # runs once AFTER a DML statement of the matching kind touches
+        # the table (the foreachBatch/CDF per-commit hook shape, not
+        # SQLite's per-row NEW/OLD form — set-based engines maintain
+        # derived state by re-running a statement over the base table).
+        # Non-recursive, like SQLite's default recursive_triggers=off.
+        self._triggers: dict[str, dict] = {}
+        self._in_trigger = False
         # connection-scope counters behind SQLite's changes() /
         # total_changes() functions (sqlite.org/lang_corefunc.html)
         self._last_changes = 0
@@ -467,6 +478,9 @@ class Engine:
         if stmt_class == "DML":
             sql_text, returning = self._split_returning(sql_text)
         if stmt_class == "DDL":
+            res = self._try_trigger_ddl(sql_text, t0)
+            if res is not None:
+                return res
             res = self._try_index_ddl(sql_text, t0)
             if res is not None:
                 return res
@@ -479,6 +493,7 @@ class Engine:
                 changes, rrows, rcols = res
                 self._last_changes = changes
                 self._total_changes += changes
+                self._fire_triggers(sql_text, changes)
                 latency = time.time() - t0
                 self.metrics.record(statement, latency)
                 return QueryResult(
@@ -509,6 +524,7 @@ class Engine:
             if stmt_class == "DML":
                 self._last_changes = changes
                 self._total_changes += changes
+                self._fire_triggers(sql_text, changes)
             if returning is not None:
                 rows, columns = self._returning_rows(sql_text, returning)
         latency = time.time() - t0
@@ -709,6 +725,84 @@ class Engine:
             sql_text = _re.sub(pat, repl, sql_text)
         return sql_text
 
+    _TRIGGER_CREATE_RE = re.compile(
+        r"(?is)^\s*CREATE\s+TRIGGER\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+        r"([A-Za-z_][\w]*)\s+AFTER\s+(INSERT|UPDATE|DELETE)\s+ON\s+"
+        r"([A-Za-z_][\w.]*)\s+(?:FOR\s+EACH\s+STATEMENT\s+)?BEGIN\s+"
+        r"(.*?)\s*;?\s*END\s*;?\s*$"
+    )
+    _TRIGGER_DROP_RE = re.compile(
+        r"(?is)^\s*DROP\s+TRIGGER\s+(IF\s+EXISTS\s+)?([A-Za-z_][\w]*)\s*$"
+    )
+    _DML_TARGET_RE = re.compile(
+        r"(?is)^\s*(?:INSERT\s+(?:OR\s+\w+\s+)?INTO|REPLACE\s+INTO|"
+        r"UPDATE|DELETE\s+FROM)\s+([A-Za-z_][\w.]*)"
+    )
+
+    def _try_trigger_ddl(self, sql_text: str, t0: float):
+        """CREATE/DROP TRIGGER (reference authorizer DDL codes
+        SQLITE_CREATE_TRIGGER/SQLITE_DROP_TRIGGER,
+        pkg/sqlite3/constants.go:74-77). Statement-level AFTER triggers:
+        the body (one or more ';'-separated statements) re-runs once
+        after each matching DML commit — the foreachBatch/CDF analog of
+        SQLite's row triggers. Row-level NEW/OLD references are out of
+        scope (documented: derived state is maintained by re-derivation
+        from the base table, the set-based idiom)."""
+        m = self._TRIGGER_CREATE_RE.match(sql_text)
+        if m:
+            name, event, table, body = m.groups()
+            stmts = [s.strip() for s in body.split(";") if s.strip()]
+            if re.search(r"(?i)\bIF\s+NOT\s+EXISTS\b", sql_text) and (
+                name in self._triggers
+            ):
+                pass
+            elif not stmts:
+                raise ValueError(f"trigger {name}: empty body")
+            else:
+                self._triggers[name] = {
+                    "event": event.upper(),
+                    "table": table.split(".")[-1].lower(),
+                    "statements": stmts,
+                    "sql": sql_text.strip(),
+                }
+            latency = time.time() - t0
+            self.metrics.record(sql_text, latency)
+            return QueryResult([], [], 0, 0, latency, "DDL")
+        m = self._TRIGGER_DROP_RE.match(sql_text)
+        if m:
+            if_exists, name = m.group(1), m.group(2)
+            if name not in self._triggers and not if_exists:
+                raise ValueError(f"no such trigger: {name}")
+            self._triggers.pop(name, None)
+            latency = time.time() - t0
+            self.metrics.record(sql_text, latency)
+            return QueryResult([], [], 0, 0, latency, "DDL")
+        return None
+
+    def _fire_triggers(self, sql_text: str, changes: int) -> None:
+        """Run matching AFTER triggers once per committed DML statement.
+        Non-recursive (a trigger body's own DML never re-fires triggers,
+        SQLite's recursive_triggers=off default); a statement that
+        touched no rows fires nothing, matching SQLite's per-affected-row
+        firing collapsing to zero."""
+        if self._in_trigger or not self._triggers or changes == 0:
+            return
+        m = self._DML_TARGET_RE.match(sql_text)
+        if not m:
+            return
+        table = m.group(1).split(".")[-1].lower()
+        head = sql_text.lstrip().split(None, 1)[0].upper()
+        event = {"REPLACE": "INSERT"}.get(head, head)
+        self._in_trigger = True
+        try:
+            for name in sorted(self._triggers):
+                trg = self._triggers[name]
+                if trg["table"] == table and trg["event"] == event:
+                    for stmt in trg["statements"]:
+                        self.sql(stmt)
+        finally:
+            self._in_trigger = False
+
     def _try_index_ddl(self, sql_text: str, t0: float):
         """CREATE INDEX / DROP INDEX as metadata DDL (SQLite surface the
         reference inherits wholesale). Spark has no secondary indexes —
@@ -800,6 +894,10 @@ class Engine:
             rows.append(("index", iname, meta["table"], page,
                          meta["sql"]))
             page += 1
+        for tname in sorted(self._triggers):
+            meta = self._triggers[tname]
+            # SQLite stores triggers with rootpage 0 (schematab.html)
+            rows.append(("trigger", tname, meta["table"], 0, meta["sql"]))
         schema = ("type string, name string, tbl_name string, "
                   "rootpage int, sql string")
         self.spark.createDataFrame(rows, schema).createOrReplaceTempView(

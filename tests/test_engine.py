@@ -671,3 +671,61 @@ def test_changes_and_total_changes_functions(engine):
         assert isinstance(r, int)
     finally:
         engine.sql("DROP TABLE IF EXISTS t_ch")
+
+
+def test_trigger_after_insert_maintains_derived_table(engine):
+    """Statement-level AFTER triggers (the foreachBatch/CDF per-commit
+    analog of SQLite's trigger DDL family, constants.go:74-77): an
+    AFTER INSERT trigger re-derives a summary table on every committed
+    insert; DROP TRIGGER stops the firing; sqlite_master lists it."""
+    import shutil
+
+    eng = engine
+    for t in ("trg_base", "trg_sum"):
+        eng.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    eng.sql("CREATE TABLE trg_base (k STRING, v BIGINT) USING PARQUET")
+    eng.sql("CREATE TABLE trg_sum (k STRING, total BIGINT) USING PARQUET")
+    eng.sql(
+        "CREATE TRIGGER trg_sync AFTER INSERT ON trg_base BEGIN "
+        "INSERT OVERWRITE trg_sum SELECT k, SUM(v) AS total "
+        "FROM trg_base GROUP BY k; END"
+    )
+    # listed in sqlite_master with rootpage 0
+    rows = eng.sql(
+        "SELECT type, name, tbl_name, rootpage FROM sqlite_master "
+        "WHERE type = 'trigger'"
+    ).rows
+    assert [(r.type, r.name, r.tbl_name, r.rootpage) for r in rows] == [
+        ("trigger", "trg_sync", "trg_base", 0)
+    ]
+
+    eng.sql("INSERT INTO trg_base VALUES ('a', 1), ('b', 10)")
+    got = {
+        (r.k, r.total)
+        for r in eng.sql("SELECT * FROM trg_sum").rows
+    }
+    assert got == {("a", 1), ("b", 10)}
+
+    eng.sql("INSERT INTO trg_base VALUES ('a', 4)")
+    got = {
+        (r.k, r.total)
+        for r in eng.sql("SELECT * FROM trg_sum").rows
+    }
+    assert got == {("a", 5), ("b", 10)}
+
+    # UPDATE does not match an INSERT trigger
+    eng.sql("UPDATE trg_base SET v = 100 WHERE k = 'b'")
+    got = {(r.k, r.total) for r in eng.sql("SELECT * FROM trg_sum").rows}
+    assert got == {("a", 5), ("b", 10)}  # unchanged
+
+    # DROP stops firing; IF EXISTS tolerated afterwards
+    eng.sql("DROP TRIGGER trg_sync")
+    eng.sql("INSERT INTO trg_base VALUES ('c', 7)")
+    got = {(r.k, r.total) for r in eng.sql("SELECT * FROM trg_sum").rows}
+    assert got == {("a", 5), ("b", 10)}
+    eng.sql("DROP TRIGGER IF EXISTS trg_sync")
+    with pytest.raises(Exception, match="no such trigger"):
+        eng.sql("DROP TRIGGER trg_sync")
+    for t in ("trg_base", "trg_sum"):
+        eng.sql(f"DROP TABLE {t}")

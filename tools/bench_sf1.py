@@ -1,0 +1,151 @@
+"""sf1 bench point: the headline query set at 10x the bench fixture.
+
+The driver fixtures stop at sf0.1 (~600k lineitem). This tool
+manufactures the sf1-equivalent (~6M lineitem) via the scale_stress
+key-shifted fact replication (facts x10, dims fixed — how a warehouse
+actually grows), times every headline query steady-state on Spark AND
+DuckDB over the SAME files, and writes BENCH_SF1.md with per-query
+ratios. Purpose: adjudicate how much of the sf0.1 per-query gap is the
+local-mode scheduler floor (a constant) vs real throughput — at 10x
+the data the floor is amortized 10x, so queries whose sf0.1 "slowness"
+was floor collapse toward (or below) the DuckDB ratio, while genuine
+throughput gaps would widen.
+
+Exclusions (documented in the artifact): the two deliberately-quadratic
+exact-parity baselines (dedup_embedding_cosine/_blocked) whose work
+grows 100x at 10x rows by design — their scale paths
+(dedup_embedding_lsh_verified) ARE included.
+
+Usage: python tools/bench_sf1.py [--out BENCH_SF1.md] [--skip-duckdb]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.scale_stress import build_replica  # noqa: E402
+
+# deliberately-quadratic exact-parity baselines: O(n^2) by contract
+_EXCLUDE = {
+    "dedup_embedding_cosine": "quadratic parity baseline (scale path = "
+    "dedup_embedding_lsh_verified, included)",
+    "dedup_embedding_blocked": "quadratic triangle-block baseline (same)",
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="BENCH_SF1.md")
+    ap.add_argument("--skip-duckdb", action="store_true")
+    args = ap.parse_args()
+
+    import litebase_spark.operators  # noqa: F401
+    from bench import HEADLINE
+    from litebase_spark.catalog import REGISTRY, TABLES
+    from litebase_spark.session import get_spark
+
+    spark = get_spark("bench-sf1")
+    spark.range(1).count()
+    import pandas as pd  # noqa: F401
+
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
+
+    t0 = time.time()
+    sf_dir = build_replica(spark, 10)
+    print(f"# x10 replica ready in {time.time() - t0:.1f}s", file=sys.stderr)
+
+    def run(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    names = [n for n in HEADLINE if n not in _EXCLUDE]
+    spark_t: dict[str, float] = {}
+    for name in names:
+        df = REGISTRY[name].builder(spark, sf_dir)
+        run(df)
+        per = []
+        for _ in range(2):
+            t1 = time.time()
+            run(df)
+            per.append(time.time() - t1)
+        spark_t[name] = round(min(per), 3)
+        print(f"# {name}: {spark_t[name]:.2f}s", file=sys.stderr)
+
+    duck_t: dict[str, float] = {}
+    if not args.skip_duckdb:
+        import duckdb
+
+        con = duckdb.connect()
+        for t in TABLES:
+            src = f"read_parquet('{sf_dir}/{t}.parquet/*.parquet')"
+            if t == "events":
+                # the replica stores ts as int64 nanos (Spark wrote the
+                # nanosAsLong column back); mirror catalog.load's
+                # ns -> us truncation so both engines see timestamps
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * REPLACE "
+                    f"(make_timestamp(ts // 1000) AS ts) FROM {src}"
+                )
+            else:
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+        for name in names:
+            spec = REGISTRY[name]
+            if spec.oracle is None:
+                continue
+            t1 = time.time()
+            con.execute(spec.oracle).fetchall()
+            duck_t[name] = round(time.time() - t1, 3)
+            print(f"# duckdb {name}: {duck_t[name]:.2f}s", file=sys.stderr)
+
+    lines = [
+        "# BENCH_SF1 — headline set at sf1-equivalent "
+        "(facts x10 key-shifted from sf0.1, dims fixed), "
+        f"local[{spark.sparkContext.defaultParallelism}]",
+        "",
+        "Same files for both engines. Steady-state: plan built once, "
+        "2 executions, min (bench.py methodology).",
+        "",
+        "| query | spark s | duckdb s | ratio |",
+        "|---|---|---|---|",
+    ]
+    for name in names:
+        s = spark_t[name]
+        d = duck_t.get(name)
+        ratio = f"{s / d:.2f}x" if d else "—"
+        ds = f"{d:.2f}" if d else "—"
+        lines.append(f"| {name} | {s:.2f} | {ds} | {ratio} |")
+    tot_s = sum(spark_t.values())
+    tot_d = sum(duck_t.values()) if duck_t else None
+    lines.append(
+        f"| **total ({len(names)} queries)** | **{tot_s:.1f}** | "
+        + (f"**{tot_d:.1f}** | **{tot_s / tot_d:.2f}x** |"
+           if tot_d else "— | — |")
+    )
+    lines += [
+        "",
+        "Excluded (by design, not measured):",
+        "",
+    ]
+    for k, why in _EXCLUDE.items():
+        lines.append(f"- `{k}` — {why}")
+    lines.append("")
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines))
+    print(json.dumps({
+        "sf": 1.0,
+        "n_queries": len(names),
+        "spark_total": round(tot_s, 2),
+        "duckdb_total": round(tot_d, 2) if tot_d else None,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
