@@ -302,3 +302,108 @@ def geopoly_area_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     others = " OR ".join(_edge_hit_terms() + _vertex_in_box_terms())
     overlap = F.expr(others) | corner_in
     return b.filter(overlap).select("s_suppkey", area.alias("area"))
+
+
+def _geopoly_within_oracle() -> str:
+    corners = _box_corners()
+    corner_in_all = " AND ".join(
+        "(" + _sql_ray_cast(_POLY).replace("px", cx).replace("py", cy) + ")"
+        for cx, cy in corners
+    )
+    no_edge = " AND ".join(f"NOT {t}" for t in _edge_hit_terms())
+    return f"""
+    WITH boxes AS ({_SQL_BOXES})
+    SELECT s_suppkey, xmin, xmax, ymin, ymax
+    FROM boxes WHERE ({corner_in_all}) AND ({no_edge})
+    """
+
+
+@query(
+    "geopoly_within",
+    oracle=_geopoly_within_oracle(),
+    description="geopoly_within analog (SQLITE_ENABLE_GEOPOLY, reference "
+    "pkg/sqlite3/sqlite3.go:23): boxes COMPLETELY contained in the "
+    "non-convex L-polygon. Exact for a rectilinear container: all four "
+    "corners inside (ray cast) AND no polygon edge intersects the box "
+    "(interval logic per axis-parallel edge) — corners-in plus an "
+    "uncrossed boundary imply full containment. Pure comparison "
+    "expressions in codegen, narrow map, no shuffle.",
+    tags=("spatial",),
+)
+def geopoly_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _boxes(spark, sf_dir)
+    corner_in_all = None
+    for cx, cy in _box_corners():
+        c = geopoly_contains_point(F.col(cx), F.col(cy))
+        corner_in_all = c if corner_in_all is None else (corner_in_all & c)
+    no_edge = ~F.expr(" OR ".join(_edge_hit_terms()))
+    return b.filter(corner_in_all & no_edge).select(
+        "s_suppkey", "xmin", "xmax", "ymin", "ymax"
+    )
+
+
+_BBOX_JSON_DUCK = (
+    "'[[' || CAST(bxmin AS VARCHAR) || ',' || CAST(bymin AS VARCHAR) || "
+    "'],[' || CAST(bxmax AS VARCHAR) || ',' || CAST(bymin AS VARCHAR) || "
+    "'],[' || CAST(bxmax AS VARCHAR) || ',' || CAST(bymax AS VARCHAR) || "
+    "'],[' || CAST(bxmin AS VARCHAR) || ',' || CAST(bymax AS VARCHAR) || "
+    "'],[' || CAST(bxmin AS VARCHAR) || ',' || CAST(bymin AS VARCHAR) || "
+    "']]'"
+)
+
+
+@query(
+    "geopoly_group_bbox",
+    oracle=f"""
+    WITH boxes AS (
+        SELECT s.s_nationkey, b.* FROM ({_SQL_BOXES}) b
+        JOIN supplier s USING (s_suppkey)
+    ),
+    agg AS (
+        SELECT s_nationkey,
+               COUNT(*) AS n_boxes,
+               MIN(xmin) AS bxmin, MAX(xmax) AS bxmax,
+               MIN(ymin) AS bymin, MAX(ymax) AS bymax
+        FROM boxes GROUP BY s_nationkey
+    )
+    SELECT s_nationkey, n_boxes, bxmin, bxmax, bymin, bymax,
+           {_BBOX_JSON_DUCK} AS bbox_json
+    FROM agg
+    """,
+    description="geopoly_group_bbox + geopoly_json analogs "
+    "(SQLITE_ENABLE_GEOPOLY): aggregate bounding box of all supplier "
+    "boxes per nation — min/max folds are associative and map-side "
+    "combined, so the exchange carries one partial bbox per (partition, "
+    "nation), the exact mergeable-summary shape geopoly_group_bbox has "
+    "inside SQLite. The result polygon serializes as the closed-ring "
+    "vertex JSON geopoly_json emits (integer coordinates, so the text "
+    "is engine-identical).",
+    tags=("spatial", "agg"),
+)
+def geopoly_group_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    b = _boxes(spark, sf_dir).join(s, on="s_suppkey")
+    agg = b.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_boxes"),
+        F.min("xmin").alias("bxmin"),
+        F.max("xmax").alias("bxmax"),
+        F.min("ymin").alias("bymin"),
+        F.max("ymax").alias("bymax"),
+    )
+    j = F.concat(
+        F.lit("[["),
+        F.col("bxmin").cast("string"), F.lit(","),
+        F.col("bymin").cast("string"), F.lit("],["),
+        F.col("bxmax").cast("string"), F.lit(","),
+        F.col("bymin").cast("string"), F.lit("],["),
+        F.col("bxmax").cast("string"), F.lit(","),
+        F.col("bymax").cast("string"), F.lit("],["),
+        F.col("bxmin").cast("string"), F.lit(","),
+        F.col("bymax").cast("string"), F.lit("],["),
+        F.col("bxmin").cast("string"), F.lit(","),
+        F.col("bymin").cast("string"), F.lit("]]"),
+    )
+    return agg.select(
+        "s_nationkey", "n_boxes", "bxmin", "bxmax", "bymin", "bymax",
+        j.alias("bbox_json"),
+    )
