@@ -1696,15 +1696,23 @@ def text_dup_5gram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("w") >= 5)
         .select("doc_id", F.explode(grams5).alias("gram"))
     )
-    # Collapse to (doc, gram, cnt) FIRST: document frequency is then a
-    # plain count over deduped rows, and the gram join carries one row
-    # per (doc, gram) instead of one per occurrence — measured ~2.3x at
-    # sf0.1 vs joining raw occurrences against a count_distinct.
+    from pyspark.sql import Window
+
+    # Collapse to (doc, gram, cnt) FIRST: rows are deduped per (doc,
+    # gram), so the document frequency of a gram is simply its ROW
+    # COUNT — computed as an unordered window count over the gram key
+    # instead of a separate aggregate + join-back (round 3 paid two
+    # more exchanges building df_ and re-shuffling per for the join;
+    # the window reuses one gram-keyed exchange for both the frequency
+    # and the carry-through of cnt). Measured ~2.3x at sf0.1 vs joining
+    # raw occurrences against a count_distinct, and one stage barrier
+    # fewer than the join formulation.
     per = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
-    df_ = per.groupBy("gram").agg(F.count(F.lit(1)).alias("ndocs"))
+    pf = per.withColumn(
+        "ndocs", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    )
     return (
-        per.join(df_, "gram")
-        .groupBy("doc_id")
+        pf.groupBy("doc_id")
         .agg(
             F.sum("cnt").alias("n_grams"),
             F.sum(F.when(F.col("ndocs") >= 2, F.col("cnt"))
@@ -1783,8 +1791,9 @@ def text_dup_5gram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and e-6 fixed-point coverage (DIV — engine-identical). The gram "
     "shuffle is keyed on the portable 60-bit md5-derived hash (8-byte "
     "BIGINT key, not the raw gram text — the exchange stays narrow at "
-    "100 TB) and the occurrence re-join is the same hash; per-doc "
-    "merging is one window over only the anchored rows. Unlike "
+    "100 TB), and the occurrence count is an unordered window over that "
+    "one exchange (no aggregate + join-back, no second tokenizer pass); "
+    "per-doc merging is one window over only the anchored rows. Unlike "
     "text_chunk_dedup (fixed chunk boundaries) "
     "this finds duplicated spans at ARBITRARY offsets, the property "
     "that makes suffix-array dedup strictly stronger than chunk "
@@ -1802,7 +1811,8 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"i -> struct(i AS pos, {gh8} AS gh))"
     )
     occ = (
-        d.select("doc_id", w.alias("w"))
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", w.alias("w"))
         .filter(F.size("w") >= 8)
         .select(
             "doc_id",
@@ -1814,9 +1824,16 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"),
         )
     )
-    cnt = occ.groupBy("gh").agg(F.count(F.lit(1)).alias("c"))
+    # occurrence count per gram as an unordered window over the
+    # gh-keyed exchange — one pass over occ, where the round-3
+    # aggregate + join-back formulation tokenized the corpus twice
+    # (both join inputs recompute the occ subtree) and paid an extra
+    # exchange re-shuffling occurrences to meet the counts
     dup = (
-        occ.join(cnt.filter(F.col("c") >= 2), "gh")
+        occ.withColumn(
+            "c", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+        )
+        .filter(F.col("c") >= 2)
         .select("doc_id", "n_tokens", "pos",
                 (F.col("pos") + F.lit(8)).alias("e"))
     )
