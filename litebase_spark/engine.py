@@ -37,7 +37,9 @@ from litebase_spark.session import get_spark
 
 # Statement-prefix classes, mirroring reference pkg/database/query.go:46-102
 # (IsDDL/IsDML/IsDQL/IsPragma/IsVacuum/IsBegin/IsCommit/IsRollback).
-_DDL_PREFIXES = ("CREATE", "ALTER", "DROP", "TRUNCATE", "REPLACE")
+_DDL_PREFIXES = (
+    "CREATE", "ALTER", "DROP", "TRUNCATE", "REPLACE", "ATTACH", "DETACH",
+)
 _DML_PREFIXES = ("INSERT", "UPDATE", "DELETE", "MERGE", "REPLACE")
 _DQL_PREFIXES = ("SELECT", "WITH", "VALUES", "TABLE", "DESCRIBE", "SHOW", "EXPLAIN")
 _TCL_PREFIXES = ("BEGIN", "COMMIT", "END", "ROLLBACK", "SAVEPOINT", "RELEASE")
@@ -478,6 +480,9 @@ class Engine:
         if stmt_class == "DML":
             sql_text, returning = self._split_returning(sql_text)
         if stmt_class == "DDL":
+            res = self._try_attach_ddl(sql_text, t0)
+            if res is not None:
+                return res
             res = self._try_trigger_ddl(sql_text, t0)
             if res is not None:
                 return res
@@ -738,6 +743,56 @@ class Engine:
         r"(?is)^\s*(?:INSERT\s+(?:OR\s+\w+\s+)?INTO|REPLACE\s+INTO|"
         r"UPDATE|DELETE\s+FROM)\s+([A-Za-z_][\w.]*)"
     )
+
+    _ATTACH_RE = re.compile(
+        r"(?is)^\s*ATTACH\s+(?:DATABASE\s+)?'([^']+)'\s+AS\s+"
+        r"([A-Za-z_]\w*)\s*$"
+    )
+    _DETACH_RE = re.compile(
+        r"(?is)^\s*DETACH\s+(?:DATABASE\s+)?([A-Za-z_]\w*)\s*$"
+    )
+
+    def _try_attach_ddl(self, sql_text: str, t0: float):
+        """ATTACH DATABASE '<dir>' AS alias / DETACH alias (SQLite
+        authorizer codes SQLITE_ATTACH/SQLITE_DETACH,
+        pkg/sqlite3/constants.go:84-85). A database here is a directory
+        of parquet tables (<dir>/<table>.parquet — the engine's storage
+        model); ATTACH maps it to a Spark catalog namespace of EXTERNAL
+        tables, so `SELECT ... FROM alias.t JOIN main_table ...` — the
+        cross-database query ATTACH exists for — runs natively through
+        one Catalyst plan. DETACH drops only the namespace metadata;
+        external tables never delete their files, matching SQLite's
+        detach-leaves-the-file semantics."""
+        m = self._ATTACH_RE.match(sql_text)
+        if m:
+            import os as _os
+
+            path, alias = m.group(1), m.group(2)
+            if not _os.path.isdir(path):
+                raise ValueError(f"ATTACH: no such directory: {path}")
+            self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{alias}`")
+            for fn in sorted(_os.listdir(path)):
+                if not fn.endswith(".parquet"):
+                    continue
+                tname = fn[: -len(".parquet")]
+                self.spark.sql(
+                    f"CREATE TABLE IF NOT EXISTS `{alias}`.`{tname}` "
+                    f"USING PARQUET LOCATION '{path}/{fn}'"
+                )
+            latency = time.time() - t0
+            self.metrics.record(sql_text, latency)
+            return QueryResult([], [], 0, 0, latency, "DDL")
+        m = self._DETACH_RE.match(sql_text)
+        if m:
+            alias = m.group(1)
+            dbs = {d.name for d in self.spark.catalog.listDatabases()}
+            if alias not in dbs:
+                raise ValueError(f"no such database: {alias}")
+            self.spark.sql(f"DROP DATABASE `{alias}` CASCADE")
+            latency = time.time() - t0
+            self.metrics.record(sql_text, latency)
+            return QueryResult([], [], 0, 0, latency, "DDL")
+        return None
 
     def _try_trigger_ddl(self, sql_text: str, t0: float):
         """CREATE/DROP TRIGGER (reference authorizer DDL codes

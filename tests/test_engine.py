@@ -729,3 +729,30 @@ def test_trigger_after_insert_maintains_derived_table(engine):
         eng.sql("DROP TRIGGER trg_sync")
     for t in ("trg_base", "trg_sum"):
         eng.sql(f"DROP TABLE {t}")
+
+
+def test_attach_detach_database(engine, sf_dir):
+    """ATTACH/DETACH (SQLITE_ATTACH/SQLITE_DETACH, constants.go:84-85):
+    a parquet directory attaches as a queryable namespace; cross-
+    database joins run in one plan; DETACH drops metadata only."""
+    eng = engine
+    eng.sql("DROP DATABASE IF EXISTS att CASCADE")
+    eng.sql(f"ATTACH DATABASE '{sf_dir}' AS att")
+    n = eng.sql("SELECT count(*) AS n FROM att.orders").rows[0].n
+    assert n > 0
+    # cross-database join: attached orders x the engine's registered
+    # customer view, one Catalyst plan
+    r = eng.sql(
+        "SELECT count(*) AS n FROM att.orders o "
+        "JOIN customer c ON o.o_custkey = c.c_custkey"
+    ).rows[0].n
+    assert r == n
+    eng.sql("DETACH att")
+    with pytest.raises(Exception):
+        eng.sql("SELECT count(*) AS n FROM att.orders")
+    # the files survive the detach (external tables)
+    import os
+
+    assert os.path.exists(f"{sf_dir}/orders.parquet")
+    with pytest.raises(Exception, match="no such database"):
+        eng.sql("DETACH att")
