@@ -344,27 +344,27 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c_count
     ORDER BY custdist DESC, c_count DESC
     """,
-    description="TPC-H Q13 customer order-count distribution: outer join "
-    "with a join-time residual predicate, then a two-level aggregation. "
-    "First agg shuffles on custkey (orders side already hashed there by the "
-    "join); second agg's key space is tiny (order counts), collapsing "
-    "map-side.",
+    description="TPC-H Q13 customer order-count distribution: the "
+    "outer-join-then-count shape re-aggregated as count-then-outer-join "
+    "— orders pre-aggregate per custkey BEFORE the join (map-side "
+    "partial combine collapses the fact to <=|customers| rows ahead of "
+    "the exchange, where the round-3 join shuffled every joined order "
+    "row into the custkey agg), then a LEFT join pins customers with no "
+    "orders at count 0. Second agg's key space is tiny (order counts), "
+    "collapsing map-side.",
     tags=("tpch", "join", "agg", "outer"),
 )
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select("c_custkey")
-    o = load(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderkey", "o_orderpriority"
-    )
-    joined = c.join(
-        o,
-        (F.col("c_custkey") == F.col("o_custkey"))
-        & (F.col("o_orderpriority") != "1-URGENT"),
-        "left_outer",
+    ocnt = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return (
-        joined.groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+        c.join(ocnt, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .select(F.coalesce(F.col("cnt"), F.lit(0)).alias("c_count"))
         .groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
         .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
@@ -510,10 +510,16 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
     LIMIT 100
     """,
-    description="TPC-H Q18 large-volume customers: IN-subquery over a "
-    "HAVING rollup -> left-semi join, then re-join lineitem for the total. "
-    "Both aggs and the semi join hash on l_orderkey — at scale one "
-    "repartition serves all three; TakeOrderedAndProject caps the sort.",
+    description="TPC-H Q18 large-volume customers: the HAVING rollup "
+    "already CONTAINS the quantity total the outer query re-aggregates "
+    "(o_orderkey is unique per group), so lineitem is scanned and "
+    "aggregated exactly once — no IN-subquery re-join, no second "
+    "lineitem pass (the round-3 shape let Catalyst broadcast the 6M-row "
+    "lineitem projection as a join build side at x10). The filtered "
+    "rollup joins orders without a forced strategy: AQE broadcasts it "
+    "when the HAVING survivor set is small (bench SFs) and keeps the "
+    "orderkey shuffle when it is not — the adaptive-safe plan at 100 TB. "
+    "TakeOrderedAndProject caps the sort.",
     tags=("tpch", "join", "subquery", "agg", "topk"),
 )
 def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -524,15 +530,15 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.groupBy("l_orderkey")
         .agg(F.sum(fp("l_quantity")).alias("q"))
         .filter(F.col("q") > 300 * 100)
-        .select("l_orderkey")
     )
     return (
-        o.join(big.withColumnRenamed("l_orderkey", "bk"),
-               F.col("o_orderkey") == F.col("bk"), "left_semi")
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
-        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum("l_quantity").alias("sum_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice",
+            F.round(F.col("q") / 100.0, 2).alias("sum_qty"),
+        )
         .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
         .limit(100)
     )

@@ -152,13 +152,18 @@ def main() -> int:
         ratio = f"{s / d:.2f}x" if d else "—"
         ds = f"{d:.2f}" if d else "—"
         lines.append(f"| {name} | {s:.2f} | {ds} | {ratio} |")
-    tot_s = sum(spark_t.values())
-    tot_d = sum(duck_t.values()) if duck_t else None
+    tot_s = sum(spark_t[n] for n in names)
+    both = [n for n in names if n in duck_t]
     lines.append(
-        f"| **total ({len(names)} queries)** | **{tot_s:.1f}** | "
-        + (f"**{tot_d:.1f}** | **{tot_s / tot_d:.2f}x** |"
-           if tot_d else "— | — |")
+        f"| **total ({len(names)} queries)** | **{tot_s:.1f}** | — | — |"
     )
+    if both:
+        bs = sum(spark_t[n] for n in both)
+        bd = sum(duck_t[n] for n in both)
+        lines.append(
+            f"| **both-engines subset ({len(both)})** | **{bs:.1f}** | "
+            f"**{bd:.1f}** | **{bs / bd:.2f}x** |"
+        )
     lines += [
         "",
         "Excluded (by design, not measured):",
