@@ -59,12 +59,20 @@ def test_q6_no_shuffle_single_agg(spark, sf_dir):
 
 
 def test_semi_join_for_exists(spark, sf_dir):
-    # EXISTS compiles to a semi join where the outer side is what we
-    # keep (q18's big-order filter); q4 instead uses the join +
-    # COUNT(DISTINCT) rewrite whose joins must stay broadcast at this
-    # scale (no shuffle before the aggregate).
+    # q18's IN-subquery collapses into its rollup (round 4): the HAVING
+    # aggregate already carries the quantity total, so the plan must
+    # scan lineitem exactly ONCE and never semi-join back to it; q4
+    # uses the join + COUNT(DISTINCT) rewrite whose joins must stay
+    # broadcast at this scale (no shuffle before the aggregate).
     plan = plan_of(spark, sf_dir, "q18_large_volume_customer")
-    assert "LeftSemi" in plan
+    lineitem_scans = [
+        ln for ln in plan.splitlines()
+        if "Scan parquet" in ln and "lineitem" in ln
+    ] or [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "lineitem" in ln
+    ]
+    assert len(lineitem_scans) == 1, plan
     q4 = plan_of(spark, sf_dir, "q4_order_priority")
     assert "BroadcastHashJoin" in q4
     assert "SortMergeJoin" not in q4

@@ -182,7 +182,11 @@ def main() -> int:
         "sf": 1.0,
         "n_queries": len(names),
         "spark_total": round(tot_s, 2),
-        "duckdb_total": round(tot_d, 2) if tot_d else None,
+        "both_subset": len(both),
+        "spark_both": round(sum(spark_t[n] for n in both), 2),
+        "duckdb_both": round(sum(duck_t[n] for n in both), 2),
+    } if both else {
+        "sf": 1.0, "n_queries": len(names), "spark_total": round(tot_s, 2),
     }))
     return 0
 
