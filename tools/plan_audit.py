@@ -100,6 +100,8 @@ _REVIEWED_NONPUSHABLE = {
     # vec_id filters DO push: PushedFilters [IsNotNull, EqualTo] verified)
     "text_substring_dedup",  # size(tokens(text)) >= 8 gram-anchor guard
     "pipeline_weighted_sample",  # size(tokens(text)) > 0 weight guard
+    "geopoly_within",  # ray-cast aggregate over the edge array (HOF) —
+    # not a pushable predicate; the scan reads only s_suppkey
 }
 
 # Registered builders allowed a driver-side collect because it is O(k)
