@@ -104,11 +104,27 @@ _REAL_PREFIX_RX = (
 
 
 def _int_affinity(x: str) -> str:
+    # Numeric operands vs text operands need different rules (SQLite
+    # dispatches on the runtime storage class; Spark types are static):
+    # a REAL value truncates toward zero (1.23e7 -> 12300000, clamping
+    # at +/-2^63), but TEXT parses only the INTEGER prefix — exponents
+    # are junk ('1e3' -> 1). The double round-trip guard separates the
+    # two at runtime: a numeric operand's string form IS its canonical
+    # double rendering, so equality selects the numeric path; any other
+    # text falls to prefix parsing. (A string that happens to equal a
+    # canonical exponent rendering like '1.0E20' takes the numeric path
+    # — the one residue of static typing; documented in COVERAGE.md.)
+    s = f"CAST({x} AS STRING)"
+    d = f"TRY_CAST({x} AS DOUBLE)"
     return (
-        f"COALESCE(TRY_CAST({x} AS BIGINT), "
-        f"CAST(TRY_CAST({x} AS DOUBLE) AS BIGINT), "
-        f"TRY_CAST(regexp_extract(CAST({x} AS STRING), "
-        f"'{_INT_PREFIX_RX}', 1) AS BIGINT), CAST(0 AS BIGINT))"
+        f"CASE WHEN {d} IS NOT NULL AND CAST({d} AS STRING) = {s} "
+        f"THEN CAST({d} AS BIGINT) "
+        f"ELSE COALESCE("
+        f"TRY_CAST({x} AS BIGINT), "
+        f"TRY_CAST(regexp_extract({s}, '{_INT_PREFIX_RX}', 1) AS BIGINT), "
+        f"CAST(TRY_CAST(regexp_extract({s}, '{_REAL_PREFIX_RX}', 0) "
+        f"AS DOUBLE) AS BIGINT), "
+        f"CAST(0 AS BIGINT)) END"
     )
 
 

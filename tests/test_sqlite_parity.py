@@ -293,6 +293,19 @@ SCALAR_PARITY_EXPRS = [
     "CAST('3.9' AS INTEGER)", "CAST('-3e2junk' AS REAL)",
     "CAST('9223372036854775807' AS INTEGER)",
     "CAST(3.7 AS INTEGER)", "CAST(-9.99 AS INTEGER)",
+    # text INTEGER casts ignore exponents; REAL casts honor them;
+    # overflow clamps; leading zeros/signs/whitespace; junk -> 0
+    "CAST('1e3' AS INTEGER)", "CAST('1E3junk' AS REAL)",
+    "CAST('12e' AS INTEGER)", "CAST('.5' AS INTEGER)",
+    "CAST('.5' AS REAL)", "CAST('5.' AS INTEGER)",
+    "CAST(' 42 ' AS INTEGER)", "CAST('00042' AS INTEGER)",
+    "CAST('+7' AS INTEGER)", "CAST('-0' AS INTEGER)",
+    "CAST('0x1A' AS INTEGER)", "CAST('e5' AS INTEGER)",
+    "CAST('-' AS INTEGER)", "CAST('NaN' AS INTEGER)",
+    "CAST('inf' AS INTEGER)", "CAST('1e309' AS REAL)",
+    "CAST('9223372036854775808' AS INTEGER)",
+    "CAST('-9223372036854775809' AS INTEGER)",
+    "CAST('4_2' AS INTEGER)", "CAST('12e+' AS INTEGER)",
     # integer division (INTEGER-affinity operands divide integrally)
     "7/2", "-9/2", "8/2/2", "1+7/2", "7/2.0", "7.0/2",
     "CAST(7/2 AS REAL)",
