@@ -909,3 +909,77 @@ def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+N_EPOCHS = 2
+N_EPOCH_SHARDS = 8
+
+
+def _epoch_shuffle_oracle() -> str:
+    h = h60_duck(
+        "('ep' || CAST(e.epoch AS VARCHAR) || ':' "
+        "|| CAST(d.doc_id AS VARCHAR))"
+    )
+    return f"""
+    WITH e AS (SELECT UNNEST(range(0, {N_EPOCHS})) AS epoch),
+    keyed AS (
+        SELECT e.epoch, d.doc_id, {h} AS h
+        FROM documents d CROSS JOIN e
+    )
+    SELECT epoch, h % {N_EPOCH_SHARDS} AS shard,
+           COUNT(*) AS n_docs,
+           CAST(MIN(h) AS BIGINT) AS first_key,
+           CAST(MAX(h) AS BIGINT) AS last_key,
+           CAST(MIN(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+               AS first_doc
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY epoch, h % {N_EPOCH_SHARDS} ORDER BY h, doc_id
+        ) AS rn
+        FROM keyed
+    )
+    GROUP BY epoch, shard
+    ORDER BY epoch, shard
+    """
+
+
+@query(
+    "pipeline_epoch_shuffle",
+    oracle=_epoch_shuffle_oracle(),
+    description="Deterministic per-epoch training shuffle — the "
+    "dataloader-order operator: for each epoch, every document gets a "
+    "fresh portable-hash key h('ep<epoch>:<doc_id>'); shard = h mod "
+    "N_SHARDS, within-shard read order = ascending h. No rand() "
+    "anywhere, so the epoch-2 order is a different but REPRODUCIBLE "
+    "permutation across runs, engines, and partitionings (the property "
+    "resumable training jobs need). The shuffle is a plain hash "
+    "exchange keyed (epoch, shard) with map-side combine for the "
+    "manifest aggregate; writing the actual reordered shards is "
+    "repartition(shard) + sortWithinPartitions(h) — one exchange per "
+    "epoch at any scale. Output: per-(epoch, shard) manifest with "
+    "boundary keys + the first document each shard reads (min_by h).",
+    tags=("pipeline", "llm", "shuffle"),
+)
+def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(N_EPOCHS).select(F.col("id").alias("epoch"))
+    h = F.expr(
+        h60_spark(
+            "CONCAT('ep', CAST(epoch AS STRING), ':', "
+            "CAST(doc_id AS STRING))"
+        )
+    )
+    keyed = d.crossJoin(F.broadcast(epochs)).select(
+        "epoch", "doc_id", h.alias("h")
+    )
+    return (
+        keyed.groupBy("epoch", (F.col("h") % N_EPOCH_SHARDS).alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("h").alias("first_key"),
+            F.max("h").alias("last_key"),
+            F.min_by("doc_id", F.struct("h", "doc_id")).cast("bigint")
+            .alias("first_doc"),
+        )
+        .orderBy("epoch", "shard")
+    )

@@ -1864,3 +1864,101 @@ def window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+def _ab_lift_oracle() -> str:
+    from litebase_spark.functions.portable import h60_duck
+
+    h = h60_duck("CAST(user_id AS VARCHAR)")
+    return f"""
+    WITH assigned AS (
+        SELECT user_id, {h} % 2 AS arm,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    ),
+    arms AS (
+        SELECT arm, COUNT(*) AS n_users,
+               CAST(SUM(converted) AS BIGINT) AS n_converted
+        FROM assigned GROUP BY arm
+    ),
+    wide AS (
+        SELECT
+          MAX(CASE WHEN arm = 0 THEN n_users END) AS n0,
+          MAX(CASE WHEN arm = 0 THEN n_converted END) AS c0,
+          MAX(CASE WHEN arm = 1 THEN n_users END) AS n1,
+          MAX(CASE WHEN arm = 1 THEN n_converted END) AS c1
+        FROM arms
+    )
+    SELECT n0, c0, n1, c1,
+           (c0 * 1000000) // n0 AS rate0_e6,
+           (c1 * 1000000) // n1 AS rate1_e6,
+           (c1 * 1000000) // n1 - (c0 * 1000000) // n0 AS lift_e6,
+           ROUND((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+             / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)), 6) AS z_score
+    FROM wide
+    """
+
+
+@query(
+    "stats_ab_lift",
+    oracle=_ab_lift_oracle(),
+    description="A/B experiment lift + two-proportion z-test over the "
+    "event stream: users assign to arms by the portable hash (the same "
+    "deterministic no-rand() bucketing a real experiment platform uses "
+    "— stable across runs/engines/partitionings), conversion = any "
+    "'purchase' event. Per-arm user/converter counts reduce with "
+    "map-side combine (the user-grain agg is the only real exchange); "
+    "rates and lift stay in integer e-6 fixed point, and the z "
+    "statistic is ONE double expression over four exact integers — "
+    "bit-identical cross-engine, so even the test statistic is "
+    "hash-checked. 100 TB: two aggregates and a 2-row pivot; nothing "
+    "scales with event count but the first combine.",
+    tags=("stats", "agg", "experiment"),
+)
+def stats_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from litebase_spark.functions.portable import h60_spark
+
+    e = load(spark, sf_dir, "events")
+    assigned = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted")
+        )
+        .select(
+            (F.expr(h60_spark("CAST(user_id AS STRING)")) % 2).alias("arm"),
+            "converted",
+        )
+    )
+    arms = assigned.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    pool = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    z = (
+        F.col("c1").cast("double") / F.col("n1")
+        - F.col("c0").cast("double") / F.col("n0")
+    ) / F.sqrt(
+        pool * (F.lit(1.0) - pool)
+        * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+    )
+    return wide.select(
+        "n0", "c0", "n1", "c1",
+        F.expr("(c0 * 1000000) DIV n0").alias("rate0_e6"),
+        F.expr("(c1 * 1000000) DIV n1").alias("rate1_e6"),
+        F.expr("(c1 * 1000000) DIV n1 - (c0 * 1000000) DIV n0")
+        .alias("lift_e6"),
+        F.round(z, 6).alias("z_score"),
+    )

@@ -1672,3 +1672,72 @@ def knn_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("qid", "vec_id", "label", "cos_sim", "rank")
     )
+
+
+RADIUS_SIM = 0.2  # cosine threshold for the range query below
+
+
+@query(
+    "knn_radius_search",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv,
+                      {_SQL_NORM.format(a='embedding', n=DIM)} AS qn
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.qid, e.vec_id,
+               ROUND({_SQL_DOT.format(a='q.qv', b='e.embedding', n=DIM)}
+                 / (q.qn * {_SQL_NORM.format(a='e.embedding', n=DIM)}), 6)
+                   AS cos_sim
+        FROM q CROSS JOIN embeddings e
+        WHERE e.vec_id != q.qid
+    )
+    SELECT qid,
+           COUNT(*) FILTER (cos_sim >= {RADIUS_SIM}) AS n_in_radius,
+           CAST(MIN(CASE WHEN cos_sim >= {RADIUS_SIM} THEN vec_id END)
+                AS BIGINT) AS min_vec_id,
+           MAX(CASE WHEN cos_sim >= {RADIUS_SIM} THEN cos_sim END)
+               AS best_sim
+    FROM scored GROUP BY qid ORDER BY qid
+    """,
+    description="Radius (range) similarity search — the vector-DB API "
+    "complement to top-k: ALL neighbors with cosine >= a threshold, "
+    "reported as per-query counts + extrema so the result stays "
+    "bounded. The threshold predicate lives INSIDE the scoring "
+    "projection's filter, so non-matching pairs die in their partition "
+    "(no shuffle carries them — unlike top-k, no per-query sort is "
+    "needed at all, only a partial-aggregated count). 100 TB: same "
+    "broadcast-queries + partition-local scoring shape as "
+    "knn_cosine_bruteforce; the IVF/LSH bucketed variants prefilter "
+    "candidates identically.",
+    tags=("similarity", "range"),
+)
+def knn_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        norm2(F.col("embedding")).alias("qn"),
+    )
+    sim = dot(F.col("qv"), F.col("embedding")) / (
+        F.col("qn") * F.col("cn")
+    )
+    scored = (
+        e.select("vec_id", "embedding", norm2(F.col("embedding")).alias("cn"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", F.round(sim, 6).alias("cos_sim"))
+    )
+    hit = F.col("cos_sim") >= RADIUS_SIM
+    return (
+        scored.groupBy("qid")
+        .agg(
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long")
+            .alias("n_in_radius"),
+            F.min(F.when(hit, F.col("vec_id"))).cast("bigint")
+            .alias("min_vec_id"),
+            F.max(F.when(hit, F.col("cos_sim"))).alias("best_sim"),
+        )
+        .orderBy("qid")
+    )

@@ -52,6 +52,10 @@ _ALLOWED_NL = {
     "q19_discounted_revenue",  # OR-of-conjuncts residual over broadcast
     "sketch_hll_union",  # 1-row grand-total cross join onto estimates
     "knn_recall_eval",  # composes bruteforce + ivf_probe (both declared)
+    "knn_radius_search",  # broadcast of the N_QUERIES (5) query vectors,
+    # same shape as knn_cosine_bruteforce
+    "pipeline_epoch_shuffle",  # broadcast of the N_EPOCHS (2) epoch ids —
+    # a constant-size replication factor, not a data-sized NL join
 }
 
 # Operators that intentionally run Arrow-batched Python (mapInPandas /
