@@ -248,10 +248,13 @@ def admin_main(argv: list[str], out=None) -> int:
     import os
 
     out = out or sys.stdout
+    # resolution order mirrors the reference CLI: explicit flags, env,
+    # then the current saved profile (profile_main below)
+    prof_url, prof_token = profile_lookup()
     p = argparse.ArgumentParser(prog="litebase-spark")
-    p.add_argument("--url", default=os.environ.get(
-        "LITEBASE_URL", "http://127.0.0.1:8080"))
-    p.add_argument("--token", default=os.environ.get("LITEBASE_TOKEN", ""))
+    p.add_argument("--url", default=os.environ.get("LITEBASE_URL", prof_url))
+    p.add_argument("--token", default=os.environ.get(
+        "LITEBASE_TOKEN", prof_token))
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sub.add_parser("status")
@@ -404,6 +407,7 @@ def admin_main(argv: list[str], out=None) -> int:
 _ADMIN_CMDS = {
     "status", "database", "backup", "restore", "access-key", "user",
 }
+_TOP_CMDS = _ADMIN_CMDS | {"serve", "profile"}
 
 
 def main() -> int:
@@ -412,6 +416,10 @@ def main() -> int:
     sql shell: reads stdin, UTC session, history via readline when
     interactive."""
     argv = sys.argv[1:]
+    if argv and argv[0] == "serve":
+        return serve_main(argv[1:])
+    if argv and argv[0] == "profile":
+        return profile_main(argv[1:])
     if argv and (argv[0] in _ADMIN_CMDS or (
         argv[0].startswith("--") and any(x in _ADMIN_CMDS for x in argv)
     )):
@@ -442,3 +450,143 @@ def main() -> int:
 
 if __name__ == "__main__":
     sys.exit(main())
+
+
+# -- serve + profile (reference pkg/cli/cmd/serve.go, profile*.go) ----
+
+
+def build_server(port: int = 8080, admin_key: str | None = None,
+                 store_root: str | None = None):
+    """Construct Engine + QueryServer (the `serve` command's body,
+    factored so tests can start/stop without blocking). The bootstrap
+    admin key comes from --admin-key or LITEBASE_ADMIN_KEY as
+    'id:secret' with full privileges — the analog of the reference's
+    root access key provisioning."""
+    import os
+
+    from litebase_spark.http_api import (
+        AccessKey,
+        AccessKeyManager,
+        AccessKeyStatement,
+        QueryServer,
+    )
+    from litebase_spark.session import get_spark
+
+    raw = admin_key or os.environ.get("LITEBASE_ADMIN_KEY", "admin:admin")
+    kid, _, secret = raw.partition(":")
+    keys = AccessKeyManager()
+    keys.store(AccessKey(kid, secret, [AccessKeyStatement(["*"], ["*"])]))
+    engine = Engine(spark=get_spark("litebase-serve"))
+    store = None
+    if store_root:
+        from litebase_spark.snapshots import VersionedStore
+
+        store = VersionedStore(engine.spark, store_root)
+    return QueryServer(engine, keys, port=port, store=store)
+
+
+def serve_main(argv: list[str]) -> int:
+    """`litebase-spark serve [--port N] [--admin-key id:secret]
+    [--store-root DIR]` — start the HTTP query server and block."""
+    import argparse
+
+    p = argparse.ArgumentParser(prog="litebase-spark serve")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--admin-key", default=None)
+    p.add_argument("--store-root", default=None)
+    a = p.parse_args(argv)
+    srv = build_server(a.port, a.admin_key, a.store_root)
+    srv.start()
+    print(f"litebase-spark serving on 127.0.0.1:{srv.port}")
+    try:
+        import time as _time
+
+        while True:
+            _time.sleep(3600)
+    except KeyboardInterrupt:
+        srv.stop()
+    return 0
+
+
+def profile_main(argv: list[str], out=None) -> int:
+    """Named connection profiles (reference pkg/cli/cmd/profile*.go):
+    create/list/switch/current/delete persisted as JSON. Config path
+    from --config or LITEBASE_CONFIG (default ~/.litebase-spark.json);
+    `database`/`user`/... subcommands resolve --url/--token from the
+    current profile when flags and env are absent."""
+    import argparse
+    import json as _json
+    import os
+
+    out = out or sys.stdout
+    p = argparse.ArgumentParser(prog="litebase-spark profile")
+    p.add_argument("--config", default=os.environ.get(
+        "LITEBASE_CONFIG",
+        os.path.expanduser("~/.litebase-spark.json")))
+    sub = p.add_subparsers(dest="sub", required=True)
+    sp = sub.add_parser("create")
+    sp.add_argument("name")
+    sp.add_argument("--url", required=True)
+    sp.add_argument("--token", required=True)
+    sub.add_parser("list")
+    sub.add_parser("current")
+    sp = sub.add_parser("switch")
+    sp.add_argument("name")
+    sp = sub.add_parser("delete")
+    sp.add_argument("name")
+    a = p.parse_args(argv)
+
+    cfg = {"profiles": {}, "current": None}
+    if os.path.exists(a.config):
+        with open(a.config) as f:
+            cfg = _json.load(f)
+
+    if a.sub == "create":
+        cfg["profiles"][a.name] = {"url": a.url, "token": a.token}
+        cfg.setdefault("current", None)
+        if cfg["current"] is None:
+            cfg["current"] = a.name
+    elif a.sub == "switch":
+        if a.name not in cfg["profiles"]:
+            print(_json.dumps({"error": f"no such profile: {a.name}"}),
+                  file=out)
+            return 1
+        cfg["current"] = a.name
+    elif a.sub == "delete":
+        if cfg["profiles"].pop(a.name, None) is None:
+            print(_json.dumps({"error": f"no such profile: {a.name}"}),
+                  file=out)
+            return 1
+        if cfg["current"] == a.name:
+            cfg["current"] = next(iter(cfg["profiles"]), None)
+    with open(a.config, "w") as f:
+        _json.dump(cfg, f, indent=1)
+    if a.sub == "list":
+        print(_json.dumps(
+            {"current": cfg["current"],
+             "profiles": sorted(cfg["profiles"])}), file=out)
+    elif a.sub == "current":
+        cur = cfg["current"]
+        print(_json.dumps(
+            {"current": cur,
+             "url": cfg["profiles"].get(cur, {}).get("url")}), file=out)
+    else:
+        print(_json.dumps({"status": "success", "current": cfg["current"]}),
+              file=out)
+    return 0
+
+
+def profile_lookup(config_path: str | None = None) -> tuple[str, str]:
+    """Resolve (url, token) from the current profile, or defaults."""
+    import json as _json
+    import os
+
+    path = config_path or os.environ.get(
+        "LITEBASE_CONFIG", os.path.expanduser("~/.litebase-spark.json"))
+    try:
+        with open(path) as f:
+            cfg = _json.load(f)
+        prof = cfg["profiles"][cfg["current"]]
+        return prof["url"], prof["token"]
+    except Exception:
+        return "http://127.0.0.1:8080", ""

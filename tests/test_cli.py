@@ -204,3 +204,58 @@ def test_admin_subcommands_drive_management_api(spark):
         assert rc == 1
     finally:
         srv.stop()
+
+
+def test_profile_crud_and_serve_bootstrap(spark, tmp_path, monkeypatch):
+    """Profiles (reference pkg/cli/cmd/profile*.go) persist url/token and
+    feed admin commands; `serve`'s factored builder boots a server with
+    the bootstrap admin key."""
+    import json
+
+    from litebase_spark.cli import admin_main, build_server, profile_main
+
+    cfg = str(tmp_path / "cfg.json")
+
+    def prof(args):
+        buf = io.StringIO()
+        rc = profile_main(["--config", cfg] + args, out=buf)
+        return rc, json.loads(buf.getvalue())
+
+    rc, _ = prof(["create", "dev", "--url", "http://x", "--token", "a:b"])
+    assert rc == 0
+    rc, body = prof(["list"])
+    assert rc == 0 and body == {"current": "dev", "profiles": ["dev"]}
+    rc, _ = prof(["create", "prod", "--url", "http://y", "--token", "c:d"])
+    rc, body = prof(["current"])
+    assert body["current"] == "dev"  # first profile stays current
+    rc, _ = prof(["switch", "prod"])
+    rc, body = prof(["current"])
+    assert body == {"current": "prod", "url": "http://y"}
+    rc, _ = prof(["delete", "prod"])
+    rc, body = prof(["current"])
+    assert body["current"] == "dev"
+    assert prof(["switch", "nope"])[0] == 1
+
+    # serve bootstrap: admin key grants full access; profile resolution
+    # feeds admin_main when flags/env are absent
+    srv = build_server(port=0, admin_key="root2:pw2")
+    srv.start()
+    try:
+        prof(["create", "local", "--url",
+              f"http://127.0.0.1:{srv.port}", "--token", "root2:pw2"])
+        prof(["switch", "local"])
+        monkeypatch.setenv("LITEBASE_CONFIG", cfg)
+        monkeypatch.delenv("LITEBASE_URL", raising=False)
+        monkeypatch.delenv("LITEBASE_TOKEN", raising=False)
+        buf = io.StringIO()
+        rc = admin_main(["status"], out=buf)
+        assert rc == 0 and json.loads(buf.getvalue())["status"] == "ok"
+        buf = io.StringIO()
+        rc = admin_main(
+            ["database", "query", "main", "main", "SELECT 1 AS one"],
+            out=buf,
+        )
+        assert rc == 0
+        assert json.loads(buf.getvalue())["data"][0]["rows"] == [[1]]
+    finally:
+        srv.stop()
