@@ -486,11 +486,12 @@ class Engine:
         sql_text = self._rewrite_time_travel(sql_text)
         sql_text = _rewrite_sqlite_casts(sql_text)
         from litebase_spark.functions.dialect import (
+            rewrite_double_quoted_identifiers as _rw_dqi,
             rewrite_integer_literal_division as _rw_div,
             rewrite_sqlite_functions as _rw_fns,
         )
 
-        sql_text = _rw_div(_rw_fns(sql_text))
+        sql_text = _rw_dqi(_rw_div(_rw_fns(sql_text)))
         sql_text = self._rewrite_connection_fns(sql_text)
         returning = None
         if stmt_class == "DML":
@@ -603,11 +604,12 @@ class Engine:
         sql_text = self._rewrite_time_travel(sql_text)
         sql_text = _rewrite_sqlite_casts(sql_text)
         from litebase_spark.functions.dialect import (
+            rewrite_double_quoted_identifiers as _rw_dqi,
             rewrite_integer_literal_division as _rw_div,
             rewrite_sqlite_functions as _rw_fns,
         )
 
-        sql_text = _rw_div(_rw_fns(sql_text))
+        sql_text = _rw_dqi(_rw_div(_rw_fns(sql_text)))
         return self.spark.sql(sql_text, args=args) if args else self.spark.sql(sql_text)
 
     # -- time travel over a VersionedStore (A21 SQL surface) ----------------

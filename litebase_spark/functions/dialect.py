@@ -359,3 +359,54 @@ def rewrite_integer_literal_division(sql: str) -> str:
         parts.append(seg)
         i = len(sql) if j == -1 else j
     return "".join(parts)
+
+
+# -- double-quoted identifiers ---------------------------------------------
+#
+# The reference compiles SQLite with -DSQLITE_DQS=0
+# (pkg/sqlite3/sqlite3.go:4): double quotes are STRICTLY identifier
+# quoting, never string literals. Spark's default parser reads "x" as
+# the string 'x', which silently breaks every ported statement that
+# quotes a column ("SELECT \"doc_id\" FROM t" would project a constant).
+# Rewrite "ident" (with "" escaping, per SQL) to Spark backtick quoting
+# outside single-quoted strings. ANSI double-quote mode is not an
+# option here: spark.sql.ansi.doubleQuotedIdentifiers requires ANSI
+# mode, which the engine keeps off for SQLite-compatible casts.
+
+def rewrite_double_quoted_identifiers(sql: str) -> str:
+    out = []
+    i = 0
+    n = len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":  # skip string literals ('' escaping)
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i:j + 1])
+            i = j + 1
+            continue
+        if ch == '"':
+            j = i + 1
+            ident = []
+            while j < n:
+                if sql[j] == '"':
+                    if j + 1 < n and sql[j + 1] == '"':
+                        ident.append('"')
+                        j += 2
+                        continue
+                    break
+                ident.append(sql[j])
+                j += 1
+            name = "".join(ident)
+            out.append("`" + name.replace("`", "``") + "`")
+            i = j + 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)

@@ -526,3 +526,50 @@ def test_access_key_show_and_update(server):
                        token="admin:s3cret")
     assert body["data"]["statements"][0]["privileges"] == ["*"]
     _call(server, "DELETE", "/v1/access-keys/rot", token="admin:s3cret")
+
+
+def test_trigger_and_attach_over_the_wire(server):
+    """Round-4 DDL families reach the wire: CREATE TRIGGER maintains a
+    derived table through HTTP inserts; ATTACH exposes a fixture dir as
+    a queryable namespace in the same session."""
+    import shutil
+
+    path = "/v1/databases/main/main/query"
+    t = "admin:s3cret"
+    for tb in ("w_base", "w_sum"):
+        _call(server, "POST", path,
+              {"queries": [{"id": "0",
+                            "statement": f"DROP TABLE IF EXISTS {tb}"}]},
+              token=t)
+        shutil.rmtree(f"spark-warehouse/{tb}", ignore_errors=True)
+    code, body = _call(server, "POST", path, {"queries": [
+        {"id": "1", "statement":
+         "CREATE TABLE w_base (k STRING, v BIGINT) USING PARQUET"},
+        {"id": "2", "statement":
+         "CREATE TABLE w_sum (k STRING, total BIGINT) USING PARQUET"},
+        {"id": "3", "statement":
+         "CREATE TRIGGER w_sync AFTER INSERT ON w_base BEGIN "
+         "INSERT OVERWRITE w_sum SELECT k, SUM(v) AS total FROM w_base "
+         "GROUP BY k; END"},
+        {"id": "4", "statement": "INSERT INTO w_base VALUES ('x', 5)"},
+        {"id": "5", "statement": "SELECT * FROM w_sum"},
+    ]}, token=t)
+    assert code == 200
+    d = {r["id"]: r for r in body["data"]}
+    assert d["5"]["rows"] == [["x", 5]]
+
+    code, body = _call(server, "POST", path, {"queries": [
+        {"id": "1", "statement":
+         "ATTACH DATABASE '/root/testdata/sf0.001' AS wire_att"},
+        {"id": "2", "statement":
+         "SELECT count(*) AS n FROM wire_att.region"},
+        {"id": "3", "statement": "DETACH wire_att"},
+    ]}, token=t)
+    assert code == 200
+    d = {r["id"]: r for r in body["data"]}
+    assert d["2"]["rows"][0][0] == 5
+    _call(server, "POST", path, {"queries": [
+        {"id": "9", "statement": "DROP TRIGGER IF EXISTS w_sync"},
+        {"id": "10", "statement": "DROP TABLE IF EXISTS w_base"},
+        {"id": "11", "statement": "DROP TABLE IF EXISTS w_sum"},
+    ]}, token=t)

@@ -324,3 +324,25 @@ def test_scalar_function_differential(eng):
         if got != want:
             bad.append((e, got, want))
     assert not bad, bad
+
+
+def test_double_quoted_identifiers_dqs0(eng):
+    """The reference builds SQLite with -DSQLITE_DQS=0
+    (pkg/sqlite3/sqlite3.go:4): double quotes quote IDENTIFIERS, never
+    strings. The dialect layer must rewrite them to backticks — without
+    it Spark reads \"v\" as the literal string 'v'."""
+    import shutil
+
+    eng.sql("DROP TABLE IF EXISTS dqs_t")
+    shutil.rmtree("spark-warehouse/dqs_t", ignore_errors=True)
+    eng.sql('CREATE TABLE "dqs_t" ("id" BIGINT, "v" STRING) USING PARQUET')
+    eng.sql('INSERT INTO "dqs_t" VALUES (1, \'a\'), (2, \'b\')')
+    rows = eng.sql(
+        'SELECT "v" FROM "dqs_t" WHERE "id" = 2'
+    ).rows
+    assert [r.v for r in rows] == ["b"]
+    # embedded double-quote escaping ("" -> one quote in the name) and
+    # single-quoted strings containing double quotes stay untouched
+    r = eng.sql("SELECT 'say \"hi\"' AS s").rows[0].s
+    assert r == 'say "hi"'
+    eng.sql("DROP TABLE dqs_t")
