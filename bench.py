@@ -82,6 +82,11 @@ HEADLINE = [
     "profile_lineitem_stats",
     "text_substring_dedup",
     "pipeline_weighted_sample",
+    # round 4
+    "knn_radius_search",
+    "pipeline_epoch_shuffle",
+    "stats_ab_lift",
+    "geopoly_group_bbox",
 ]
 
 
