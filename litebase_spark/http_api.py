@@ -231,6 +231,11 @@ _QUERY_RE = re.compile(r"^/v1/databases/([^/]+)/([^/]+)/query$")
 _QSTREAM_RE = re.compile(r"^/v1/databases/([^/]+)/([^/]+)/query/stream$")
 _METRICS_RE = re.compile(r"^/v1/databases/([^/]+)/([^/]+)/metrics/query$")
 _SNAP_RE = re.compile(r"^/v1/databases/([^/]+)/([^/]+)/snapshots$")
+_SNAP_ID_RE = re.compile(
+    r"^/v1/databases/([^/]+)/([^/]+)/snapshots/([^/]+)$"
+)
+_STATUS_RE = re.compile(r"^/v1/status$")
+_BRANCH_SHOW_RE = re.compile(r"^/v1/databases/([^/]+)/([^/]+)$")
 _BACKUP_RE = re.compile(r"^/v1/databases/([^/]+)/([^/]+)/backups$")
 _BACKUP_ID_RE = re.compile(r"^/v1/databases/([^/]+)/([^/]+)/backups/([^/]+)$")
 _RESTORE_RE = re.compile(r"^/v1/databases/([^/]+)/([^/]+)/restore$")
@@ -265,6 +270,9 @@ class QueryServer:
         self.users = users or UserManager()
         self.store = store
         self.write_lock = threading.Lock()  # driver = single writer
+        import time as _time
+
+        self.started_at = _time.time()
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -297,6 +305,30 @@ class QueryServer:
                 parsed = urlparse(self.path)
                 if parsed.path == "/health":
                     return self._send(200, {"status": "ok"})
+                if _STATUS_RE.match(parsed.path):
+                    # ClusterStatusController analog (routes.go:9-15):
+                    # single-driver deployment reports itself as primary
+                    key = self._auth()
+                    if key is None:
+                        return self._send(401, {"status": "error", "message": "invalid access key"})
+                    import time as _time
+
+                    n_dbs = len(
+                        server.engine.spark.catalog.listDatabases()
+                    )
+                    served = sum(
+                        m.count
+                        for m in server.engine.metrics._acc.values()
+                    )
+                    return self._send(200, {"status": "success", "data": {
+                        "role": "primary",
+                        "databases": n_dbs,
+                        "queries_served": served,
+                        "uptime_s": round(
+                            _time.time() - server.started_at, 3
+                        ),
+                        "versioned_store": server.store is not None,
+                    }})
                 m = _METRICS_RE.match(parsed.path)
                 if m:
                     key = self._auth()
@@ -397,6 +429,109 @@ class QueryServer:
                     if u is None:
                         return self._send(404, {"status": "error", "message": "no such user"})
                     return self._send(200, {"status": "success", "data": u.as_response()})
+                m = _SNAP_ID_RE.match(parsed.path)
+                if m:
+                    # SnapshotControllerShow (routes.go snapshots/{ts})
+                    key = self._auth()
+                    if key is None:
+                        return self._send(401, {"status": "error", "message": "invalid access key"})
+                    if not self._manage_ok(key, m.group(1), m.group(2)):
+                        return self._send(403, {"status": "error", "message": "forbidden"})
+                    if server.store is None:
+                        return self._send(503, {"status": "error", "message": "no versioned store attached"})
+                    try:
+                        snap = server.store.snapshot_at(float(m.group(3)))
+                    except Exception:
+                        return self._send(404, {"status": "error", "message": "no such snapshot"})
+                    return self._send(200, {"status": "success", "data": snap})
+                m = _BACKUP_ID_RE.match(parsed.path)
+                if m:
+                    # BackupControllerShow: archive metadata
+                    import os as _os
+
+                    key = self._auth()
+                    if key is None:
+                        return self._send(401, {"status": "error", "message": "invalid access key"})
+                    if not self._manage_ok(key, m.group(1), m.group(2)):
+                        return self._send(403, {"status": "error", "message": "forbidden"})
+                    if server.store is None:
+                        return self._send(404, {"status": "error", "message": "no such backup"})
+                    path = _os.path.join(
+                        self._backup_dir(), f"{m.group(3)}.tar.gz"
+                    )
+                    if not _os.path.exists(path):
+                        return self._send(404, {"status": "error", "message": "no such backup"})
+                    st = _os.stat(path)
+                    return self._send(200, {"status": "success", "data": {
+                        "backup_id": m.group(3),
+                        "size_bytes": st.st_size,
+                        "created_at": st.st_mtime,
+                    }})
+                m = _DB_RE.match(parsed.path)
+                if m:
+                    # DatabaseControllerShow: branches + tables of one db
+                    key = self._auth()
+                    if key is None:
+                        return self._send(401, {"status": "error", "message": "invalid access key"})
+                    if not key.allows("*", "database:manage"):
+                        return self._send(403, {"status": "error", "message": "forbidden"})
+                    db = m.group(1)
+                    cat = server.engine.spark.catalog
+                    all_dbs = {d.name for d in cat.listDatabases()}
+                    branches = ["main"] + sorted(
+                        n.split("__", 1)[1]
+                        for n in all_dbs
+                        if n.startswith(f"{db}__")
+                    )
+                    try:
+                        ns = db if db in all_dbs else None
+                        tables = sorted(
+                            t.name
+                            for t in (
+                                cat.listTables(ns)
+                                if ns else cat.listTables()
+                            )
+                        )
+                    except Exception:
+                        tables = []
+                    return self._send(200, {"status": "success", "data": {
+                        "database": db,
+                        "branches": branches,
+                        "tables": tables,
+                    }})
+                m = _BRANCH_SHOW_RE.match(parsed.path)
+                if m:
+                    # branch detail: tables in the branch namespace (main
+                    # = the session catalog; others = db__branch)
+                    key = self._auth()
+                    if key is None:
+                        return self._send(401, {"status": "error", "message": "invalid access key"})
+                    db, branch = m.group(1), m.group(2)
+                    if not key.allows(
+                        f"database:{db}:branch:{branch}", "database:select"
+                    ) and not key.allows("*", "database:manage"):
+                        return self._send(403, {"status": "error", "message": "forbidden"})
+                    cat = server.engine.spark.catalog
+                    all_dbs = {d.name for d in cat.listDatabases()}
+                    ns = f"{db}__{branch}"
+                    try:
+                        if branch == "main":
+                            tables = sorted(
+                                t.name for t in cat.listTables()
+                            )
+                        elif ns in all_dbs:
+                            tables = sorted(
+                                t.name for t in cat.listTables(ns)
+                            )
+                        else:
+                            return self._send(404, {"status": "error", "message": "no such branch"})
+                    except Exception:
+                        tables = []
+                    return self._send(200, {"status": "success", "data": {
+                        "database": db,
+                        "branch": branch,
+                        "tables": tables,
+                    }})
                 return self._send(404, {"status": "error"})
 
             def do_POST(self):  # noqa: N802

@@ -573,3 +573,33 @@ def test_trigger_and_attach_over_the_wire(server):
         {"id": "10", "statement": "DROP TABLE IF EXISTS w_base"},
         {"id": "11", "statement": "DROP TABLE IF EXISTS w_sum"},
     ]}, token=t)
+
+
+def test_status_and_show_routes(server):
+    """Round-4 read surface: /v1/status (cluster status analog),
+    database show, branch show, backup 404s without a store."""
+    t = "admin:s3cret"
+    code, body = _call(server, "GET", "/v1/status", token=t)
+    assert code == 200
+    d = body["data"]
+    assert d["role"] == "primary" and d["uptime_s"] >= 0
+    assert d["queries_served"] >= 0 and d["versioned_store"] is False
+    assert _call(server, "GET", "/v1/status")[0] == 401
+
+    code, body = _call(server, "GET", "/v1/databases/main", token=t)
+    assert code == 200
+    assert body["data"]["database"] == "main"
+    assert "main" in body["data"]["branches"]
+
+    code, body = _call(server, "GET", "/v1/databases/main/main", token=t)
+    assert code == 200 and body["data"]["branch"] == "main"
+    # reader can see its own branch detail
+    code, _ = _call(server, "GET", "/v1/databases/main/main",
+                    token="reader:r3ad")
+    assert code == 200
+    code, _ = _call(server, "GET", "/v1/databases/main/nope", token=t)
+    assert code == 404
+
+    code, _ = _call(server, "GET",
+                    "/v1/databases/main/main/backups/backup-123", token=t)
+    assert code == 404
