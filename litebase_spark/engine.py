@@ -752,7 +752,9 @@ class Engine:
         r"(?is)^\s*CREATE\s+TRIGGER\s+(?:IF\s+NOT\s+EXISTS\s+)?"
         r"([A-Za-z_][\w]*)\s+AFTER\s+(INSERT|UPDATE|DELETE)\s+ON\s+"
         r"([A-Za-z_][\w.]*)\s+(?:FOR\s+EACH\s+STATEMENT\s+)?BEGIN\s+"
-        r"(.*?)\s*;?\s*END\s*;?\s*$"
+        # greedy body + anchored terminal END: a CASE ... END inside the
+        # body must not terminate the trigger early
+        r"(.*)\s*;?\s*END\s*;?\s*$"
     )
     _TRIGGER_DROP_RE = re.compile(
         r"(?is)^\s*DROP\s+TRIGGER\s+(IF\s+EXISTS\s+)?([A-Za-z_][\w]*)\s*$"

@@ -756,3 +756,28 @@ def test_attach_detach_database(engine, sf_dir):
     assert os.path.exists(f"{sf_dir}/orders.parquet")
     with pytest.raises(Exception, match="no such database"):
         eng.sql("DETACH att")
+
+
+def test_trigger_body_with_case_end(engine):
+    """A CASE ... END inside the trigger body must not terminate the
+    CREATE TRIGGER parse early (greedy body, anchored terminal END)."""
+    import shutil
+
+    eng = engine
+    for t in ("trgc_b", "trgc_s"):
+        eng.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    eng.sql("CREATE TABLE trgc_b (v BIGINT) USING PARQUET")
+    eng.sql("CREATE TABLE trgc_s (bucket STRING, n BIGINT) USING PARQUET")
+    eng.sql(
+        "CREATE TRIGGER trgc AFTER INSERT ON trgc_b BEGIN "
+        "INSERT OVERWRITE trgc_s SELECT "
+        "CASE WHEN v >= 10 THEN 'big' ELSE 'small' END AS bucket, "
+        "COUNT(*) AS n FROM trgc_b GROUP BY 1; END"
+    )
+    eng.sql("INSERT INTO trgc_b VALUES (3), (30)")
+    got = {(r.bucket, r.n) for r in eng.sql("SELECT * FROM trgc_s").rows}
+    assert got == {("big", 1), ("small", 1)}
+    eng.sql("DROP TRIGGER trgc")
+    for t in ("trgc_b", "trgc_s"):
+        eng.sql(f"DROP TABLE {t}")
