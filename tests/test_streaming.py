@@ -490,3 +490,81 @@ def test_streaming_minhash_dedup_matches_sequential_replay(spark, tmp_path):
     clusters = [{1, 3, 6}, {2, 5}, {4, 9}, {7}]
     for cl in clusters:
         assert len(cl.intersection(acc)) == 1
+
+
+def test_foreach_batch_drives_engine_triggers(spark, sf_dir, tmp_path):
+    """The CDF/foreachBatch per-commit hook composed end-to-end: a file
+    stream lands micro-batches into a base table THROUGH Engine.sql, so
+    the statement-level AFTER INSERT trigger re-derives a summary table
+    on every micro-batch commit — the streaming form of the trigger
+    analog (reference trigger DDL family, constants.go:74-77)."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from litebase_spark.catalog import load
+    from litebase_spark.engine import Engine
+
+    eng = Engine(spark)
+    for t in ("st_base", "st_sum"):
+        eng.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    eng.sql(
+        "CREATE TABLE st_base (event_type STRING, value DOUBLE) "
+        "USING PARQUET"
+    )
+    eng.sql("CREATE TABLE st_sum (event_type STRING, n BIGINT) USING PARQUET")
+    eng.sql(
+        "CREATE TRIGGER st_sync AFTER INSERT ON st_base BEGIN "
+        "INSERT OVERWRITE st_sum SELECT event_type, COUNT(*) AS n "
+        "FROM st_base GROUP BY event_type; END"
+    )
+
+    events = load(spark, sf_dir, "events").select("event_type", "value")
+    src = str(tmp_path / "trg_src")
+    events.limit(90).repartition(3).write.parquet(src)
+
+    fired = []
+
+    def land(df, batch_id):
+        rows = df.collect()
+        if not rows:
+            return
+        vals = ", ".join(
+            f"('{r['event_type']}', {float(r['value'] or 0.0)})"
+            for r in rows
+        )
+        eng.sql(f"INSERT INTO st_base VALUES {vals}")
+        fired.append(batch_id)
+
+    q = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(land)
+        .option(
+            "checkpointLocation", str(tmp_path / "trg_ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert len(fired) >= 1
+    base = {
+        (r.event_type, r.n)
+        for r in eng.sql(
+            "SELECT event_type, COUNT(*) AS n FROM st_base "
+            "GROUP BY event_type"
+        ).rows
+    }
+    summary = {
+        (r.event_type, r.n)
+        for r in eng.sql("SELECT * FROM st_sum").rows
+    }
+    # the trigger kept the derived table exactly in sync through every
+    # micro-batch commit
+    assert base == summary and summary
+    eng.sql("DROP TRIGGER st_sync")
+    for t in ("st_base", "st_sum"):
+        eng.sql(f"DROP TABLE {t}")
