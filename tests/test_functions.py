@@ -266,3 +266,48 @@ def test_fts5_compile_property_vs_reference(spark):
         )
         want = sorted(i for i, ws in toks.items() if py_eval(ast_node, ws))
         assert got == want, f"{match!r}: spark={got} py={want}"
+
+
+def test_rewriters_never_touch_single_quoted_strings():
+    """Property: the dialect text rewriters (integer-literal division,
+    double-quoted identifiers) preserve every single-quoted string
+    literal byte-for-byte, for arbitrary literal content including
+    embedded quotes, slashes, digits and double quotes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from litebase_spark.functions.dialect import (
+        rewrite_double_quoted_identifiers,
+        rewrite_integer_literal_division,
+    )
+
+    content = st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",), blacklist_characters="'"
+        ),
+        max_size=20,
+    )
+
+    @given(st.lists(content, min_size=1, max_size=4), st.integers(1, 99),
+           st.integers(1, 99))
+    @settings(max_examples=200, deadline=None)
+    def check(lits, a, b):
+        # literals interleaved with genuine rewrite targets
+        parts = []
+        for i, lit in enumerate(lits):
+            esc = lit.replace("'", "''")
+            parts.append(f"'{esc}'")
+            parts.append(f" , {a}/{b} , \"col{i}\" , ")
+        sql = "SELECT " + "".join(parts)
+        out = rewrite_double_quoted_identifiers(
+            rewrite_integer_literal_division(sql)
+        )
+        # every literal survives untouched
+        for lit in lits:
+            esc = lit.replace("'", "''")
+            assert f"'{esc}'" in out
+        # the rewrite targets actually transformed outside strings
+        assert f"{a} DIV {b}" in out
+        assert "`col0`" in out and '"col0"' not in out
+
+    check()
