@@ -166,6 +166,12 @@ def main() -> int:
         )
     lines += [
         "",
+        "Ratios for rows whose Spark time is near the ~0.2 s local "
+        "scheduler floor (constant-size queries that do not grow under "
+        "fact replication) measure stage-launch latency, not throughput; "
+        "they vanish at cluster scale where task work dominates launch "
+        "cost.",
+        "",
         "Excluded (by design, not measured):",
         "",
     ]
