@@ -461,8 +461,12 @@ def build_server(port: int = 8080, admin_key: str | None = None,
     factored so tests can start/stop without blocking). The bootstrap
     admin key comes from --admin-key or LITEBASE_ADMIN_KEY as
     'id:secret' with full privileges — the analog of the reference's
-    root access key provisioning."""
+    explicit root-credential provisioning (LITEBASE_ROOT_PASSWORD).
+    When neither is supplied a random secret is generated and printed
+    once to stderr; there is NO well-known default credential."""
     import os
+    import secrets as _secrets
+    import sys as _sys
 
     from litebase_spark.http_api import (
         AccessKey,
@@ -472,7 +476,14 @@ def build_server(port: int = 8080, admin_key: str | None = None,
     )
     from litebase_spark.session import get_spark
 
-    raw = admin_key or os.environ.get("LITEBASE_ADMIN_KEY", "admin:admin")
+    raw = admin_key or os.environ.get("LITEBASE_ADMIN_KEY")
+    if not raw:
+        raw = "admin:" + _secrets.token_urlsafe(24)
+        print(
+            "litebase-spark: no --admin-key / LITEBASE_ADMIN_KEY supplied; "
+            f"generated bootstrap credential {raw} (shown once)",
+            file=_sys.stderr,
+        )
     kid, _, secret = raw.partition(":")
     keys = AccessKeyManager()
     keys.store(AccessKey(kid, secret, [AccessKeyStatement(["*"], ["*"])]))

@@ -795,9 +795,15 @@ class Engine:
                 if not fn.endswith(".parquet"):
                     continue
                 tname = fn[: -len(".parquet")]
+                # directory contents are untrusted input to this SQL
+                # text: ''-double quotes in the LOCATION literal and
+                # ``-double backticks in the identifier so a filename
+                # like "x'.parquet" can't break out of either
+                loc = f"{path}/{fn}".replace("'", "''")
+                tq = tname.replace("`", "``")
                 self.spark.sql(
-                    f"CREATE TABLE IF NOT EXISTS `{alias}`.`{tname}` "
-                    f"USING PARQUET LOCATION '{path}/{fn}'"
+                    f"CREATE TABLE IF NOT EXISTS `{alias}`.`{tq}` "
+                    f"USING PARQUET LOCATION '{loc}'"
                 )
             latency = time.time() - t0
             self.metrics.record(sql_text, latency)

@@ -318,23 +318,77 @@ def rewrite_sqlite_functions(sql: str) -> str:
 # Spark `/` always returns DOUBLE. Operand storage classes are not
 # recoverable from SQL text in general, but the ubiquitous case a ported
 # query hits — integer LITERALS on both sides — is: rewrite
-# `<int-literal> / <int-literal>` to Spark's `DIV`, which shares
-# SQLite's truncation-toward-zero and NULL-on-zero (ANSI mode off)
-# semantics and returns BIGINT, so 7/2 prints 3, not 3.5. Chains fold
-# left-associatively across repeated passes (8/2/2 -> 8 DIV 2 DIV 2).
-# Column-typed operands remain true division (documented deviation;
-# `DIV` is available explicitly).
+# `<int-literal> / <int-literal> [/ <int-literal> ...]` chains to
+# Spark's `DIV`, which shares SQLite's truncation-toward-zero and
+# NULL-on-zero (ANSI mode off) semantics and returns BIGINT, so 7/2
+# prints 3 and 8/2/2 prints 2, not 3.5/2.0.
+#
+# The rewrite fires ONLY when the leading literal is genuinely the LEFT
+# operand of the division at runtime. Because Spark parses `*`, `/`, `%`
+# and `DIV` left-associatively at equal precedence, rewriting `x / 2/3`
+# to `x / 2 DIV 3` would make the DIV's left operand the whole `x / 2`
+# expression and silently truncate a REAL column. So: if the nearest
+# non-whitespace text before the literal ends with another multiplicative
+# operator (`*` `/` `%`), an expression tail (`)` quote-close, a
+# parameter marker) or any word that is not a known SQL keyword, the
+# chain is left as true division. Column-typed operands always remain
+# true division (documented deviation; `DIV` is available explicitly).
 
-_INT_DIV_RE = re.compile(
-    # left literal: not part of an identifier/float (no [\w.$] before),
-    # right literal: not continued by a fraction/exponent/identifier
-    r"(?<![\w.$])([0-9]+)\s*/\s*([0-9]+)(?![\w.])"
+_INT_DIV_CHAIN_RE = re.compile(
+    # multiplicative chain of int literals (*, /, %): not part of an
+    # identifier or float on either flank. Literal-only chains are safe
+    # to fold left-to-right with DIV because every intermediate stays
+    # integral in SQLite (5*1/2 = 2, 8/2*3/4 = 3).
+    r"(?<![\w.$])[0-9]+(?:\s*[*/%]\s*[0-9]+)+(?![\w.])"
+)
+
+# Words that can legitimately precede a literal expression in SQL text.
+# Anything alphanumeric NOT in this set is an identifier / named
+# parameter tail, i.e. the literal is a RIGHT operand or invalid SQL —
+# either way, don't rewrite.
+_KEYWORDS_BEFORE_EXPR = frozenset(
+    """select where when then else case and or not on by having limit
+    offset set values returning in like glob is between all distinct
+    union except intersect escape collate as if elseif do while return
+    null true false""".split()
 )
 
 
+def _chain_is_left_operand(seg: str, start: int) -> bool:
+    """True when the literal at seg[start] is the left operand of its
+    division chain (not the right operand of a preceding same-precedence
+    operator or an identifier/parameter)."""
+    k = start - 1
+    while k >= 0 and seg[k] in " \t\r\n":
+        k -= 1
+    if k < 0:
+        return True
+    ch = seg[k]
+    if ch in "*/%)?'`\"":
+        # preceding multiplicative operator / expression tail / param
+        return False
+    if ch.isalnum() or ch == "_":
+        # walk back the word: keyword => expression starts here (safe);
+        # anything else (identifier, named param, digit run) => not the
+        # left operand — leave as true division.
+        e = k + 1
+        while k >= 0 and (seg[k].isalnum() or seg[k] == "_"):
+            k -= 1
+        word = seg[k + 1:e].lower()
+        if word == "div" and k >= 0 and seg[k] not in ":@$":
+            # our own prior chain rewrite: left operand is already
+            # BIGINT, folding further DIVs is exact
+            return True
+        if k >= 0 and seg[k] in ":@$":
+            return False  # named parameter tail
+        return word in _KEYWORDS_BEFORE_EXPR
+    return True  # '(' ',' '=' '<' '>' '+' '-' '|' '&' '~' ';' etc.
+
+
 def rewrite_integer_literal_division(sql: str) -> str:
-    """Rewrite int-literal / int-literal to DIV, skipping string
-    literals (a '/' inside quotes is data, not an operator)."""
+    """Rewrite int-literal division chains to DIV, skipping string
+    literals (a '/' inside quotes is data, not an operator) and any
+    chain whose leading literal is not the true left operand."""
     parts = []
     i = 0
     while i < len(sql):
@@ -352,11 +406,18 @@ def rewrite_integer_literal_division(sql: str) -> str:
             continue
         j = sql.find("'", i)
         seg = sql[i:] if j == -1 else sql[i:j]
-        prev = None
-        while prev != seg:
-            prev = seg
-            seg = _INT_DIV_RE.sub(r"\1 DIV \2", seg)
-        parts.append(seg)
+        out = []
+        pos = 0
+        for m in _INT_DIV_CHAIN_RE.finditer(seg):
+            if "/" not in m.group(0):
+                continue  # *-/% chain with no division: nothing to fold
+            if not _chain_is_left_operand(seg, m.start()):
+                continue
+            out.append(seg[pos:m.start()])
+            out.append(re.sub(r"\s*/\s*", " DIV ", m.group(0)))
+            pos = m.end()
+        out.append(seg[pos:])
+        parts.append("".join(out))
         i = len(sql) if j == -1 else j
     return "".join(parts)
 

@@ -32,7 +32,10 @@ from __future__ import annotations
 import base64
 import datetime as dt
 import decimal
+import hashlib
+import hmac
 import json
+import os
 import re
 import threading
 from dataclasses import dataclass, field
@@ -109,22 +112,58 @@ class AccessKeyManager:
         token = header[len("Bearer ") :]
         key_id, _, secret = token.partition(":")
         key = self._keys.get(key_id)
-        if key is None or key.secret != secret:
+        if key is None or not hmac.compare_digest(key.secret, secret):
             return None
         return key
+
+
+def _hash_password(password: str, *, salt: bytes | None = None) -> str:
+    """scrypt-hash a password into a self-describing 'scrypt$salt$hash'
+    string (reference pkg/auth/user_manager.go bcrypt-hashes on Add and
+    verifies on Authenticate; the stored password is never plaintext)."""
+    salt = salt if salt is not None else os.urandom(16)
+    dk = hashlib.scrypt(
+        password.encode(), salt=salt, n=2**14, r=8, p=1, dklen=32
+    )
+    return f"scrypt${salt.hex()}${dk.hex()}"
+
+
+def _verify_password(password: str, stored: str) -> bool:
+    try:
+        scheme, salt_hex, _ = stored.split("$", 2)
+        if scheme != "scrypt":
+            return False
+        recomputed = _hash_password(password, salt=bytes.fromhex(salt_hex))
+    except (ValueError, TypeError):
+        return False
+    return hmac.compare_digest(recomputed, stored)
 
 
 @dataclass
 class User:
     """Named principal with password + grants (reference
     pkg/auth/user.go:5-18 — User carries Statements exactly like an
-    access key; UserResponse omits the password)."""
+    access key; UserResponse omits the password). Only the scrypt hash
+    is stored; the raw password never lives on the object."""
 
     username: str
-    password: str
+    password_hash: str
     statements: list[AccessKeyStatement] = field(default_factory=list)
     created_at: str = ""
     updated_at: str = ""
+
+    @classmethod
+    def create(
+        cls, username: str, password: str,
+        statements: list[AccessKeyStatement] | None = None,
+    ) -> "User":
+        return cls(username, _hash_password(password), statements or [])
+
+    def set_password(self, password: str) -> None:
+        self.password_hash = _hash_password(password)
+
+    def verify_password(self, password: str) -> bool:
+        return _verify_password(password, self.password_hash)
 
     def as_response(self) -> dict:
         return {
@@ -171,10 +210,11 @@ class UserManager:
         token = header[len("Bearer ") :]
         name, _, password = token.partition(":")
         u = self._users.get(name)
-        if u is None or u.password != password:
+        if u is None or not u.verify_password(password):
             return None
-        # adapt to the AccessKey authorization interface
-        return AccessKey(u.username, u.password, u.statements)
+        # adapt to the AccessKey authorization interface; never carry
+        # the raw password forward
+        return AccessKey(u.username, "", u.statements)
 
 
 # -- JSON encoding of engine results ----------------------------------------
@@ -793,7 +833,7 @@ class QueryServer:
                     )
                     for s in body.get("statements", [])
                 ]
-                u = User(name, pw, stmts)
+                u = User.create(name, pw, stmts)
                 server.users.store(u)
                 return self._send(201, {"status": "success", "data": u.as_response()})
 
@@ -808,7 +848,7 @@ class QueryServer:
                 if pw is not None:
                     if len(pw) < 8:
                         return self._send(400, {"status": "error", "message": "password must be at least 8 characters"})
-                    u.password = pw
+                    u.set_password(pw)
                 if body.get("statements") is not None:
                     u.statements = [
                         AccessKeyStatement(

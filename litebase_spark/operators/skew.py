@@ -32,6 +32,58 @@ from litebase_spark.functions.portable import (
 )
 
 
+_SIZE_SUFFIX = {
+    "": 1, "b": 1,
+    "k": 1024, "kb": 1024,
+    "m": 1024**2, "mb": 1024**2,
+    "g": 1024**3, "gb": 1024**3,
+    "t": 1024**4, "tb": 1024**4,
+    "p": 1024**5, "pb": 1024**5,
+}
+
+
+def parse_size_bytes(s) -> int:
+    """Parse a Spark byte-size conf value ('10MB', '10m', '10485760b',
+    plain bytes, '-1') into bytes — the JavaUtils.byteStringAsBytes
+    grammar, so a size-suffixed autoBroadcastJoinThreshold never
+    silently disables adaptive demotion."""
+    import re as _re
+
+    m = _re.match(r"^\s*(-?\d+)\s*([kmgtp]?b?)\s*$", str(s).lower())
+    if not m:
+        raise ValueError(f"unparseable byte size: {s!r}")
+    return int(m.group(1)) * _SIZE_SUFFIX[m.group(2)]
+
+
+def _top_key_share(df: DataFrame, key: str, sample_rows: int = 50_000) -> float:
+    """Skew probe: the hottest key's share of (a bounded sample of) the
+    key column. One small job — the scan is column-pruned to `key` and
+    row-sampled down to ~sample_rows using the driver-side plan size
+    estimate, so at 100 TB this reads one column and aggregates ~50k
+    rows; the groupBy shuffles only the sample."""
+    try:
+        size = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        size = None
+    keys = df.select(key)
+    if size:
+        est_rows = max(1, size // 16)  # conservative bytes/row
+        frac = min(1.0, sample_rows / est_rows)
+        if frac < 1.0:
+            keys = keys.sample(fraction=frac, seed=7)
+    row = (
+        keys.groupBy(key)
+        .count()
+        .agg(F.max("count").alias("mx"), F.sum("count").alias("tot"))
+        .first()
+    )
+    if row is None or not row["tot"]:
+        return 0.0
+    return float(row["mx"]) / float(row["tot"])
+
+
 def salted_join(
     skewed: DataFrame,
     other: DataFrame,
@@ -40,6 +92,7 @@ def salted_join(
     n_salts: int = 8,
     how: str = "inner",
     adaptive: bool = True,
+    skew: str = "auto",
 ) -> DataFrame:
     """Equi-join robust to a hot `on` key: the skewed side picks a
     deterministic salt per row; the other side is replicated n_salts
@@ -50,12 +103,20 @@ def salted_join(
     when Catalyst's size estimate for the non-skewed side is under the
     session broadcast threshold, salting is pure overhead — a broadcast
     hash join never shuffles by key, so no task can own a hot key in
-    the first place. The salted plan only engages when the build side
-    is genuinely too big to broadcast (the regime where skew can
-    actually strand an executor). Costs no job: the decision reads
-    driver-side plan statistics.
+    the first place. Costs no job: the decision reads driver-side plan
+    statistics.
+
+    Past the broadcast threshold the plan is SKEW-TRIGGERED, not
+    size-triggered: a sampled top-key-frequency probe (one bounded
+    ~50k-row job over the pruned key column) decides. Uniform keys get
+    a plain shuffle-hash join — salting uniform keys pays n_salts x
+    build-side replication plus an extra exchange for skew that isn't
+    there. Only a genuine whale key (top-key share above roughly what
+    one task should own, 2/shuffle_partitions) engages the salted plan.
+    ``skew`` overrides the probe: 'force' always salts, 'never' never
+    does, 'auto' probes.
     """
-    if adaptive:
+    if adaptive and skew != "force":
         try:
             size = int(
                 str(
@@ -65,7 +126,7 @@ def salted_join(
                     .sizeInBytes()
                 )
             )
-            thr = int(
+            thr = parse_size_bytes(
                 other.sparkSession.conf.get(
                     "spark.sql.autoBroadcastJoinThreshold"
                 )
@@ -74,6 +135,22 @@ def salted_join(
             size, thr = None, -1
         if size is not None and 0 < size <= thr:
             return skewed.join(F.broadcast(other), on=on, how=how)
+        if skew == "auto":
+            try:
+                n_part = int(
+                    skewed.sparkSession.conf.get(
+                        "spark.sql.shuffle.partitions"
+                    )
+                )
+            except Exception:
+                n_part = 200
+            hot_share = min(0.5, max(0.02, 2.0 / max(1, n_part)))
+            if _top_key_share(skewed, salt_from) < hot_share:
+                skew = "never"
+    if skew == "never":
+        # uniform keys: plain shuffle-hash join (AQE's skew-split still
+        # backstops moderate imbalance at runtime)
+        return skewed.join(other.hint("shuffle_hash"), on=on, how=how)
     salted_l = skewed.withColumn(
         "__salt", F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts))
     )
@@ -102,14 +179,17 @@ def salted_join(
     "Spark-style strategy demotion): when Catalyst's size estimate says "
     "the non-skewed side fits the broadcast threshold — as orders does "
     "at bench SFs — the operator emits a plain broadcast hash join "
-    "(skew-immune by construction, nothing shuffles by key). Only past "
-    "the threshold does the salted plan engage: lineitem fans into 8 "
-    "sub-keys of l_orderkey, orders replicates 8x, join on (key, salt), "
-    "so no single task ever owns a whole hot key even when AQE "
-    "splitting is not enough (one key >> one executor's memory). "
-    "Results are identical either way (the oracle IS the plain join); "
-    "tests force the skew regime and assert the salted plan + equal "
-    "rows.",
+    "(skew-immune by construction, nothing shuffles by key). Past the "
+    "threshold the decision is SKEW-TRIGGERED, not size-triggered: a "
+    "bounded sampled top-key-frequency probe demotes uniform keys to a "
+    "plain shuffle-hash join (salting uniform keys pays n_salts x "
+    "replication for skew that isn't there); only a genuine whale key "
+    "engages the salted plan — lineitem fans into 8 sub-keys of "
+    "l_orderkey, orders replicates 8x, join on (key, salt), so no "
+    "single task ever owns a whole hot key even when AQE splitting is "
+    "not enough (one key >> one executor's memory). Results are "
+    "identical in all three regimes (the oracle IS the plain join); "
+    "tests force each regime and assert the plan + equal rows.",
     tags=("join", "skew"),
 )
 def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:

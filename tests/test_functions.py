@@ -268,6 +268,35 @@ def test_fts5_compile_property_vs_reference(spark):
         assert got == want, f"{match!r}: spark={got} py={want}"
 
 
+def test_int_division_rewrite_left_operand_guard():
+    """The DIV rewrite fires only when the leading literal is the true
+    left operand: `x / 2 / 3` and `price * 1/2` must stay true division
+    (rewriting would truncate a REAL column via left-assoc DIV), while
+    literal-only chains fold exactly as SQLite does."""
+    from litebase_spark.functions.dialect import (
+        rewrite_integer_literal_division as rw,
+    )
+
+    # column-headed chains: untouched
+    assert rw("SELECT x / 2 / 3") == "SELECT x / 2 / 3"
+    assert rw("SELECT price * 1/2") == "SELECT price * 1/2"
+    assert rw("SELECT f(x)/2") == "SELECT f(x)/2"
+    assert rw("SELECT (x)/2") == "SELECT (x)/2"
+    assert rw("SELECT ?/2") == "SELECT ?/2"
+    assert rw("SELECT :p/2") == "SELECT :p/2"
+    # literal-only chains: every '/' folds, '*'/'%' kept (intermediates
+    # stay integral so left-assoc DIV is exact)
+    assert rw("SELECT 8/2/2") == "SELECT 8 DIV 2 DIV 2"
+    assert rw("SELECT 100*5/2") == "SELECT 100*5 DIV 2"
+    assert rw("SELECT 8/2*3/4") == "SELECT 8 DIV 2*3 DIV 4"
+    assert rw("SELECT 7%3/2") == "SELECT 7%3 DIV 2"
+    # float operand anywhere in the chain disables the fold
+    assert rw("SELECT 5*1.5/2") == "SELECT 5*1.5/2"
+    assert rw("SELECT 9.0/2/3") == "SELECT 9.0/2/3"
+    # keyword-preceded literals are expression heads
+    assert rw("WHEN 1/2 THEN 3/4") == "WHEN 1 DIV 2 THEN 3 DIV 4"
+
+
 def test_rewriters_never_touch_single_quoted_strings():
     """Property: the dialect text rewriters (integer-literal division,
     double-quoted identifiers) preserve every single-quoted string

@@ -183,6 +183,21 @@ def test_salted_join_adaptive_broadcast_and_forced_skew(spark, sf_dir):
         }
         want = {(r["k"], r["payload"], r["attr"]) for r in plain.collect()}
         assert got == want
+
+        # uniform keys above the broadcast threshold: the skew probe
+        # must demote to a PLAIN shuffle join (no salt replication, no
+        # broadcast) — salting uniform keys pays 8x for nothing
+        uni = spark.range(0, 20000).selectExpr(
+            "id AS k", "id AS payload"
+        )
+        plain_plan = (
+            salted_join(uni, dim, on="k", salt_from="k")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "__salt" not in plain_plan
+        assert "BroadcastHashJoin" not in plain_plan
     finally:
         spark.conf.set(thr_key, old_thr)
 
@@ -329,3 +344,21 @@ def test_geopoly_overlap_matches_brute_force(spark, sf_dir):
         ):
             want.add(k)
     assert got == want
+
+
+def test_parse_size_bytes_suffixes():
+    """autoBroadcastJoinThreshold values with size suffixes ('10MB',
+    '10485760b') must parse — bare int() silently disabled demotion."""
+    from litebase_spark.operators.skew import parse_size_bytes
+
+    assert parse_size_bytes("10485760") == 10 * 1024 * 1024
+    assert parse_size_bytes("10485760b") == 10 * 1024 * 1024
+    assert parse_size_bytes("10MB") == 10 * 1024 * 1024
+    assert parse_size_bytes("10m") == 10 * 1024 * 1024
+    assert parse_size_bytes(" 1g ") == 1024**3
+    assert parse_size_bytes("-1") == -1
+    assert parse_size_bytes(64 * 1024 * 1024) == 64 * 1024 * 1024
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_size_bytes("ten megabytes")

@@ -309,6 +309,10 @@ SCALAR_PARITY_EXPRS = [
     # integer division (INTEGER-affinity operands divide integrally)
     "7/2", "-9/2", "8/2/2", "1+7/2", "7/2.0", "7.0/2",
     "CAST(7/2 AS REAL)",
+    # literal-only multiplicative chains stay integral end-to-end;
+    # column/real-headed chains must NOT truncate (round-5 guard: the
+    # literal must be the true LEFT operand before '/' becomes DIV)
+    "100*5/2", "5*1/2", "8/2*3/4", "7%3/2", "9.0/2/3", "2.5*2/2",
 ]
 
 
