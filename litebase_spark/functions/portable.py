@@ -129,6 +129,69 @@ def affine_duck(x: str, a: int, b: int) -> str:
     return _affine_mulmod(x, a, b)
 
 
+# --- Fast portable 60-bit hash (integer inputs, no md5) -----------------
+#
+# h60_*(CAST(x AS VARCHAR)) pays an md5 per row — fine for string keys,
+# ~10x too slow when hashing a 6M-row BIGINT column just to estimate
+# NDV. This family is pure int64 arithmetic (the _affine_mulmod ops plus
+# xor), identical bit-for-bit in Spark and DuckDB, and stays inside
+# whole-stage codegen. A single affine round is useless for HLL on
+# SEQUENTIAL keys (an affine image of an arithmetic progression is an
+# arithmetic progression — measured +53% NDV bias on l_orderkey); the
+# two xors between rounds break affinity and bring the error back to
+# HLL-256's nominal ~6.5% rsd (measured -6.6%..+3.3% on the TPC-H key
+# columns).
+#
+# Emitted as CHAINED PROJECTION STEPS, not one nested expression: each
+# _affine_mulmod references its input ~4x, so three nested rounds would
+# blow the expression tree up ~64x; a step list keeps both the Spark
+# plan and the oracle CTE linear.
+
+H60F_CONSTS = [
+    (_const("h60f_a", i, 1 << 31) | 1, _const("h60f_b", i, P61))
+    for i in range(3)
+]
+
+
+def h60_fast_steps(x: str, dialect: str) -> list[tuple[str, str]]:
+    """Steps [(alias, expr), ...] computing the fast portable 60-bit
+    hash of the NON-NEGATIVE BIGINT expr `x`; each expr may reference
+    earlier aliases, the last alias is 'h' in [0, 2^60). dialect is
+    'spark' or 'duck' (xor syntax differs: `^` vs xor())."""
+    if dialect == "spark":
+        def xor(a, b):
+            return f"({a} ^ {b})"
+    elif dialect == "duck":
+        def xor(a, b):
+            return f"xor({a}, {b})"
+    else:  # pragma: no cover
+        raise ValueError(dialect)
+    (a1, b1), (a2, b2), (a3, b3) = H60F_CONSTS
+    return [
+        ("__h1", _affine_mulmod(f"(({x}) % {P61})", a1, b1)),
+        ("__h2", _affine_mulmod("__h1", a2, b2)),
+        ("__g", xor("__h1", "__h2")),
+        ("__h3", _affine_mulmod("__g", a3, b3)),
+        ("h", f"({xor('__h3', '(__g >> 29)')} % {1 << 60})"),
+    ]
+
+
+def h60_fast_py(x: int) -> int:
+    """Python twin of h60_fast_steps (tests / kernels)."""
+    (a1, b1), (a2, b2), (a3, b3) = H60F_CONSTS
+
+    def aff(v, a, b):
+        t = a * (v >> 31)
+        r1 = (t >> 30) + ((t & ((1 << 30) - 1)) << 31)
+        return ((r1 + a * (v & ((1 << 31) - 1))) % P61 + b) % P61
+
+    h1 = aff(x % P61, a1, b1)
+    h2 = aff(h1, a2, b2)
+    g = h1 ^ h2
+    h3 = aff(g, a3, b3)
+    return (h3 ^ (g >> 29)) % (1 << 60)
+
+
 # --- Deterministic random hyperplanes (LSH / sketch operators) ----------
 #
 # Component (p, i) of plane p is (H60("p,i") % 1000003) / 500001.5 - 1.0

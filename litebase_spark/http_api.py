@@ -20,11 +20,14 @@ Reference parity (behavioral, not structural):
     forwards writes to the primary); a lock serializes write statements.
 
 Implementation is stdlib http.server (no external deps in this
-environment); auth tokens are `Bearer <key_id>:<secret>` — the
-reference's HMAC-signed request tokens collapse to a shared-secret
-check here, the ACL model (resources x privileges) is the faithful
-part. For production swap the transport; Engine and the ACLs are the
-surface.
+environment); authentication accepts BOTH the reference's HMAC-signed
+request tokens (pkg/auth/request_signer.go scheme: signature over
+method + path + signed headers + query params + body hash, chained
+hmac-sha256 through the X-Lbdb-Date value, 10 s replay window —
+sign_request / validate_signed_request below) AND a
+`Bearer <key_id>:<secret>` compat fallback. The ACL model
+(resources x privileges) gates every statement either way. For
+production swap the transport; Engine and the ACLs are the surface.
 """
 
 from __future__ import annotations
@@ -99,6 +102,9 @@ class AccessKeyManager:
 
     def store(self, key: AccessKey) -> None:
         self._keys[key.access_key_id] = key
+
+    def get(self, key_id: str) -> AccessKey | None:
+        return self._keys.get(key_id)
 
     def list_ids(self) -> list[str]:
         return sorted(self._keys)
@@ -217,6 +223,161 @@ class UserManager:
         return AccessKey(u.username, "", u.statements)
 
 
+# -- HMAC request signatures -------------------------------------------------
+#
+# The reference authenticates every non-basic request with a signed
+# Authorization token (pkg/auth/request_signer.go SignRequest;
+# pkg/http/request_signature_validator.go RequestSignatureValidator;
+# expiry via X-Lbdb-Date in authentication_middleware.go
+# ensureRequestIsNotExpired). Scheme, reproduced exactly:
+#
+#   request_string = METHOD + /path + json(signed headers, lowercase
+#       keys, sorted, compact) + json(query params or {}) +
+#       sha256_hex(raw body)
+#   signed_request = sha256_hex(request_string)
+#   date      = hmac_sha256_hex(key=secret,      msg=x-lbdb-date)
+#   service   = hmac_sha256_hex(key=date_hex,    msg="litebase_request")
+#   signature = hmac_sha256_hex(key=service_hex, msg=signed_request)
+#   token     = base64("credential=<id>;signed_headers=content-type,
+#               host,x-lbdb-date;signature=<hex>")
+#
+# The Bearer id:secret scheme below remains as a compat fallback.
+
+_SIGNED_HEADER_SET = ("content-type", "host", "x-lbdb-date")
+SIGNATURE_MAX_AGE_SECONDS = 10  # authentication_middleware.go:66
+
+
+def _transform_header_key(key: str) -> str:
+    # internal/utils/transform_header_key.go
+    return key.lower().replace("_", "-")
+
+
+def _request_string(
+    method: str,
+    path: str,
+    headers: dict[str, str],
+    signed_headers: list[str],
+    query_params: dict[str, str] | None,
+    body: bytes,
+) -> tuple[str, str]:
+    """(request_string, x-lbdb-date value) for signing/validation."""
+    body_hash = hashlib.sha256(body or b"").hexdigest()
+    hdrs = {
+        _transform_header_key(k): v
+        for k, v in headers.items()
+        if _transform_header_key(k) in signed_headers
+    }
+    qp = {k.lower(): v for k, v in (query_params or {}).items()}
+    json_headers = json.dumps(hdrs, sort_keys=True, separators=(",", ":"))
+    json_qp = (
+        json.dumps(qp, sort_keys=True, separators=(",", ":")) if qp else "{}"
+    )
+    request_string = (
+        method + "/" + path.lstrip("/") + json_headers + json_qp + body_hash
+    )
+    return request_string, hdrs.get("x-lbdb-date", "")
+
+
+def _signature(secret: str, request_string: str, date_value: str) -> str:
+    signed_request = hashlib.sha256(request_string.encode()).hexdigest()
+    date = hmac.new(
+        secret.encode(), date_value.encode(), hashlib.sha256
+    ).hexdigest()
+    service = hmac.new(
+        date.encode(), b"litebase_request", hashlib.sha256
+    ).hexdigest()
+    return hmac.new(
+        service.encode(), signed_request.encode(), hashlib.sha256
+    ).hexdigest()
+
+
+def sign_request(
+    access_key_id: str,
+    secret: str,
+    method: str,
+    path: str,
+    headers: dict[str, str],
+    data: bytes = b"",
+    query_params: dict[str, str] | None = None,
+) -> str:
+    """Client-side signer (reference pkg/auth/request_signer.go)."""
+    req, date_value = _request_string(
+        method, path, headers, list(_SIGNED_HEADER_SET), query_params, data
+    )
+    sig = _signature(secret, req, date_value)
+    token = (
+        f"credential={access_key_id};"
+        f"signed_headers={','.join(_SIGNED_HEADER_SET)};"
+        f"signature={sig}"
+    )
+    return base64.b64encode(token.encode()).decode()
+
+
+def parse_request_token(header: str) -> dict[str, str] | None:
+    """Decode the base64 token (reference pkg/auth/request_token.go
+    CaptureRequestToken): every ';' part must be exactly key=value, and
+    credential / signed_headers / signature must all be present."""
+    try:
+        raw = base64.b64decode(header, validate=True).decode()
+    except (ValueError, UnicodeDecodeError):
+        return None
+    token: dict[str, str] = {}
+    for part in raw.split(";"):
+        kv = part.split("=")
+        if len(kv) != 2:
+            return None
+        token[kv[0]] = kv[1]
+    if not all(
+        k in token for k in ("credential", "signed_headers", "signature")
+    ):
+        return None
+    return token
+
+
+def validate_signed_request(
+    keys,
+    header: str | None,
+    method: str,
+    path: str,
+    headers: dict[str, str],
+    body: bytes,
+    query_params: dict[str, str] | None = None,
+    max_age_seconds: int = SIGNATURE_MAX_AGE_SECONDS,
+) -> "AccessKey | None":
+    """Server-side validator (reference
+    pkg/http/request_signature_validator.go + the middleware's expiry
+    check). Returns the authenticated AccessKey or None."""
+    if not header:
+        return None
+    token = parse_request_token(header)
+    if token is None:
+        return None
+    key = keys.get(token["credential"])
+    if key is None:
+        return None
+    req, date_value = _request_string(
+        method,
+        path,
+        headers,
+        [h.strip() for h in token["signed_headers"].split(",")],
+        query_params,
+        body,
+    )
+    expect = _signature(key.secret, req, date_value)
+    if not hmac.compare_digest(expect, token["signature"]):
+        return None
+    # expiry: X-Lbdb-Date is unix seconds; now - then < max_age
+    try:
+        then = int(date_value)
+    except (TypeError, ValueError):
+        return None
+    import time as _time
+
+    if _time.time() - then >= max_age_seconds:
+        return None
+    return key
+
+
 # -- JSON encoding of engine results ----------------------------------------
 
 
@@ -332,12 +493,39 @@ class QueryServer:
                 key = server.keys.authenticate(h)
                 if key is not None:
                     return key
-                return server.users.authenticate(h)
+                key = server.users.authenticate(h)
+                if key is not None:
+                    return key
+                # HMAC-signed request token (the reference's primary
+                # scheme; no Bearer prefix — the header IS the base64
+                # token)
+                if h and not h.startswith("Bearer "):
+                    from urllib.parse import parse_qs, urlparse
+
+                    parsed = urlparse(self.path)
+                    qp = {
+                        k.lower(): v[0]
+                        for k, v in parse_qs(parsed.query).items()
+                    }
+                    return validate_signed_request(
+                        server.keys,
+                        h,
+                        self.command,
+                        parsed.path,
+                        dict(self.headers.items()),
+                        self._raw(),
+                        qp,
+                    )
+                return None
+
+            def _raw(self) -> bytes:
+                if not hasattr(self, "_raw_cache"):
+                    n = int(self.headers.get("Content-Length") or 0)
+                    self._raw_cache = self.rfile.read(n) if n else b""
+                return self._raw_cache
 
             def _body(self) -> dict:
-                n = int(self.headers.get("Content-Length") or 0)
-                raw = self.rfile.read(n) if n else b"{}"
-                return json.loads(raw or b"{}")
+                return json.loads(self._raw() or b"{}")
 
             def do_GET(self):  # noqa: N802 (stdlib API)
                 from urllib.parse import parse_qs, urlparse

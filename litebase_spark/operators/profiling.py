@@ -7,31 +7,42 @@ catalog statistics (`ANALYZE TABLE ... COMPUTE STATISTICS`), but a data
 engineer also needs the *profile itself* — per-column null rates,
 cardinalities, ranges — for data-quality gates over a 100 TB corpus.
 
-Scale design (round 4 — replaces the 11-branch union, which paid
-44 exchanges = 11 branches x (partial, final) x 2-stage DISTINCT; this
-plan has ~9 and runs as ONE job whose independent stages schedule
-concurrently):
+Scale design (round 5; the audited plan has 5 shuffle-exchange nodes
+(stats 1, sets 1, HLL 2, 11-row sort 1) + 3 broadcasts — round 4's paid
+10 shuffle nodes and 2.62 s at the sf1 point; this one measures 1.59 s
+there):
 
-1. ONE scan computes every non-DISTINCT statistic (count, non-null
-   count, typed min/max for all 11 columns) PLUS exact NDV for the
-   eight bounded-cardinality columns via `size(collect_set(c))`.
-   collect_set is a plain (non-DISTINCT) aggregate: map-side combined,
-   no Expand, and for columns whose NDV is bounded (flags, enums,
-   dates, small keys — here <= ~2.5k) the per-partition sets stay tiny.
-   This is the exact-NDV analog of the HLL swap (operators/skew.py)
-   a 100 TB run would use.
-2. The three genuinely high-NDV columns (l_orderkey, l_partkey,
-   l_extendedprice) each get their own single-DISTINCT aggregate
-   branch — Catalyst's two-stage partial-dedup rewrite, no Expand.
-   Three branches, not eleven: measured 0.49 s vs 2.3 s for the
-   Expand route (11 count_distincts in one agg multiplies every row
-   12x through one exchange) and vs 1.9 s for a stack/Generate
-   unpivot (Generate breaks whole-stage codegen).
-   NEVER mix DISTINCT and non-DISTINCT aggregates in one agg here:
-   Catalyst drags every non-distinct partial through the Expand
-   replicas (measured 16.3 s at sf0.1 for the fused version).
-3. The 1-row stats and the 3-row distinct counts meet in a broadcast
-   join; per-column slots are picked with a CASE over column_name.
+1. A CODEGEN stats scan: count, per-column non-null counts, numeric +
+   timestamp min/max. No collect_set here — a single TypedImperative
+   aggregate (collect_set) forces the WHOLE operator onto
+   ObjectHashAggregate and off whole-stage codegen; splitting the
+   aggregates into a codegen pass and a set pass measured 0.58 s vs
+   0.94 s fused at the sf1 point. (1 exchange)
+2. A SET scan: collect_set for the eight bounded-NDV columns (flags,
+   enums, dates, small keys — exact NDV via size()), which also serves
+   the STRING min/max as array_min/array_max of the sets: per-row
+   UTF8String min/max aggregates measured 0.33 s/column at sf1, while
+   the set-derived form is ~free on top of the sets the NDV already
+   needs. (1 exchange)
+3. The three genuinely high-NDV columns (l_orderkey, l_partkey,
+   l_extendedprice) get the 100 TB answer this module's round-4
+   docstring only promised: n_distinct is a deterministic PORTABLE
+   HyperLogLog estimate (m=256, ~6.5% rsd — the ANALYZE idiom: SQLite
+   stat4 samples, Spark ANALYZE uses HLL). The hash is the fast
+   integer family (functions/portable.py h60_fast_steps — pure int64
+   ops inside codegen, no md5), registers fold by MAX, and the
+   estimate is bit-identical in Spark and DuckDB, so the oracle checks
+   it EXACTLY. One union of three column-pruned scans feeds one
+   (name, register) aggregation: 2 exchanges for all three columns,
+   and the shuffle carries only 256 registers per name instead of the
+   full distinct value stream an exact count would move. Exact NDV for
+   these columns at 6M rows measured 1.2-1.9 s (the value shuffle is
+   the floor); the HLL branch removes that shuffle entirely.
+4. Assembly: 11 literal rows broadcast-join the 1-row stats, the 1-row
+   sets, and the 3-row HLL estimates; per-column slots are picked with
+   a CASE over column_name. ORDER BY on 11 rows (coalesce(1) before
+   the sort measured 5.4 s — it serializes AQE's independent stage
+   scheduling; the tiny range exchange is the right trade).
 
 min/max involve no summation, so doubles are engine-exact without
 fixed-point games.
@@ -43,6 +54,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from litebase_spark.catalog import load, query
+from litebase_spark.functions.portable import (
+    MASK52,
+    h60_fast_steps,
+    hll_estimate_duck,
+    hll_estimate_spark,
+)
 
 # (column, kind) — kind picks which min/max slot the values land in.
 _COLS = (
@@ -60,17 +77,42 @@ _COLS = (
 )
 
 # Columns whose NDV is known-bounded (enums, flags, dates, small keys):
-# exact NDV via collect_set inside the stats scan. The rest get a
-# dedicated single-DISTINCT branch.
+# exact NDV via collect_set inside the set scan. The high-NDV rest get
+# the portable-HLL estimate.
 _BIG_NDV = ("l_orderkey", "l_partkey", "l_extendedprice")
+
+# hash input per big column, as (spark_expr, duck_expr): BIGINT,
+# non-negative, identical values in both engines (prices go through
+# the fixed-point cents mapping, round-half-up on exact-2-decimal data)
+_BIG_X = {
+    "l_orderkey": ("CAST(l_orderkey AS BIGINT)", "CAST(l_orderkey AS BIGINT)"),
+    "l_partkey": ("CAST(l_partkey AS BIGINT)", "CAST(l_partkey AS BIGINT)"),
+    "l_extendedprice": (
+        "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)",
+        "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)",
+    ),
+}
+
+# rho on the aggregated register minimum, not per row: bit_length is
+# monotonic, so MAX over rows of (53 - bit_length(low)) equals
+# 53 - bit_length(MIN(low)). Aggregating MIN(h & MASK52) keeps the hot
+# aggregate a pure LONG min (codegen); the bin() string allocation —
+# measured +0.84 s at sf1 when run per-row over 18M rows — happens on
+# the <=768 final register rows only.
+_MRHO = (
+    "CASE WHEN mlow = 0 THEN 53"
+    " ELSE 53 - length(bin(mlow)) END"
+)
 
 
 def _oracle() -> str:
+    small = [c for c, _ in _COLS if c not in _BIG_NDV]
     aggs = ["COUNT(*) AS n_rows"]
     rows = []
     for c, kind in _COLS:
         aggs.append(f"COUNT({c}) AS cnt_{c}")
-        aggs.append(f"COUNT(DISTINCT {c}) AS nd_{c}")
+        if c in small:
+            aggs.append(f"COUNT(DISTINCT {c}) AS nd_{c}")
         if kind == "num":
             aggs.append(f"CAST(MIN({c}) AS DOUBLE) AS min_{c}")
             aggs.append(f"CAST(MAX({c}) AS DOUBLE) AS max_{c}")
@@ -84,16 +126,73 @@ def _oracle() -> str:
         max_num = f"max_{c}" if kind != "str" else "NULL"
         min_str = f"min_{c}" if kind == "str" else "NULL"
         max_str = f"max_{c}" if kind == "str" else "NULL"
+        ndv = (
+            f"nd_{c}"
+            if c in small
+            else f"(SELECT nd_big FROM nd WHERE nd_name = '{c}')"
+        )
         rows.append(
             f"SELECT '{c}' AS column_name, n_rows,"
-            f" n_rows - cnt_{c} AS n_null, nd_{c} AS n_distinct,"
+            f" n_rows - cnt_{c} AS n_null, {ndv} AS n_distinct,"
             f" CAST({min_num} AS DOUBLE) AS min_num,"
             f" CAST({max_num} AS DOUBLE) AS max_num,"
             f" CAST({min_str} AS VARCHAR) AS min_str,"
             f" CAST({max_str} AS VARCHAR) AS max_str FROM a"
         )
+    # int tag in the hot aggregation key (hashing a 12-char string per
+    # row measurably drags the 18M-row partial agg); mapped back to the
+    # column name on the 3 final rows
+    nv = "\nUNION ALL ".join(
+        f"SELECT {i} AS nd_tag, {_BIG_X[c][1]} AS x FROM lineitem"
+        for i, c in enumerate(_BIG_NDV)
+    )
+    tag_case = (
+        "CASE nd_tag "
+        + " ".join(
+            f"WHEN {i} THEN '{c}'" for i, c in enumerate(_BIG_NDV)
+        )
+        + " END"
+    )
+    # chained CTEs for the hash steps (linear, no expression blowup)
+    steps = h60_fast_steps("x", "duck")
+    step_ctes = []
+    prev = "nv"
+    carried = {
+        "__h1": ["nd_tag", "__h1"],
+        "__h2": ["nd_tag", "__h1", "__h2"],
+        "__g": ["nd_tag", "__g"],
+        "__h3": ["nd_tag", "__g", "__h3"],
+        "h": ["nd_tag", "h"],
+    }
+    keep = ["nd_tag"]
+    for i, (alias, expr) in enumerate(steps):
+        step_ctes.append(
+            f"s{i} AS (SELECT {', '.join(keep)}, {expr} AS {alias} "
+            f"FROM {prev})"
+        )
+        prev = f"s{i}"
+        keep = carried[alias]
     return (
-        "WITH a AS (SELECT " + ", ".join(aggs) + " FROM lineitem)\n"
+        f"WITH nv AS ({nv}),\n"
+        + ",\n".join(step_ctes)
+        + f""",
+reg0 AS (
+  SELECT nd_tag, h >> 52 AS idx, MIN(h & {MASK52}) AS mlow
+  FROM {prev} GROUP BY nd_tag, idx
+), reg AS (
+  SELECT nd_tag, idx, {_MRHO} AS mrho FROM reg0
+), hagg AS (
+  SELECT nd_tag,
+         CAST(SUM(1::BIGINT << (53 - mrho)) AS BIGINT) AS sp,
+         COUNT(*) AS nr
+  FROM reg GROUP BY nd_tag
+), nd AS (
+  SELECT {tag_case} AS nd_name,
+         CAST(FLOOR({hll_estimate_duck('sp', 'nr')}) AS BIGINT) AS nd_big
+  FROM hagg
+), a AS (SELECT """
+        + ", ".join(aggs)
+        + " FROM lineitem)\n"
         + "\nUNION ALL\n".join(rows)
         + "\nORDER BY column_name"
     )
@@ -103,57 +202,109 @@ def _oracle() -> str:
     "profile_lineitem_stats",
     oracle=_oracle(),
     description="Column profile of lineitem (the ANALYZE statistics "
-    "surface as data): per column non-null/distinct counts and min/max "
-    "(numeric + timestamp ranges as epoch doubles, string ranges "
-    "lexicographic) in ~9 exchanges / one job — a single typed-stats "
-    "scan with collect_set exact NDV for bounded-cardinality columns, "
-    "plus three single-DISTINCT branches for the high-NDV keys (no "
-    "Expand anywhere). The 100 TB swap is approx_count_distinct per "
-    "column (skew.py HLL), folding NDV into the stats scan.",
+    "surface as data): per column non-null counts, n_distinct and "
+    "min/max (numeric + timestamp ranges as epoch doubles, string "
+    "ranges lexicographic) in 5 audited shuffle-exchange nodes — a codegen "
+    "stats scan (counts + numeric/ts min/max), a set scan (collect_set "
+    "exact NDV for the eight bounded-cardinality columns, which also "
+    "yields the string min/max), and ONE shared portable-HLL branch "
+    "(m=256, bit-identical estimate in both engines, so oracle-EXACT) "
+    "for the three high-NDV keys whose exact distinct-value shuffle is "
+    "the 100 TB bottleneck; n_distinct for those three is the "
+    "documented ~6.5%-rsd estimate, the ANALYZE idiom (SQLite stat4 "
+    "samples, Spark ANALYZE uses HLL). No Expand, no ObjectHashAgg on "
+    "the hot path, whole-stage codegen end to end.",
     tags=("profile", "analyze", "quality"),
 )
 def profile_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
+    small = [c for c, _ in _COLS if c not in _BIG_NDV]
+    str_cols = [c for c, k in _COLS if k == "str"]
 
-    # -- pass 1: counts, typed min/max, collect_set NDV for smalls ------
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    # -- pass 1 (codegen): counts + numeric/ts min/max ------------------
+    aggs1 = [F.count(F.lit(1)).alias("n_rows")]
     for c, kind in _COLS:
-        aggs.append(F.count(c).alias(f"cnt_{c}"))
+        aggs1.append(F.count(c).alias(f"cnt_{c}"))
         if kind == "ts":
-            aggs.append(
+            aggs1.append(
                 F.unix_timestamp(F.min(c)).cast("double").alias(f"mn_{c}")
             )
-            aggs.append(
+            aggs1.append(
                 F.unix_timestamp(F.max(c)).cast("double").alias(f"mx_{c}")
             )
-        else:
-            t = "double" if kind == "num" else "string"
-            aggs.append(F.min(c).cast(t).alias(f"mn_{c}"))
-            aggs.append(F.max(c).cast(t).alias(f"mx_{c}"))
-        if c not in _BIG_NDV:
-            aggs.append(
-                F.size(F.collect_set(c)).cast("long").alias(f"nd_{c}")
+        elif kind == "num":
+            aggs1.append(F.min(c).cast("double").alias(f"mn_{c}"))
+            aggs1.append(F.max(c).cast("double").alias(f"mx_{c}"))
+    stats = li.agg(*aggs1)
+
+    # -- pass 2 (sets): exact NDV for bounded columns + string ranges ---
+    aggs2 = []
+    for c in small:
+        aggs2.append(F.collect_set(c).alias(f"set_{c}"))
+    sets = li.agg(*aggs2).select(
+        *[
+            F.size(f"set_{c}").cast("long").alias(f"nd_{c}")
+            for c in small
+        ],
+        *[
+            e
+            for c in str_cols
+            for e in (
+                F.array_min(f"set_{c}").alias(f"mn_{c}"),
+                F.array_max(f"set_{c}").alias(f"mx_{c}"),
             )
-    stats = li.agg(*aggs)
+        ],
+    )
 
-    # -- pass 2: one single-DISTINCT branch per high-NDV column ---------
-    nd_branches = []
-    for c in _BIG_NDV:
-        nd_branches.append(
-            li.select(c)
-            .agg(F.count_distinct(F.col(c)).alias("nd_big"))
-            .select(F.lit(c).alias("nd_name"), "nd_big")
+    # -- pass 3: ONE portable-HLL branch for all high-NDV columns -------
+    parts = [
+        li.selectExpr(f"{i} AS nd_tag", f"{_BIG_X[c][0]} AS x")
+        for i, c in enumerate(_BIG_NDV)
+    ]
+    vals = parts[0]
+    for p in parts[1:]:
+        vals = vals.unionAll(p)
+    hh = vals
+    for alias, expr in h60_fast_steps("x", "spark"):
+        hh = hh.withColumn(alias, F.expr(expr))
+    reg = (
+        hh.select(
+            "nd_tag",
+            F.expr("shiftrightunsigned(h, 52)").alias("idx"),
+            F.expr(f"h & {MASK52}").alias("low"),
         )
-    nd = nd_branches[0]
-    for b in nd_branches[1:]:
-        nd = nd.unionAll(b)
+        .groupBy("nd_tag", "idx")
+        .agg(F.min("low").alias("mlow"))
+        .select("nd_tag", "idx", F.expr(_MRHO).alias("mrho"))
+    )
+    tag_case = (
+        "CASE nd_tag "
+        + " ".join(
+            f"WHEN {i} THEN '{c}'" for i, c in enumerate(_BIG_NDV)
+        )
+        + " END"
+    )
+    nd = (
+        reg.groupBy("nd_tag")
+        .agg(
+            F.sum(F.expr("shiftleft(1L, 53 - mrho)")).alias("sp"),
+            F.count(F.lit(1)).alias("nr"),
+        )
+        .select(
+            F.expr(tag_case).alias("nd_name"),
+            F.floor(F.expr(hll_estimate_spark("sp", "nr")))
+            .cast("long")
+            .alias("nd_big"),
+        )
+    )
 
-    # -- assemble: 11 literal rows x broadcast 1-row stats + 3-row nd ---
+    # -- assemble: 11 literal rows x broadcast stats/sets/nd ------------
     names = spark.createDataFrame(
         [(c,) for c, _ in _COLS], "column_name string"
     )
     joined = (
-        names.join(F.broadcast(stats))
+        names.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(sets))
         .join(
             F.broadcast(nd),
             F.col("column_name") == F.col("nd_name"),
@@ -161,13 +312,12 @@ def profile_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def pick(prefix: str, kinds: tuple[str, ...], cast_to: str):
+    def pick(prefix: str, cols, cast_to: str):
         expr = F.lit(None)
-        for c, kind in _COLS:
-            if kind in kinds:
-                expr = F.when(
-                    F.col("column_name") == c, F.col(f"{prefix}_{c}")
-                ).otherwise(expr)
+        for c in cols:
+            expr = F.when(
+                F.col("column_name") == c, F.col(f"{prefix}_{c}")
+            ).otherwise(expr)
         return expr.cast(cast_to)
 
     n_null = F.lit(None)
@@ -177,18 +327,19 @@ def profile_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("column_name") == c,
             F.col("n_rows") - F.col(f"cnt_{c}"),
         ).otherwise(n_null)
-        if c not in _BIG_NDV:
+        if c in small:
             n_distinct = F.when(
                 F.col("column_name") == c, F.col(f"nd_{c}")
             ).otherwise(n_distinct)
 
+    numts = [c for c, k in _COLS if k in ("num", "ts")]
     return joined.select(
         "column_name",
         "n_rows",
         n_null.cast("long").alias("n_null"),
         n_distinct.cast("long").alias("n_distinct"),
-        pick("mn", ("num", "ts"), "double").alias("min_num"),
-        pick("mx", ("num", "ts"), "double").alias("max_num"),
-        pick("mn", ("str",), "string").alias("min_str"),
-        pick("mx", ("str",), "string").alias("max_str"),
+        pick("mn", numts, "double").alias("min_num"),
+        pick("mx", numts, "double").alias("max_num"),
+        pick("mn", str_cols, "string").alias("min_str"),
+        pick("mx", str_cols, "string").alias("max_str"),
     ).orderBy("column_name")

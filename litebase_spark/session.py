@@ -46,9 +46,17 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        # Dimension tables (region/nation/supplier/part at test SFs) should
-        # broadcast; 64 MiB is safe with 4+ GiB executors.
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Dimension tables (region/nation/customer/supplier/part — all
+        # well under 3 MiB even at the x10 bench point) broadcast; FACT
+        # tables must not: the broadcast BUILD (driver collect + one
+        # hash relation per executor) mis-prices row count, and
+        # broadcasting a 1.5M-row orders slice measured 1.37 s vs
+        # 0.66 s for the shuffle join it displaced (q12, sf1 replica) —
+        # and at cluster scale a fact never fits anyway, so the shuffle
+        # plan is also the one that survives 100x. 8 MiB keeps every
+        # true dim broadcast at every measured SF while pricing fact
+        # slices (orders pruned ~12 MiB at the sf1 point) out.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(8 * 1024 * 1024))
         # Arrow for any pandas_udf / toPandas path (vectorized transfer).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Parquet: vectorized reader + aggregate pushdown (min/max/count

@@ -603,3 +603,94 @@ def test_status_and_show_routes(server):
     code, _ = _call(server, "GET",
                     "/v1/databases/main/main/backups/backup-123", token=t)
     assert code == 404
+
+
+# -- HMAC request signatures (reference pkg/auth/request_signer.go +
+# pkg/http/request_signature_validator.go + the middleware's 10s
+# X-Lbdb-Date window) --------------------------------------------------
+
+
+def _signed_call(srv, method, path, body, key_id, secret, *,
+                 date=None, tamper_body=False, tamper_sig=False):
+    import time as _time
+
+    from litebase_spark.http_api import sign_request
+
+    data = json.dumps(body).encode() if body is not None else b""
+    headers = {
+        "Content-Type": "application/json",
+        "Host": f"127.0.0.1:{srv.port}",
+        "X-Lbdb-Date": str(date if date is not None else int(_time.time())),
+    }
+    token = sign_request(key_id, secret, method, path, headers, data)
+    if tamper_sig:
+        token = token[:-4] + ("AAAA" if token[-4:] != "AAAA" else "BBBB")
+    if tamper_body:
+        data = json.dumps({"queries": [
+            {"id": "1", "statement": "DROP TABLE important"}]}).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}", data=data or None,
+        method=method)
+    for k, v in headers.items():
+        req.add_header(k, v)
+    req.add_header("Authorization", token)
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_signed_request_round_trip(server):
+    q = {"queries": [{"id": "1", "statement": "SELECT 7 AS x"}]}
+    code, body = _signed_call(
+        server, "POST", "/v1/databases/main/main/query", q,
+        "admin", "s3cret")
+    assert code == 200, body
+    assert body["data"][0]["rows"] == [[7]]
+
+
+def test_signed_request_rejects_wrong_secret_and_tamper(server):
+    q = {"queries": [{"id": "1", "statement": "SELECT 7 AS x"}]}
+    path = "/v1/databases/main/main/query"
+    assert _signed_call(server, "POST", path, q, "admin", "wrong")[0] == 401
+    assert _signed_call(server, "POST", path, q, "admin", "s3cret",
+                        tamper_sig=True)[0] == 401
+    # body swapped after signing: hash mismatch
+    assert _signed_call(server, "POST", path, q, "admin", "s3cret",
+                        tamper_body=True)[0] == 401
+
+
+def test_signed_request_rejects_expired_timestamp(server):
+    import time as _time
+
+    q = {"queries": [{"id": "1", "statement": "SELECT 7 AS x"}]}
+    path = "/v1/databases/main/main/query"
+    old = int(_time.time()) - 3600
+    assert _signed_call(server, "POST", path, q, "admin", "s3cret",
+                        date=old)[0] == 401
+
+
+def test_signed_request_acls_still_apply(server):
+    # reader key signs correctly but lacks database:manage
+    path = "/v1/databases/main/main/query"
+    q = {"queries": [{"id": "1", "statement":
+                      "CREATE TABLE h_sig (id BIGINT) USING PARQUET"}]}
+    code, body = _signed_call(server, "POST", path, q, "reader", "r3ad")
+    assert code == 403 and "database:manage" in body["message"]
+
+
+def test_request_token_parse_is_strict():
+    import base64
+
+    from litebase_spark.http_api import parse_request_token
+
+    assert parse_request_token("not-base64!!") is None
+    assert parse_request_token(
+        base64.b64encode(b"credential=a;junk").decode()) is None
+    assert parse_request_token(
+        base64.b64encode(b"credential=a;signed_headers=h").decode()) is None
+    t = parse_request_token(base64.b64encode(
+        b"credential=a;signed_headers=host;signature=ff").decode())
+    assert t == {"credential": "a", "signed_headers": "host",
+                 "signature": "ff"}

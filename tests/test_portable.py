@@ -98,3 +98,66 @@ def test_check_oracle_canon_is_type_strict():
     assert canon(decimal.Decimal("1.5")) == canon(1.5)
     assert canon(float("nan")) == canon(float("nan"))
     assert canon([1, 2.0]) == (canon(1), canon(2.0))
+
+
+def test_h60_fast_tri_engine_parity(spark):
+    """The fast integer hash (no md5) is bit-identical across Spark,
+    DuckDB and the Python twin on boundary + representative inputs."""
+    import duckdb
+
+    from litebase_spark.functions.portable import (
+        P61,
+        h60_fast_py,
+        h60_fast_steps,
+    )
+
+    xs = [0, 1, 2, 7, 1000, 2**30 - 1, 2**30, 2**31 - 1, 2**31,
+          2**43 + 12345, P61 - 1, 599999999999, 147236]
+    con = duckdb.connect()
+    for x in xs:
+        expect = h60_fast_py(x)
+        # duck: chained CTEs over a 1-row relation
+        steps = h60_fast_steps("x", "duck")
+        prev = f"(SELECT CAST({x} AS BIGINT) AS x)"
+        sql = prev
+        cols = "x"
+        for alias, expr in steps:
+            sql = f"(SELECT {cols}, {expr} AS {alias} FROM {sql} t)"
+            cols += f", {alias}"
+        d = con.execute(f"SELECT h FROM {sql} t2").fetchone()[0]
+        # spark: same chain via selectExpr
+        df = spark.sql(f"SELECT CAST({x} AS BIGINT) AS x")
+        for alias, expr in h60_fast_steps("x", "spark"):
+            df = df.selectExpr("*", f"{expr} AS {alias}")
+        s = df.collect()[0]["h"]
+        assert d == s == expect, (x, d, s, expect)
+        assert 0 <= expect < (1 << 60)
+
+
+def test_h60_fast_hll_accuracy_on_sequential_keys():
+    """Sequential integer keys are the adversarial input for an affine
+    hash family (an affine image of an arithmetic progression stays an
+    arithmetic progression — a single round measured +53% NDV bias);
+    the xor-mixed 3-round construction must keep the HLL-256 estimate
+    within ~3x its nominal 6.5% rsd."""
+    import math
+
+    from litebase_spark.functions.portable import h60_fast_py
+
+    for n in (1000, 20000, 150000):
+        regs = {}
+        for x in range(1, n + 1):
+            h = h60_fast_py(x)
+            idx, low = h >> 52, h & ((1 << 52) - 1)
+            rho = 53 if low == 0 else 53 - low.bit_length()
+            regs[idx] = max(regs.get(idx, 0), rho)
+        m = 256
+        sp = sum(1 << (53 - r) for r in regs.values())
+        nr = len(regs)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / (
+            (sp + (m - nr) * (1 << 53)) / float(1 << 53)
+        )
+        if est <= 2.5 * m and (m - nr) > 0:
+            est = m * math.log(m / float(m - nr))
+        assert abs(est - n) / n < 0.20, (n, est)

@@ -264,14 +264,21 @@ def main() -> int:
             plan = qe.explainString(mode.fromString("formatted"))
             simple = qe.explainString(mode.fromString("simple"))
         except Exception as e:  # builder with eager action etc.
-            rows.append((name, -1, [f"ERROR: {str(e)[:100]}"]))
+            rows.append((name, (-1, 0), [f"ERROR: {str(e)[:100]}"]))
             continue
-        n_ex = plan.count("Exchange")
-        rows.append((name, n_ex, audit_plan(name, plan, simple)))
+        # exchange NODES from the formatted plan's numbered operator
+        # list — "(12) Exchange" appears once per node. The previous
+        # plan.count("Exchange") double-counted every node (tree line +
+        # detail header) and, worse, lumped BroadcastExchange in with
+        # shuffles; a broadcast is not a shuffle and should not be
+        # penalized as one.
+        n_shuf = len(re.findall(r"\(\d+\) Exchange", plan))
+        n_bc = len(re.findall(r"\(\d+\) BroadcastExchange", plan))
+        rows.append((name, (n_shuf, n_bc), audit_plan(name, plan, simple)))
 
     collects = collect_violations()
     flagged = [(n, x, f) for n, x, f in rows if f]
-    rows.sort(key=lambda r: -r[1])
+    rows.sort(key=lambda r: (-r[1][0], -r[1][1]))
     with open("PLAN_AUDIT.md", "w") as out:
         out.write(
             "# PLAN_AUDIT — physical-plan scale audit (regression gate)\n\n"
@@ -296,13 +303,19 @@ def main() -> int:
         for c in collects:
             out.write(f"- {c}\n")
         out.write("\n## Shuffle (Exchange) count, descending\n\n")
-        out.write("| query | exchanges |\n|---|---|\n")
+        out.write("| query | shuffle exchanges | broadcast exchanges |\n"
+                  "|---|---|---|\n")
         for n, x, _ in rows[:25]:
-            out.write(f"| {n} | {x} |\n")
+            out.write(f"| {n} | {x[0]} | {x[1]} |\n")
         out.write(
-            "\n(Exchanges are counted from the formatted plan; AQE may "
-            "coalesce or eliminate some at runtime. Allowed nested-loop "
-            "and Arrow-Python operators are listed in the tool.)\n"
+            "\n(Counted as NODES — the `(N) Exchange` operator entries "
+            "of the formatted plan; broadcasts are listed separately "
+            "because a broadcast is not a shuffle. Earlier rounds "
+            "counted raw 'Exchange' substrings, which double-counted "
+            "every node and folded broadcasts in — historical numbers "
+            "are ~2x+ these. AQE may coalesce or eliminate some at "
+            "runtime. Allowed nested-loop and Arrow-Python operators "
+            "are listed in the tool.)\n"
         )
     print(
         f"{len(rows)} plans, {len(flagged)} flagged, "
