@@ -771,6 +771,14 @@ class QueryServer:
                     return self._query(key, m.group(1), m.group(2))
                 m = _QSTREAM_RE.match(self.path)
                 if m:
+                    # content negotiation: the reference's binary frame
+                    # protocol on application/octet-stream, NDJSON
+                    # otherwise
+                    ctype = (self.headers.get("Content-Type") or "").lower()
+                    if ctype.startswith("application/octet-stream"):
+                        return self._query_stream_binary(
+                            key, m.group(1), m.group(2)
+                        )
                     return self._query_stream(key, m.group(1), m.group(2))
                 m = _TXN_RE.match(self.path)
                 if m:
@@ -1103,6 +1111,121 @@ class QueryServer:
                         return self._send(400, {"status": "error", "message": str(e)[:500]})
                     out.append(result_envelope(q.get("id"), res))
                 return self._send(200, {"status": "success", "data": out})
+
+            def _query_stream_binary(self, key, db, branch):
+                """POST .../query/stream with application/octet-stream —
+                the reference's length-prefixed binary frame protocol
+                (litebase_spark/wire.py documents the exact byte layout
+                and reference file:line provenance). The handler reads
+                [type][len][payload] messages off the request body as
+                they arrive and writes response frames as they complete
+                — the same duplex pipelining as the reference's
+                EnableFullDuplex stream controller: OPEN answers
+                'connected', each FRAME of query inputs answers a FRAME
+                of per-query [FRAME_ENTRY|ERROR] response envelopes
+                (typed columns, v1 version byte), CLOSE or EOF ends the
+                stream. Execution reuses the engine's collected path —
+                the envelope's row_count precedes the rows, so each
+                per-query response is complete before it is framed,
+                exactly as the reference encodes QueryResponse."""
+                import time as _time
+
+                from litebase_spark import wire
+
+                resource = f"database:{db}:branch:{branch}"
+                if not key.allows(resource, "database:query"):
+                    return self._send(403, {"status": "error", "message": "forbidden"})
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.send_header("Connection", "close")
+                self.end_headers()
+
+                def write(data: bytes) -> bool:
+                    try:
+                        self.wfile.write(data)
+                        self.wfile.flush()
+                        return True
+                    except (BrokenPipeError, ConnectionError):
+                        return False
+
+                self.connection.settimeout(60)
+                while True:
+                    try:
+                        msg = wire.read_message(self.rfile.read)
+                    except (ValueError, OSError):
+                        return
+                    if msg is None:
+                        return
+                    mtype, payload = msg
+                    if mtype == wire.MSG_OPEN:
+                        if not write(
+                            wire.encode_message(wire.MSG_OPEN, b"connected")
+                        ):
+                            return
+                        continue
+                    if mtype == wire.MSG_CLOSE:
+                        return
+                    if mtype != wire.MSG_FRAME:
+                        continue  # unknown types are skipped, like the
+                        # reference's default branch
+                    entries = []
+                    for qbytes in wire.iter_frame_queries(payload):
+                        resp = wire.WireResponse()
+                        etype = wire.MSG_FRAME_ENTRY
+                        t0 = _time.time()
+                        try:
+                            q = wire.decode_query_input(qbytes)
+                            resp.id = q["id"]
+                            resp.transaction_id = q["transaction_id"]
+                            stmt = q["statement"]
+                            if not stmt:
+                                raise ValueError(
+                                    "The SQL statement field is required."
+                                )
+                            priv = required_privilege(stmt)
+                            if not key.allows(resource, priv):
+                                raise PermissionError(
+                                    f"forbidden: requires {priv}"
+                                )
+                            params = decode_parameters(
+                                q["parameters"] or None
+                            )
+                            cls = classify_statement(stmt)
+                            is_write = cls in ("DML", "DDL", "MAINT", "TCL")
+                            import contextlib as _ctx
+
+                            lock = (
+                                server.write_lock
+                                if is_write or q["transaction_id"]
+                                else _ctx.nullcontext()
+                            )
+                            with lock:
+                                res = server.engine.sql(
+                                    stmt,
+                                    params,
+                                    transaction_id=(
+                                        q["transaction_id"] or None
+                                    ),
+                                )
+                            resp.changes = res.changes or 0
+                            resp.latency = res.latency
+                            resp.columns = list(res.columns)
+                            resp.rows = [list(r) for r in res.rows]
+                            resp.row_count = len(resp.rows)
+                        except Exception as e:
+                            etype = wire.MSG_ERROR
+                            resp.error = str(e)[:500] or "error"
+                            resp.latency = _time.time() - t0
+                        enc = wire.encode_query_response(resp)
+                        entries.append(
+                            bytes([etype])
+                            + len(enc).to_bytes(4, "little")
+                            + enc
+                        )
+                    if not write(
+                        wire.encode_message(wire.MSG_FRAME, b"".join(entries))
+                    ):
+                        return
 
             def _query_stream(self, key, db, branch):
                 """POST .../query/stream — the reference's pipelined

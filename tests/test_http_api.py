@@ -694,3 +694,106 @@ def test_request_token_parse_is_strict():
         b"credential=a;signed_headers=host;signature=ff").decode())
     assert t == {"credential": "a", "signed_headers": "host",
                  "signature": "ff"}
+
+
+# -- binary frame protocol (reference pkg/http/query_stream_controller.go,
+# pkg/database/query_input.go + query_response.go, pkg/sqlite3/column.go;
+# exact byte layout in litebase_spark/wire.py) -------------------------
+
+
+def test_wire_codec_round_trips():
+    from litebase_spark import wire
+
+    q = wire.encode_query_input(
+        "q1", "SELECT ? AS a, ? AS b", [
+            {"type": "INTEGER", "value": -42},
+            {"type": "TEXT", "value": "héllo"},
+        ], transaction_id="txn-9")
+    d = wire.decode_query_input(q)
+    assert d["id"] == "q1" and d["transaction_id"] == "txn-9"
+    assert d["statement"] == "SELECT ? AS a, ? AS b"
+    assert d["parameters"] == [
+        {"type": "INTEGER", "value": -42},
+        {"type": "TEXT", "value": "héllo"},
+    ]
+    # response round trip with every column type
+    resp = wire.WireResponse(
+        id="q1", changes=3, latency=0.125, row_count=2,
+        columns=["i", "f", "s", "b", "n"],
+        rows=[[1, 1.5, "x", b"\x00\xff", None],
+              [-2**62, -0.0, "", b"", None]])
+    resp.row_count = 2
+    enc = wire.encode_query_response(resp)
+    back = wire.decode_query_response(enc)
+    assert back.columns == resp.columns
+    assert back.rows == resp.rows
+    assert back.changes == 3 and back.row_count == 2
+    # error envelope
+    err = wire.WireResponse(id="q2", error="boom")
+    back2 = wire.decode_query_response(
+        wire.encode_query_response(err), is_error=True)
+    assert back2.error == "boom" and back2.id == "q2"
+
+
+def test_binary_stream_open_frame_error_close(server):
+    from litebase_spark.wire import BinaryStreamClient
+
+    c = BinaryStreamClient(
+        "127.0.0.1", server.port,
+        "/v1/databases/main/main/query/stream", "Bearer admin:s3cret")
+    try:
+        assert c.open() == b"connected"
+        # typed SELECT with bound parameters
+        r = c.query("a", "SELECT ? AS i, ? AS t, NULL AS n", [
+            {"type": "INTEGER", "value": 7},
+            {"type": "TEXT", "value": "ok"},
+        ])
+        assert r.error == "" and r.id == "a"
+        assert r.columns == ["i", "t", "n"]
+        assert r.rows == [[7, "ok", None]]
+        # pipelined second query on the SAME stream
+        r2 = c.query("b", "SELECT 1.5 AS f, X'00FF' AS blob")
+        assert r2.rows == [[1.5, b"\x00\xff"]]
+        # statement error -> ERROR entry, stream stays usable
+        r3 = c.query("c", "SELECT * FROM nonexistent_table_xyz")
+        assert r3.error != ""
+        r4 = c.query("d", "SELECT 2 AS two")
+        assert r4.rows == [[2]]
+    finally:
+        c.close()
+
+
+def test_binary_stream_txn_and_write(server):
+    from litebase_spark.wire import BinaryStreamClient
+
+    c = BinaryStreamClient(
+        "127.0.0.1", server.port,
+        "/v1/databases/main/main/query/stream", "Bearer admin:s3cret")
+    try:
+        c.open()
+        c.query("w0", "DROP TABLE IF EXISTS h_wire")
+        r = c.query("w1", "CREATE TABLE h_wire (id BIGINT) USING PARQUET")
+        assert r.error == "", r.error
+        r = c.query("w2", "INSERT INTO h_wire VALUES (1), (2)")
+        assert r.error == "" and r.changes == 2
+        r = c.query("w3", "SELECT COUNT(*) AS n FROM h_wire")
+        assert r.rows == [[2]]
+        c.query("w4", "DROP TABLE h_wire")
+    finally:
+        c.close()
+
+
+def test_binary_stream_acl_per_statement(server):
+    from litebase_spark.wire import BinaryStreamClient
+
+    c = BinaryStreamClient(
+        "127.0.0.1", server.port,
+        "/v1/databases/main/main/query/stream", "Bearer reader:r3ad")
+    try:
+        c.open()
+        r = c.query("r1", "SELECT 1 AS one")
+        assert r.rows == [[1]]
+        r2 = c.query("r2", "CREATE TABLE h_wire2 (id BIGINT) USING PARQUET")
+        assert "database:manage" in r2.error
+    finally:
+        c.close()
