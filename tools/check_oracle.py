@@ -56,11 +56,64 @@ def canon_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
+def changed_query_names(base: str) -> list[str] | None:
+    """Names whose defining module differs from `base` (plus the working
+    tree). Returns None when a CROSS-CUTTING file changed (catalog,
+    session, functions/, plans/, streaming/) — those affect every plan,
+    so the caller should run the full sweep."""
+    import inspect
+    import os
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        ["git", "diff", "--name-only", base],
+        capture_output=True, text=True, cwd=repo, check=True,
+    ).stdout.split()
+    if not out and base == "HEAD":
+        # clean tree: gate the last commit instead
+        out = subprocess.run(
+            ["git", "diff", "--name-only", "HEAD~1", "HEAD"],
+            capture_output=True, text=True, cwd=repo, check=True,
+        ).stdout.split()
+    changed = {f for f in out if f.endswith(".py")}
+    pkg = {f for f in changed if f.startswith("litebase_spark/")}
+    cross = {
+        f for f in pkg
+        if not f.startswith("litebase_spark/operators/")
+    }
+    if cross:
+        print(f"# cross-cutting change ({sorted(cross)[0]}...): full sweep")
+        return None
+    names = []
+    for name, spec in REGISTRY.items():
+        mod = os.path.relpath(inspect.getfile(spec.builder), repo)
+        if mod in pkg:
+            names.append(name)
+    return sorted(names)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--changed", action="store_true",
+        help="gate only queries whose defining operator module differs "
+        "from --base (default HEAD; falls back to HEAD~1..HEAD on a "
+        "clean tree). Cross-cutting changes widen to the full sweep.",
+    )
+    ap.add_argument("--base", default="HEAD")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
+
+    if args.changed and not args.names:
+        picked = changed_query_names(args.base)
+        if picked is not None:
+            if not picked:
+                print("0 queries affected by the diff — nothing to gate")
+                return
+            print(f"# --changed: {len(picked)} queries")
+            args.names = picked
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
