@@ -78,20 +78,80 @@ def attach_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def _decode_media(payload: bytes, modality: str) -> bytes:
-    """Decode stub. Real deployments branch per modality to PIL/librosa/
-    pyav — none of which exist in this container, so decode is identity
-    for text and NotImplemented for everything else."""
-    if modality == "text":
-        return payload
+# -- pluggable decoder registry ----------------------------------------------
+#
+# Decoders are plain callables bytes -> bytes keyed by modality. The
+# deterministic defaults ship here; a deployment with real codecs
+# registers its own (or relies on the PIL auto-probe below). The stage
+# functions snapshot the registry into their mapInPandas closures, so a
+# driver-side register_decoder() call serializes with the task and is
+# visible on every executor's Python worker — module-level lookups
+# would re-import this module worker-side and silently drop runtime
+# registrations.
+
+_DECODERS: dict = {"text": lambda payload: payload}
+
+
+def register_decoder(modality: str, fn) -> None:
+    """Install a bytes->bytes decoder for a modality (production hook)."""
+    _DECODERS[modality] = fn
+
+
+def _pil_image_decoder():
+    """PIL-backed image decoder (bytes -> raw RGB bytes), or None when
+    PIL is not importable (this container). Auto-registered on first
+    'image' lookup so the operator is production-shaped without making
+    PIL a dependency."""
     try:
-        import PIL  # noqa: F401
+        import io
+
+        from PIL import Image
     except ImportError:
+        return None
+
+    def decode(payload: bytes) -> bytes:
+        return Image.open(io.BytesIO(payload)).convert("RGB").tobytes()
+
+    return decode
+
+
+def get_decoder(modality: str):
+    """Resolve a decoder or raise NotImplementedError (the honest stub
+    contract for codecs absent in this environment)."""
+    fn = _DECODERS.get(modality)
+    if fn is not None:
+        return fn
+    if modality == "image":
+        fn = _pil_image_decoder()
+        if fn is not None:
+            _DECODERS["image"] = fn
+            return fn
+    raise NotImplementedError(
+        f"decoder for modality {modality!r} requires media codecs not "
+        "present in this environment (register_decoder() installs one)"
+    )
+
+
+def _decode_media(payload: bytes, modality: str, decoders: dict) -> bytes:
+    fn = decoders.get(modality)
+    if fn is None:
         raise NotImplementedError(
-            f"decoder for modality {modality!r} requires media codecs not "
-            "present in this environment"
-        ) from None
-    raise NotImplementedError(f"unsupported modality {modality!r}")
+            f"decoder for modality {modality!r} requires media codecs "
+            "not present in this environment (register_decoder() "
+            "installs one)"
+        )
+    return fn(payload)
+
+
+def _decoder_snapshot() -> dict:
+    """Registry snapshot for closure capture, with the PIL auto-probe
+    resolved driver-side (the probe itself must not run per-batch)."""
+    snap = dict(_DECODERS)
+    if "image" not in snap:
+        pil = _pil_image_decoder()
+        if pil is not None:
+            snap["image"] = pil
+    return snap
 
 
 def extract_features(media_df: DataFrame) -> DataFrame:
@@ -101,10 +161,12 @@ def extract_features(media_df: DataFrame) -> DataFrame:
     batches — no collect, no per-row Python overhead. Deterministic
     byte-statistics stand in for model features."""
 
+    decoders = _decoder_snapshot()
+
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = [
-                _decode_media(m, meta["modality"])
+                _decode_media(m, meta["modality"], decoders)
                 for m, meta in zip(pdf["media"], pdf["meta"])
             ]
             means, entropies = [], []
@@ -158,23 +220,58 @@ FRAME_SCHEMA = StructType(
 )
 
 
+def _pil_resizer(width: int, height: int):
+    """PIL-backed image resize (encoded image bytes -> raw RGB bytes at
+    width x height, NEAREST for determinism), or None when PIL is not
+    importable."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        return None
+
+    def resize(payload: bytes) -> bytes:
+        img = Image.open(io.BytesIO(payload)).convert("RGB")
+        return img.resize((width, height), Image.NEAREST).tobytes()
+
+    return resize
+
+
 def resize_media(media_df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stage: 1:1 Arrow-batched transform. Real deployments decode
-    with PIL/opencv and resample; neither exists in this container, so the
-    transform is a DETERMINISTIC FAKE (truncate/cycle payload to w*h
-    bytes) behind the same batch shape — schema, partitioning, and the
-    1-in-1-out mapInPandas contract are the real, tested plumbing."""
+    """Resize stage: 1:1 Arrow-batched transform. With PIL importable,
+    'image' payloads take the REAL path: decode + NEAREST resample to
+    width x height raw RGB (3 bytes/pixel). Without codecs (this
+    container) the transform is a DETERMINISTIC FAKE (truncate/cycle
+    payload to w*h bytes) behind the same batch shape — schema,
+    partitioning, and the 1-in-1-out mapInPandas contract are the real,
+    tested plumbing either way."""
+
+    decoders = _decoder_snapshot()
+    pil_resize = _pil_resizer(width, height)  # driver-side probe
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
         for pdf in batches:
             resized, metas = [], []
             for payload, meta in zip(pdf["media"], pdf["meta"]):
-                body = _decode_media(payload, meta["modality"])
-                fake = (body * (target // max(len(body), 1) + 1))[:target]
-                resized.append(fake)
+                if meta["modality"] == "image" and pil_resize is not None:
+                    out = pil_resize(payload)
+                else:
+                    body = _decode_media(
+                        payload, meta["modality"], decoders
+                    )
+                    out = (body * (target // max(len(body), 1) + 1))[
+                        :target
+                    ]
+                resized.append(out)
                 metas.append(
-                    {**meta, "n_bytes": target, "target_w": width, "target_h": height}
+                    {
+                        **meta,
+                        "n_bytes": len(out),
+                        "target_w": width,
+                        "target_h": height,
+                    }
                 )
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "media": resized, "meta": metas}
@@ -190,13 +287,15 @@ def sample_frames(media_df: DataFrame, n_frames: int = 4) -> DataFrame:
     row-expanding mapInPandas shape a video pipeline needs. Output is
     partition-local — no shuffle until a downstream op asks for one."""
 
+    decoders = _decoder_snapshot()
+
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for doc_id, payload, meta in zip(
                 pdf["doc_id"], pdf["media"], pdf["meta"]
             ):
-                body = _decode_media(payload, meta["modality"])
+                body = _decode_media(payload, meta["modality"], decoders)
                 step = max(len(body) // n_frames, 1)
                 for i in range(n_frames):
                     ids.append(doc_id)

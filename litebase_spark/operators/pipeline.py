@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from litebase_spark.catalog import load, query
+from litebase_spark.functions.portable import h60_duck
 from litebase_spark.operators.text import _SQL_TOKENS, tokens
 
 MIN_TOKENS = 20
@@ -989,4 +990,143 @@ def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("first_doc"),
         )
         .orderBy("epoch", "shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (data selection via hashed n-grams)
+# ---------------------------------------------------------------------------
+#
+# Data Selection with Importance Resampling (Xie et al., 2023): score
+# every RAW-pool document by how much its hashed n-gram feature
+# distribution looks like a TARGET domain, then resample the pool by
+# those weights. The 100 TB shape is exactly this: per-bucket counts are
+# bounded state (_DSIR_BUCKETS rows, map-side combined), the per-doc
+# score is one join against a broadcast 512-row ratio table plus a
+# doc_id-keyed aggregation — no per-row Python, no model.
+#
+# Arithmetic stays in integer fixed point so the oracle is exact at any
+# scale: per-bucket Laplace-smoothed shares scale to e9 BEFORE the
+# divide ((ct+1)*1e9 stays < 2^63 for ct < 9.2e9 bucket occurrences),
+# and the per-bucket ratio scales the numerator to e6. True DSIR sums
+# log-ratios; the monotone integer ratio proxy keeps the ranking
+# cross-engine exact, which log() bit-drift would not (documented
+# deviation).
+
+_DSIR_BUCKETS = 512
+_DSIR_TARGET = "src1"
+
+
+@query(
+    "pipeline_dsir_weights",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, {_SQL_TOKENS.format(c='text')} AS w
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, source = '{_DSIR_TARGET}' AS is_t,
+             {h60_duck('u.bg')} % {_DSIR_BUCKETS} AS bucket
+      FROM tok, UNNEST(list_transform(range(1, len(w)),
+                                      i -> w[i] || ' ' || w[i + 1])) AS u(bg)
+      WHERE len(w) > 1
+    ),
+    stats AS (
+      SELECT bucket,
+             SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+             SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr
+      FROM occ GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS rt FROM stats),
+    ratios AS (
+      SELECT bucket,
+             ((ct + 1) * 1000000000) // (tt + {_DSIR_BUCKETS}) AS t_e9,
+             GREATEST(((cr + 1) * 1000000000) // (rt + {_DSIR_BUCKETS}),
+                      1) AS r_e9
+      FROM stats, tot
+    ),
+    scored AS (
+      SELECT o.doc_id, COUNT(*) AS n_bigrams,
+             CAST(SUM((t_e9 * 1000000) // r_e9) AS BIGINT) AS score_e6
+      FROM occ o JOIN ratios r ON o.bucket = r.bucket
+      WHERE NOT o.is_t
+      GROUP BY o.doc_id
+    )
+    SELECT doc_id, n_bigrams, score_e6
+    FROM scored ORDER BY score_e6 DESC, doc_id LIMIT 50
+    """,
+    description="DSIR importance weights (Xie et al. 2023, data "
+    "selection with importance resampling): hashed word-bigram features "
+    f"({_DSIR_BUCKETS} buckets over the portable md5 hash), "
+    "Laplace-smoothed target-vs-raw bucket shares in integer e9 fixed "
+    "point, per-document score = sum of e6 bucket ratios over the "
+    "document's bigrams, top-50 raw-pool docs by score. Bucket counts "
+    "are bounded state with map-side combine; the doc score is one "
+    "broadcast join (512 rows) + a doc_id-keyed aggregation — the "
+    "shape that selects pretraining data at 100 TB without a model in "
+    "the loop. Integer ratios (not log-sums) keep the ranking "
+    "bit-identical cross-engine (documented deviation from the paper's "
+    "log-likelihood ratio).",
+    tags=("pipeline", "text", "ngram", "sampling"),
+)
+def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from litebase_spark.functions.portable import h60_spark
+
+    B = _DSIR_BUCKETS
+    d = load(spark, sf_dir, "documents")
+    if d.rdd.getNumPartitions() < 8:
+        d = d.repartition(spark.sparkContext.defaultParallelism)
+    w = tokens("text")
+    bigrams = F.expr(
+        "transform(sequence(1, size(w) - 1), "
+        "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+    )
+    occ = (
+        d.select(
+            "doc_id",
+            (F.col("source") == _DSIR_TARGET).alias("is_t"),
+            w.alias("w"),
+        )
+        .filter(F.size("w") > 1)
+        .select(
+            "doc_id", "is_t", F.explode(bigrams).alias("bg")
+        )
+        .select(
+            "doc_id",
+            "is_t",
+            (F.expr(h60_spark("bg")) % B).alias("bucket"),
+        )
+    )
+    stats = occ.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("cr"),
+    )
+    # corpus totals ride a single-partition window over the <=512
+    # bucket rows — no driver collect, no extra scan
+    tot = Window.partitionBy()
+    ratios = stats.select(
+        "bucket",
+        F.expr(
+            f"((ct + 1) * 1000000000) DIV "
+            f"(sum(ct) OVER () + {B})"
+        ).alias("t_e9"),
+        F.expr(
+            f"GREATEST(((cr + 1) * 1000000000) DIV "
+            f"(sum(cr) OVER () + {B}), 1L)"
+        ).alias("r_e9"),
+    )
+    return (
+        occ.filter(~F.col("is_t"))
+        .join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.expr("(t_e9 * 1000000) DIV r_e9"))
+            .cast("long")
+            .alias("score_e6"),
+        )
+        .orderBy(F.desc("score_e6"), "doc_id")
+        .limit(50)
     )

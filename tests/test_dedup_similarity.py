@@ -305,3 +305,79 @@ def test_quantile_sketch_within_bin_width_of_exact(spark, sf_dir):
     for pri in est:
         for e, x in zip(est[pri], exact[pri]):
             assert abs(e - x) <= _QS_W, (pri, e, x)
+
+
+def _media_df(spark, modality, payloads):
+    from litebase_spark.operators.multimodal import MEDIA_SCHEMA
+
+    rows = [
+        (i, p, (modality, f"{modality}/x", len(p), "t"))
+        for i, p in enumerate(payloads)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_multimodal_register_decoder_reaches_executors(spark):
+    """register_decoder installs a custom modality decoder on the DRIVER
+    and the mapInPandas stages must see it executor-side (the registry
+    snapshots into the task closure — a module-global lookup would lose
+    driver-side registrations on worker re-import)."""
+    from litebase_spark.operators import multimodal as mm
+
+    payloads = [b"abcabc", b"zzzz"]
+    mm.register_decoder("audio8", lambda p: bytes(b ^ 0xFF for b in p))
+    try:
+        out = {
+            r["doc_id"]: (r["feat_mean"], r["n_bytes"])
+            for r in mm.extract_features(
+                _media_df(spark, "audio8", payloads)
+            ).collect()
+        }
+    finally:
+        del mm._DECODERS["audio8"]
+    for i, p in enumerate(payloads):
+        dec = bytes(b ^ 0xFF for b in p)
+        assert out[i][0] == sum(dec) / len(dec)
+
+
+def test_multimodal_unknown_modality_raises_not_implemented(spark):
+    """The honest-stub contract: an unregistered modality fails loudly
+    with NotImplementedError, never silently passes bytes through."""
+    import pytest as _pytest
+
+    from litebase_spark.operators import multimodal as mm
+
+    df = mm.extract_features(_media_df(spark, "video", [b"xx"]))
+    with _pytest.raises(Exception) as ei:
+        df.collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+def test_multimodal_pil_image_decode_and_resize(spark):
+    """Real decode path: with PIL importable, image payloads decode and
+    resample for real (raw RGB, 3 bytes/pixel at the target size).
+    Skips cleanly in environments without codecs — the same code path
+    then stays behind the deterministic stub."""
+    import pytest as _pytest
+
+    PIL = _pytest.importorskip("PIL")  # noqa: N806
+    import io
+
+    from PIL import Image
+
+    from litebase_spark.operators import multimodal as mm
+
+    buf = io.BytesIO()
+    Image.new("RGB", (8, 6), (10, 200, 30)).save(buf, format="PNG")
+    png = buf.getvalue()
+
+    feats = mm.extract_features(_media_df(spark, "image", [png])).collect()
+    assert feats[0]["feat_mean"] == (10 + 200 + 30) / 3
+
+    out = mm.resize_media(
+        _media_df(spark, "image", [png]), width=4, height=3
+    ).collect()
+    assert out[0]["meta"]["n_bytes"] == 4 * 3 * 3
+    assert len(out[0]["media"]) == 4 * 3 * 3

@@ -56,6 +56,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="BENCH_SF1.md")
     ap.add_argument("--skip-duckdb", action="store_true")
+    ap.add_argument("--k", type=int, default=10,
+                    help="fact replication factor (10 = sf1-equivalent, "
+                    "100 = sf10)")
+    ap.add_argument("--names", nargs="*", default=None,
+                    help="subset of headline queries to time (default: "
+                    "the full headline set)")
     args = ap.parse_args()
 
     import litebase_spark.operators  # noqa: F401
@@ -72,14 +78,14 @@ def main() -> int:
     ).count()
 
     t0 = time.time()
-    sf_dir = build_replica(spark, 10)
+    sf_dir = build_replica(spark, args.k)
     print(f"# x10 replica ready in {time.time() - t0:.1f}s", file=sys.stderr)
 
     def run(df):
         df.write.format("noop").mode("overwrite").save()
 
-    names = [n for n in HEADLINE if n not in _EXCLUDE]
-    cache = "/tmp/bench_sf1_spark.json"
+    names = [n for n in (args.names or HEADLINE) if n not in _EXCLUDE]
+    cache = f"/tmp/bench_sf{args.k // 10}_spark.json"
     spark_t: dict[str, float] = {}
     if os.path.exists(cache):
         spark_t = json.load(open(cache))
@@ -136,8 +142,8 @@ def main() -> int:
             print(f"# duckdb {name}: {duck_t[name]:.2f}s", file=sys.stderr)
 
     lines = [
-        "# BENCH_SF1 — headline set at sf1-equivalent "
-        "(facts x10 key-shifted from sf0.1, dims fixed), "
+        f"# BENCH_SF{args.k // 10} — headline set at sf{args.k // 10}-equivalent "
+        f"(facts x{args.k} key-shifted from sf0.1, dims fixed), "
         f"local[{spark.sparkContext.defaultParallelism}]",
         "",
         "Same files for both engines. Steady-state: plan built once, "
@@ -185,14 +191,15 @@ def main() -> int:
     with open(args.out, "w") as f:
         f.write("\n".join(lines))
     print(json.dumps({
-        "sf": 1.0,
+        "sf": args.k / 10.0,
         "n_queries": len(names),
         "spark_total": round(tot_s, 2),
         "both_subset": len(both),
         "spark_both": round(sum(spark_t[n] for n in both), 2),
         "duckdb_both": round(sum(duck_t[n] for n in both), 2),
     } if both else {
-        "sf": 1.0, "n_queries": len(names), "spark_total": round(tot_s, 2),
+        "sf": args.k / 10.0, "n_queries": len(names),
+        "spark_total": round(tot_s, 2),
     }))
     return 0
 
