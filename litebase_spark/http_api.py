@@ -420,7 +420,13 @@ def decode_parameters(params: list[dict] | None):
         elif t in ("FLOAT", "REAL"):
             out.append(float(v))
         elif t == "BLOB":
-            out.append(base64.b64decode(v))
+            # JSON carries BLOBs base64-encoded; the binary wire path
+            # (wire.decode_parameter) already yields raw bytes — pass
+            # those through untouched.
+            if isinstance(v, (bytes, bytearray)):
+                out.append(bytes(v))
+            else:
+                out.append(base64.b64decode(v))
         else:
             out.append(str(v))
     return out
@@ -444,6 +450,8 @@ _BRANCH_RE = re.compile(r"^/v1/databases/([^/]+)/branches$")
 _DBS_RE = re.compile(r"^/v1/databases$")
 _DB_RE = re.compile(r"^/v1/databases/([^/]+)$")
 _KEYS_RE = re.compile(r"^/v1/access-keys$")
+_EKEYS_RE = re.compile(r"^/v1/keys$")
+_EKEY_ACT_RE = re.compile(r"^/v1/keys/activate$")
 _KEY_ID_RE = re.compile(r"^/v1/access-keys/([^/]+)$")
 _USERS_RE = re.compile(r"^/v1/users$")
 _USER_ID_RE = re.compile(r"^/v1/users/([^/]+)$")
@@ -465,11 +473,18 @@ class QueryServer:
         port: int = 0,
         store=None,  # VersionedStore: enables snapshot/backup/restore routes
         users: UserManager | None = None,
+        encryption_key: str | None = None,
     ) -> None:
         self.engine = engine
         self.keys = keys
         self.users = users or UserManager()
         self.store = store
+        # encryption-key rotation state (reference key_controller.go +
+        # key_activate_controller.go): the active key signs the next
+        # one in; NEXT keys are stored INACTIVE and must be activated
+        # via /v1/keys/activate before they take effect
+        self.encryption_key = encryption_key or os.urandom(16).hex()
+        self.pending_keys: set[str] = set()
         self.write_lock = threading.Lock()  # driver = single writer
         import time as _time
 
@@ -517,6 +532,15 @@ class QueryServer:
                         qp,
                     )
                 return None
+
+            def handle_one_request(self):  # noqa: N802 (stdlib API)
+                # _raw_cache is per-REQUEST: drop it before parsing the
+                # next one so enabling keep-alive can never replay a
+                # previous request's body (today protocol_version stays
+                # at the HTTP/1.0 default — one request per connection —
+                # so this is future-proofing, not a live bug)
+                self.__dict__.pop("_raw_cache", None)
+                super().handle_one_request()
 
             def _raw(self) -> bytes:
                 if not hasattr(self, "_raw_cache"):
@@ -802,9 +826,79 @@ class QueryServer:
                     return self._database_create(key)
                 if _KEYS_RE.match(self.path):
                     return self._key_create(key)
+                if _EKEY_ACT_RE.match(self.path):
+                    return self._ekey_activate(key)
+                if _EKEYS_RE.match(self.path):
+                    return self._ekey_store(key)
                 if _USERS_RE.match(self.path):
                     return self._user_create(key)
                 return self._send(404, {"status": "error"})
+
+            # -- encryption-key rotation (reference key_controller.go /
+            # key_activate_controller.go): POST /v1/keys stores the NEXT
+            # key, authenticated by an HMAC signature under the CURRENT
+            # key; POST /v1/keys/activate flips a stored key to active.
+            # Activating a never-stored key is rejected. ----------------
+
+            def _ekey_store(self, key):
+                if not key.allows("*", "cluster:manage"):
+                    return self._send(
+                        403, {"status": "error", "message": "forbidden"}
+                    )
+                body = self._body()
+                ek = body.get("encryption_key")
+                sig = body.get("signature")
+                if not ek:
+                    return self._send(400, {
+                        "status": "error",
+                        "message": "The encryption key field is required.",
+                    })
+                if not sig:
+                    return self._send(400, {
+                        "status": "error",
+                        "message": "The signature field is required.",
+                    })
+                expected = hmac.new(
+                    server.encryption_key.encode(),
+                    ek.encode(),
+                    hashlib.sha256,
+                ).hexdigest()
+                if not hmac.compare_digest(str(sig), expected):
+                    return self._send(
+                        403,
+                        {"status": "error", "message": "invalid signature"},
+                    )
+                server.pending_keys.add(ek)
+                return self._send(200, {
+                    "status": "success",
+                    "message": "next encryption key stored successfully",
+                    "data": {},
+                })
+
+            def _ekey_activate(self, key):
+                if not key.allows("*", "cluster:manage"):
+                    return self._send(
+                        403, {"status": "error", "message": "forbidden"}
+                    )
+                body = self._body()
+                ek = body.get("encryption_key")
+                if not ek:
+                    return self._send(400, {
+                        "status": "error",
+                        "message": "The encryption key field is required.",
+                    })
+                if ek not in server.pending_keys:
+                    return self._send(400, {
+                        "status": "error",
+                        "message": "the encryption key is invalid",
+                    })
+                server.pending_keys.discard(ek)
+                server.encryption_key = ek
+                return self._send(200, {
+                    "status": "success",
+                    "message": "encryption key activated successfully",
+                    "data": {},
+                })
 
             def do_PUT(self):  # noqa: N802
                 key = self._auth()

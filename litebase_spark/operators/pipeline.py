@@ -1070,8 +1070,6 @@ _DSIR_TARGET = "src1"
     tags=("pipeline", "text", "ngram", "sampling"),
 )
 def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from litebase_spark.functions.portable import h60_spark
 
     B = _DSIR_BUCKETS
@@ -1098,14 +1096,30 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_t",
             (F.expr(h60_spark("bg")) % B).alias("bucket"),
         )
+        # explicit null-key filter BEFORE the shared aggregation: the
+        # ratios join below would otherwise infer isnotnull(bucket)
+        # into only the scoring branch, breaking the exchange-subtree
+        # identity that ReuseExchange needs for the single corpus scan
+        .filter(F.col("bucket").isNotNull())
     )
-    stats = occ.groupBy("bucket").agg(
-        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct"),
-        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("cr"),
+    # ONE corpus pass: the tokenize+explode stream collapses to
+    # per-(doc, bucket) occurrence counts behind a single shuffle.
+    # Both consumers below (bucket stats, doc scoring) hang off this
+    # same DataFrame, so Catalyst's ReuseExchange rule materializes the
+    # expensive scan+explode+partial-agg ONCE and the second branch
+    # reads the shuffle output — at 100 TB the bigram explode is the
+    # dominant cost and it is now paid once, with no persist() (the
+    # reused exchange is bounded: <= n_docs x 512 rows, not the raw
+    # bigram stream).
+    dbc = occ.groupBy("doc_id", "is_t", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = dbc.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_t"), F.col("cnt")).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(F.col("cnt"))).alias("cr"),
     )
     # corpus totals ride a single-partition window over the <=512
     # bucket rows — no driver collect, no extra scan
-    tot = Window.partitionBy()
     ratios = stats.select(
         "bucket",
         F.expr(
@@ -1117,16 +1131,24 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(sum(cr) OVER () + {B}), 1L)"
         ).alias("r_e9"),
     )
+    # the raw-pool filter runs AFTER the doc aggregation (is_t is
+    # constant per doc, max() recovers it): a pre-agg filter would be
+    # pushed below dbc's exchange and break the subtree identity that
+    # ReuseExchange needs — this way the plan has ONE documents scan
+    # and a ReusedExchange feeding the scoring branch (asserted in
+    # tests/test_dsir.py)
     return (
-        occ.filter(~F.col("is_t"))
-        .join(F.broadcast(ratios), "bucket")
+        dbc.join(F.broadcast(ratios), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum(F.expr("(t_e9 * 1000000) DIV r_e9"))
+            F.max("is_t").alias("__is_t"),
+            F.sum("cnt").alias("n_bigrams"),
+            F.sum(F.expr("cnt * ((t_e9 * 1000000) DIV r_e9)"))
             .cast("long")
             .alias("score_e6"),
         )
+        .filter(~F.col("__is_t"))
+        .select("doc_id", "n_bigrams", "score_e6")
         .orderBy(F.desc("score_e6"), "doc_id")
         .limit(50)
     )

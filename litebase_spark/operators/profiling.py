@@ -126,10 +126,14 @@ def _oracle() -> str:
         max_num = f"max_{c}" if kind != "str" else "NULL"
         min_str = f"min_{c}" if kind == "str" else "NULL"
         max_str = f"max_{c}" if kind == "str" else "NULL"
+        # clamp the HLL estimate to the non-null count: the profile
+        # invariant n_distinct <= n_rows must hold even when the ~6.5%
+        # rsd overshoots (both engines clamp identically -> still exact)
         ndv = (
             f"nd_{c}"
             if c in small
-            else f"(SELECT nd_big FROM nd WHERE nd_name = '{c}')"
+            else f"LEAST((SELECT nd_big FROM nd WHERE nd_name = '{c}'),"
+            f" cnt_{c})"
         )
         rows.append(
             f"SELECT '{c}' AS column_name, n_rows,"
@@ -321,16 +325,21 @@ def profile_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         return expr.cast(cast_to)
 
     n_null = F.lit(None)
-    n_distinct = F.col("nd_big")
+    n_distinct = F.lit(None)
     for c, _ in _COLS:
         n_null = F.when(
             F.col("column_name") == c,
             F.col("n_rows") - F.col(f"cnt_{c}"),
         ).otherwise(n_null)
         if c in small:
-            n_distinct = F.when(
-                F.col("column_name") == c, F.col(f"nd_{c}")
-            ).otherwise(n_distinct)
+            nd_c = F.col(f"nd_{c}")
+        else:
+            # clamp the HLL estimate to the non-null count (profile
+            # invariant n_distinct <= n_rows; mirrored in the oracle)
+            nd_c = F.least(F.col("nd_big"), F.col(f"cnt_{c}"))
+        n_distinct = F.when(
+            F.col("column_name") == c, nd_c
+        ).otherwise(n_distinct)
 
     numts = [c for c, k in _COLS if k in ("num", "ts")]
     return joined.select(

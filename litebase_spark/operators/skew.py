@@ -55,12 +55,22 @@ def parse_size_bytes(s) -> int:
     return int(m.group(1)) * _SIZE_SUFFIX[m.group(2)]
 
 
-def _top_key_share(df: DataFrame, key: str, sample_rows: int = 50_000) -> float:
+def _top_key_share(
+    df: DataFrame, key: str, sample_rows: int = 50_000
+) -> float | None:
     """Skew probe: the hottest key's share of (a bounded sample of) the
     key column. One small job — the scan is column-pruned to `key` and
     row-sampled down to ~sample_rows using the driver-side plan size
     estimate, so at 100 TB this reads one column and aggregates ~50k
-    rows; the groupBy shuffles only the sample."""
+    rows; the groupBy shuffles only the sample.
+
+    Returns ``None`` when the probe is INCONCLUSIVE: with no Catalyst
+    stats, sizeInBytes defaults to Long.MaxValue, the sample fraction
+    rounds to ~0 and the probe would aggregate ~0 rows — exactly the
+    no-stats regime where demoting a whale key to a plain shuffle would
+    hurt most. A sample that comes back with fewer than ``_MIN_PROBE``
+    rows (while the source plausibly has more) is therefore retried once
+    unsampled but LIMIT-bounded; if that is still empty, None."""
     try:
         size = int(
             str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
@@ -79,9 +89,42 @@ def _top_key_share(df: DataFrame, key: str, sample_rows: int = 50_000) -> float:
         .agg(F.max("count").alias("mx"), F.sum("count").alias("tot"))
         .first()
     )
-    if row is None or not row["tot"]:
-        return 0.0
-    return float(row["mx"]) / float(row["tot"])
+    tot = 0 if row is None or row["tot"] is None else int(row["tot"])
+    if tot < _MIN_PROBE:
+        # sampled job saw (almost) nothing — bounded unsampled retry:
+        # LIMIT stops the scan after enough rows, so the job stays O(k)
+        # even over a 100 TB table with broken stats
+        row = (
+            df.select(key)
+            .limit(sample_rows)
+            .groupBy(key)
+            .count()
+            .agg(F.max("count").alias("mx"), F.sum("count").alias("tot"))
+            .first()
+        )
+        tot = 0 if row is None or row["tot"] is None else int(row["tot"])
+        if tot == 0:
+            return None
+    return float(row["mx"]) / float(tot)
+
+
+_MIN_PROBE = 500
+
+# probe decisions cached per (skewed-plan semantic hash, key column,
+# shuffle partitions): the probe is a synchronous extra job, and the
+# answer for a given (table, key) does not change within a session —
+# repeated calls (benchmarks, dashboards, retried stages) pay it once.
+_PROBE_CACHE: dict[tuple, float | None] = {}
+
+
+def _cached_top_key_share(df: DataFrame, key: str) -> float | None:
+    try:
+        k = (int(df._jdf.queryExecution().analyzed().semanticHash()), key)
+    except Exception:
+        return _top_key_share(df, key)
+    if k not in _PROBE_CACHE:
+        _PROBE_CACHE[k] = _top_key_share(df, key)
+    return _PROBE_CACHE[k]
 
 
 def salted_join(
@@ -145,7 +188,12 @@ def salted_join(
             except Exception:
                 n_part = 200
             hot_share = min(0.5, max(0.02, 2.0 / max(1, n_part)))
-            if _top_key_share(skewed, salt_from) < hot_share:
+            share = _cached_top_key_share(skewed, salt_from)
+            # None = inconclusive probe (no stats, empty sample): keep
+            # the salted plan — wrongly salting uniform keys costs
+            # n_salts x replication; wrongly demoting a whale key
+            # costs a stuck task at 100 TB. Salting is the safe side.
+            if share is not None and share < hot_share:
                 skew = "never"
     if skew == "never":
         # uniform keys: plain shuffle-hash join (AQE's skew-split still

@@ -362,9 +362,28 @@ class BinaryStreamClient:
     def send_message(self, mtype: int, payload: bytes = b"") -> None:
         self.sock.sendall(encode_message(mtype, payload))
 
+    def _ensure_headers(self) -> None:
+        """Block until the response status line + headers are consumed,
+        then reject non-200: on 401/403 the server answers with a JSON
+        error body, not wire frames — surface the auth failure instead
+        of a confusing frame-parse error."""
+        while not self._headers_done:
+            chunk = self.sock.recv(65536)
+            if not chunk:
+                raise ConnectionError("connection closed before headers")
+            self._buf += chunk
+            idx = self._buf.find(b"\r\n\r\n")
+            if idx >= 0:
+                self.status = int(self._buf.split(b" ", 2)[1])
+                self._buf = self._buf[idx + 4 :]
+                self._headers_done = True
+        if self.status != 200:
+            raise ConnectionError(
+                f"stream open failed: HTTP {self.status}"
+            )
+
     def read_message(self) -> tuple[int, bytes] | None:
-        if not self._headers_done:
-            self._read(0)  # force header consumption on first read
+        self._ensure_headers()
         return read_message(self._read)
 
     def open(self) -> bytes:

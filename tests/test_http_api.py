@@ -763,6 +763,89 @@ def test_binary_stream_open_frame_error_close(server):
         c.close()
 
 
+def test_encryption_key_rotation_flow(server):
+    # reference key_controller.go + key_activate_controller.go: the next
+    # key is stored INACTIVE (signed by the current key) and must be
+    # activated explicitly; activating a never-stored key is rejected
+    import hashlib
+    import hmac as _hmac
+
+    def _sign(active: str, new: str) -> str:
+        return _hmac.new(
+            active.encode(), new.encode(), hashlib.sha256
+        ).hexdigest()
+
+    # activate before store -> rejected
+    code, body = _call(server, "POST", "/v1/keys/activate",
+                       {"encryption_key": "new-key-1"}, "admin:s3cret")
+    assert code == 400 and "invalid" in body["message"]
+    # store with a bad signature -> rejected
+    code, body = _call(server, "POST", "/v1/keys",
+                       {"encryption_key": "new-key-1",
+                        "signature": "ff" * 32}, "admin:s3cret")
+    assert code == 403
+    # store signed by the active key -> accepted (still inactive)
+    code, body = _call(server, "POST", "/v1/keys",
+                       {"encryption_key": "new-key-1",
+                        "signature": _sign(server.encryption_key,
+                                           "new-key-1")}, "admin:s3cret")
+    assert code == 200, body
+    assert server.encryption_key != "new-key-1"  # not active yet
+    # activate -> accepted, becomes the signing key for the NEXT store
+    code, body = _call(server, "POST", "/v1/keys/activate",
+                       {"encryption_key": "new-key-1"}, "admin:s3cret")
+    assert code == 200, body
+    assert server.encryption_key == "new-key-1"
+    # old key can no longer sign; the new active key can
+    code, _ = _call(server, "POST", "/v1/keys",
+                    {"encryption_key": "new-key-2",
+                     "signature": _sign("stale-old-key", "new-key-2")},
+                    "admin:s3cret")
+    assert code == 403
+    code, _ = _call(server, "POST", "/v1/keys",
+                    {"encryption_key": "new-key-2",
+                     "signature": _sign("new-key-1", "new-key-2")},
+                    "admin:s3cret")
+    assert code == 200
+    # cluster:manage required
+    code, _ = _call(server, "POST", "/v1/keys/activate",
+                    {"encryption_key": "new-key-2"}, "reader:r3ad")
+    assert code == 403
+
+
+def test_binary_stream_blob_parameter_round_trip(server):
+    # wire.decode_parameter yields BLOBs as raw bytes (unlike the JSON
+    # path, which base64-encodes) — the handler must NOT b64decode them
+    from litebase_spark.wire import BinaryStreamClient
+
+    c = BinaryStreamClient(
+        "127.0.0.1", server.port,
+        "/v1/databases/main/main/query/stream", "Bearer admin:s3cret")
+    try:
+        c.open()
+        payload = b"\x00\xff\x10binary\x00tail"
+        r = c.query("bl", "SELECT ? AS b, LENGTH(?) AS n", [
+            {"type": "BLOB", "value": payload},
+            {"type": "BLOB", "value": payload},
+        ])
+        assert r.error == "", r.error
+        assert r.rows == [[payload, len(payload)]]
+    finally:
+        c.close()
+
+
+def test_binary_stream_rejects_bad_auth(server):
+    import pytest as _pytest
+
+    from litebase_spark.wire import BinaryStreamClient
+
+    c = BinaryStreamClient(
+        "127.0.0.1", server.port,
+        "/v1/databases/main/main/query/stream", "Bearer nope:wrong")
+    with _pytest.raises(ConnectionError, match="HTTP 40"):
+        c.open()
+
+
 def test_binary_stream_txn_and_write(server):
     from litebase_spark.wire import BinaryStreamClient
 

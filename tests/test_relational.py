@@ -202,6 +202,42 @@ def test_salted_join_adaptive_broadcast_and_forced_skew(spark, sf_dir):
         spark.conf.set(thr_key, old_thr)
 
 
+def test_skew_probe_inconclusive_and_cached(spark):
+    """An empty/near-empty sample must return None (inconclusive), not
+    0.0 — a 0.0 would demote a whale key to a plain shuffle in exactly
+    the no-stats regime salting exists for. And the probe decision is
+    cached per (plan, key): the second call on the same frame must not
+    launch another job."""
+    from litebase_spark.operators import skew as S
+
+    empty = spark.range(0, 0).selectExpr("id AS k")
+    assert S._top_key_share(empty, "k") is None
+
+    # tiny frame: sampled job may see ~0 rows; the bounded unsampled
+    # retry must still produce a share
+    tiny = spark.range(0, 10).selectExpr("CAST(7 AS BIGINT) AS k")
+    share = S._top_key_share(tiny, "k")
+    assert share == 1.0
+
+    # cache: same plan + key -> one probe, second call hits the dict
+    S._PROBE_CACHE.clear()
+    df = spark.range(0, 1000).selectExpr("id % 5 AS k")
+    s1 = S._cached_top_key_share(df, "k")
+    assert len(S._PROBE_CACHE) == 1
+    # poison the underlying probe: a cache hit never calls it
+    orig = S._top_key_share
+    S._top_key_share = lambda *a, **kw: (_ for _ in ()).throw(
+        AssertionError("probe re-ran on cached plan")
+    )
+    try:
+        s2 = S._cached_top_key_share(
+            spark.range(0, 1000).selectExpr("id % 5 AS k"), "k"
+        )
+    finally:
+        S._top_key_share = orig
+    assert s1 == s2
+
+
 def test_approx_distinct_within_5pct(spark, sf_dir):
     """Builtin approx_count_distinct (HLL++, rsd=0.02) stays within 5%
     of exact; the portable-HLL query's own bound lives in
