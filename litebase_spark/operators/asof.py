@@ -150,10 +150,19 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY p.event_id, p.user_id
     """,
     description="Interval (range) join: clicks in the 30 minutes before "
-    "each purchase by the same user, aggregated per purchase. The equi key "
-    "(user_id) drives a hash join; the time range is a residual predicate, "
-    "so there is no cross-product — at 100 TB this stays a single "
-    "co-partitioned join, skew-split by AQE on hot users.",
+    "each purchase by the same user, aggregated per purchase. Round-6 "
+    "re-plan: TIME-BUCKETED equi join — both sides key on (user_id, "
+    "30-min epoch bucket), purchases probing buckets {b-1, b} (which "
+    "always cover a 30-min look-back), with the exact timestamp range "
+    "as the residual. A plain user_id-keyed join scans EVERY click of "
+    "a user per purchase — O(clicks-per-user) pairs per probe, "
+    "unbounded as history grows; the bucket key bounds candidates to "
+    "one hour of that user's clicks regardless of total history, which "
+    "is the difference between a join that survives 100 TB of "
+    "multi-year events and one that quadratically melts on loyal "
+    "users. LEFT OUTER on the exploded probe keeps zero-click "
+    "purchases without a join-back (null-extended bucket copies "
+    "aggregate away: COUNT/SUM ignore nulls).",
     tags=("range-join", "join", "timeseries"),
 )
 def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -170,9 +179,21 @@ def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("c_value"),
         )
     )
-    joined = p.join(
-        c,
+    W = 1800  # bucket width == look-back window (30 min), in seconds
+    pb = p.withColumn(
+        "bkt",
+        F.explode(
+            F.array(
+                (F.unix_timestamp("ts") / W).cast("long") - 1,
+                (F.unix_timestamp("ts") / W).cast("long"),
+            )
+        ),
+    )
+    cb = c.withColumn("c_bkt", (F.unix_timestamp("c_ts") / W).cast("long"))
+    joined = pb.join(
+        cb,
         (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_bkt") == F.col("bkt"))
         & (F.col("c_ts") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES"))
         & (F.col("c_ts") < F.col("ts")),
         "left_outer",

@@ -402,9 +402,13 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top 20. Returnflag filter pushed to parquet scan. Revenue "
     "pre-aggregates by l_orderkey BEFORE the orders join (exact long "
     "fixed-point, so the two-level sum is associative) — the join and "
-    "the customer-level aggregation then move ~4x fewer, narrower rows "
-    "(measured 1.52 -> 1.15 s at the sf1 point); customer and nation "
-    "are broadcast dims.",
+    "the customer-level aggregation then move ~4x fewer, narrower rows; "
+    "the orders join is a SHUFFLE-HASH join, not a broadcast: orders is "
+    "a FACT, and at the sf1 point Catalyst's size estimate squeaks its "
+    "2-column projection under the broadcast threshold, paying a "
+    "~0.5 s build+broadcast of 1.5M rows that a co-partitioned hash "
+    "join avoids (1.33 -> 1.0 s) — and at 100 TB broadcasting a fact "
+    "slice is never right. Customer and nation stay broadcast dims.",
     tags=("join", "agg", "topk"),
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -416,7 +420,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre = l.groupBy("l_orderkey").agg(F.sum(revenue).alias("rev_fp"))
     return (
         pre.join(
-            o.select("o_orderkey", "o_custkey"),
+            o.select("o_orderkey", "o_custkey").hint("shuffle_hash"),
             pre.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("o_custkey")

@@ -275,18 +275,41 @@ _RHO_DUCK = (
 )
 
 
-@query(
-    "agg_approx_distinct",
-    oracle=f"""
-    WITH h AS (
-      SELECT o_orderpriority AS pri, o_custkey,
-             {h60_duck("CAST(o_custkey AS VARCHAR)")} AS h
-      FROM orders
+def _approx_distinct_oracle() -> str:
+    from litebase_spark.functions.portable import h60_fast_steps
+
+    steps = h60_fast_steps("x", "duck")
+    carried = {
+        "__h1": ["pri", "__h1"],
+        "__h2": ["pri", "__h1", "__h2"],
+        "__g": ["pri", "__g"],
+        "__h3": ["pri", "__g", "__h3"],
+        "h": ["pri", "h"],
+    }
+    step_ctes = []
+    prev = "dd"
+    keep = ["pri"]
+    for i, (alias, expr) in enumerate(steps):
+        step_ctes.append(
+            f"s{i} AS (SELECT {', '.join(keep)}, {expr} AS {alias} "
+            f"FROM {prev})"
+        )
+        prev = f"s{i}"
+        keep = carried[alias]
+    return (
+        "WITH dd AS (SELECT DISTINCT o_orderpriority AS pri,"
+        " o_custkey AS x FROM orders),\n"
+        + ",\n".join(step_ctes)
+        + f""",
+    reg0 AS (
+      SELECT pri, h >> 52 AS idx, MIN(h & {MASK52}) AS mlow,
+             COUNT(*) AS nd
+      FROM {prev} GROUP BY pri, idx
     ), reg AS (
-      SELECT pri, h >> 52 AS idx,
-             MAX({_RHO_DUCK}) AS mrho,
-             COUNT(DISTINCT o_custkey) AS nd
-      FROM h GROUP BY pri, idx
+      SELECT pri, idx, nd,
+             CASE WHEN mlow = 0 THEN 53
+                  ELSE 53 - length(bin(mlow)) END AS mrho
+      FROM reg0
     ), agg AS (
       SELECT pri,
              CAST(SUM(1::BIGINT << (53 - mrho)) AS BIGINT) AS sp,
@@ -298,39 +321,59 @@ _RHO_DUCK = (
            {hll_estimate_duck('sp', 'nr')} AS approx_custs,
            exact_custs
     FROM agg
-    """,
+    """
+    )
+
+
+@query(
+    "agg_approx_distinct",
+    oracle=_approx_distinct_oracle(),
     description="Approximate COUNT(DISTINCT) via a deterministic "
-    "HyperLogLog (m=256 registers over the portable md5 hash, "
-    "functions/portable.py) — the 100 TB replacement for exact distinct "
-    "counting: constant memory, single pass, register state merges by "
-    "MAX. Register sums stay in exact integers so the ESTIMATE is "
+    "HyperLogLog (m=256 registers over the portable fast integer hash, "
+    "functions/portable.py h60_fast_steps) — the 100 TB replacement "
+    "for exact distinct counting: constant memory, mergeable register "
+    "state. Round-6 re-plan: (pri, custkey) dedupes FIRST (one "
+    "exchange whose map-side partial dedup bounds the shuffle by the "
+    "key domain, not the row count), then the hash + registers + exact "
+    "counts run over the deduped set only — the md5 per input row and "
+    "the mixed distinct/max aggregate of the old plan are gone, and "
+    "the register aggregate is a pure LONG min (whole-stage codegen; "
+    "rho extracted on the <=5x256 final register rows, the profiling "
+    "idiom). Register sums stay exact integers so the ESTIMATE is "
     "bit-identical across engines and fully oracle-checked (builtin "
     "approx_count_distinct is algorithm-incompatible across engines by "
     "design and stays in sketch_hll_union); tests bound the estimate "
     "within 12% of exact (m=256 ~ 6.5% standard error). exact_custs "
-    "rides the same single scan: distinct keys partition cleanly across "
-    "registers, so SUM of per-register exact counts is the exact "
-    "total.",
+    "rides the same dedup: COUNT(*) per register over distinct keys, "
+    "summed.",
     tags=("agg", "approx"),
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from litebase_spark.functions.portable import h60_fast_steps
+
     o = load(spark, sf_dir, "orders")
+    dd = o.select(
+        F.col("o_orderpriority").alias("pri"), F.col("o_custkey").alias("x")
+    ).distinct()
+    hh = dd
+    for alias, expr in h60_fast_steps("x", "spark"):
+        hh = hh.withColumn(alias, F.expr(expr))
     reg = (
-        o.select(
-            "o_orderpriority",
-            "o_custkey",
-            F.expr(h60_spark("CAST(o_custkey AS STRING)")).alias("h"),
-        )
-        .select(
-            "o_orderpriority",
-            "o_custkey",
+        hh.select(
+            "pri",
             F.expr("shiftrightunsigned(h, 52)").alias("idx"),
-            F.expr(_RHO_SPARK).alias("rho"),
+            F.expr(f"h & {MASK52}").alias("low"),
         )
-        .groupBy("o_orderpriority", "idx")
-        .agg(
-            F.max("rho").alias("mrho"),
-            F.count_distinct("o_custkey").alias("nd"),
+        .groupBy("pri", "idx")
+        .agg(F.min("low").alias("mlow"), F.count(F.lit(1)).alias("nd"))
+        .select(
+            F.col("pri").alias("o_orderpriority"),
+            "idx",
+            "nd",
+            F.expr(
+                "CASE WHEN mlow = 0 THEN 53"
+                " ELSE 53 - length(bin(mlow)) END"
+            ).alias("mrho"),
         )
     )
     agg = reg.groupBy("o_orderpriority").agg(

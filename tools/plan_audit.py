@@ -106,6 +106,12 @@ _REVIEWED_NONPUSHABLE = {
     "pipeline_weighted_sample",  # size(tokens(text)) > 0 weight guard
     "geopoly_within",  # ray-cast aggregate over the edge array (HOF) —
     # not a pushable predicate; the scan reads only s_suppkey
+    # round 6:
+    "pipeline_dsir_weights",  # size(tokens(text)) > 1 bigram guard +
+    # isnotnull(hash-bucket) kept un-pushed DELIBERATELY: the explicit
+    # null-key filter must sit above the shared projection so both
+    # consumers of the dbc exchange have identical subtrees
+    # (ReuseExchange -> single corpus scan; see operators/pipeline.py)
 }
 
 # Registered builders allowed a driver-side collect because it is O(k)
