@@ -48,6 +48,10 @@ NAMES = [
     "pipeline_dedup_recall",
     "text_substring_dedup",
     "pipeline_weighted_sample",
+    # round 6: hashed-bucket / HLL / bucketed-join operators
+    "pipeline_dsir_weights",
+    "join_range_interval",
+    "profile_lineitem_stats",
 ]
 
 
