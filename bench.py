@@ -87,6 +87,8 @@ HEADLINE = [
     "pipeline_epoch_shuffle",
     "stats_ab_lift",
     "geopoly_group_bbox",
+    # round 6
+    "multimodal_phash_dedup",
 ]
 
 

@@ -423,3 +423,186 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.filter(F.col("n_bytes") > 0).select(
         "doc_id", "frame_index", "n_bytes"
     )
+
+
+# -- perceptual-hash dedup ---------------------------------------------------
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def perceptual_hash(media_df: DataFrame) -> DataFrame:
+    """64-bit average-hash over the DECODED payload, computed inside the
+    same Arrow decode stage the other media ops use (decode -> hash in
+    one Python pass; nothing but (doc_id, 8-byte hash) leaves the
+    executor — at 100 TB of images the shuffle carries 16 bytes/item
+    regardless of media size).
+
+    aHash recipe (deterministic, engine-replayable): split the decoded
+    byte stream into 64 contiguous chunks (chunk(i) = i*64//n), bit j =
+    1 iff chunk j's mean exceeds the global mean, compared exactly via
+    integer cross-multiplication (chunk_sum * n > total_sum * chunk_len
+    — no floats, so the DuckDB oracle reproduces it bit-for-bit from
+    hex(payload)). Payloads under 64 bytes are dropped (no meaningful
+    regions). Real pHash swaps the decoder stub for PIL + DCT; the
+    banding/verify relational shape downstream is unchanged.
+    """
+    import numpy as np
+
+    decoders = _decoder_snapshot()
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sizes, hashes = [], [], []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["media"], pdf["meta"]
+            ):
+                data = _decode_media(
+                    bytes(payload), meta["modality"], decoders
+                )
+                n = len(data)
+                if n < 64:
+                    continue
+                arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+                total = int(arr.sum())
+                # byte i -> chunk i*64//n (the oracle's assignment), so
+                # chunk j starts at ceil(j*n/64); n >= 64 guarantees
+                # every chunk is non-empty
+                bounds = [(j * n + 63) // 64 for j in range(64)]
+                sums = np.add.reduceat(arr, bounds)
+                lens = np.diff(bounds + [n])
+                h = 0
+                for j in range(64):
+                    h <<= 1
+                    if int(sums[j]) * n > total * int(lens[j]):
+                        h |= 1
+                if h >= 1 << 63:  # two's-complement into int64
+                    h -= 1 << 64
+                ids.append(doc_id)
+                sizes.append(n)
+                hashes.append(h)
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_bytes": sizes, "phash": hashes}
+            )
+
+    return media_df.mapInPandas(compute, PHASH_SCHEMA)
+
+
+# DuckDB replay of the aHash, shared by the oracle below: bytes from
+# hex(), chunk sums grouped by i*64//n, bit string assembled in chunk
+# order (bit j of the Spark long = string position j+1).
+_PHASH_BITS_SQL = """
+    h AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents
+      WHERE octet_length(encode(text)) >= 64
+    ),
+    bytes AS (
+      SELECT doc_id, n, (j * 64) // n AS chunk,
+        (strpos('0123456789ABCDEF', substr(hx, j*2+1, 1)) - 1) * 16 +
+        (strpos('0123456789ABCDEF', substr(hx, j*2+2, 1)) - 1) AS byte
+      FROM h, UNNEST(range(0, n)) AS t(j)
+    ),
+    ch AS (
+      SELECT doc_id, n, chunk,
+             SUM(byte) AS csum, COUNT(*) AS clen
+      FROM bytes GROUP BY doc_id, n, chunk
+    ),
+    tot AS (
+      SELECT doc_id, SUM(csum) AS total FROM ch GROUP BY doc_id
+    ),
+    bits AS (
+      SELECT c.doc_id,
+             string_agg(
+               CASE WHEN c.csum * c.n > t.total * c.clen
+                    THEN '1' ELSE '0' END, '' ORDER BY c.chunk) AS b
+      FROM ch c JOIN tot t ON c.doc_id = t.doc_id
+      GROUP BY c.doc_id
+    )
+"""
+
+
+@query(
+    "multimodal_phash_dedup",
+    oracle=f"""
+    WITH {_PHASH_BITS_SQL},
+    bands AS (
+      SELECT doc_id, b, k AS band_idx, substr(b, k*16 + 1, 16) AS band
+      FROM bits, UNNEST([0, 1, 2, 3]) AS u(k)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             x.b AS ba, y.b AS bb
+      FROM bands x JOIN bands y
+        ON x.band_idx = y.band_idx AND x.band = y.band
+       AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(hamming(ba, bb) AS BIGINT) AS hamming_dist
+    FROM cand
+    WHERE hamming(ba, bb) <= 6
+    """,
+    description="Near-duplicate MEDIA detection: 64-bit perceptual hash "
+    "(aHash over the decoded byte stream — integer-exact, so the "
+    "DuckDB oracle replays it bit-for-bit from hex(payload)) computed "
+    "inside the Arrow decode stage, then Hamming-LSH banding: 4 bands "
+    "of 16 bits, candidates must collide in >=1 band (a pair within "
+    "Hamming distance 6 of 64 bits escapes all 4 bands only if its "
+    "differing bits spread 2-2-1-1+, so recall on near-dups is high "
+    "and NOTHING is all-pairs), verify = bit_count(XOR) on the two "
+    "longs, keep pairs <= 6. The image-pipeline shape (CLIP-era corpus "
+    "dedup runs exactly this with a DCT pHash): shuffle carries 16 "
+    "bytes per item, candidate work is bounded by band-bucket "
+    "occupancy, the verify is one JVM instruction per pair.",
+    tags=("multimodal", "dedup", "pandas_udf"),
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = attach_media(load(spark, sf_dir, "documents"))
+    ph = perceptual_hash(m).select("doc_id", "phash")
+    # 4 bands of 16 bits; band k = string positions [16k+1, 16k+16] =
+    # long bits 63-16k .. 48-16k (MSB-first assembly above)
+    bands = ph.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).alias("band_idx"),
+                    F.expr(
+                        f"shiftrightunsigned(phash, {48 - 16 * k})"
+                        " & 65535"
+                    ).alias("band"),
+                )
+                for k in range(4)
+            ])
+        ).alias("e"),
+    ).select("doc_id", "phash", "e.band_idx", "e.band")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("phash").alias("ha"),
+        "band_idx",
+        "band",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash").alias("hb"),
+        "band_idx",
+        "band",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.expr("bit_count(ha ^ hb)").cast("long").alias("hamming_dist"),
+    ).filter(F.col("hamming_dist") <= 6)

@@ -9,8 +9,10 @@ cardinalities, ranges — for data-quality gates over a 100 TB corpus.
 
 Scale design (round 5; the audited plan has 5 shuffle-exchange nodes
 (stats 1, sets 1, HLL 2, 11-row sort 1) + 3 broadcasts — round 4's paid
-10 shuffle nodes and 2.62 s at the sf1 point; this one measures 1.59 s
-there):
+10 shuffle nodes and 2.62 s at the sf1 point; the recorded round-6
+number is 1.31 s, see BENCH_SF1.md, with the three-pass structure
+documented there as irreducible: a one-scan explode variant measured
+within noise of the union because Generate breaks whole-stage codegen):
 
 1. A CODEGEN stats scan: count, per-column non-null counts, numeric +
    timestamp min/max. No collect_set here — a single TypedImperative

@@ -42,6 +42,9 @@ from tools.scale_stress import build_replica  # noqa: E402
 # replica manufactured (DuckDB's identical oracle blows up the same
 # way, from 16 s at sf0.1).
 _EXCLUDE = {
+    "multimodal_phash_dedup": "pair-forming: identical replica copies "
+    "collide in every pHash band (k-cliques the real duplicate rate "
+    "would not produce) — same class as the minhash/SRP exclusions",
     "dedup_embedding_cosine": "quadratic parity baseline (scale path = "
     "dedup_embedding_lsh_verified)",
     "dedup_embedding_blocked": "quadratic triangle-block baseline (same)",

@@ -68,6 +68,8 @@ _ALLOWED_ARROW = {
     "multimodal_features",
     "multimodal_resize",
     "multimodal_frame_sample",
+    "multimodal_phash_dedup",  # decode+aHash in the Arrow decode stage;
+    # only (doc_id, 8-byte hash) leaves the executor
     "pipeline_training_corpus",
     "text_chunk_dedup",
     "text_unigram_logppl",

@@ -62,6 +62,15 @@ QUERIES = [
     "profile_lineitem_stats",    # one-scan multi-distinct profile
     "text_substring_dedup",      # gram-anchored span merge (2 exchanges)
     "pipeline_weighted_sample",  # hash-decided sampling (narrow map)
+    # round 6 re-plans + new family
+    "q7_volume_shipping",        # dimension-pushed double fact reduction
+    "q10_returned_items",        # pre-agg + shuffle-hash fact join
+    "q12_priority_lateness",     # pre-reduced two-exchange join
+    "join_range_interval",       # time-bucketed range join
+    "join_salted_skew",          # adaptive skew join (plain regime)
+    "pipeline_dsir_weights",     # shared-exchange corpus fan-out
+    # multimodal_phash_dedup is pair-forming (identical replica copies
+    # collide in every band) — excluded like the minhash/SRP dedups
 ]
 
 _SHIFT = 10**9
