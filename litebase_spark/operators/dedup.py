@@ -1220,3 +1220,100 @@ def pipeline_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 from litebase_spark.catalog import REGISTRY as _DEDUP_REGISTRY  # noqa: E402
 
 _DEDUP_REGISTRY["pipeline_dedup_recall"].oracle = _dedup_recall_oracle()
+
+
+def _survivorship_oracle() -> str:
+    jaccard_sql = _DEDUP_REGISTRY["dedup_ngram_jaccard"].oracle
+    toks = _SQL_TOKENS.format(c="text")
+    return f"""
+    WITH RECURSIVE pairs AS (SELECT * FROM ({jaccard_sql})),
+    nodes AS (
+      SELECT doc_a AS doc_id FROM pairs
+      UNION SELECT doc_b FROM pairs
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT r.src, e.d FROM reach r JOIN edges e ON e.s = r.dst
+    ),
+    comp AS (
+      SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
+    ),
+    q AS (
+      SELECT doc_id,
+             CAST(len(list_distinct({toks})) AS BIGINT) * 1000000
+               // len({toks}) AS quality_e6,
+             CAST(len({toks}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    ranked AS (
+      SELECT c.component, c.doc_id, q.quality_e6, q.n_tokens,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.component
+               ORDER BY q.quality_e6 DESC, q.n_tokens DESC, c.doc_id
+             ) AS rn
+      FROM comp c JOIN q ON q.doc_id = c.doc_id
+    )
+    SELECT component,
+           MAX(CASE WHEN rn = 1 THEN doc_id END) AS keeper_doc_id,
+           MAX(CASE WHEN rn = 1 THEN quality_e6 END) AS keeper_quality_e6,
+           COUNT(*) AS n_members,
+           COUNT(*) - 1 AS n_dropped
+    FROM ranked GROUP BY component
+    """
+
+
+@query(
+    "pipeline_survivorship",
+    oracle=_survivorship_oracle(),
+    description="Duplicate-cluster SURVIVORSHIP — the decision "
+    "dedup_components stops short of: which copy actually enters the "
+    "training corpus. Near-dup pairs (n-gram Jaccard tier; MinHash-LSH "
+    "feeds the same input at 100 TB) -> connected components -> keeper "
+    "per cluster by QUALITY, not by id: highest distinct-token ratio "
+    "(integer e6 — engine-exact), ties to the longer doc, then lowest "
+    "doc_id. Per cluster: keeper, its quality, member/dropped counts. "
+    "The quality join touches only docs that appear in some pair "
+    "(components' node set), so the survivorship pass costs O(dup "
+    "docs), not O(corpus); the window runs per-component (shallow "
+    "near-cliques). Oracle: recursive-CTE reachability + the same "
+    "ROW_NUMBER ordering.",
+    tags=("pipeline", "dedup", "graph"),
+)
+def pipeline_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    w = tokens("text")
+    q = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "CAST(size(array_distinct(filter(split(lower(text),"
+            " '[^a-z0-9]+'), x -> length(x) > 0))) AS BIGINT) * 1000000"
+            " DIV size(filter(split(lower(text), '[^a-z0-9]+'),"
+            " x -> length(x) > 0))"
+        ).alias("quality_e6"),
+        F.size(w).cast("long").alias("n_tokens"),
+    )
+    m = labels.join(q, labels.node == q.doc_id).select(
+        F.col("comp").alias("component"), "doc_id", "quality_e6", "n_tokens"
+    )
+    win = Window.partitionBy("component").orderBy(
+        F.desc("quality_e6"), F.desc("n_tokens"), F.asc("doc_id")
+    )
+    ranked = m.withColumn("rn", F.row_number().over(win))
+    return ranked.groupBy("component").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias(
+            "keeper_doc_id"
+        ),
+        F.max(F.when(F.col("rn") == 1, F.col("quality_e6"))).alias(
+            "keeper_quality_e6"
+        ),
+        F.count(F.lit(1)).alias("n_members"),
+        (F.count(F.lit(1)) - 1).alias("n_dropped"),
+    )

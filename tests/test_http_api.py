@@ -763,6 +763,69 @@ def test_binary_stream_open_frame_error_close(server):
         c.close()
 
 
+def test_concurrent_readers_and_writer(server):
+    """ThreadingHTTPServer + single-writer lock under parallel load:
+    8 reader threads hammer SELECTs while a writer inserts batches;
+    every response is well-formed, no request is dropped, and the
+    final count equals the writes (reference: one-writer/many-reader
+    deployment model, SURVEY §2.A A4/A5 disposition)."""
+    import threading
+
+    qpath = "/v1/databases/main/main/query"
+    t = "admin:s3cret"
+    _call(server, "POST", qpath, {"queries": [
+        {"id": "0", "statement": "DROP TABLE IF EXISTS h_conc"}]}, token=t)
+    code, _ = _call(server, "POST", qpath, {"queries": [
+        {"id": "1",
+         "statement": "CREATE TABLE h_conc (id BIGINT) USING PARQUET"}]},
+        token=t)
+    assert code == 200
+    errors: list = []
+    read_ok = [0]
+    lock = threading.Lock()
+
+    def reader(n):
+        for i in range(n):
+            code, body = _call(server, "POST", qpath, {"queries": [
+                {"id": f"r{i}",
+                 "statement": "SELECT COUNT(*) AS n FROM h_conc"}]},
+                token="reader:r3ad")
+            if code != 200 or not isinstance(
+                body["data"][0]["rows"][0][0], int
+            ):
+                with lock:
+                    errors.append((code, body))
+            else:
+                with lock:
+                    read_ok[0] += 1
+
+    def writer(n):
+        for i in range(n):
+            code, body = _call(server, "POST", qpath, {"queries": [
+                {"id": f"w{i}",
+                 "statement": f"INSERT INTO h_conc VALUES ({i})"}]},
+                token=t)
+            if code != 200 or body["data"][0]["changes"] != 1:
+                with lock:
+                    errors.append((code, body))
+
+    threads = [threading.Thread(target=reader, args=(6,)) for _ in range(8)]
+    threads.append(threading.Thread(target=writer, args=(5,)))
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=180)
+    assert not any(th.is_alive() for th in threads), "request hung"
+    assert not errors, errors[:3]
+    assert read_ok[0] == 48
+    _, body = _call(server, "POST", qpath, {"queries": [
+        {"id": "f", "statement": "SELECT COUNT(*) AS n FROM h_conc"}]},
+        token=t)
+    assert body["data"][0]["rows"] == [[5]]
+    _call(server, "POST", qpath, {"queries": [
+        {"id": "9", "statement": "DROP TABLE h_conc"}]}, token=t)
+
+
 def test_encryption_key_rotation_flow(server):
     # reference key_controller.go + key_activate_controller.go: the next
     # key is stored INACTIVE (signed by the current key) and must be
