@@ -763,3 +763,144 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick("b_val", "f_val").alias("r_value"),
         "picked",
     )
+
+
+@query(
+    "ts_gapfill_locf",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,2))) AS sv
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    span AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+      FROM daily GROUP BY user_id
+    ),
+    scaffold AS (
+      SELECT s.user_id, CAST(g.day AS DATE) AS day
+      FROM span s,
+           UNNEST(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS g(day)
+    )
+    SELECT sc.user_id,
+           strftime(sc.day, '%Y-%m-%d') AS day,
+           COALESCE(d.n, 0) AS n_events,
+           d.n IS NULL AS is_gap,
+           ROUND(CAST(last_value(d.sv IGNORE NULLS) OVER (
+             PARTITION BY sc.user_id ORDER BY sc.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE), 2) AS locf_value
+    FROM scaffold sc
+    LEFT JOIN daily d ON d.user_id = sc.user_id AND d.day = sc.day
+    """,
+    description="Time-bucket GAP FILL with last-observation-carried-"
+    "forward (the timescaledb time_bucket_gapfill idiom, absent from "
+    "both SQLite and vanilla SQL): per entity, a daily scaffold spans "
+    "that entity's own [first, last] active day (per-entity bounds — a "
+    "global range would fabricate history before the entity existed), "
+    "missing days materialize as explicit gap rows with n_events=0, "
+    "and the daily value total carries forward across gaps via "
+    "last(IGNORE NULLS). Scale shape: the scaffold explode is bounded "
+    "by span-days per entity (sequence() after a 2-row-per-entity "
+    "aggregate, never a global calendar cross join), the fill join is "
+    "keyed (entity, day), and the LOCF window rides one entity-keyed "
+    "exchange. Money math in exact fixed point; engines agree "
+    "bit-for-bit including gap rows.",
+    tags=("timeseries", "window", "gapfill"),
+)
+def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(fp("value")).alias("sv"),
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    scaffold = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    j = scaffold.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        F.col("n").isNull().alias("is_gap"),
+        F.round(
+            F.last("sv", ignorenulls=True).over(w) / 100.0, 2
+        ).alias("locf_value"),
+    )
+
+
+@query(
+    "ts_sessionize",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN ts - LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                  ) > INTERVAL 30 MINUTE OR LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                  ) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, value,
+             SUM(is_start) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_no
+      FROM ordered
+    )
+    SELECT user_id, session_no,
+           COUNT(*) AS n_events,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS session_value
+    FROM sess
+    GROUP BY user_id, session_no
+    """,
+    description="Batch sessionization — the gaps-and-islands idiom "
+    "(streaming twin: stream_session_window): per user, a new session "
+    "starts when the gap since the previous event exceeds 30 minutes "
+    "(LAG + running SUM of start flags = session number), then "
+    "per-session stats (event count, duration, exact fixed-point "
+    "value). Ties at equal ts break on event_id so numbering is "
+    "deterministic. One exchange keyed by user feeds BOTH windows and "
+    "the final aggregate (lag, running sum and groupBy(user, session) "
+    "all cluster by user_id) — sessionizing 100 TB of events is one "
+    "shuffle, which is the operator's lower bound.",
+    tags=("timeseries", "window", "session"),
+)
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = us - F.lag(us).over(order)
+    is_start = F.when(
+        gap.isNull() | (gap > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = e.withColumn("is_start", is_start).withColumn(
+        "session_no", F.sum("is_start").over(run)
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+            - F.min(F.unix_micros(F.col("ts").cast("timestamp")))
+        ).alias("duration_us"),
+        F.round(F.sum(fp("value")) / 100.0, 2).alias("session_value"),
+    )

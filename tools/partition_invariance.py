@@ -52,6 +52,11 @@ NAMES = [
     "pipeline_dsir_weights",
     "join_range_interval",
     "profile_lineitem_stats",
+    # round 6 late: ordering-sensitive window ops + banding dedups
+    "ts_sessionize",
+    "ts_gapfill_locf",
+    "multimodal_phash_dedup",
+    "pipeline_survivorship",
 ]
 
 
