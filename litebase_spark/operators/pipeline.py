@@ -1152,3 +1152,88 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_e6"), "doc_id")
         .limit(50)
     )
+
+
+_TOKEN_BUDGET = 10_000  # per-source token budget (greedy-prefix knapsack)
+
+
+@query(
+    "pipeline_token_budget",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(len({_SQL_TOKENS.format(c='text')}) AS BIGINT)
+               AS n_tokens,
+             CAST(len(list_distinct({_SQL_TOKENS.format(c='text')}))
+                  AS BIGINT) * 1000000
+               // len({_SQL_TOKENS.format(c='text')}) AS quality_e6
+      FROM documents
+      WHERE len({_SQL_TOKENS.format(c='text')}) > 0
+    ),
+    cum AS (
+      SELECT doc_id, source, n_tokens, quality_e6,
+             SUM(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY quality_e6 DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens
+      FROM scored
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN cum_tokens <= {_TOKEN_BUDGET}
+                    THEN 1 ELSE 0 END) AS n_selected,
+           CAST(SUM(CASE WHEN cum_tokens <= {_TOKEN_BUDGET}
+                         THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS tokens_selected,
+           CAST(MIN(CASE WHEN cum_tokens <= {_TOKEN_BUDGET}
+                         THEN quality_e6 END) AS BIGINT)
+             AS quality_floor_e6
+    FROM cum GROUP BY source
+    """,
+    description="Budgeted corpus selection (the data-mixing-under-a-"
+    "token-budget step every pretraining run performs): within each "
+    "source, documents rank by quality (distinct-token ratio, integer "
+    "e6, doc_id tie-break) and the greedy prefix is kept while the "
+    "running token total stays inside the per-source budget — "
+    "reporting selected counts, tokens used and the quality floor the "
+    "budget forces. Deterministic greedy-prefix semantics (no "
+    "knapsack backtracking), so the selected SET is identical across "
+    "engines/partitionings. One shuffle: the cumulative window "
+    "partitions by source and the final aggregate reuses that "
+    "partitioning.",
+    tags=("pipeline", "sampling"),
+)
+def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = tokens("text")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.size(w).cast("long").alias("n_tokens"),
+        F.expr(
+            "CAST(size(array_distinct(filter(split(lower(text),"
+            " '[^a-z0-9]+'), x -> length(x) > 0))) AS BIGINT) * 1000000"
+            " DIV size(filter(split(lower(text), '[^a-z0-9]+'),"
+            " x -> length(x) > 0))"
+        ).alias("quality_e6"),
+    ).filter(F.col("n_tokens") > 0)
+    win = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality_e6"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = scored.withColumn("cum_tokens", F.sum("n_tokens").over(win))
+    sel = F.col("cum_tokens") <= _TOKEN_BUDGET
+    return cum.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(sel, 1).otherwise(0)).alias("n_selected"),
+        F.sum(F.when(sel, F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("tokens_selected"),
+        F.min(F.when(sel, F.col("quality_e6")))
+        .cast("long")
+        .alias("quality_floor_e6"),
+    )

@@ -114,6 +114,8 @@ _REVIEWED_NONPUSHABLE = {
     # null-key filter must sit above the shared projection so both
     # consumers of the dbc exchange have identical subtrees
     # (ReuseExchange -> single corpus scan; see operators/pipeline.py)
+    "pipeline_token_budget",  # size(split(lower(text),...)) > 0 token
+    # guard — computed expression, verified non-pushable by inspection
 }
 
 # Registered builders allowed a driver-side collect because it is O(k)
