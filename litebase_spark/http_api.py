@@ -485,6 +485,9 @@ class QueryServer:
         # via /v1/keys/activate before they take effect
         self.encryption_key = encryption_key or os.urandom(16).hex()
         self.pending_keys: set[str] = set()
+        # Rotation state is touched from handler threads; key_lock makes
+        # store-signature-check + activate-swap atomic w.r.t. each other.
+        self.key_lock = threading.Lock()
         self.write_lock = threading.Lock()  # driver = single writer
         import time as _time
 
@@ -858,17 +861,25 @@ class QueryServer:
                         "status": "error",
                         "message": "The signature field is required.",
                     })
-                expected = hmac.new(
-                    server.encryption_key.encode(),
-                    ek.encode(),
-                    hashlib.sha256,
-                ).hexdigest()
-                if not hmac.compare_digest(str(sig), expected):
-                    return self._send(
-                        403,
-                        {"status": "error", "message": "invalid signature"},
-                    )
-                server.pending_keys.add(ek)
+                if not isinstance(ek, str) or not isinstance(sig, str):
+                    return self._send(400, {
+                        "status": "error",
+                        "message": "The encryption key and signature must "
+                                   "be strings.",
+                    })
+                with server.key_lock:
+                    expected = hmac.new(
+                        server.encryption_key.encode(),
+                        ek.encode(),
+                        hashlib.sha256,
+                    ).hexdigest()
+                    if not hmac.compare_digest(sig, expected):
+                        return self._send(
+                            403,
+                            {"status": "error",
+                             "message": "invalid signature"},
+                        )
+                    server.pending_keys.add(ek)
                 return self._send(200, {
                     "status": "success",
                     "message": "next encryption key stored successfully",
@@ -887,13 +898,21 @@ class QueryServer:
                         "status": "error",
                         "message": "The encryption key field is required.",
                     })
-                if ek not in server.pending_keys:
+                if not isinstance(ek, str):
                     return self._send(400, {
                         "status": "error",
-                        "message": "the encryption key is invalid",
+                        "message": "The encryption key must be a string.",
                     })
-                server.pending_keys.discard(ek)
-                server.encryption_key = ek
+                with server.key_lock:
+                    if ek not in server.pending_keys:
+                        return self._send(400, {
+                            "status": "error",
+                            "message": "the encryption key is invalid",
+                        })
+                    # Activation retires every other stored candidate, so
+                    # pending_keys can't grow unboundedly across rotations.
+                    server.pending_keys.clear()
+                    server.encryption_key = ek
                 return self._send(200, {
                     "status": "success",
                     "message": "encryption key activated successfully",

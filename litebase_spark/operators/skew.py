@@ -110,11 +110,21 @@ def _top_key_share(
 
 _MIN_PROBE = 500
 
-# probe decisions cached per (skewed-plan semantic hash, key column,
-# shuffle partitions): the probe is a synchronous extra job, and the
-# answer for a given (table, key) does not change within a session —
-# repeated calls (benchmarks, dashboards, retried stages) pay it once.
+# probe decisions cached per (skewed-plan semantic hash, key column):
+# the probe is a synchronous extra job, and the answer for a given
+# (plan, key) does not change within a session — repeated calls
+# (benchmarks, dashboards, retried stages) pay it once. If the session
+# rewrites data in place under an identical plan (same path, same
+# schema), call clear_probe_cache() to re-probe. Bounded so a
+# long-lived session issuing many distinct joins can't grow it without
+# limit (FIFO eviction; entries are tiny, the bound is hygiene).
 _PROBE_CACHE: dict[tuple, float | None] = {}
+_PROBE_CACHE_MAX = 1024
+
+
+def clear_probe_cache() -> None:
+    """Invalidate cached skew probes (use after in-place data rewrite)."""
+    _PROBE_CACHE.clear()
 
 
 def _cached_top_key_share(df: DataFrame, key: str) -> float | None:
@@ -123,6 +133,8 @@ def _cached_top_key_share(df: DataFrame, key: str) -> float | None:
     except Exception:
         return _top_key_share(df, key)
     if k not in _PROBE_CACHE:
+        if len(_PROBE_CACHE) >= _PROBE_CACHE_MAX:
+            _PROBE_CACHE.pop(next(iter(_PROBE_CACHE)))
         _PROBE_CACHE[k] = _top_key_share(df, key)
     return _PROBE_CACHE[k]
 

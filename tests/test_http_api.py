@@ -874,6 +874,34 @@ def test_encryption_key_rotation_flow(server):
     code, _ = _call(server, "POST", "/v1/keys/activate",
                     {"encryption_key": "new-key-2"}, "reader:r3ad")
     assert code == 403
+    # non-string JSON values -> clean 400 (reference Input/Validate
+    # layer), not an AttributeError aborting the handler thread
+    code, _ = _call(server, "POST", "/v1/keys",
+                    {"encryption_key": 12345,
+                     "signature": _sign("new-key-1", "12345")},
+                    "admin:s3cret")
+    assert code == 400
+    code, _ = _call(server, "POST", "/v1/keys",
+                    {"encryption_key": "new-key-3",
+                     "signature": {"hex": "zz"}}, "admin:s3cret")
+    assert code == 400
+    code, _ = _call(server, "POST", "/v1/keys/activate",
+                    {"encryption_key": ["new-key-3"]}, "admin:s3cret")
+    assert code == 400
+    # activation retires every other stored-but-unactivated candidate
+    active = server.encryption_key
+    for cand in ("cand-a", "cand-b"):
+        code, _ = _call(server, "POST", "/v1/keys",
+                        {"encryption_key": cand,
+                         "signature": _sign(active, cand)}, "admin:s3cret")
+        assert code == 200
+    code, _ = _call(server, "POST", "/v1/keys/activate",
+                    {"encryption_key": "cand-a"}, "admin:s3cret")
+    assert code == 200
+    assert not server.pending_keys  # cand-b retired, no unbounded growth
+    code, _ = _call(server, "POST", "/v1/keys/activate",
+                    {"encryption_key": "cand-b"}, "admin:s3cret")
+    assert code == 400
 
 
 def test_binary_stream_blob_parameter_round_trip(server):

@@ -70,7 +70,7 @@ def test_phash_matches_hand_model(spark, payloads):
     assert got[1][1] == got[2][1]  # identical payloads, identical hash
 
 
-def test_phash_dedup_pairs(spark, tmp_path, payloads):
+def _write_toy_documents(spark, tmp_path):
     import os
 
     texts = {
@@ -86,6 +86,11 @@ def test_phash_dedup_pairs(spark, tmp_path, payloads):
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(str(tmp_path), "documents.parquet")
     )
+    return texts
+
+
+def test_phash_dedup_pairs(spark, tmp_path):
+    _write_toy_documents(spark, tmp_path)
     pairs = {
         (r["doc_a"], r["doc_b"]): r["hamming_dist"]
         for r in multimodal_phash_dedup(spark, str(tmp_path)).collect()
@@ -96,3 +101,33 @@ def test_phash_dedup_pairs(spark, tmp_path, payloads):
     # the flat payload must not pair with the structured ones
     assert not any(4 in p for p in pairs)
     assert not any(5 in p for p in pairs)
+
+
+def test_phash_dedup_oracle_replay_positive_pairs(spark, tmp_path):
+    """The DuckDB oracle SQL (hex decode -> chunk sums -> bit string ->
+    banding -> hamming) must produce the SAME non-empty pair set as the
+    Spark operator on a fixture that actually CONTAINS near-dups — the
+    fleet-wide sweep only exercises this oracle vacuously (0 rows at the
+    stock SFs)."""
+    import duckdb
+
+    from litebase_spark.catalog import REGISTRY
+
+    _write_toy_documents(spark, tmp_path)
+    spark_pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming_dist"]
+        for r in multimodal_phash_dedup(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    oracle_pairs = {
+        (int(a), int(b)): int(d)
+        for a, b, d in con.execute(
+            REGISTRY["multimodal_phash_dedup"].oracle
+        ).fetchall()
+    }
+    assert spark_pairs  # positive-pair path, not the vacuous 0-row case
+    assert oracle_pairs == spark_pairs
