@@ -89,6 +89,12 @@ HEADLINE = [
     "geopoly_group_bbox",
     # round 6
     "multimodal_phash_dedup",
+    # round 7
+    "ts_ewma_smooth",
+    "ts_scd2_intervals",
+    "pipeline_compaction_plan",
+    "stats_chi2_independence",
+    "text_containment_rare",
 ]
 
 

@@ -904,3 +904,152 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("duration_us"),
         F.round(F.sum(fp("value")) / 100.0, 2).alias("session_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing (truncated 32-tap, integer-exact)
+# ---------------------------------------------------------------------------
+
+_EWMA_TAPS = 32  # trailing window length; alpha = 1/2 per step
+
+
+@query(
+    "ts_ewma_smooth",
+    oracle=f"""
+    WITH w AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+             list(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {_EWMA_TAPS - 1} PRECEDING AND CURRENT ROW
+             ) AS vals
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, event_id, ts_us, value, len(vals) AS n,
+             (SELECT SUM(vals[i] * (CAST(1 AS BIGINT)
+                                    << (i - 1 + {_EWMA_TAPS} - len(vals))))
+              FROM UNNEST(range(1, len(vals) + 1)) AS u(i)) AS num
+      FROM w
+    )
+    SELECT user_id, event_id, ts_us, value,
+           ROUND(num / (((CAST(1 AS BIGINT) << {_EWMA_TAPS})
+                        - (CAST(1 AS BIGINT) << ({_EWMA_TAPS} - n)))
+                        * 100.0), 6) AS ewma
+    FROM s
+    """,
+    description="Per-entity exponentially-weighted moving average "
+    "(alpha=1/2), truncated to a 32-tap trailing window so the weighted "
+    "sum is INTEGER-exact: cents << (31 - age) summed in int64 (tail "
+    "weight below 2^-32 of the head is under measurement noise for any "
+    "2-decimal metric, and truncation is what makes the op a bounded "
+    "window instead of an unbounded recursion — the streaming twin "
+    "keeps one running state value instead). One exchange keyed by "
+    "user_id serves the window; the frame carries 32 longs per row. "
+    "Integer weighting sidesteps float fold-order entirely, so the "
+    "DuckDB oracle reproduces every smoothed value bit-for-bit.",
+    tags=("timeseries", "window"),
+)
+def ts_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_TAPS - 1), Window.currentRow)
+    )
+    vals = F.collect_list(fp("value")).over(w)
+    num = F.expr(
+        "aggregate(zip_with(vals, sequence(0, size(vals) - 1),"
+        f" (v, i) -> v * shiftleft(1L, i + {_EWMA_TAPS} - size(vals))),"
+        " 0L, (a, x) -> a + x)"
+    )
+    denom = F.expr(
+        f"shiftleft(1L, {_EWMA_TAPS})"
+        f" - shiftleft(1L, {_EWMA_TAPS} - size(vals))"
+    ).cast("double")
+    return (
+        e.withColumn("vals", vals)
+        .withColumn("ewma", F.round(num / (denom * 100.0), 6))
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "value",
+            "ewma",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog -> SCD-2 intervals
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_scd2_intervals",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, value, ts, event_id,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+             LAG(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) AS prev_cents
+      FROM events
+    ),
+    changes AS (
+      SELECT * FROM c WHERE prev_cents IS NULL OR prev_cents <> cents
+    )
+    SELECT user_id, event_type, value,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY user_id, event_type ORDER BY ts, event_id
+           ) AS BIGINT) AS version,
+           epoch_us(ts) AS valid_from_us,
+           LEAD(epoch_us(ts)) OVER (
+             PARTITION BY user_id, event_type ORDER BY ts, event_id
+           ) AS valid_to_us,
+           LEAD(ts) OVER (
+             PARTITION BY user_id, event_type ORDER BY ts, event_id
+           ) IS NULL AS is_current
+    FROM changes
+    """,
+    description="CDC changelog to slowly-changing-dimension type-2 "
+    "history: per (entity, attribute) the event stream collapses to "
+    "version intervals — consecutive equal values emit no version (the "
+    "lag-compare dedup), each surviving change opens an interval "
+    "[valid_from, next change) and the open-ended row is the current "
+    "version. The Delta/Hudi MERGE-style table-maintenance shape, "
+    "expressed as two windows + a filter that all cluster on the same "
+    "(user_id, event_type) keys: ONE exchange total — the filter "
+    "between the lag and the lead/row_number preserves the "
+    "partitioning, so rebuilding SCD-2 history for 100 TB of changelog "
+    "is a single shuffle. Equality tests on exact cents, not doubles.",
+    tags=("timeseries", "window", "cdc"),
+)
+def ts_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    cents = fp("value")
+    changes = (
+        e.withColumn("cents", cents)
+        .withColumn("prev_cents", F.lag("cents").over(w))
+        .filter(
+            F.col("prev_cents").isNull()
+            | (F.col("prev_cents") != F.col("cents"))
+        )
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    lead_us = F.lead(us).over(w)
+    return changes.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.row_number().over(w).cast("long").alias("version"),
+        us.alias("valid_from_us"),
+        lead_us.alias("valid_to_us"),
+        lead_us.isNull().alias("is_current"),
+    )

@@ -137,29 +137,39 @@ _JACCARD_THRESHOLD = 0.5
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    w = tokens("text")
-    shingled = (
-        d.select("doc_id", w.alias("w"))
-        .filter(F.size("w") >= 3)
-        .select(
-            "doc_id",
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("w") - 2),
-                    lambda i: F.md5(
-                        F.concat_ws(
-                            " ",
-                            F.element_at("w", i),
-                            F.element_at("w", i + 1),
-                            F.element_at("w", i + 2),
-                        )
-                    ),
-                )
-            ).alias("sh"),
-        )
+    # Tokenize BEFORE a repartition barrier: the exchange materializes
+    # the token array, so (a) single-row-group fixture scans don't
+    # serialize the shingle work on one core, and (b) CollapseProject
+    # can't inline the regexp tokenizer into every element_at of the
+    # shingle lambda. The explode below is explode_OUTER because a
+    # plain explode triggers InferFiltersFromGenerate, whose
+    # size(sh) > 0 predicate pushes below the exchange into the scan
+    # and re-evaluates the whole shingle expression serialized
+    # (together these measured 25.9 s -> 2.9 s at sf0.1); size(w) >= 3
+    # already guarantees sh is non-empty, so semantics are identical.
+    tok = d.select("doc_id", tokens("text").alias("w"))
+    if tok.rdd.getNumPartitions() < 8:
+        tok = tok.repartition(spark.sparkContext.defaultParallelism)
+    shingled = tok.filter(F.size("w") >= 3).select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 2),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.element_at("w", i),
+                        F.element_at("w", i + 1),
+                        F.element_at("w", i + 2),
+                    )
+                ),
+            )
+        ).alias("sh"),
     )
     sizes = shingled.select("doc_id", F.size("sh").alias("n_sh"))
-    postings = shingled.select("doc_id", F.explode("sh").alias("s"))
+    postings = shingled.select(
+        "doc_id", F.explode_outer("sh").alias("s")
+    )
     a = postings.alias("a")
     b = postings.alias("b")
     pair_inter = (

@@ -1237,3 +1237,79 @@ def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("quality_floor_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction planning (table maintenance)
+# ---------------------------------------------------------------------------
+
+_COMPACT_DOCS_PER_FILE = 50  # synthetic manifest granularity
+_COMPACT_TARGET = 100_000  # target bytes per compacted output file
+
+
+@query(
+    "pipeline_compaction_plan",
+    oracle=f"""
+    WITH files AS (
+      SELECT source, doc_id // {_COMPACT_DOCS_PER_FILE} AS file_id,
+             SUM(n_chars) AS size_bytes, COUNT(*) AS n_docs
+      FROM documents GROUP BY source, doc_id // {_COMPACT_DOCS_PER_FILE}
+    ),
+    planned AS (
+      SELECT source, file_id, size_bytes, n_docs,
+             COALESCE(SUM(size_bytes) OVER (
+               PARTITION BY source ORDER BY file_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) // {_COMPACT_TARGET} AS bin_id
+      FROM files
+    )
+    SELECT source, bin_id,
+           COUNT(*) AS n_files,
+           CAST(SUM(size_bytes) AS BIGINT) AS bin_bytes,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           MIN(file_id) AS first_file, MAX(file_id) AS last_file
+    FROM planned
+    GROUP BY source, bin_id
+    """,
+    description="Small-file compaction planning, the OPTIMIZE/rewrite "
+    "step every 100 TB parquet table needs: a per-source file manifest "
+    "(synthesized here from the documents table at 50 docs/file) is "
+    "greedily packed into target-size output bins by running-cumsum "
+    "binning — bin = floor(bytes_before / target) over files in layout "
+    "order, so each bin closes as soon as it crosses the target and "
+    "file contiguity is preserved (rewritten files stay range-prunable "
+    "on the layout key). One exchange keyed by source feeds both the "
+    "manifest window and the bin rollup; the planner never touches "
+    "data bytes, only manifest rows — exactly how a metadata-driven "
+    "compactor must behave when the table is 100 TB but the manifest "
+    "is megabytes. All arithmetic is integral, so the DuckDB oracle "
+    "matches exactly.",
+    tags=("pipeline", "maintenance", "window"),
+)
+def pipeline_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    files = d.groupBy(
+        "source",
+        (F.col("doc_id") / _COMPACT_DOCS_PER_FILE)
+        .cast("long")
+        .alias("file_id"),
+    ).agg(
+        F.sum("n_chars").alias("size_bytes"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    planned = files.withColumn(
+        "bin_id",
+        F.expr(
+            f"coalesce(sum(size_bytes) over ("
+            f"partition by source order by file_id "
+            f"rows between unbounded preceding and 1 preceding), 0)"
+            f" div {_COMPACT_TARGET}"
+        ),
+    )
+    return planned.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("size_bytes").cast("long").alias("bin_bytes"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.min("file_id").alias("first_file"),
+        F.max("file_id").alias("last_file"),
+    )

@@ -1988,3 +1988,67 @@ def stats_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lift_e6"),
         F.round(z, 6).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-squared independence (categorical association)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_chi2_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+      FROM documents GROUP BY lang, source
+    ),
+    m AS (
+      SELECT lang, source, o,
+             SUM(o) OVER (PARTITION BY lang) AS rt,
+             SUM(o) OVER (PARTITION BY source) AS ct,
+             SUM(o) OVER () AS n
+      FROM cells
+    )
+    SELECT lang, source, o AS observed,
+           ROUND(CAST(rt * ct AS DOUBLE) / n, 6) AS expected,
+           ROUND(CAST(o * n - rt * ct AS DOUBLE)
+                 * CAST(o * n - rt * ct AS DOUBLE)
+                 / (CAST(rt * ct AS DOUBLE) * n), 6) AS contribution
+    FROM m
+    """,
+    description="Chi-squared test of independence between two "
+    "categorical columns (lang x source over the corpus) — the "
+    "data-quality screen for 'is my language mix confounded with my "
+    "source mix'. One distributed pass computes the contingency cells; "
+    "the marginals come from windows OVER THE CELL TABLE (|langs| x "
+    "|sources| rows, never the corpus — the unpartitioned window is a "
+    "driver-sized table by construction), so the corpus is scanned "
+    "once and shuffled once. Per-cell contribution uses the exact "
+    "integer identity (o*N - rt*ct)^2 / (rt*ct*N): the numerator "
+    "difference stays in int64 and only then widens to double, one "
+    "identical op sequence in both engines.",
+    tags=("stats",),
+)
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    m = (
+        cells.withColumn(
+            "rt", F.sum("o").over(Window.partitionBy("lang"))
+        )
+        .withColumn("ct", F.sum("o").over(Window.partitionBy("source")))
+        .withColumn("n", F.sum("o").over(Window.partitionBy()))
+    )
+    diff = (F.col("o") * F.col("n") - F.col("rt") * F.col("ct")).cast(
+        "double"
+    )
+    rc = (F.col("rt") * F.col("ct")).cast("double")
+    return m.select(
+        "lang",
+        "source",
+        F.col("o").alias("observed"),
+        F.round(rc / F.col("n"), 6).alias("expected"),
+        F.round(diff * diff / (rc * F.col("n")), 6).alias("contribution"),
+    )

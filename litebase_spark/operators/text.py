@@ -1019,18 +1019,24 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    tok = (
-        d.select("doc_id", w.alias("w"))
-        .filter(F.size("w") >= 3)
-        .select("doc_id", sh.alias("sh"))
-    )
+    # tokenizer barrier + explode_outer: see text_containment_rare —
+    # without these the InferFiltersFromGenerate size(sh) > 0 predicate
+    # pushes the whole shingle expression (with the tokenizer inlined
+    # per element_at) into the single-partition scan; measured
+    # 12.8 s -> ~1 s at sf0.1. size(w) >= 3 guarantees sh non-empty.
+    tw = d.select("doc_id", w.alias("w"))
+    if tw.rdd.getNumPartitions() < 8:
+        tw = tw.repartition(spark.sparkContext.defaultParallelism)
+    tok = tw.filter(F.size("w") >= 3).select("doc_id", sh.alias("sh"))
     probes = tok.filter(F.col("doc_id") < _N_PROBES).select(
         F.col("doc_id").alias("probe_id"), F.col("sh").alias("psh")
     )
     probe_post = probes.select(
-        "probe_id", F.size("psh").alias("n_probe"), F.explode("psh").alias("s")
+        "probe_id",
+        F.size("psh").alias("n_probe"),
+        F.explode_outer("psh").alias("s"),
     )
-    corpus_post = tok.select("doc_id", F.explode("sh").alias("s"))
+    corpus_post = tok.select("doc_id", F.explode_outer("sh").alias("s"))
     inter = (
         corpus_post.join(F.broadcast(probe_post), on="s")
         .filter(F.col("doc_id") != F.col("probe_id"))
@@ -1691,10 +1697,15 @@ def text_dup_5gram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(1, size(w) - 4), "
         f"i -> {_h60_spark(_gram_txt)})"
     )
-    g = (
-        d.select("doc_id", w.alias("w"))
-        .filter(F.size("w") >= 5)
-        .select("doc_id", F.explode(grams5).alias("gram"))
+    # tokenizer barrier + explode_outer (see text_containment_rare):
+    # keeps the gram expression out of the scan-stage inferred filter
+    # and off the single serialized fixture partition; size(w) >= 5
+    # guarantees at least one 5-gram, so outer semantics are identical
+    tw = d.select("doc_id", w.alias("w"))
+    if tw.rdd.getNumPartitions() < 8:
+        tw = tw.repartition(spark.sparkContext.defaultParallelism)
+    g = tw.filter(F.size("w") >= 5).select(
+        "doc_id", F.explode_outer(grams5).alias("gram")
     )
     from pyspark.sql import Window
 
@@ -1810,14 +1821,20 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(1, size(w) - 7), "
         f"i -> struct(i AS pos, {gh8} AS gh))"
     )
+    # tokenize BEFORE the repartition exchange and explode_OUTER after
+    # it (see text_containment_rare): otherwise InferFiltersFromGenerate
+    # pushes size(grams8) > 0 — with the tokenizer inlined per
+    # element — through the exchange into the serialized fixture scan;
+    # size(w) >= 8 guarantees grams8 non-empty, so outer is identical
+    tw = d.select("doc_id", w.alias("w"))
+    if tw.rdd.getNumPartitions() < 8:
+        tw = tw.repartition(spark.sparkContext.defaultParallelism)
     occ = (
-        d.repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", w.alias("w"))
-        .filter(F.size("w") >= 8)
+        tw.filter(F.size("w") >= 8)
         .select(
             "doc_id",
             F.size("w").alias("n_tokens"),
-            F.explode(grams8).alias("g"),
+            F.explode_outer(grams8).alias("g"),
         )
         .select(
             "doc_id", "n_tokens",
@@ -1936,4 +1953,133 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tf", "df",
                 F.round("score", 6).alias("tfidf"), "rank")
         .orderBy("doc_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rare-shingle containment (asymmetric near-dup / quote detection)
+# ---------------------------------------------------------------------------
+
+_CONTAIN_DF_CAP = 50  # shingles seen in more docs carry no signal
+_CONTAIN_THRESHOLD = 0.8
+
+
+@query(
+    "text_containment_rare",
+    oracle=f"""
+    WITH shingled AS (
+        SELECT doc_id, list_distinct(list_transform(
+                   range(1, len(w) - 1),
+                   i -> {{hduck}})) AS sh
+        FROM (SELECT doc_id, {{tok}} AS w FROM documents)
+        WHERE len(w) >= 3
+    ),
+    rp AS (
+        SELECT doc_id, s FROM (
+          SELECT doc_id, u.s,
+                 COUNT(*) OVER (PARTITION BY u.s) AS df
+          FROM shingled, UNNEST(sh) AS u(s))
+        WHERE df BETWEEN 2 AND {_CONTAIN_DF_CAP}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_rare FROM rp GROUP BY doc_id),
+    pair_inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM rp a JOIN rp b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           ROUND(CAST(p.inter AS DOUBLE)
+                 / LEAST(sa.n_rare, sb.n_rare), 6) AS containment
+    FROM pair_inter p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE CAST(p.inter AS DOUBLE) / LEAST(sa.n_rare, sb.n_rare)
+          >= {_CONTAIN_THRESHOLD}
+    """.format(
+        tok=_SQL_TOKENS.format(c="text"),
+        hduck=_h60_duck("w[i] || ' ' || w[i+1] || ' ' || w[i+2]"),
+    ),
+    description="Asymmetric containment near-dup: C(A,B) = |rare(A) n "
+    "rare(B)| / min(|rare(A)|, |rare(B)|) over distinct 3-word "
+    "shingles, catching the pair Jaccard misses — a short document "
+    "quoted inside a much longer one (union-normalized similarity "
+    "vanishes as the long side grows; containment stays 1.0). The "
+    "scale fix dedup_ngram_jaccard's docstring only promises is "
+    "IMPLEMENTED here: a document-frequency cap (2..50) drops "
+    "boilerplate shingles BEFORE the pair join, so the worst posting "
+    "list is 50 docs and the self-join's hottest key yields at most "
+    "50^2 candidates — the quadratic blowup on stop-shingles is "
+    "structurally impossible, and the df filter is itself one "
+    "map-side-combining groupBy on the shingle digest.",
+    tags=("text", "dedup"),
+)
+def text_containment_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    gram = (
+        "concat_ws(' ', element_at(w, i), element_at(w, i + 1),"
+        " element_at(w, i + 2))"
+    )
+    # Tokenize BEFORE the exchange: the shuffle materializes the token
+    # array as a physical column, so the shingle lambda's three
+    # element_at(w, ...) hit an attribute. Without the barrier,
+    # CollapseProject inlines the regexp tokenizer into every lambda
+    # access — the regex re-splits the document 3x PER SHINGLE
+    # (measured 11 s vs ~1 s at sf0.1 for this stage alone). The
+    # exchange doubles as the parallelism fix for single-row-group
+    # fixture scans.
+    tok = d.select("doc_id", tokens("text").alias("w"))
+    if tok.rdd.getNumPartitions() < 8:
+        tok = tok.repartition(spark.sparkContext.defaultParallelism)
+    shingled = tok.filter(F.size("w") >= 3).select(
+        "doc_id",
+        F.expr(
+            "array_distinct(transform(sequence(1, size(w) - 2),"
+            f" i -> {_h60_spark(gram)}))"
+        ).alias("sh"),
+    )
+    # explode_OUTER, deliberately: a plain explode triggers
+    # InferFiltersFromGenerate, whose size(sh) > 0 predicate is pushed
+    # below the exchange into the single-partition scan — where sh's
+    # whole shingle expression re-evaluates serialized (measured 10.2 s
+    # vs 1.2 s for this stage at sf0.1). size(w) >= 3 already
+    # guarantees sh is non-empty, so outer semantics are identical.
+    postings = shingled.select(
+        "doc_id", F.explode_outer("sh").alias("s")
+    )
+    # df via an unordered window over the shingle exchange — one
+    # shuffle of (int64, int64) postings, no groupBy + join-back; the
+    # 60-bit portable hash keeps the exchange and the pair-join compares
+    # on longs, never 32-char digests
+    rp = postings.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("s"))
+    ).filter(
+        (F.col("df") >= 2) & (F.col("df") <= _CONTAIN_DF_CAP)
+    ).select("doc_id", "s")
+    sizes = rp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_rare"))
+    a = rp.alias("a")
+    b = rp.alias("b")
+    pair_inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    cont = F.col("inter").cast("double") / F.least(
+        F.col("sa.n_rare"), F.col("sb.n_rare")
+    )
+    return (
+        pair_inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(cont >= _CONTAIN_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
     )

@@ -1,0 +1,205 @@
+"""Round-7 operators: EWMA smoothing, SCD-2 intervals, compaction
+planning, chi-squared independence, rare-shingle containment.
+
+Oracle exactness is covered by tools/check_oracle.py; these tests pin
+the SEMANTIC invariants each operator promises, plus hand-models on
+constructed fixtures where the math is small enough to recompute."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ewma_hand_model(spark):
+    from litebase_spark.operators.asof import ts_ewma_smooth
+
+    rows = ts_ewma_smooth(spark, SF).collect()
+    assert rows
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for u, rs in by_user.items():
+        rs.sort(key=lambda r: (r["ts_us"], r["event_id"]))
+        hist: list[int] = []
+        for r in rs:
+            hist.append(round(r["value"] * 100))
+            tail = hist[-32:]
+            n = len(tail)
+            num = sum(v << (i + 32 - n) for i, v in enumerate(tail))
+            den = (1 << 32) - (1 << (32 - n))
+            assert r["ewma"] == pytest.approx(
+                round(num / (den * 100.0), 6), abs=1e-9
+            ), (u, r["event_id"])
+
+
+def test_ewma_first_row_equals_value(spark):
+    from litebase_spark.operators.asof import ts_ewma_smooth
+
+    df = ts_ewma_smooth(spark, SF)
+    w_first = df.groupBy("user_id").agg(
+        F.min(F.struct("ts_us", "event_id", "value", "ewma")).alias("f")
+    )
+    for r in w_first.collect():
+        # single-tap window: ewma == round(value, 6)
+        assert r["f"]["ewma"] == pytest.approx(
+            round(r["f"]["value"], 6), abs=1e-9
+        )
+
+
+def test_scd2_invariants(spark):
+    from litebase_spark.operators.asof import ts_scd2_intervals
+
+    rows = ts_scd2_intervals(spark, SF).collect()
+    assert rows
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault((r["user_id"], r["event_type"]), []).append(r)
+    for key, rs in groups.items():
+        rs.sort(key=lambda r: r["version"])
+        # versions are contiguous from 1
+        assert [r["version"] for r in rs] == list(range(1, len(rs) + 1))
+        # exactly one open (current) interval, and it is the last
+        currents = [r for r in rs if r["is_current"]]
+        assert len(currents) == 1 and currents[0] is rs[-1], key
+        for a, b in zip(rs, rs[1:]):
+            # intervals chain: each closes exactly where the next opens
+            assert a["valid_to_us"] == b["valid_from_us"], key
+            # consecutive versions differ in value (cents-exact)
+            assert round(a["value"] * 100) != round(b["value"] * 100), key
+        assert rs[-1]["valid_to_us"] is None
+
+
+def test_scd2_collapses_unchanged_runs(spark, tmp_path):
+    from litebase_spark.operators.asof import ts_scd2_intervals
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 7, "login", 1.00),
+        (2, "2024-01-01 00:01:00", 7, "login", 1.00),  # no new version
+        (3, "2024-01-01 00:02:00", 7, "login", 2.50),
+        (4, "2024-01-01 00:03:00", 7, "login", 2.50),  # no new version
+        (5, "2024-01-01 00:04:00", 7, "login", 1.00),  # reverts -> v3
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+        " value double"
+    ).withColumn("ts", F.to_timestamp("ts")).withColumn(
+        "props", F.lit("{}")
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "events.parquet")
+    )
+    got = sorted(
+        ts_scd2_intervals(spark, str(tmp_path)).collect(),
+        key=lambda r: r["version"],
+    )
+    assert [(r["version"], r["value"], r["is_current"]) for r in got] == [
+        (1, 1.00, False),
+        (2, 2.50, False),
+        (3, 1.00, True),
+    ]
+
+
+def test_compaction_plan_invariants(spark):
+    from litebase_spark.operators.pipeline import (
+        _COMPACT_TARGET,
+        pipeline_compaction_plan,
+    )
+    from litebase_spark.catalog import load
+
+    rows = pipeline_compaction_plan(spark, SF).collect()
+    assert rows
+    totals = load(spark, SF, "documents").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("s")
+    ).first()
+    assert sum(r["n_docs"] for r in rows) == totals["n"]
+    assert sum(r["bin_bytes"] for r in rows) == totals["s"]
+    by_source: dict = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for source, rs in by_source.items():
+        rs.sort(key=lambda r: r["bin_id"])
+        assert rs[0]["bin_id"] == 0
+        cum = 0
+        for r in rs:
+            # greedy rule: the bin opens exactly where cumsum-so-far says
+            assert r["bin_id"] == cum // _COMPACT_TARGET, source
+            cum += r["bin_bytes"]
+        for a, b in zip(rs, rs[1:]):
+            # file ranges are contiguous, never interleaved across bins
+            assert a["last_file"] < b["first_file"], source
+
+
+def test_chi2_invariants(spark):
+    from litebase_spark.operators.relational import stats_chi2_independence
+    from litebase_spark.catalog import load
+
+    rows = stats_chi2_independence(spark, SF).collect()
+    assert rows
+    n_docs = load(spark, SF, "documents").count()
+    assert sum(r["observed"] for r in rows) == n_docs
+    # expected cell counts reproduce the marginal products
+    lang_tot: dict = {}
+    src_tot: dict = {}
+    for r in rows:
+        lang_tot[r["lang"]] = lang_tot.get(r["lang"], 0) + r["observed"]
+        src_tot[r["source"]] = src_tot.get(r["source"], 0) + r["observed"]
+    for r in rows:
+        exp = lang_tot[r["lang"]] * src_tot[r["source"]] / n_docs
+        assert r["expected"] == pytest.approx(exp, abs=1e-6)
+        dev = (r["observed"] - exp) ** 2 / exp
+        assert r["contribution"] == pytest.approx(dev, rel=1e-4)
+        assert r["contribution"] >= 0
+
+
+def _write_docs(spark, tmp_path, texts):
+    spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+
+
+def test_containment_catches_quote_jaccard_misses(spark, tmp_path):
+    from litebase_spark.operators.text import text_containment_rare
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"word{i}" for i in range(200))
+    texts = {
+        1: quote,  # short benchmark item
+        2: filler + " " + quote,  # long doc quoting it verbatim
+        3: "completely unrelated text about something else entirely "
+           "with more unrelated words following it",
+    }
+    _write_docs(spark, tmp_path, texts)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in text_containment_rare(spark, str(tmp_path)).collect()
+    }
+    # every shingle of doc 1 appears in doc 2 -> containment 1.0,
+    # even though Jaccard(1, 2) ~ 9/208 would miss it
+    assert pairs.get((1, 2)) == pytest.approx(1.0)
+    assert not any(3 in p for p in pairs)
+
+
+def test_containment_df_cap_drops_boilerplate(spark, tmp_path):
+    from litebase_spark.operators.text import (
+        _CONTAIN_DF_CAP,
+        text_containment_rare,
+    )
+
+    # one boilerplate sentence shared by MORE than df-cap docs, plus a
+    # unique tail per doc: every shared shingle is over the cap, so no
+    # candidate pairs survive
+    boiler = "all rights reserved contact us for more information today"
+    texts = {
+        i: boiler + f" unique{i} trailer{i} ending{i}"
+        for i in range(_CONTAIN_DF_CAP + 2)
+    }
+    _write_docs(spark, tmp_path, texts)
+    assert text_containment_rare(spark, str(tmp_path)).count() == 0

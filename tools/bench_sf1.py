@@ -52,6 +52,9 @@ _EXCLUDE = {
     "copies turn every SRP bucket into a 10-clique, quadratic verify "
     "pairs real sf1 data would not have (scale_stress's pair-forming "
     "exclusion; banding math in SCALE.md covers the true scale path)",
+    "text_containment_rare": "pair-forming: x10 identical copies make "
+    "every rare-shingle bucket a 10-clique (same class as the "
+    "minhash/SRP exclusions)",
 }
 
 

@@ -116,6 +116,11 @@ _REVIEWED_NONPUSHABLE = {
     # (ReuseExchange -> single corpus scan; see operators/pipeline.py)
     "pipeline_token_budget",  # size(split(lower(text),...)) > 0 token
     # guard — computed expression, verified non-pushable by inspection
+    # round 7:
+    "text_containment_rare",  # size(tokens(text)) >= 3 shingle guard —
+    # the shingle work itself sits behind the tokenizer barrier
+    # exchange (see operators/text.py), only the cheap size() guard
+    # lands in the scan stage
 }
 
 # Registered builders allowed a driver-side collect because it is O(k)
