@@ -95,6 +95,10 @@ HEADLINE = [
     "pipeline_compaction_plan",
     "stats_chi2_independence",
     "text_containment_rare",
+    "stream_scd2_apply",
+    "stats_ks_test",
+    "pipeline_dataset_card",
+    "join_interval_overlap",
 ]
 
 

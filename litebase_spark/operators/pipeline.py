@@ -1313,3 +1313,108 @@ def pipeline_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("file_id").alias("first_file"),
         F.max("file_id").alias("last_file"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card (datasheet rollup)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_dataset_card",
+    oracle=f"""
+    WITH base AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(SUM(len({_SQL_TOKENS.format(c='text')})) AS BIGINT)
+               AS total_tokens,
+             COUNT(DISTINCT lang) AS n_langs
+      FROM documents GROUP BY source
+    ),
+    uniq AS (
+      SELECT source, COUNT(*) AS n_uniq FROM (
+        SELECT DISTINCT source,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+          FROM documents)
+      GROUP BY source
+    ),
+    langs AS (
+      SELECT source, lang, COUNT(*) AS c,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY COUNT(*) DESC, lang) AS rk
+      FROM documents GROUP BY source, lang
+    )
+    SELECT b.source, b.n_docs, b.n_langs,
+           l.lang AS top_lang,
+           ROUND(CAST(l.c AS DOUBLE) / b.n_docs, 6) AS top_lang_share,
+           b.total_chars,
+           ROUND(CAST(b.total_chars AS DOUBLE) / b.n_docs, 6) AS avg_chars,
+           b.total_tokens,
+           b.n_docs - u.n_uniq AS n_exact_dupes
+    FROM base b
+    JOIN uniq u ON u.source = b.source
+    JOIN langs l ON l.source = b.source AND l.rk = 1
+    """,
+    description="Dataset card ('datasheets for datasets'): the "
+    "per-source rollup a corpus release ships — doc/char/token volume, "
+    "language profile (distinct langs via collect_set: bounded NDV by "
+    "construction; the modal language from a cell-table window, never "
+    "a corpus sort), and the exact-duplicate count via DEDUP-FIRST "
+    "(distinct (source, digest) then count — the digest exchange "
+    "collapses duplicates map-side, where a COUNT(DISTINCT md5) mixed "
+    "into the main aggregate would drag an Expand through every row). "
+    "Three narrow aggregates over one scan lineage joined on the "
+    "handful of source keys.",
+    tags=("pipeline", "profile"),
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    dig = F.md5(
+        F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    )
+    base = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.size(tokens("text"))).cast("long").alias("total_tokens"),
+        F.size(F.collect_set("lang")).cast("long").alias("n_langs"),
+    )
+    uniq = (
+        d.select("source", dig.alias("dig"))
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_uniq"))
+    )
+    langs = (
+        d.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.desc("c"), F.asc("lang")
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    return (
+        base.join(uniq, "source")
+        .join(langs, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_langs",
+            F.col("lang").alias("top_lang"),
+            F.round(F.col("c").cast("double") / F.col("n_docs"), 6).alias(
+                "top_lang_share"
+            ),
+            "total_chars",
+            F.round(
+                F.col("total_chars").cast("double") / F.col("n_docs"), 6
+            ).alias("avg_chars"),
+            "total_tokens",
+            (F.col("n_docs") - F.col("n_uniq")).alias("n_exact_dupes"),
+        )
+    )

@@ -638,37 +638,65 @@ def setop_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN o_orderstatus = 'P' THEN NULL
                   ELSE o_orderstatus END AS s
       FROM orders
+    ),
+    cnts AS (
+      SELECT o_orderkey % 100 AS bk, s, COUNT(*) AS c,
+             ROW_NUMBER() OVER (PARTITION BY o_orderkey % 100
+                                ORDER BY s NULLS FIRST) AS rk
+      FROM t GROUP BY o_orderkey % 100, s
     )
     SELECT a.s IS NOT DISTINCT FROM b.s AS same_status,
-           COUNT(*) AS n_pairs
-    FROM t a JOIN t b ON a.o_orderkey % 100 = b.o_orderkey % 100
-                      AND a.o_orderkey < b.o_orderkey
+           CAST(SUM(CASE WHEN a.rk = b.rk THEN a.c * (a.c - 1) // 2
+                         ELSE a.c * b.c END) AS BIGINT) AS n_pairs
+    FROM cnts a JOIN cnts b ON a.bk = b.bk AND a.rk <= b.rk
     GROUP BY same_status ORDER BY same_status
     """,
     description="Null-safe equality (SQLite's IS operator on values; "
     "Spark <=> / eqNullSafe; ANSI IS NOT DISTINCT FROM): NULL IS NULL "
     "is true, NULL IS x is false — unlike =, which yields NULL. "
-    "Exercised as a join-adjacent comparison over a nullable column.",
+    "Exercised as the join predicate classifying status-group combos. "
+    "Pair counts come from the combinatorial identity over per-(bucket, "
+    "status) group sizes — same-group pairs c*(c-1)/2, cross-group "
+    "pairs c_a*c_b — so the plan aggregates first and joins the "
+    "O(buckets x statuses) count table against itself, instead of "
+    "materializing the O(n^2/buckets) row-pair stream the naive form "
+    "shuffles (112M pairs and 9.6 s at sf0.1; this plan is 0.3 s and "
+    "scales as the group count, not the pair count).",
     tags=("expr",),
 )
 def expr_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     t = o.select(
-        "o_orderkey",
+        (F.col("o_orderkey") % 100).alias("bk"),
         F.when(F.col("o_orderstatus") == "P", None)
         .otherwise(F.col("o_orderstatus"))
         .alias("s"),
     )
-    a, b = t.alias("a"), t.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.o_orderkey") % 100 == F.col("b.o_orderkey") % 100)
-            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+    cnts = t.groupBy("bk", "s").agg(F.count(F.lit(1)).alias("c"))
+    cnts = cnts.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("bk").orderBy(F.asc_nulls_first("s"))
+        ),
+    )
+    a, b = cnts.alias("a"), cnts.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bk") == F.col("b.bk"))
+        & (F.col("a.rk") <= F.col("b.rk")),
+    ).select(
+        F.col("a.s").eqNullSafe(F.col("b.s")).alias("same_status"),
+        F.when(
+            F.col("a.rk") == F.col("b.rk"),
+            F.expr("a.c * (a.c - 1) div 2"),
         )
-        .select(F.col("a.s").eqNullSafe(F.col("b.s")).alias("same_status"))
-        .groupBy("same_status")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .otherwise(F.col("a.c") * F.col("b.c"))
+        .cast("long")
+        .alias("np"),
+    )
+    return (
+        pairs.groupBy("same_status")
+        .agg(F.sum("np").alias("n_pairs"))
         .orderBy("same_status")
     )
 
@@ -2051,4 +2079,79 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o").alias("observed"),
         F.round(rc / F.col("n"), 6).alias("expected"),
         F.round(diff * diff / (rc * F.col("n")), 6).alias("contribution"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov (distribution drift)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_ks_test",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    cells AS (
+      SELECT cents, SUM(a) AS ca, SUM(b) AS cb FROM s GROUP BY cents
+    ),
+    cum AS (
+      SELECT SUM(ca) OVER (ORDER BY cents) AS cuma,
+             SUM(cb) OVER (ORDER BY cents) AS cumb,
+             SUM(ca) OVER () AS n1, SUM(cb) OVER () AS n2
+      FROM cells
+    )
+    SELECT CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
+           ROUND(CAST(MAX(ABS(cuma * n2 - cumb * n1)) AS DOUBLE)
+                 / (MAX(n1) * MAX(n2)), 6) AS d_stat
+    FROM cum
+    """,
+    description="Two-sample Kolmogorov-Smirnov statistic between the "
+    "value distributions of two event types — the drift gate a "
+    "production pipeline runs between yesterday's and today's feed. "
+    "D = max_x |ECDF_a(x) - ECDF_b(x)| computed EXACTLY in integers: "
+    "group to per-distinct-value counts (one corpus-wide shuffle of "
+    "(cents, 1) pairs with map-side combine), running sums over the "
+    "value grid, and |cum_a*n2 - cum_b*n1| maximized before a single "
+    "final division. The unpartitioned window runs over the DISTINCT "
+    "VALUE table, whose size is bounded by the fixed-point domain "
+    "(<= 20k cells for a 2-decimal metric), not by row count — the "
+    "same cells-not-corpus shape as stats_chi2_independence.",
+    tags=("stats", "window"),
+)
+def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    s = e.select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("a"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("b"),
+    )
+    cells = s.groupBy("cents").agg(
+        F.sum("a").alias("ca"), F.sum("b").alias("cb")
+    )
+    wg = Window.orderBy("cents")
+    wa = Window.partitionBy()
+    cum = cells.select(
+        F.sum("ca").over(wg).alias("cuma"),
+        F.sum("cb").over(wg).alias("cumb"),
+        F.sum("ca").over(wa).alias("n1"),
+        F.sum("cb").over(wa).alias("n2"),
+    )
+    return cum.agg(
+        F.max("n1").cast("long").alias("n1"),
+        F.max("n2").cast("long").alias("n2"),
+        F.round(
+            F.max(F.abs(F.col("cuma") * F.col("n2")
+                        - F.col("cumb") * F.col("n1"))).cast("double")
+            / (F.max("n1") * F.max("n2")),
+            6,
+        ).alias("d_stat"),
     )

@@ -450,3 +450,38 @@ def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_value",
         )
     )
+
+
+from litebase_spark.operators.asof import SCD2_ORACLE  # noqa: E402
+
+
+@query(
+    "stream_scd2_apply",
+    oracle=SCD2_ORACLE,
+    description="Streaming CDC -> SCD-2: the ts_scd2_intervals batch "
+    "operator re-expressed as a CUSTOM STATEFUL streaming operator "
+    "(applyInPandasWithState, streaming/stateful.py:scd2_apply): keyed "
+    "state holds (last_cents, open-interval start, version) per "
+    "(user_id, event_type); each microbatch folds its events in event "
+    "order, emitting closed intervals as changes arrive and the open "
+    "interval in its current form (an upsert sink keyed by (entity, "
+    "version) converges across batches). Executed here with "
+    "AvailableNow over the single-file fixture (one batch), so the "
+    "emitted set equals the batch operator's output — which is the "
+    "oracle, the same SQL ts_scd2_intervals verifies against. State is "
+    "4 scalars per key; the shuffle is the one key co-location any "
+    "stateful operator pays.",
+    tags=("streaming", "stateful", "cdc"),
+)
+def stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from litebase_spark.streaming.stateful import scd2_apply
+    from litebase_spark.streaming.windows import (
+        _normalized_events,
+        events_stream,
+        run_available_now,
+    )
+
+    stream = _normalized_events(events_stream(spark, sf_dir)).select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    return run_available_now(scd2_apply(stream), output_mode="update")

@@ -121,3 +121,89 @@ def running_user_peaks_v2(stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog -> SCD-2 intervals, streaming form
+# ---------------------------------------------------------------------------
+
+SCD2_OUTPUT_SCHEMA = (
+    "user_id bigint, event_type string, value double, version bigint,"
+    " valid_from_us bigint, valid_to_us bigint, is_current boolean"
+)
+# last accepted change: cents for the exact-equality dedup, the raw
+# value for emission, the open interval's start, and the version counter
+SCD2_STATE_SCHEMA = (
+    "last_cents bigint, last_value double, from_us bigint, version bigint"
+)
+
+
+def _us(series) -> "pd.Series":
+    # dtype-agnostic timestamp -> epoch microseconds (datetime64[ns]
+    # and datetime64[us] both divide exactly)
+    return (series - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
+
+
+def _update_scd2(key, pdf_iter, state: GroupState):
+    """Fold this key's events (chronological within the batch) into
+    SCD-2 state: a value change closes the open interval (emitted with
+    its valid_to) and opens the next version. The still-open interval is
+    emitted once per batch with valid_to NULL / is_current true — a
+    later batch that closes it re-emits the closed form, so an
+    upsert-by-(key, version) sink converges (with AvailableNow over a
+    single-file source there is exactly one batch and the output IS the
+    batch operator's: see stream_scd2_apply's oracle)."""
+    import pandas as pd  # noqa: F811 (worker-side import)
+
+    rows = pd.concat(list(pdf_iter), ignore_index=True)
+    rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+    if state.exists:
+        last_cents, last_value, from_us, version = state.get
+    else:
+        last_cents, last_value, from_us, version = None, None, None, 0
+    out = {c: [] for c in (
+        "user_id", "event_type", "value", "version",
+        "valid_from_us", "valid_to_us", "is_current",
+    )}
+    uid, etype = key
+    ts_us = _us(rows["ts"])
+    for value, t_us in zip(rows["value"], ts_us):
+        cents = round(float(value) * 100)
+        if last_cents is not None and cents == last_cents:
+            continue  # unchanged value: no new version
+        if last_cents is not None:
+            # close the open interval at this change's timestamp
+            out["user_id"].append(uid)
+            out["event_type"].append(etype)
+            out["value"].append(last_value)
+            out["version"].append(version)
+            out["valid_from_us"].append(from_us)
+            out["valid_to_us"].append(int(t_us))
+            out["is_current"].append(False)
+        last_cents, last_value = cents, float(value)
+        from_us, version = int(t_us), version + 1
+    if last_cents is not None:
+        state.update((last_cents, last_value, from_us, version))
+        out["user_id"].append(uid)
+        out["event_type"].append(etype)
+        out["value"].append(last_value)
+        out["version"].append(version)
+        out["valid_from_us"].append(from_us)
+        out["valid_to_us"].append(None)
+        out["is_current"].append(True)
+    yield pd.DataFrame(out)
+
+
+def scd2_apply(stream: DataFrame) -> DataFrame:
+    """Streaming twin of operators/asof.ts_scd2_intervals: per
+    (user_id, event_type) SCD-2 version history maintained in keyed
+    state across microbatches. One shuffle co-locates each key; state is
+    O(keys) (4 scalars per key), emission is O(changes) — the CDC MERGE
+    shape at 100 TB of changelog."""
+    return stream.groupBy("user_id", "event_type").applyInPandasWithState(
+        _update_scd2,
+        outputStructType=SCD2_OUTPUT_SCHEMA,
+        stateStructType=SCD2_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

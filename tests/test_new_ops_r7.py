@@ -203,3 +203,94 @@ def test_containment_df_cap_drops_boilerplate(spark, tmp_path):
     }
     _write_docs(spark, tmp_path, texts)
     assert text_containment_rare(spark, str(tmp_path)).count() == 0
+
+
+def test_ks_test_bounds_and_degenerate(spark):
+    from litebase_spark.operators.relational import stats_ks_test
+
+    r = stats_ks_test(spark, SF).first()
+    assert r["n1"] > 0 and r["n2"] > 0
+    assert 0.0 <= r["d_stat"] <= 1.0
+
+
+def test_ks_identical_samples_give_zero(spark, tmp_path):
+    from litebase_spark.operators.relational import stats_ks_test
+
+    rows = []
+    eid = 0
+    for v in (1.00, 2.00, 3.00, 3.00, 9.75):
+        for et in ("click", "purchase"):  # identical distributions
+            rows.append((eid, "2024-01-01 00:00:00", 1, et, v))
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long,"
+        " event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts")).withColumn(
+        "props", F.lit("{}")
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "events.parquet")
+    )
+    r = stats_ks_test(spark, str(tmp_path)).first()
+    assert r["d_stat"] == 0.0 and r["n1"] == 5 and r["n2"] == 5
+
+
+def test_stream_scd2_equals_batch(spark):
+    from litebase_spark.operators.asof import ts_scd2_intervals
+    from litebase_spark.operators.streaming_batch import stream_scd2_apply
+
+    key = lambda r: (  # noqa: E731
+        r["user_id"], r["event_type"], r["version"],
+        r["valid_from_us"], r["valid_to_us"], r["is_current"],
+        round(r["value"] * 100),
+    )
+    batch = sorted(key(r) for r in ts_scd2_intervals(spark, SF).collect())
+    stream = sorted(key(r) for r in stream_scd2_apply(spark, SF).collect())
+    assert batch == stream and batch
+
+
+def test_dataset_card_consistency(spark):
+    from litebase_spark.operators.pipeline import pipeline_dataset_card
+    from litebase_spark.catalog import load
+
+    rows = pipeline_dataset_card(spark, SF).collect()
+    assert rows
+    n_docs = load(spark, SF, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert 0 < r["top_lang_share"] <= 1.0
+        assert r["n_exact_dupes"] >= 0
+        assert r["avg_chars"] == pytest.approx(
+            r["total_chars"] / r["n_docs"], rel=1e-6
+        )
+
+
+def test_interval_overlap_matches_theta_join(spark):
+    from litebase_spark.operators.asof import (
+        _IVL_W_US,
+        join_interval_overlap,
+    )
+    from litebase_spark.catalog import load
+
+    got = sorted(
+        (r["a_id"], r["b_id"], r["overlap_us"])
+        for r in join_interval_overlap(spark, SF).collect()
+    )
+    e = load(spark, SF, "events").select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+    )
+    a = [
+        r for r in e.collect() if r["event_type"] == "purchase"
+    ]
+    b = [r for r in e.collect() if r["event_type"] == "error"]
+    by_user: dict = {}
+    for r in b:
+        by_user.setdefault(r["user_id"], []).append(r)
+    want = []
+    for ra in a:
+        for rb in by_user.get(ra["user_id"], []):
+            lo = max(ra["s"], rb["s"])
+            hi = min(ra["s"] + _IVL_W_US, rb["s"] + _IVL_W_US)
+            if lo < hi:
+                want.append((ra["event_id"], rb["event_id"], hi - lo))
+    assert got == sorted(want) and got

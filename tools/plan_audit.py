@@ -74,6 +74,8 @@ _ALLOWED_ARROW = {
     "text_chunk_dedup",
     "text_unigram_logppl",
     "stream_stateful_totals",
+    "stream_scd2_apply",  # applyInPandasWithState SCD-2 fold: Arrow
+    # batches per key, state is 4 scalars, emission O(changes)
 }
 
 # Queries whose only scan-adjacent Filter is an EXPRESSION predicate
