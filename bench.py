@@ -99,6 +99,8 @@ HEADLINE = [
     "stats_ks_test",
     "pipeline_dataset_card",
     "join_interval_overlap",
+    "layout_hilbert",
+    "ts_changepoint_cusum",
 ]
 
 

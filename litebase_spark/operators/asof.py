@@ -1154,3 +1154,91 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_changepoint_cusum",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts, event_id,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+             COUNT(*) OVER (PARTITION BY user_id) AS n,
+             SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+               OVER (PARTITION BY user_id) AS tot
+      FROM events
+    ),
+    c AS (
+      SELECT user_id, ts, event_id, n, tot,
+             SUM(cents * n - tot) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS s_k
+      FROM v
+    ),
+    ranked AS (
+      SELECT user_id, n, epoch_us(ts) AS ts_us, ABS(s_k) AS dev,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ABS(s_k) DESC, ts, event_id)
+               AS rk
+      FROM c
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           ts_us AS changepoint_ts_us,
+           ROUND(CAST(dev AS DOUBLE) / (n * 100.0), 6) AS max_cusum
+    FROM ranked WHERE rk = 1
+    """,
+    description="CUSUM changepoint detection per entity: the running "
+    "sum of deviations from the series mean, S_k = sum_{i<=k}(x_i - "
+    "mean), peaks exactly where the level shifts — the classic "
+    "mean-shift locator (Page 1954; what ts_anomaly_zscore flags "
+    "pointwise, this localizes). Computed EXACTLY in integers by "
+    "cross-multiplication: S'_k = sum_{i<=k}(cents_i * n - total) "
+    "= n * S_k in cents, so no division happens until the single "
+    "final rescale by n*100 and both engines agree bit-for-bit. ONE exchange keyed "
+    "by user_id serves all three windows and the final per-key argmax "
+    "(deterministic tie-break: earliest peak); 100 TB of series is "
+    "one shuffle plus per-key sorted sweeps.",
+    tags=("timeseries", "window", "stats"),
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", fp("value").alias("cents")
+    )
+    per_user = Window.partitionBy("user_id")
+    v = e.withColumn("n", F.count(F.lit(1)).over(per_user)).withColumn(
+        "tot", F.sum("cents").over(per_user)
+    )
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = v.withColumn(
+        "s_k", F.sum(F.col("cents") * F.col("n") - F.col("tot")).over(run)
+    )
+    ranked = c.select(
+        "user_id",
+        "n",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.abs("s_k").alias("dev"),
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id").orderBy(
+                F.desc(F.abs("s_k")), F.asc("ts"), F.asc("event_id")
+            )
+        )
+        .alias("rk"),
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        "user_id",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("ts_us").alias("changepoint_ts_us"),
+        F.round(
+            F.col("dev").cast("double") / (F.col("n") * 100.0), 6
+        ).alias("max_cusum"),
+    )

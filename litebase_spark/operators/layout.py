@@ -122,3 +122,104 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve clustering key
+# ---------------------------------------------------------------------------
+
+
+def hilbert_steps(bits: int = _BITS) -> list[tuple[str, str, str]]:
+    """Unrolled xy2d Hilbert encode (classic rot/flip walk, MSB first):
+    one (x_expr, y_expr, d_expr) triple per level, each referencing the
+    previous level's columns x, y, d. Portable SQL — CASE/&/>>/
+    arithmetic only (the (3*rx) XOR ry term is expanded into a CASE so
+    no dialect-specific xor syntax is needed); rx, ry in {0,1}."""
+    n = 1 << bits
+    steps = []
+    for lvl in range(bits - 1, -1, -1):
+        s = 1 << lvl
+        rx = f"((x >> {lvl}) & 1)"
+        ry = f"((y >> {lvl}) & 1)"
+        quad = (
+            f"(CASE WHEN {rx} = 0 THEN {ry}"
+            f" WHEN {ry} = 0 THEN 3 ELSE 2 END)"
+        )
+        d = f"(d + {s * s} * {quad})"
+        x = (
+            f"(CASE WHEN {ry} = 1 THEN x"
+            f" WHEN {rx} = 1 THEN {n - 1} - y ELSE y END)"
+        )
+        y = (
+            f"(CASE WHEN {ry} = 1 THEN y"
+            f" WHEN {rx} = 1 THEN {n - 1} - x ELSE x END)"
+        )
+        steps.append((x, y, d))
+    return steps
+
+
+def _hilbert_chain_sql(x0: str, y0: str, src: str) -> str:
+    """Chained-subquery SQL computing hkey = Hilbert d of (x0, y0) over
+    `src` (a FROM-able relation exposing o_orderkey)."""
+    q = (
+        f"SELECT o_orderkey, {x0} AS x, {y0} AS y,"
+        f" CAST(0 AS BIGINT) AS d, {x0} AS xd, {y0} AS yd FROM {src}"
+    )
+    for x, y, d in hilbert_steps():
+        q = (
+            f"SELECT o_orderkey, {x} AS x, {y} AS y, {d} AS d, xd, yd"
+            f" FROM ({q})"
+        )
+    return q
+
+
+@query(
+    "layout_hilbert",
+    oracle=f"""
+    SELECT d >> 8 AS h_bucket,
+           COUNT(*) AS n_rows,
+           MIN(xd) AS min_cust_band, MAX(xd) AS max_cust_band,
+           MIN(yd) AS min_price_band, MAX(yd) AS max_price_band
+    FROM ({_hilbert_chain_sql(_X, _Y, "orders")})
+    GROUP BY h_bucket
+    """,
+    description="Hilbert-curve clustering key over the same (customer "
+    "band, price band) dimensions as layout_zorder — the layout Delta "
+    "Lake moved to after ZORDER (liquid clustering) because the Hilbert "
+    "walk never jumps: consecutive keys are always adjacent cells, so "
+    "per-file bounding boxes are tighter than Morton's corner jumps "
+    "and footer-stats pruning skips more files for the same file "
+    "count. Encode is the classic rot/flip walk unrolled to 8 "
+    "levels of exact integer CASE arithmetic (hilbert_steps) — "
+    "identical text in both engines, oracle-checked bit-for-bit. "
+    "Per-bucket min/max spreads of both dimensions reported as the "
+    "locality evidence, same shape as layout_zorder for direct "
+    "comparison (tests assert Hilbert's total bounding-box area is at "
+    "most Morton's on the same data).",
+    tags=("layout", "pruning"),
+)
+def layout_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    cur = o.selectExpr(
+        "o_orderkey",
+        f"{_X} AS x",
+        f"{_Y} AS y",
+        "CAST(0 AS BIGINT) AS d",
+        f"{_X} AS xd",
+        f"{_Y} AS yd",
+    )
+    for x, y, d in hilbert_steps():
+        cur = cur.selectExpr(
+            "o_orderkey", f"{x} AS x", f"{y} AS y", f"{d} AS d", "xd", "yd"
+        )
+    return (
+        cur.select(F.expr("d >> 8").alias("h_bucket"), "xd", "yd")
+        .groupBy("h_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("xd").alias("min_cust_band"),
+            F.max("xd").alias("max_cust_band"),
+            F.min("yd").alias("min_price_band"),
+            F.max("yd").alias("max_price_band"),
+        )
+    )

@@ -294,3 +294,99 @@ def test_interval_overlap_matches_theta_join(spark):
             if lo < hi:
                 want.append((ra["event_id"], rb["event_id"], hi - lo))
     assert got == sorted(want) and got
+
+
+def _xy2d_ref(n, x, y):
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_encode_matches_reference():
+    import duckdb
+
+    from litebase_spark.operators.layout import _hilbert_chain_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE orders AS SELECT range AS o_orderkey,"
+        " range % 251 AS xq, (range * 73) % 256 AS yq FROM range(4000)"
+    )
+    rows = con.execute(
+        f"SELECT xd, yd, d FROM ({_hilbert_chain_sql('xq', 'yq', 'orders')})"
+    ).fetchall()
+    assert rows
+    for x, y, d in rows:
+        assert d == _xy2d_ref(256, int(x), int(y)), (x, y)
+
+
+def test_hilbert_beats_morton_locality_on_unaligned_buckets():
+    """At power-of-4-aligned bucket boundaries both curves cover perfect
+    squares; real FILE boundaries are not aligned — there Hilbert's
+    never-jumping walk keeps per-bucket bounding boxes markedly tighter
+    (measured ~0.49x total bbox area at 100 keys/bucket on the sf0.01
+    orders fixture)."""
+    import duckdb
+
+    from litebase_spark.operators.layout import (
+        _X,
+        _Y,
+        _hilbert_chain_sql,
+        _interleave_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/orders.parquet')"
+    )
+    area = "SUM((mx - mn + 1) * (my2 - my1 + 1))"
+    h = con.execute(
+        f"SELECT {area} FROM (SELECT d // 100 AS b, MIN(xd) mn,"
+        f" MAX(xd) mx, MIN(yd) my1, MAX(yd) my2"
+        f" FROM ({_hilbert_chain_sql(_X, _Y, 'orders')}) GROUP BY b)"
+    ).fetchone()[0]
+    z = con.execute(
+        f"SELECT {area} FROM (SELECT {_interleave_sql(_X, _Y)} // 100"
+        f" AS b, MIN({_X}) mn, MAX({_X}) mx, MIN({_Y}) my1,"
+        f" MAX({_Y}) my2 FROM orders GROUP BY b)"
+    ).fetchone()[0]
+    assert h < 0.7 * z, (h, z)
+
+
+def test_cusum_locates_constructed_level_shift(spark, tmp_path):
+    from litebase_spark.operators.asof import ts_changepoint_cusum
+
+    rows = []
+    eid = 0
+    for minute in range(40):
+        # user 9: flat 1.00 for 20 events, then steps up to 5.00
+        v = 1.00 if minute < 20 else 5.00
+        rows.append((eid, f"2024-01-01 00:{minute:02d}:00", 9, "m", v))
+        eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long,"
+        " event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts")).withColumn(
+        "props", F.lit("{}")
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "events.parquet")
+    )
+    r = ts_changepoint_cusum(spark, str(tmp_path)).first()
+    # |S_k| peaks at the last pre-shift point: minute 19
+    import datetime
+
+    peak = datetime.datetime(2024, 1, 1, 0, 19, tzinfo=datetime.timezone.utc)
+    assert r["changepoint_ts_us"] == int(peak.timestamp()) * 1_000_000
+    assert r["n_events"] == 40
+    # mean = 3.0; S_19 = 20 * (1.0 - 3.0) = -40.0 -> |S| = 40.0
+    assert r["max_cusum"] == pytest.approx(40.0)

@@ -123,6 +123,9 @@ _REVIEWED_NONPUSHABLE = {
     # the shingle work itself sits behind the tokenizer barrier
     # exchange (see operators/text.py), only the cheap size() guard
     # lands in the scan stage
+    "expr_null_safe_eq",  # isnotnull(o_orderkey % 100) inferred from
+    # the combo-join keys — a one-op modulo guard on a non-null key,
+    # verified harmless by inspection (the r7 combinatorial re-plan)
 }
 
 # Registered builders allowed a driver-side collect because it is O(k)
