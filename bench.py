@@ -101,6 +101,7 @@ HEADLINE = [
     "join_interval_overlap",
     "layout_hilbert",
     "ts_changepoint_cusum",
+    "multimodal_audio_energy",
 ]
 
 

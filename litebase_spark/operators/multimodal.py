@@ -606,3 +606,106 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
         F.expr("bit_count(ha ^ hb)").cast("long").alias("hamming_dist"),
     ).filter(F.col("hamming_dist") <= 6)
+
+
+# -- audio: windowed PCM energy ----------------------------------------------
+
+_PCM_WIN = 256  # samples per analysis window
+
+PCM_ENERGY_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("window_idx", LongType()),
+        StructField("energy", LongType()),
+        StructField("peak", LongType()),
+    ]
+)
+
+
+def pcm_window_energy(media_df: DataFrame) -> DataFrame:
+    """Windowed audio energy over the DECODED payload: the byte stream
+    is interpreted as int8 PCM samples (the deterministic stand-in for
+    a real codec — swap the registry decoder for ffmpeg/soundfile and
+    the relational shape below is unchanged), split into complete
+    256-sample windows, and each window reports sum-of-squares energy
+    plus peak |amplitude| — the VAD / silence-trim / loudness-normalize
+    front end of an audio training pipeline. All integer arithmetic
+    (int8^2 * 256 < 2^23), so the DuckDB oracle replays it exactly from
+    hex(payload). Per item only O(windows) 32-byte rows leave the
+    executor, never samples."""
+    import numpy as np
+
+    decoders = _decoder_snapshot()
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, widx, energy, peak = [], [], [], []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["media"], pdf["meta"]
+            ):
+                data = _decode_media(
+                    bytes(payload), meta["modality"], decoders
+                )
+                n_win = len(data) // _PCM_WIN
+                if n_win == 0:
+                    continue
+                pcm = (
+                    np.frombuffer(data, dtype=np.uint8)[: n_win * _PCM_WIN]
+                    .astype(np.int64)
+                )
+                pcm = np.where(pcm > 127, pcm - 256, pcm)  # int8 reinterpret
+                pcm = pcm.reshape(n_win, _PCM_WIN)
+                e = (pcm * pcm).sum(axis=1)
+                p = np.abs(pcm).max(axis=1)
+                ids.extend([doc_id] * n_win)
+                widx.extend(range(n_win))
+                energy.extend(int(v) for v in e)
+                peak.extend(int(v) for v in p)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "window_idx": widx,
+                    "energy": energy,
+                    "peak": peak,
+                }
+            )
+
+    return media_df.mapInPandas(compute, PCM_ENERGY_SCHEMA)
+
+
+@query(
+    "multimodal_audio_energy",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents
+      WHERE octet_length(encode(text)) >= {_PCM_WIN}
+    ),
+    samples AS (
+      SELECT doc_id, j // {_PCM_WIN} AS window_idx,
+        CASE WHEN b > 127 THEN b - 256 ELSE b END AS s
+      FROM (
+        SELECT doc_id, j,
+          (strpos('0123456789ABCDEF', substr(hx, j*2+1, 1)) - 1) * 16 +
+          (strpos('0123456789ABCDEF', substr(hx, j*2+2, 1)) - 1) AS b
+        FROM h, UNNEST(range(0, (n // {_PCM_WIN}) * {_PCM_WIN})) AS t(j))
+    )
+    SELECT doc_id, window_idx,
+           CAST(SUM(s * s) AS BIGINT) AS energy,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak
+    FROM samples GROUP BY doc_id, window_idx
+    """,
+    description="Audio-pipeline front end: decoded payload as int8 PCM, "
+    "complete 256-sample windows, per-window sum-of-squares energy + "
+    "peak amplitude (the VAD/silence-trim/loudness shape) — computed "
+    "inside the Arrow decode stage (mapInPandas), integer-exact, so "
+    "the DuckDB oracle replays byte-for-byte from hex(payload). The "
+    "shuffle carries O(windows) 32-byte rows per item, never raw "
+    "samples; a real deployment swaps the registry decoder for the "
+    "codec and keeps this exact plan.",
+    tags=("multimodal", "pandas_udf"),
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = attach_media(load(spark, sf_dir, "documents"))
+    return pcm_window_energy(m)

@@ -390,3 +390,44 @@ def test_cusum_locates_constructed_level_shift(spark, tmp_path):
     assert r["n_events"] == 40
     # mean = 3.0; S_19 = 20 * (1.0 - 3.0) = -40.0 -> |S| = 40.0
     assert r["max_cusum"] == pytest.approx(40.0)
+
+
+def test_audio_energy_hand_model(spark):
+    from litebase_spark.operators.multimodal import (
+        _PCM_WIN,
+        MEDIA_SCHEMA,
+        pcm_window_energy,
+    )
+
+    payloads = {
+        1: bytes(range(256)) * 2,  # 2 full windows, known samples
+        2: b"\x7f\x80" * 200,  # 127 / -128 alternating; 1 window + tail
+        3: b"short",  # < one window -> dropped
+    }
+    # modality "text" = the identity decoder present in this container;
+    # a real audio codec would be installed via register_decoder()
+    rows = [
+        (i, p, ("text", "audio/pcm", len(p), "src"))
+        for i, p in payloads.items()
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        (r["doc_id"], r["window_idx"]): (r["energy"], r["peak"])
+        for r in pcm_window_energy(df).collect()
+    }
+
+    def ref(data):
+        out = {}
+        for w in range(len(data) // _PCM_WIN):
+            chunk = [
+                b - 256 if b > 127 else b
+                for b in data[w * _PCM_WIN:(w + 1) * _PCM_WIN]
+            ]
+            out[w] = (sum(s * s for s in chunk), max(abs(s) for s in chunk))
+        return out
+
+    want = {
+        (i, w): v for i, p in payloads.items() for w, v in ref(p).items()
+    }
+    assert got == want
+    assert (2, 0) in got and not any(d == 3 for d, _ in got)

@@ -705,3 +705,60 @@ def test_rate_source_soak_sessions_tumbling_stateful(spark, tmp_path):
         gn, gs = got_tot[u]
         assert gn == n, (u, gn, n)
         assert abs(gs - s) < 1e-6 * max(1.0, abs(s)), (u, gs, s)
+
+
+def test_stream_scd2_converges_across_batches(spark, sf_dir, tmp_path):
+    """stream_scd2_apply's cross-batch contract: with the changelog split
+    into time-ordered files (1 per trigger — a CDC log is time-ordered),
+    an upsert-by-(entity, version) sink converges to EXACTLY the batch
+    operator's SCD-2 history: intervals left open in batch 1 are
+    re-emitted closed by batch 2 and the upsert replaces them."""
+    import pyspark.sql.functions as F
+
+    from litebase_spark.catalog import load
+    from litebase_spark.operators.asof import ts_scd2_intervals
+    from litebase_spark.streaming.stateful import scd2_apply
+    from litebase_spark.streaming.windows import run_available_now
+
+    events = load(spark, sf_dir, "events")
+    cutoff = events.agg(
+        F.expr("percentile(unix_micros(CAST(ts AS TIMESTAMP)), 0.5)")
+    ).first()[0]
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "src")
+    # two time-ordered files; lexicographic path order == trigger order
+    events.filter(us <= cutoff).coalesce(1).write.parquet(
+        src + "/part=0"
+    )
+    events.filter(us > cutoff).coalesce(1).write.parquet(
+        src + "/part=1"
+    )
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .select("user_id", "event_type", "ts", "event_id", "value")
+    )
+    out = run_available_now(scd2_apply(stream), output_mode="update")
+    rows = out.collect()
+
+    # upsert: LAST emission per (user, event_type, version) wins — an
+    # open interval re-emitted closed replaces the open form
+    serving: dict = {}
+    for r in rows:
+        serving[(r["user_id"], r["event_type"], r["version"])] = (
+            r["valid_from_us"], r["valid_to_us"], r["is_current"],
+            round(r["value"] * 100),
+        )
+    want = {
+        (r["user_id"], r["event_type"], r["version"]): (
+            r["valid_from_us"], r["valid_to_us"], r["is_current"],
+            round(r["value"] * 100),
+        )
+        for r in ts_scd2_intervals(spark, sf_dir).collect()
+    }
+    assert serving == want
+    # convergence was exercised: some interval was first emitted open in
+    # batch 1 and re-emitted closed in batch 2 (more emissions than keys)
+    assert len(rows) > len(serving)

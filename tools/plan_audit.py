@@ -76,6 +76,8 @@ _ALLOWED_ARROW = {
     "stream_stateful_totals",
     "stream_scd2_apply",  # applyInPandasWithState SCD-2 fold: Arrow
     # batches per key, state is 4 scalars, emission O(changes)
+    "multimodal_audio_energy",  # windowed PCM energy in the Arrow
+    # decode stage; O(windows) 32-byte rows leave the executor
 }
 
 # Queries whose only scan-adjacent Filter is an EXPRESSION predicate
