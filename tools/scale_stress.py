@@ -71,6 +71,16 @@ QUERIES = [
     "pipeline_dsir_weights",     # shared-exchange corpus fan-out
     # multimodal_phash_dedup is pair-forming (identical replica copies
     # collide in every band) — excluded like the minhash/SRP dedups
+    # round 7 (all linear-work by construction)
+    "ts_ewma_smooth",            # 32-tap keyed window smoothing
+    "ts_scd2_intervals",         # CDC -> SCD-2, one keyed exchange
+    "ts_changepoint_cusum",      # three windows over one exchange
+    "stats_ks_test",             # cells-not-corpus value-grid windows
+    "join_interval_overlap",     # bucketed interval x interval join
+    "layout_hilbert",            # 8-level unrolled clustering key
+    "pipeline_compaction_plan",  # manifest cumsum binning
+    "multimodal_audio_energy",   # Arrow decode-stage PCM windows
+    # text_containment_rare is pair-forming — same exclusion class
 ]
 
 _SHIFT = 10**9
