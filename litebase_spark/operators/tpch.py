@@ -82,8 +82,15 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
     ).select("o_orderkey", "o_orderdate", "o_orderpriority")
     l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    # shuffle-hash, not sort-merge: the probe side is the full lineitem
+    # fact — sorting it costs more than hashing the 6-month orders slice
+    # (same re-plan as q10/q12; measured 1.08 -> 0.82 s at the sf1
+    # point). The EXISTS is a dedup-first pair (orderkey, priority)
+    # collapse that reuses the join's orderkey partitioning (no extra
+    # exchange), then a tiny per-priority count — equivalent to
+    # count_distinct but with the partial combine made explicit.
     joined = l.join(
-        o,
+        o.hint("shuffle_hash"),
         (F.col("l_orderkey") == F.col("o_orderkey"))
         & (
             F.col("l_shipdate")
@@ -91,8 +98,10 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return (
-        joined.groupBy("o_orderpriority")
-        .agg(F.count_distinct("o_orderkey").alias("order_count"))
+        joined.groupBy("o_orderpriority", "o_orderkey")
+        .agg(F.lit(1).alias("x"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
         .orderBy("o_orderpriority")
     )
 
