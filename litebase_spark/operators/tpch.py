@@ -82,15 +82,31 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
     ).select("o_orderkey", "o_orderdate", "o_orderpriority")
     l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    # shuffle-hash, not sort-merge: the probe side is the full lineitem
-    # fact — sorting it costs more than hashing the 6-month orders slice
-    # (same re-plan as q10/q12; measured 1.08 -> 0.82 s at the sf1
-    # point). The EXISTS is a dedup-first pair (orderkey, priority)
-    # collapse that reuses the join's orderkey partitioning (no extra
-    # exchange), then a tiny per-priority count — equivalent to
-    # count_distinct but with the partial combine made explicit.
+    # Past the broadcast threshold: shuffle-hash, not sort-merge — the
+    # probe side is the full lineitem fact, and sorting it costs more
+    # than hashing the 6-month orders slice (same re-plan as q10/q12;
+    # measured 1.08 -> 0.82 s at the sf1 point). UNDER the threshold the
+    # hint is omitted so Catalyst broadcasts the slice (a hint would
+    # override the size-based choice — at sf0.001 broadcast wins). The
+    # EXISTS is a dedup-first pair (orderkey, priority) collapse that
+    # reuses the join's partitioning, then a tiny per-priority count —
+    # equivalent to count_distinct with the partial combine explicit.
+    from litebase_spark.operators.skew import parse_size_bytes
+
+    try:
+        size = int(
+            str(o._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        thr = parse_size_bytes(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        )
+    except Exception:
+        size, thr = None, -1
+    build = o if size is not None and 0 < size <= thr else o.hint(
+        "shuffle_hash"
+    )
     joined = l.join(
-        o.hint("shuffle_hash"),
+        build,
         (F.col("l_orderkey") == F.col("o_orderkey"))
         & (
             F.col("l_shipdate")
