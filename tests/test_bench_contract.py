@@ -37,3 +37,54 @@ def test_driver_contract_shape():
     assert set(oracles) <= set(qs)
     # every oracle is a non-empty SQL string
     assert all(isinstance(s, str) and s.strip() for s in oracles.values())
+
+
+def test_driver_line_fits_at_200_queries():
+    """Round-7 regression: at 78 headline queries the stdout line outgrew
+    the driver's 2000-byte tail after key-shedding ran dry -> parsed:null.
+    The formatter must now fall back to a summary form that always fits."""
+    import json
+
+    from bench import format_driver_line
+
+    result = {
+        "metric": "headline_query_set_total",
+        "value": 123.456,
+        "unit": "sec",
+        "queries": {f"synthetic_query_name_{i:03d}": round(i * 0.173, 2)
+                    for i in range(200)},
+        "sf": 0.1,
+        "cold_total": 321.0,
+        "floor": 0.25,
+        "net_of_floor": 90.0,
+        "duckdb_baseline": {f"synthetic_query_name_{i:03d}": 0.1
+                            for i in range(200)},
+    }
+    line = format_driver_line(result)
+    assert len(line) <= 1950, len(line)
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_query_set_total"
+    assert parsed["value"] == 123.456
+    assert parsed["n_queries"] == 200
+    assert len(parsed["worst"]) == 5
+    assert parsed["detail"] == "BENCH_FULL.json"
+    # worst really are the slowest
+    assert all(v >= 0.173 * 194 - 1 for v in parsed["worst"].values())
+
+
+def test_driver_line_keeps_full_map_when_small():
+    import json
+
+    from bench import format_driver_line
+
+    result = {
+        "metric": "headline_query_set_total",
+        "value": 1.0,
+        "unit": "sec",
+        "queries": {"q1": 0.5, "q2": 0.5},
+        "sf": 0.01,
+        "floor": 0.1,
+    }
+    parsed = json.loads(format_driver_line(result))
+    assert parsed["queries"] == {"q1": 0.5, "q2": 0.5}
+    assert "worst" not in parsed
