@@ -150,26 +150,36 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select("doc_id", tokens("text").alias("w"))
     if tok.rdd.getNumPartitions() < 8:
         tok = tok.repartition(spark.sparkContext.defaultParallelism)
-    shingled = tok.filter(F.size("w") >= 3).select(
+    # Short docs are guarded INSIDE the projection (NULL sh) instead of
+    # a pre-explode filter: a `filter(size(w) >= 3)` gets pushed below
+    # the project/exchange with the tokenizer inlined, so the regex
+    # split ran twice per document (once in the pushed filter, once in
+    # the projection). The NULL rows drop at the post-Generate
+    # isNotNull, which cannot be pushed below the Generate.
+    shingled = tok.select(
         "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size("w") - 2),
-                lambda i: F.md5(
-                    F.concat_ws(
-                        " ",
-                        F.element_at("w", i),
-                        F.element_at("w", i + 1),
-                        F.element_at("w", i + 2),
-                    )
-                ),
-            )
+        F.when(
+            F.size("w") >= 3,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 2),
+                    lambda i: F.md5(
+                        F.concat_ws(
+                            " ",
+                            F.element_at("w", i),
+                            F.element_at("w", i + 1),
+                            F.element_at("w", i + 2),
+                        )
+                    ),
+                )
+            ),
         ).alias("sh"),
     )
+    # NULL n_sh rows (short docs) never match a pair_inter doc id below
     sizes = shingled.select("doc_id", F.size("sh").alias("n_sh"))
     postings = shingled.select(
         "doc_id", F.explode_outer("sh").alias("s")
-    )
+    ).filter(F.col("s").isNotNull())
     a = postings.alias("a")
     b = postings.alias("b")
     pair_inter = (

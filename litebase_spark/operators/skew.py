@@ -32,6 +32,22 @@ from litebase_spark.functions.portable import (
 )
 
 
+def plan_size_bytes(df: DataFrame) -> "int | None":
+    """Driver-side Catalyst size estimate of ``df``'s optimized plan.
+
+    Reads the private Py4J surface (``_jdf.queryExecution()``); returns
+    None when it is unavailable (PySpark internals changed, analysis
+    failure). Callers MUST treat None as "no information" and fall back
+    to the un-hinted plan — a hint applied blind would override
+    Catalyst's size-based broadcast choice at small scale."""
+    try:
+        return int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        return None
+
+
 _SIZE_SUFFIX = {
     "": 1, "b": 1,
     "k": 1024, "kb": 1024,
@@ -71,12 +87,7 @@ def _top_key_share(
     hurt most. A sample that comes back with fewer than ``_MIN_PROBE``
     rows (while the source plausibly has more) is therefore retried once
     unsampled but LIMIT-bounded; if that is still empty, None."""
-    try:
-        size = int(
-            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        )
-    except Exception:
-        size = None
+    size = plan_size_bytes(df)
     keys = df.select(key)
     if size:
         est_rows = max(1, size // 16)  # conservative bytes/row
@@ -172,22 +183,15 @@ def salted_join(
     does, 'auto' probes.
     """
     if adaptive and skew != "force":
+        size = plan_size_bytes(other)
         try:
-            size = int(
-                str(
-                    other._jdf.queryExecution()
-                    .optimizedPlan()
-                    .stats()
-                    .sizeInBytes()
-                )
-            )
             thr = parse_size_bytes(
                 other.sparkSession.conf.get(
                     "spark.sql.autoBroadcastJoinThreshold"
                 )
             )
         except Exception:
-            size, thr = None, -1
+            thr = -1
         if size is not None and 0 < size <= thr:
             return skewed.join(F.broadcast(other), on=on, how=how)
         if skew == "auto":

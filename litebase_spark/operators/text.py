@@ -1027,7 +1027,13 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     tw = d.select("doc_id", w.alias("w"))
     if tw.rdd.getNumPartitions() < 8:
         tw = tw.repartition(spark.sparkContext.defaultParallelism)
-    tok = tw.filter(F.size("w") >= 3).select("doc_id", sh.alias("sh"))
+    # guard short docs with a NULL array inside the projection (a
+    # pre-explode size(w) filter is pushed below the exchange with the
+    # tokenizer inlined — one extra full regex pass over the corpus);
+    # NULL rows drop at the post-Generate isNotNull
+    tok = tw.select(
+        "doc_id", F.when(F.size("w") >= 3, sh).alias("sh")
+    )
     probes = tok.filter(F.col("doc_id") < _N_PROBES).select(
         F.col("doc_id").alias("probe_id"), F.col("sh").alias("psh")
     )
@@ -1035,8 +1041,10 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "probe_id",
         F.size("psh").alias("n_probe"),
         F.explode_outer("psh").alias("s"),
-    )
-    corpus_post = tok.select("doc_id", F.explode_outer("sh").alias("s"))
+    ).filter(F.col("s").isNotNull())
+    corpus_post = tok.select(
+        "doc_id", F.explode_outer("sh").alias("s")
+    ).filter(F.col("s").isNotNull())
     inter = (
         corpus_post.join(F.broadcast(probe_post), on="s")
         .filter(F.col("doc_id") != F.col("probe_id"))
@@ -1704,9 +1712,13 @@ def text_dup_5gram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     tw = d.select("doc_id", w.alias("w"))
     if tw.rdd.getNumPartitions() < 8:
         tw = tw.repartition(spark.sparkContext.defaultParallelism)
-    g = tw.filter(F.size("w") >= 5).select(
-        "doc_id", F.explode_outer(grams5).alias("gram")
-    )
+    # guard short docs via NULL grams inside the projection (a pushed
+    # size(w) filter re-evaluates the tokenizer in the scan stage);
+    # drop the NULL rows above the Generate where nothing can push down
+    g = tw.select(
+        "doc_id",
+        F.explode_outer(F.when(F.size("w") >= 5, grams5)).alias("gram"),
+    ).filter(F.col("gram").isNotNull())
     from pyspark.sql import Window
 
     # Collapse to (doc, gram, cnt) FIRST: rows are deduped per (doc,
@@ -1829,13 +1841,17 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tw = d.select("doc_id", w.alias("w"))
     if tw.rdd.getNumPartitions() < 8:
         tw = tw.repartition(spark.sparkContext.defaultParallelism)
+    # short docs guarded via NULL grams in the projection, not a
+    # pre-explode filter (which pushes below the exchange with the
+    # tokenizer inlined — a second full regex pass); NULL g rows drop
+    # above the Generate
     occ = (
-        tw.filter(F.size("w") >= 8)
-        .select(
+        tw.select(
             "doc_id",
             F.size("w").alias("n_tokens"),
-            F.explode_outer(grams8).alias("g"),
+            F.explode_outer(F.when(F.size("w") >= 8, grams8)).alias("g"),
         )
+        .filter(F.col("g").isNotNull())
         .select(
             "doc_id", "n_tokens",
             F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"),
@@ -2032,11 +2048,18 @@ def text_containment_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select("doc_id", tokens("text").alias("w"))
     if tok.rdd.getNumPartitions() < 8:
         tok = tok.repartition(spark.sparkContext.defaultParallelism)
-    shingled = tok.filter(F.size("w") >= 3).select(
+    # short docs guarded via NULL sh inside the projection — a
+    # pre-explode size(w) filter is pushed below the exchange with the
+    # tokenizer inlined, costing a second full regex pass over the
+    # corpus; the NULL rows drop at the post-Generate isNotNull below
+    shingled = tok.select(
         "doc_id",
-        F.expr(
-            "array_distinct(transform(sequence(1, size(w) - 2),"
-            f" i -> {_h60_spark(gram)}))"
+        F.when(
+            F.size("w") >= 3,
+            F.expr(
+                "array_distinct(transform(sequence(1, size(w) - 2),"
+                f" i -> {_h60_spark(gram)}))"
+            ),
         ).alias("sh"),
     )
     # explode_OUTER, deliberately: a plain explode triggers
@@ -2047,7 +2070,7 @@ def text_containment_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
     # guarantees sh is non-empty, so outer semantics are identical.
     postings = shingled.select(
         "doc_id", F.explode_outer("sh").alias("s")
-    )
+    ).filter(F.col("s").isNotNull())
     # df via an unordered window over the shingle exchange — one
     # shuffle of (int64, int64) postings, no groupBy + join-back; the
     # 60-bit portable hash keeps the exchange and the pair-join compares

@@ -91,20 +91,23 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # EXISTS is a dedup-first pair (orderkey, priority) collapse that
     # reuses the join's partitioning, then a tiny per-priority count —
     # equivalent to count_distinct with the partial combine explicit.
-    from litebase_spark.operators.skew import parse_size_bytes
+    from litebase_spark.operators.skew import parse_size_bytes, plan_size_bytes
 
+    size = plan_size_bytes(o)
     try:
-        size = int(
-            str(o._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        )
         thr = parse_size_bytes(
             spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         )
     except Exception:
-        size, thr = None, -1
-    build = o if size is not None and 0 < size <= thr else o.hint(
-        "shuffle_hash"
-    )
+        thr = -1
+    if size is None or (0 < size <= thr):
+        # probe unavailable, or under the broadcast threshold: leave the
+        # join un-hinted so Catalyst's size-based choice stands — a
+        # blind shuffle_hash hint would override broadcast at small
+        # scale, the regression the size-adaptive probe exists to avoid
+        build = o
+    else:
+        build = o.hint("shuffle_hash")
     joined = l.join(
         build,
         (F.col("l_orderkey") == F.col("o_orderkey"))

@@ -144,6 +144,21 @@ def _us(series) -> "pd.Series":
     return (series - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
 
 
+def _half_up_cents(value: float) -> int:
+    """HALF_UP (half away from zero) cents, matching the batch twin's
+    catalog.fp() (Spark F.round = HALF_UP) and the oracle's
+    CAST(ROUND(value * 100, 0) AS BIGINT). Python's built-in round()
+    is banker's (half-to-even) and would dedup a *.xx5 value
+    differently in streaming vs batch."""
+    import math
+
+    scaled = value * 100.0
+    return int(
+        math.floor(scaled + 0.5) if scaled >= 0
+        else math.ceil(scaled - 0.5)
+    )
+
+
 def _update_scd2(key, pdf_iter, state: GroupState):
     """Fold this key's events (chronological within the batch) into
     SCD-2 state: a value change closes the open interval (emitted with
@@ -168,7 +183,7 @@ def _update_scd2(key, pdf_iter, state: GroupState):
     uid, etype = key
     ts_us = _us(rows["ts"])
     for value, t_us in zip(rows["value"], ts_us):
-        cents = round(float(value) * 100)
+        cents = _half_up_cents(float(value))
         if last_cents is not None and cents == last_cents:
             continue  # unchanged value: no new version
         if last_cents is not None:

@@ -340,3 +340,42 @@ def test_rewriters_never_touch_single_quoted_strings():
         assert "`col0`" in out and '"col0"' not in out
 
     check()
+
+
+def test_json_tree_walk_bottoms_out_at_max_depth(spark, sf_dir):
+    """func_json_tree walks to max_depth=3, justified by 'deeper nodes
+    cannot exist' in the current fixture document shape. Guard that
+    claim: no node at the deepest visited level may be a container —
+    if the fixture generator ever deepens the props envelope, this
+    fails loudly instead of depth-4 nodes silently vanishing."""
+    from pyspark.sql import functions as F
+
+    from litebase_spark.catalog import load
+    from litebase_spark.operators.functions_cov import json_tree_walk
+
+    e = load(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.from_json("props", "map<string,bigint>").alias("props"),
+            F.col("event_type").alias("type"),
+        )
+    )
+    nested = e.select("event_id", doc.alias("doc"))
+    nodes = json_tree_walk(nested, "doc", "event_id", max_depth=3)
+    # depth = number of path separators in fullkey ('$'=0, '$.a'=1, ...)
+    depth = (
+        F.length(F.regexp_replace("fullkey", r"[^.\[]", ""))
+    )
+    deepest_containers = (
+        nodes.withColumn("depth", depth)
+        .filter((F.col("depth") == 2) & F.col("vtype").isin("object", "array"))
+        .count()
+    )
+    assert deepest_containers == 0, (
+        "fixture documents now nest deeper than func_json_tree's "
+        "max_depth=3 walk — raise max_depth"
+    )
+    # sanity: the walk did reach depth 2 (props atoms)
+    assert nodes.withColumn("depth", depth).filter(
+        F.col("depth") == 2
+    ).count() > 0
