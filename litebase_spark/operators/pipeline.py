@@ -1368,53 +1368,74 @@ def pipeline_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("pipeline", "profile"),
 )
 def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     d = load(spark, sf_dir, "documents")
     dig = F.md5(
         F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
     )
-    base = d.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").cast("long").alias("total_chars"),
-        F.sum(F.size(tokens("text"))).cast("long").alias("total_tokens"),
-        F.size(F.collect_set("lang")).cast("long").alias("n_langs"),
+    # ONE corpus scan (round-7 verdict: the old 3-branch form scanned
+    # the corpus three times, reading + processing the heavy text
+    # column twice — tokenize and digest). The projection evaluates
+    # the tokenizer AND the digest once per document, then a single
+    # GROUPING SETS aggregate ((source), (source,lang), (source,dig))
+    # produces every card fact's input behind ONE exchange: the Expand
+    # triples only the NARROW projected rows (~60 bytes, no text), the
+    # partial aggregate collapses them map-side, and a per-source
+    # assembly aggregate stitches the card. This is structurally
+    # single-scan (test_pipeline pins the plan property) — no reliance
+    # on AQE ReusedExchange, which per-branch column pruning defeats
+    # for consumers that need different aggregate expressions. The
+    # modal language comes from MIN(struct(-c, lang)) over the
+    # (source,lang) rows — max count, then lexicographically first
+    # lang, the oracle's ORDER BY c DESC, lang tie-break — instead of
+    # a window over a second shuffle.
+    proj = d.select(
+        "source",
+        "lang",
+        dig.alias("dig"),
+        F.col("n_chars").cast("long").alias("nc"),
+        F.size(tokens("text")).cast("long").alias("nt"),
     )
-    uniq = (
-        d.select("source", dig.alias("dig"))
-        .distinct()
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_uniq"))
+    gs = proj.groupingSets(
+        [["source"], ["source", "lang"], ["source", "dig"]],
+        "source", "lang", "dig",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("nc").alias("sc"),
+        F.sum("nt").alias("st"),
+        # bits are (source, lang, dig): 3=0b011 -> (source) subtotal,
+        # 1=0b001 -> (source,lang) cells, 2=0b010 -> (source,dig) cells
+        F.grouping_id().alias("gid"),
     )
-    langs = (
-        d.groupBy("source", "lang")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("source").orderBy(
-                    F.desc("c"), F.asc("lang")
-                )
-            ),
-        )
-        .filter(F.col("rk") == 1)
+    gid = F.col("gid")
+    one = gs.groupBy("source").agg(
+        F.sum(F.when(gid == 3, F.col("n"))).alias("n_docs"),
+        F.sum(F.when(gid == 3, F.col("sc"))).alias("total_chars"),
+        F.sum(F.when(gid == 3, F.col("st"))).alias("total_tokens"),
+        F.count(
+            F.when((gid == 1) & F.col("lang").isNotNull(), F.lit(1))
+        ).alias("n_langs"),
+        F.count(
+            F.when((gid == 2) & F.col("dig").isNotNull(), F.lit(1))
+        ).alias("n_uniq"),
+        F.min(
+            F.when(
+                gid == 1,
+                F.struct((-F.col("n")).alias("neg_c"), F.col("lang")),
+            )
+        ).alias("top"),
     )
-    return (
-        base.join(uniq, "source")
-        .join(langs, "source")
-        .select(
-            "source",
-            "n_docs",
-            "n_langs",
-            F.col("lang").alias("top_lang"),
-            F.round(F.col("c").cast("double") / F.col("n_docs"), 6).alias(
-                "top_lang_share"
-            ),
-            "total_chars",
-            F.round(
-                F.col("total_chars").cast("double") / F.col("n_docs"), 6
-            ).alias("avg_chars"),
-            "total_tokens",
-            (F.col("n_docs") - F.col("n_uniq")).alias("n_exact_dupes"),
-        )
+    return one.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        F.col("top.lang").alias("top_lang"),
+        F.round(
+            (-F.col("top.neg_c")).cast("double") / F.col("n_docs"), 6
+        ).alias("top_lang_share"),
+        "total_chars",
+        F.round(
+            F.col("total_chars").cast("double") / F.col("n_docs"), 6
+        ).alias("avg_chars"),
+        "total_tokens",
+        (F.col("n_docs") - F.col("n_uniq")).alias("n_exact_dupes"),
     )

@@ -131,3 +131,24 @@ def test_quality_gate_attribution_order(spark):
             .collect()
         }
     assert out == {"kept": 1, "gopher": 1, "blocklist": 1, "duplicate": 1}
+
+
+def test_dataset_card_single_scan(spark, sf_dir):
+    """Round-8 re-plan: the card must read the corpus ONCE (the old
+    3-branch form scanned it three times, processing text twice). The
+    GROUPING SETS formulation is structurally single-scan — assert it
+    on the executed adaptive plan like test_dsir does."""
+    import contextlib
+    import io
+    import re
+
+    from litebase_spark.operators.pipeline import pipeline_dataset_card
+
+    df = pipeline_dataset_card(spark, sf_dir)
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    final = buf.getvalue().split("== Initial Plan ==")[0]
+    scans = len(re.findall(r"Scan parquet", final))
+    assert scans == 1, f"expected 1 corpus scan, final plan has {scans}"
