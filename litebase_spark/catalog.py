@@ -78,6 +78,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, min_parts: int = 8) -> DataFrame:
+    """Parallelism fix for single-row-group fixture scans ONLY: round-robin
+    repartition when the scan yields fewer than ``min_parts`` partitions.
+
+    At real input sizes the scan already has enough partitions and an
+    unconditional ``repartition()`` here would pay a pointless
+    full-corpus exchange before the first real stage (measured 2x on
+    knn_cosine_vectorized at the sf1 point). Never use this as an
+    optimizer barrier — barriers must be unconditional to be barriers."""
+    if df.rdd.getNumPartitions() < min_parts:
+        return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Register the fixture tables as temp views for spark.sql() use."""
     for t in tables:

@@ -219,13 +219,25 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS cnt, {SQL_DSUM('l_quantity')} AS sum_qty
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
-    description="CUBE — exceeds SQLite parity.",
+    description="CUBE — exceeds SQLite parity. Computed over the "
+    "pre-aggregated CELL table, not the corpus: a direct cube's Expand "
+    "pushes 4x the fact rows through the partial aggregate, while "
+    "grouping to (returnflag, linestatus) cells first collapses the "
+    "fact map-side (~9 cells) and the cube's Expand runs over cells "
+    "only. Long fixed-point cents keep the two-level sum associative "
+    "and oracle-exact. Same 'cells, not corpus' rule as the chi2/KS "
+    "stats gates.",
     tags=("agg",),
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem")
-    return l.cube("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("cnt"), dsum("l_quantity").alias("sum_qty")
+    cells = l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(fp("l_quantity")).alias("sq"),
+    )
+    return cells.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("n").alias("cnt"),
+        F.round(F.sum("sq") / 100.0, 2).alias("sum_qty"),
     )
 
 

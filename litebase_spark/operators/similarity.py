@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from litebase_spark.catalog import load, query
+from litebase_spark.catalog import load, query, spread
 from litebase_spark.functions.portable import plane_components, plane_duck
 
 DIM = 64
@@ -98,7 +98,7 @@ _SQL_NORM = (
 def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     # single-file fixture -> repartition so the scoring map parallelizes
-    e = e.repartition(spark.sparkContext.defaultParallelism)
+    e = spread(e)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qv"),
@@ -235,8 +235,7 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = (
-        load(spark, sf_dir, "embeddings")
-        .repartition(spark.sparkContext.defaultParallelism)
+        spread(load(spark, sf_dir, "embeddings"))
         .select(
             "vec_id",
             "embedding",
@@ -292,7 +291,7 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    e = e.repartition(spark.sparkContext.defaultParallelism)
+    e = spread(e)
     cell = F.shiftrightunsigned(
         sketch_expr(F.col("embedding")).cast("long"), N_PLANES - N_PROBE_BITS
     ).alias("cell")
@@ -330,9 +329,7 @@ def ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "stats"),
 )
 def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    e = spread(load(spark, sf_dir, "embeddings"))
     q = 1048576.0
     return (
         e.select(F.posexplode("embedding").alias("pos", "x"))
@@ -394,9 +391,7 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "quantization"),
 )
 def embedding_quantize_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    e = spread(load(spark, sf_dir, "embeddings"))
     base = e.select(
         "vec_id",
         F.expr("transform(embedding, v -> CAST(v AS DOUBLE))").alias("e"),
@@ -499,9 +494,7 @@ def _knn_ivf_probe_oracle() -> str:
 def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    e = load(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    e = spread(load(spark, sf_dir, "embeddings"))
     # The coarse quantizer IS the model: N_CENTROIDS (16) rows collected
     # to the driver (O(k), same class as the k-means centroid collect)
     # and re-entered as a literal struct array. Assignment then becomes a
@@ -630,14 +623,15 @@ def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="Brute-force cosine top-k with a VECTORIZED numpy kernel "
     "(mapInPandas): per Arrow batch, one (batch x dim)@(dim x nq) BLAS "
-    "matmul scores every query at once, then a partition-local top-2k cut "
+    "matmul scores every query at once, then a partition-local top-4k cut "
     "so only O(k) rows per (query, partition) reach the shuffle. The "
-    "surviving candidates are RE-SCORED with the exact JVM expression "
-    "(same fold order as knn_cosine_bruteforce), making the result "
-    "bit-identical to the oracle by construction — numpy only prunes, it "
-    "never decides a reported value. The 2k margin makes the prune safe "
-    "against ulp-level BLAS-vs-JVM ordering differences at the k "
-    "boundary.",
+    "corpus ships to Python as float32 (half the Arrow bytes) and the "
+    "surviving candidates are RE-SCORED with the exact float64 JVM "
+    "expression (same fold order as knn_cosine_bruteforce), making the "
+    "result bit-identical to the oracle by construction — numpy only "
+    "prunes, it never decides a reported value. The 4k margin absorbs "
+    "both ulp-level BLAS-vs-JVM ordering differences and the float32 "
+    "transfer's ~1e-7 relative error at the k boundary.",
     tags=("similarity", "pandas_udf"),
 )
 def knn_cosine_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -645,9 +639,12 @@ def knn_cosine_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import Window
 
-    e = load(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    e = load(spark, sf_dir, "embeddings")
+    # parallelism fix only for single-row-group fixture scans — an
+    # unconditional repartition paid a full-corpus exchange before the
+    # Arrow stage at larger inputs (0.92 -> 0.46 s at the sf1 point)
+    if e.rdd.getNumPartitions() < 8:
+        e = spread(e)
     # query side is tiny (N_QUERIES rows): ship it in the task closure —
     # the same role as a broadcast hash side
     qrows = (
@@ -658,7 +655,11 @@ def knn_cosine_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     qids = np.array([r["vec_id"] for r in qrows])
     Q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    cut = 2 * TOP_K  # margin over k: ulp-safe partition-local prune
+    # margin over k for the partition-local prune: 2k was ulp-safe for
+    # a float64 transfer; the float32 Arrow transfer below has ~1e-7
+    # relative error, so double the margin again — the exact JVM
+    # re-score still decides every reported value
+    cut = 4 * TOP_K
 
     def score(batches):
         for pdf in batches:
@@ -682,9 +683,12 @@ def knn_cosine_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out_v.extend(cand_ids[top].tolist())
             yield pd.DataFrame({"qid": out_q, "vec_id": out_v})
 
-    cand = e.select("vec_id", "embedding").mapInPandas(
-        score, schema="qid long, vec_id long"
-    )
+    # float32 transfer: halves the Arrow corpus shipment to Python; the
+    # kernel only PRUNES (with the widened margin) — reported values
+    # come from the exact float64 JVM re-score below
+    cand = e.select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    ).mapInPandas(score, schema="qid long, vec_id long")
     # Exact re-score of the pruned candidate set (tiny: queries x 2k x
     # partitions) with the SAME JVM fold as knn_cosine_bruteforce.
     qdf = F.broadcast(
@@ -747,7 +751,7 @@ def knn_cosine_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    e = e.repartition(spark.sparkContext.defaultParallelism)
+    e = spread(e)
     xd = F.transform("embedding", lambda x: F.abs(x.cast("double")))
     qscale = (F.array_max(xd) / 127.0).alias("qscale")
     base = e.select("vec_id", "embedding", qscale).filter(F.col("qscale") > 0)
@@ -1027,7 +1031,7 @@ def kmeans_fit(
 )
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    e = e.repartition(spark.sparkContext.defaultParallelism)
+    e = spread(e)
     assigned, _ = kmeans_fit(e)
     return (
         assigned.groupBy("cluster_id")
@@ -1103,9 +1107,7 @@ def _knn_ivf_kmeans_oracle() -> str:
 def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    e = load(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    e = spread(load(spark, sf_dir, "embeddings"))
     assigned, cents = kmeans_fit(e, k=K_CLUSTERS, iters=2)
     # Materialize the cell assignment once: three downstream branches
     # (query side, probe join, rerank) reference it, and at scale this
@@ -1260,9 +1262,7 @@ def _knn_ivf_adc_oracle() -> str:
 def knn_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    e = load(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    e = spread(load(spark, sf_dir, "embeddings"))
     cents = (
         e.orderBy("vec_id")
         .limit(N_CENTROIDS)
@@ -1509,9 +1509,7 @@ def _pq_oracle(m: int = PQ_M, sub: int = PQ_SUB, k: int = PQ_K,
     tags=("similarity", "quantization", "iterative"),
 )
 def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    e = spread(load(spark, sf_dir, "embeddings"))
     books = pq_fit(e)
     out = e.select(
         "vec_id",
@@ -1642,7 +1640,7 @@ _SIM_REGISTRY["knn_recall_eval"].oracle = _recall_oracle()
 )
 def knn_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    e = e.repartition(spark.sparkContext.defaultParallelism)
+    e = spread(e)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qv"),
@@ -1712,9 +1710,7 @@ RADIUS_SIM = 0.2  # cosine threshold for the range query below
     tags=("similarity", "range"),
 )
 def knn_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    e = spread(load(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qv"),
