@@ -727,6 +727,25 @@ class Engine:
         (table_info etc. — allowlist pkg/auth/pragma_list.go:3)."""
         return self.spark.sql(f"DESCRIBE TABLE {table}").collect()
 
+    def dataset_card(self, table: str, **columns) -> DataFrame:
+        """Datasheet rollup for a registered corpus table — the ops-parity
+        analog of PRAGMA-style introspection for training-data tables
+        (doc/char/token volume, language profile, exact-dupe count per
+        source; one corpus scan). Column roles default to the documents
+        schema; override via source_col/lang_col/text_col/chars_col."""
+        from litebase_spark.operators.pipeline import dataset_card
+
+        return dataset_card(self.spark.table(table), **columns)
+
+    def compaction_plan(self, table: str, **options) -> DataFrame:
+        """OPTIMIZE planning for a registered table: greedy bin packing
+        of the (synthesized) file manifest into target-size output bins.
+        Metadata-only — plans, never rewrites; the rewrite itself is
+        sources/io.py compact_table (the VACUUM analog, A11)."""
+        from litebase_spark.operators.pipeline import compaction_plan
+
+        return compaction_plan(self.spark.table(table), **options)
+
     def _rewrite_connection_fns(self, sql_text: str) -> str:
         """Connection-scope SQLite functions: changes()/total_changes()
         substitute the engine's DML counters (the reference captures

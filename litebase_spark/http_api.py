@@ -437,6 +437,13 @@ def decode_parameters(params: list[dict] | None):
 _QUERY_RE = re.compile(r"^/v1/databases/([^/]+)/([^/]+)/query$")
 _QSTREAM_RE = re.compile(r"^/v1/databases/([^/]+)/([^/]+)/query/stream$")
 _METRICS_RE = re.compile(r"^/v1/databases/([^/]+)/([^/]+)/metrics/query$")
+_CARD_RE = re.compile(
+    r"^/v1/databases/([^/]+)/([^/]+)/tables/([A-Za-z_][A-Za-z0-9_]*)/card$"
+)
+_COMPACTION_RE = re.compile(
+    r"^/v1/databases/([^/]+)/([^/]+)/tables/([A-Za-z_][A-Za-z0-9_]*)"
+    r"/compaction-plan$"
+)
 _SNAP_RE = re.compile(r"^/v1/databases/([^/]+)/([^/]+)/snapshots$")
 _SNAP_ID_RE = re.compile(
     r"^/v1/databases/([^/]+)/([^/]+)/snapshots/([^/]+)$"
@@ -608,6 +615,48 @@ class QueryServer:
                     return self._send(
                         200, {"status": "success", "data": data}
                     )
+                m = _CARD_RE.match(parsed.path) or _COMPACTION_RE.match(
+                    parsed.path
+                )
+                if m:
+                    # ops-parity introspection for corpus tables: the
+                    # dataset card (datasheet rollup) and the OPTIMIZE
+                    # bin-packing plan, served like metrics — read-only,
+                    # database:select scoped
+                    key = self._auth()
+                    if key is None:
+                        return self._send(401, {"status": "error", "message": "invalid access key"})
+                    resource = f"database:{m.group(1)}:branch:{m.group(2)}"
+                    if not key.allows(resource, "database:select"):
+                        return self._send(403, {"status": "error", "message": "forbidden"})
+                    is_card = _CARD_RE.match(parsed.path) is not None
+                    qs = parse_qs(parsed.query)
+                    kw = {
+                        k: vs[0] if is_card else int(vs[0])
+                        for k, vs in qs.items()
+                        if k in (
+                            ("source_col", "lang_col", "text_col",
+                             "chars_col")
+                            if is_card
+                            else ("rows_per_file", "target_bytes")
+                        )
+                    }
+                    try:
+                        fn = (
+                            server.engine.dataset_card
+                            if is_card
+                            else server.engine.compaction_plan
+                        )
+                        rows = fn(m.group(3), **kw).collect()
+                    except Exception as exc:
+                        return self._send(
+                            400,
+                            {"status": "error", "message": str(exc)[:300]},
+                        )
+                    return self._send(200, {"status": "success", "data": [
+                        {k: _json_value(v) for k, v in r.asDict().items()}
+                        for r in rows
+                    ]})
                 m = _SNAP_RE.match(parsed.path)
                 if m:
                     key = self._auth()

@@ -1287,14 +1287,26 @@ _COMPACT_TARGET = 100_000  # target bytes per compacted output file
     tags=("pipeline", "maintenance", "window"),
 )
 def pipeline_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    files = d.groupBy(
-        "source",
-        (F.col("doc_id") / _COMPACT_DOCS_PER_FILE)
-        .cast("long")
-        .alias("file_id"),
+    return compaction_plan(load(spark, sf_dir, "documents"))
+
+
+def compaction_plan(
+    df: DataFrame,
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+    rows_per_file: int = _COMPACT_DOCS_PER_FILE,
+    target_bytes: int = _COMPACT_TARGET,
+) -> DataFrame:
+    """Reusable OPTIMIZE planner (engine surface: Engine.compaction_plan /
+    GET .../compaction-plan/{table}); pipeline_compaction_plan is the
+    fixture-bound registry twin — see its docstring for the dataflow."""
+    files = df.groupBy(
+        F.col(source_col).alias("source"),
+        (F.col(id_col) / rows_per_file).cast("long").alias("file_id"),
     ).agg(
-        F.sum("n_chars").alias("size_bytes"),
+        F.sum(size_col).alias("size_bytes"),
         F.count(F.lit(1)).alias("n_docs"),
     )
     planned = files.withColumn(
@@ -1303,7 +1315,7 @@ def pipeline_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"coalesce(sum(size_bytes) over ("
             f"partition by source order by file_id "
             f"rows between unbounded preceding and 1 preceding), 0)"
-            f" div {_COMPACT_TARGET}"
+            f" div {target_bytes}"
         ),
     )
     return planned.groupBy("source", "bin_id").agg(
@@ -1368,7 +1380,26 @@ def pipeline_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("pipeline", "profile"),
 )
 def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    return dataset_card(load(spark, sf_dir, "documents"))
+
+
+def dataset_card(
+    df: DataFrame,
+    *,
+    source_col: str = "source",
+    lang_col: str = "lang",
+    text_col: str = "text",
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """Reusable datasheet rollup (engine surface: Engine.dataset_card /
+    GET .../card/{table}); pipeline_dataset_card is the fixture-bound
+    registry twin — see its docstring for the dataflow."""
+    d = df.select(
+        F.col(source_col).alias("source"),
+        F.col(lang_col).alias("lang"),
+        F.col(text_col).alias("text"),
+        F.col(chars_col).alias("n_chars"),
+    )
     dig = F.md5(
         F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
     )

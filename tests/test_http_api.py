@@ -971,3 +971,56 @@ def test_binary_stream_acl_per_statement(server):
         assert "database:manage" in r2.error
     finally:
         c.close()
+
+
+def test_dataset_card_and_compaction_endpoints(server, spark, sf_dir):
+    """GET .../tables/{t}/card and .../tables/{t}/compaction-plan: the
+    ops-parity introspection surface over a registered corpus table
+    (round-8 verdict stretch)."""
+    from litebase_spark.catalog import load
+
+    load(spark, sf_dir, "documents").createOrReplaceTempView("docs_http")
+    code, body = _call(
+        server, "GET", "/v1/databases/main/main/tables/docs_http/card",
+        token="reader:r3ad",
+    )
+    assert code == 200
+    rows = body["data"]
+    assert rows and {"source", "n_docs", "n_langs", "top_lang",
+                     "total_tokens", "n_exact_dupes"} <= set(rows[0])
+    assert all(r["n_docs"] >= r["n_docs"] - r["n_exact_dupes"] >= 0
+               for r in rows)
+
+    code, body = _call(
+        server, "GET",
+        "/v1/databases/main/main/tables/docs_http/compaction-plan"
+        "?target_bytes=50000",
+        token="reader:r3ad",
+    )
+    assert code == 200
+    plan = body["data"]
+    assert plan and {"source", "bin_id", "n_files", "bin_bytes"} <= set(
+        plan[0]
+    )
+    # unauthenticated -> 401; unknown table -> 400
+    code, _ = _call(
+        server, "GET", "/v1/databases/main/main/tables/docs_http/card"
+    )
+    assert code == 401
+    code, body = _call(
+        server, "GET", "/v1/databases/main/main/tables/no_such_tbl/card",
+        token="reader:r3ad",
+    )
+    assert code == 400
+
+
+def test_engine_card_methods(server, spark, sf_dir):
+    from litebase_spark.catalog import load
+
+    load(spark, sf_dir, "documents").createOrReplaceTempView("docs_eng")
+    card = server.engine.dataset_card("docs_eng").collect()
+    assert len(card) > 0
+    plan = server.engine.compaction_plan(
+        "docs_eng", target_bytes=25_000
+    ).collect()
+    assert all(r["bin_bytes"] > 0 for r in plan)
