@@ -102,6 +102,11 @@ HEADLINE = [
     "layout_hilbert",
     "ts_changepoint_cusum",
     "multimodal_audio_energy",
+    # round 8
+    "text_winnowing_fingerprint",
+    "stats_mann_whitney_u",
+    "pipeline_tokenizer_fertility",
+    "multimodal_frame_diff",
 ]
 
 

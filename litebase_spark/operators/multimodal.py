@@ -709,3 +709,115 @@ def pcm_window_energy(media_df: DataFrame) -> DataFrame:
 def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = attach_media(load(spark, sf_dir, "documents"))
     return pcm_window_energy(m)
+
+
+# ---------------------------------------------------------------------------
+# Frame-difference scene cuts (round 8)
+# ---------------------------------------------------------------------------
+
+_FRAME_BYTES = 64  # one 8x8 grayscale frame per 64 decoded bytes
+_CUT_SAD = 1024  # scene-cut threshold on the inter-frame SAD
+
+FRAME_DIFF_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("sad", LongType()),
+        StructField("is_cut", LongType()),
+    ]
+)
+
+
+def frame_sad(media_df: DataFrame) -> DataFrame:
+    """Inter-frame sum-of-absolute-differences over the DECODED payload:
+    bytes are interpreted as consecutive 8x8 uint8 grayscale frames (the
+    deterministic stand-in for a real video decode — swap the registry
+    decoder for ffmpeg frame extraction and the relational shape is
+    unchanged) and each frame reports its SAD vs the previous frame plus
+    a threshold scene-cut flag — the keyframe-selection / shot-boundary
+    front end of a video training pipeline. All integer arithmetic
+    (|d| <= 255 * 64 per frame), so the DuckDB oracle replays it exactly
+    from hex(payload). Per item only O(frames) 32-byte rows leave the
+    executor, never pixels."""
+    import numpy as np
+
+    decoders = _decoder_snapshot()
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, sads = [], [], []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["media"], pdf["meta"]
+            ):
+                data = _decode_media(
+                    bytes(payload), meta["modality"], decoders
+                )
+                nf = len(data) // _FRAME_BYTES
+                if nf < 2:
+                    continue
+                arr = (
+                    np.frombuffer(data, dtype=np.uint8)[
+                        : nf * _FRAME_BYTES
+                    ]
+                    .astype(np.int64)
+                    .reshape(nf, _FRAME_BYTES)
+                )
+                sad = np.abs(arr[1:] - arr[:-1]).sum(axis=1)
+                ids.extend([doc_id] * (nf - 1))
+                fidx.extend(range(1, nf))
+                sads.extend(int(v) for v in sad)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": fidx,
+                    "sad": sads,
+                    "is_cut": [1 if v > _CUT_SAD else 0 for v in sads],
+                }
+            )
+
+    return media_df.mapInPandas(compute, FRAME_DIFF_SCHEMA)
+
+
+@query(
+    "multimodal_frame_diff",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents
+      WHERE octet_length(encode(text)) >= {2 * _FRAME_BYTES}
+    ),
+    samples AS (
+      SELECT doc_id, j,
+        (strpos('0123456789ABCDEF', substr(hx, j*2+1, 1)) - 1) * 16 +
+        (strpos('0123456789ABCDEF', substr(hx, j*2+2, 1)) - 1) AS b
+      FROM h, UNNEST(range(0, (n // {_FRAME_BYTES}) * {_FRAME_BYTES}))
+        AS t(j)
+    ),
+    diffs AS (
+      SELECT doc_id, j // {_FRAME_BYTES} AS frame_idx,
+             ABS(b - LAG(b, {_FRAME_BYTES}) OVER (
+               PARTITION BY doc_id ORDER BY j)) AS d
+      FROM samples
+    )
+    SELECT doc_id, frame_idx,
+           CAST(SUM(d) AS BIGINT) AS sad,
+           CAST(CASE WHEN SUM(d) > {_CUT_SAD} THEN 1 ELSE 0 END AS BIGINT)
+             AS is_cut
+    FROM diffs WHERE frame_idx >= 1
+    GROUP BY doc_id, frame_idx
+    """,
+    description="Video-pipeline front end: decoded payload as "
+    "consecutive 8x8 uint8 frames, per-frame SAD vs the previous frame "
+    "+ scene-cut flag (the keyframe-selection / shot-boundary shape) — "
+    "computed inside the Arrow decode stage (mapInPandas), "
+    "integer-exact, so the DuckDB oracle replays byte-for-byte from "
+    "hex(payload) with a 64-byte LAG. Complements "
+    "multimodal_frame_sample (fixed-stride sampling) with "
+    "content-adaptive selection; a real deployment keeps frames where "
+    "is_cut = 1.",
+    tags=("multimodal", "pandas_udf"),
+)
+def multimodal_frame_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = attach_media(load(spark, sf_dir, "documents"))
+    return frame_sad(m)

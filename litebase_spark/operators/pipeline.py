@@ -1470,3 +1470,56 @@ def dataset_card(
         "total_tokens",
         (F.col("n_docs") - F.col("n_uniq")).alias("n_exact_dupes"),
     )
+
+
+@query(
+    "pipeline_tokenizer_fertility",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, lang, n_chars,
+             octet_length(encode(text)) AS nb,
+             len({_SQL_TOKENS.format(c='text')}) AS nt
+      FROM documents
+    )
+    SELECT source, lang, COUNT(*) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(nb) AS BIGINT) AS total_bytes,
+           CAST(SUM(nt) * 1000000 // GREATEST(SUM(nb), 1) AS BIGINT)
+             AS tokens_per_byte_e6,
+           CAST(SUM(nb) * 1000000 // GREATEST(SUM(nt), 1) AS BIGINT)
+             AS bytes_per_token_e6
+    FROM t GROUP BY source, lang
+    """,
+    description="Tokenizer fertility audit per (source, lang): token / "
+    "char / UTF-8 byte volumes and the two fertility ratios "
+    "(tokens-per-byte, bytes-per-token, e6 fixed-point DIV — "
+    "engine-identical) that decide whether a tokenizer under- or "
+    "over-segments a language before a training run commits to it — "
+    "the standard multilingual-tokenizer evaluation metric. ONE corpus "
+    "scan, tokenizer evaluated once per doc in the projection, one "
+    "exchange with map-side combine onto the small (source, lang) "
+    "grid.",
+    tags=("pipeline", "profile", "llm"),
+)
+def pipeline_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.octet_length(F.encode("text", "utf-8")).cast("long").alias("nb"),
+        F.size(tokens("text")).cast("long").alias("nt"),
+    )
+    return t.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("nb").cast("long").alias("total_bytes"),
+        F.expr("(sum(nt) * 1000000) DIV greatest(sum(nb), 1)").alias(
+            "tokens_per_byte_e6"
+        ),
+        F.expr("(sum(nb) * 1000000) DIV greatest(sum(nt), 1)").alias(
+            "bytes_per_token_e6"
+        ),
+    )

@@ -2167,3 +2167,106 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("d_stat"),
     )
+
+
+@query(
+    "stats_mann_whitney_u",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    cells AS (
+      SELECT cents, SUM(a) AS ca, SUM(b) AS cb FROM s GROUP BY cents
+    ),
+    r AS (
+      SELECT ca, cb, ca + cb AS t,
+             COALESCE(SUM(ca + cb) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum0,
+             SUM(ca) OVER () AS n1, SUM(cb) OVER () AS n2
+      FROM cells
+    )
+    SELECT CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
+           CAST(SUM(ca * (2 * cum0 + t + 1)) - MAX(n1) * (MAX(n1) + 1)
+                AS BIGINT) AS u2_a,
+           ROUND(
+             CAST(SUM(ca * (2 * cum0 + t + 1))
+                  - MAX(n1) * (MAX(n1) + 1)
+                  - MAX(n1) * MAX(n2) AS DOUBLE)
+             / (2.0 * SQRT(
+                 (CAST(MAX(n1) AS DOUBLE) * MAX(n2) / 12.0)
+                 * ((MAX(n1) + MAX(n2) + 1)
+                    - CAST(SUM(t * t * t - t) AS DOUBLE)
+                      / ((MAX(n1) + MAX(n2))
+                         * (MAX(n1) + MAX(n2) - 1.0))))),
+             6) AS z_score
+    FROM r
+    """,
+    description="Two-sample Mann-Whitney U (Wilcoxon rank-sum) between "
+    "the value distributions of two event types — the rank-based drift "
+    "gate that catches median/stochastic-dominance shifts KS's max-gap "
+    "can blur and that, unlike Welch, needs no normality. Computed "
+    "EXACTLY in integers over the CELL table: per-distinct-value "
+    "counts (one corpus shuffle with map-side combine), doubled "
+    "midranks 2r = 2*cum_before + ties + 1 from a running sum over "
+    "the value grid, 2U_A = sum(ca * 2r) - n1(n1+1) as BIGINT, and "
+    "the tie-corrected normal z only at the single final double "
+    "division. The unpartitioned window runs over the bounded "
+    "distinct-value cells, never the corpus — the chi2/KS "
+    "cells-not-corpus shape.",
+    tags=("stats", "window"),
+)
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    s = e.select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("a"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("b"),
+    )
+    cells = s.groupBy("cents").agg(
+        F.sum("a").alias("ca"), F.sum("b").alias("cb")
+    )
+    wg = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    wa = Window.partitionBy()
+    t = F.col("ca") + F.col("cb")
+    r = cells.select(
+        "ca",
+        "cb",
+        t.alias("t"),
+        F.coalesce(F.sum(t).over(wg), F.lit(0)).alias("cum0"),
+        F.sum("ca").over(wa).alias("n1"),
+        F.sum("cb").over(wa).alias("n2"),
+    )
+    n1 = F.max("n1")
+    n2 = F.max("n2")
+    two_r = F.sum(F.col("ca") * (2 * F.col("cum0") + F.col("t") + 1))
+    u2a = two_r - n1 * (n1 + 1)
+    nn = n1 + n2
+    ties = F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+    z = F.round(
+        (u2a - n1 * n2).cast("double")
+        / (
+            F.lit(2.0)
+            * F.sqrt(
+                (n1.cast("double") * n2 / F.lit(12.0))
+                * (
+                    (nn + 1)
+                    - ties.cast("double") / (nn * (nn - F.lit(1.0)))
+                )
+            )
+        ),
+        6,
+    )
+    return r.agg(
+        n1.cast("long").alias("n1"),
+        n2.cast("long").alias("n2"),
+        u2a.cast("long").alias("u2_a"),
+        z.alias("z_score"),
+    )

@@ -2106,3 +2106,95 @@ def text_containment_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cont >= _CONTAIN_THRESHOLD)
         .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (round 8)
+# ---------------------------------------------------------------------------
+
+_WINNOW_W = 4  # gram-hash window width (guarantee: of any W consecutive
+#                grams, at least one is selected — the MOSS density bound)
+
+
+@query(
+    "text_winnowing_fingerprint",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {{toks}} AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id, len(w) - 2 AS n_grams, u.pos,
+             {{h}} AS h
+      FROM tok, UNNEST(range(1, len(w) - 1)) AS u(pos)
+      WHERE len(w) >= 6
+    ),
+    sel AS (
+      SELECT doc_id, n_grams, pos,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
+               AS fp
+      FROM g
+    )
+    SELECT doc_id, fp, COUNT(*) AS n_sel
+    FROM sel WHERE pos <= n_grams - {_WINNOW_W - 1}
+    GROUP BY doc_id, fp
+    """.format(
+        toks=_SQL_TOKENS.format(c="text"),
+        h=_h60_duck("w[u.pos] || ' ' || w[u.pos+1] || ' ' || w[u.pos+2]"),
+    ),
+    description="Winnowing document fingerprints (Schleimer/Wilkerson/"
+    "Aiken, the MOSS algorithm): hash every 3-token shingle to the "
+    "portable 60-bit BIGINT, slide a width-4 window over the gram-hash "
+    "sequence, and select each window's MINIMUM — the classic "
+    "guarantee that any shared run of >= w+k-1 tokens yields at least "
+    "one shared selected fingerprint, at ~2/(w+1) the density of full "
+    "shingling. Strictly stronger than text_fingerprint (one global "
+    "min per doc) for local-overlap detection, and the selected-set "
+    "size is tunable via w rather than corpus-dependent. Plan: "
+    "tokenize-before-exchange with the NULL-array short-doc guard "
+    "(single tokenizer pass — the round-8 recipe), posexplode_outer, "
+    "then ONE doc-keyed exchange serves the sliding-min window, and "
+    "the (doc, fp) rollup collapses map-side. Reference parity: the "
+    "reference has no fingerprinting at all — net-new LLM-dedup "
+    "surface.",
+    tags=("text", "dedup", "llm"),
+)
+def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = tokens("text")
+    gram = (
+        "concat_ws(' ', element_at(w, i), element_at(w, i + 1),"
+        " element_at(w, i + 2))"
+    )
+    tw = d.select("doc_id", w.alias("w"))
+    if tw.rdd.getNumPartitions() < 8:
+        tw = tw.repartition(spark.sparkContext.defaultParallelism)
+    grams = F.expr(
+        f"transform(sequence(1, size(w) - 2), i -> {_h60_spark(gram)})"
+    )
+    g = (
+        tw.select(
+            "doc_id",
+            (F.size("w") - 2).alias("n_grams"),
+            F.posexplode_outer(
+                F.when(F.size("w") >= 6, grams)
+            ).alias("pos0", "h"),
+        )
+        .filter(F.col("h").isNotNull())
+        .select(
+            "doc_id", "n_grams", (F.col("pos0") + 1).alias("pos"), "h"
+        )
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, _WINNOW_W - 1)
+    )
+    sel = g.select(
+        "doc_id", "n_grams", "pos", F.min("h").over(win).alias("fp")
+    ).filter(F.col("pos") <= F.col("n_grams") - (_WINNOW_W - 1))
+    return sel.groupBy("doc_id", "fp").agg(
+        F.count(F.lit(1)).alias("n_sel")
+    )

@@ -78,6 +78,8 @@ _ALLOWED_ARROW = {
     # batches per key, state is 4 scalars, emission O(changes)
     "multimodal_audio_energy",  # windowed PCM energy in the Arrow
     # decode stage; O(windows) 32-byte rows leave the executor
+    "multimodal_frame_diff",  # inter-frame SAD in the Arrow decode
+    # stage; O(frames) 32-byte rows leave the executor
 }
 
 # Queries whose only scan-adjacent Filter is an EXPRESSION predicate
