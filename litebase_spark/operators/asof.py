@@ -134,6 +134,75 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, event_id, value FROM (
+        SELECT user_id, ts, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click') WHERE rn = 1
+    ),
+    purchases AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           CASE WHEN c.ts >= p.ts - INTERVAL 15 MINUTE
+                THEN c.event_id END AS r_event_id,
+           CASE WHEN c.ts >= p.ts - INTERVAL 15 MINUTE
+                THEN c.ts END AS r_ts,
+           CASE WHEN c.ts >= p.ts - INTERVAL 15 MINUTE
+                THEN c.value END AS r_value
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    description="As-of join with a TOLERANCE bound (pandas "
+    "merge_asof(tolerance=...)): each purchase joined to the same "
+    "user's latest click at-or-before it, but only if that click is "
+    "within 15 minutes — a stale quote/sensor reading is worse than no "
+    "reading, the canonical guard in market-data and telemetry "
+    "enrichment. Same one-shuffle union+window sweep as join_asof "
+    "(asof_join helper — no pair explosion, no extra exchange for the "
+    "bound); the tolerance is a post-sweep NULL-out, which preserves "
+    "the LEFT rows exactly like the oracle's CASE over DuckDB's native "
+    "ASOF LEFT JOIN.",
+    tags=("asof", "join", "timeseries"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    dedup_w = Window.partitionBy("user_id", "ts").orderBy(
+        F.col("event_id").desc()
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(dedup_w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["event_id", "ts", "value"],
+    )
+    ok = F.col("r_ts") >= F.col("ts") - F.expr("INTERVAL 15 MINUTES")
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(ok, F.col("r_event_id")).alias("r_event_id"),
+        F.when(ok, F.col("r_ts")).alias("r_ts"),
+        F.when(ok, F.col("r_value")).alias("r_value"),
+    )
+
+
+@query(
     "join_range_interval",
     oracle="""
     SELECT p.event_id, p.user_id,
@@ -1267,4 +1336,52 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("dev").cast("double") / (F.col("n") * 100.0), 6
         ).alias("max_cusum"),
+    )
+
+
+@query(
+    "ts_seasonal_profile",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hour,
+             COUNT(*) AS n,
+             SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS sc
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(hour AS BIGINT) AS hour,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(sc * 10000 // n AS BIGINT) AS mean_value_e6,
+           CAST(CASE WHEN ROW_NUMBER() OVER (
+                  PARTITION BY event_type ORDER BY n DESC, hour) = 1
+                THEN 1 ELSE 0 END AS BIGINT) AS is_peak_hour
+    FROM cells
+    """,
+    description="Hour-of-day seasonal profile per event type: the "
+    "periodic fold (volume + integer-exact e6 mean value per hour "
+    "slot, peak-hour flag) that seasonality-aware anomaly gates "
+    "baseline against — ts_anomaly_zscore flags vs a global mean, "
+    "this gives it the per-slot mean that stops 9am traffic from "
+    "alerting every day. One corpus exchange collapses map-side onto "
+    "the (type, 24-hour) grid; the peak-hour window runs over <= 24 "
+    "cells per type, never the corpus — the chi2/KS cells-not-corpus "
+    "shape applied to time.",
+    tags=("timeseries", "stats"),
+)
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(fp("value")).alias("sc"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n"), F.asc("hour")
+    )
+    return cells.select(
+        "event_type",
+        "hour",
+        F.col("n").cast("long").alias("n_events"),
+        F.expr("(sc * 10000) DIV n").alias("mean_value_e6"),
+        (F.row_number().over(w) == 1).cast("long").alias("is_peak_hour"),
     )

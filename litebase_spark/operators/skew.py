@@ -992,3 +992,110 @@ def join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_false_pos"),
         )
     )
+
+
+@query(
+    "sketch_hll_intersect",
+    oracle=f"""
+    WITH h AS (
+      SELECT year(o_orderdate) AS y,
+             {h60_duck("CAST(o_custkey AS VARCHAR)")} AS h
+      FROM orders
+    ),
+    cells AS (
+      SELECT y, h >> 52 AS idx, MAX({_RHO_DUCK}) AS mrho
+      FROM h GROUP BY y, idx
+    ),
+    yagg AS (
+      SELECT y, CAST(SUM(1::BIGINT << (53 - mrho)) AS BIGINT) AS sp,
+             COUNT(*) AS nr
+      FROM cells GROUP BY y
+    ),
+    yest AS (SELECT y, {hll_estimate_duck('sp', 'nr')} AS est FROM yagg),
+    contrib AS (
+      SELECT y AS pair, idx, mrho FROM cells
+      UNION ALL
+      SELECT y - 1 AS pair, idx, mrho FROM cells
+    ),
+    u AS (SELECT pair, idx, MAX(mrho) AS mrho FROM contrib
+          GROUP BY pair, idx),
+    uagg AS (
+      SELECT pair, CAST(SUM(1::BIGINT << (53 - mrho)) AS BIGINT) AS sp,
+             COUNT(*) AS nr
+      FROM u GROUP BY pair
+    ),
+    uest AS (SELECT pair, {hll_estimate_duck('sp', 'nr')} AS est
+             FROM uagg)
+    SELECT CAST(a.y AS BIGINT) AS year_a, CAST(b.y AS BIGINT) AS year_b,
+           ROUND(a.est, 4) AS est_a, ROUND(b.est, 4) AS est_b,
+           ROUND(uest.est, 4) AS est_union,
+           ROUND(a.est + b.est - uest.est, 4) AS est_intersect
+    FROM yest a
+    JOIN yest b ON b.y = a.y + 1
+    JOIN uest ON uest.pair = a.y
+    """,
+    description="HLL sketch INTERSECTION via inclusion-exclusion: "
+    "estimated customers active in BOTH of each pair of consecutive "
+    "years (the sketch-sized answer to 'how many returned next year' "
+    "that an exact COUNT(DISTINCT) self-join would pay two corpus "
+    "shuffles for). Register states per year come from ONE scan; the "
+    "pair-union registers are built WITHOUT an outer join by fanning "
+    "each year's registers into the <= 2 pair slots they serve "
+    "(UNION ALL + register-wise MAX — mergeability is the whole point "
+    "of sketches), and est_intersect = est_a + est_b - est_union with "
+    "the portable integer register states making every estimate "
+    "bit-identical across engines. Completes the sketch algebra: "
+    "rollup (agg_hll_sketch_rollup), union (sketch_hll_union), and "
+    "now intersection.",
+    tags=("sketch", "agg"),
+)
+def sketch_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    cells = (
+        o.select(
+            F.year("o_orderdate").alias("y"),
+            F.expr(h60_spark("CAST(o_custkey AS STRING)")).alias("h"),
+        )
+        .select(
+            "y",
+            F.expr("shiftrightunsigned(h, 52)").alias("idx"),
+            F.expr(_RHO_SPARK).alias("rho"),
+        )
+        .groupBy("y", "idx")
+        .agg(F.max("rho").alias("mrho"))
+        .localCheckpoint(eager=True)  # one scan feeds per-year + unions
+    )
+
+    def estimate(grouped, keys: list[str]):
+        agg = grouped.agg(
+            F.sum(F.expr("shiftleft(1L, 53 - mrho)")).alias("sp"),
+            F.count(F.lit(1)).alias("nr"),
+        )
+        return agg.select(
+            *keys, F.expr(hll_estimate_spark("sp", "nr")).alias("est")
+        )
+
+    yest = estimate(cells.groupBy("y"), ["y"])
+    contrib = cells.select(F.col("y").alias("pair"), "idx", "mrho").unionAll(
+        cells.select((F.col("y") - 1).alias("pair"), "idx", "mrho")
+    )
+    u = contrib.groupBy("pair", "idx").agg(F.max("mrho").alias("mrho"))
+    uest = estimate(u.groupBy("pair"), ["pair"]).select(
+        "pair", F.col("est").alias("est_u")
+    )
+    a = yest.alias("a")
+    b = yest.alias("b")
+    return (
+        a.join(b, F.col("b.y") == F.col("a.y") + 1)
+        .join(uest, F.col("pair") == F.col("a.y"))
+        .select(
+            F.col("a.y").cast("long").alias("year_a"),
+            F.col("b.y").cast("long").alias("year_b"),
+            F.round(F.col("a.est"), 4).alias("est_a"),
+            F.round(F.col("b.est"), 4).alias("est_b"),
+            F.round(F.col("est_u"), 4).alias("est_union"),
+            F.round(
+                F.col("a.est") + F.col("b.est") - F.col("est_u"), 4
+            ).alias("est_intersect"),
+        )
+    )

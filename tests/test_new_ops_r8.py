@@ -221,3 +221,88 @@ def test_frame_diff_hand_model(spark):
         (2, 1): (0, 0),
         (2, 2): (0, 0),
     }
+
+
+def test_asof_tolerance_nulls_stale_matches(spark, tmp_path):
+    from litebase_spark.operators.asof import join_asof_tolerance
+
+    rows = [
+        # user 1: click 10 min before purchase -> within tolerance
+        (1, "2024-01-01 10:00:00", 1, "click", 5.0),
+        (2, "2024-01-01 10:10:00", 1, "purchase", 9.0),
+        # user 2: click 20 min before purchase -> stale, NULLed
+        (3, "2024-01-01 10:00:00", 2, "click", 7.0),
+        (4, "2024-01-01 10:20:00", 2, "purchase", 9.0),
+        # user 3: no click at all
+        (5, "2024-01-01 10:00:00", 3, "purchase", 9.0),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        r["event_id"]: (r["r_event_id"], r["r_value"])
+        for r in join_asof_tolerance(spark, sf).collect()
+    }
+    assert got == {2: (1, 5.0), 4: (None, None), 5: (None, None)}
+
+
+def test_seasonal_profile_hand_model(spark, tmp_path):
+    from litebase_spark.operators.asof import ts_seasonal_profile
+
+    rows = [
+        (1, "2024-01-01 09:00:00", 1, "click", 1.00),
+        (2, "2024-01-02 09:30:00", 1, "click", 3.00),
+        (3, "2024-01-01 14:00:00", 1, "click", 2.00),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        (r["event_type"], r["hour"]): (
+            r["n_events"], r["mean_value_e6"], r["is_peak_hour"]
+        )
+        for r in ts_seasonal_profile(spark, sf).collect()
+    }
+    # hour 9: n=2, mean = (100+300)*10000 // 2 = 2_000_000 (2.0), peak
+    # hour 14: n=1, mean 2_000_000, not peak (tie broken by count)
+    assert got == {
+        ("click", 9): (2, 2_000_000, 1),
+        ("click", 14): (1, 2_000_000, 0),
+    }
+
+
+def test_hll_intersect_identical_years(spark, tmp_path):
+    """Same customer set in both years -> union registers == each
+    year's -> est_intersect == est_a == est_b exactly (mergeable
+    register algebra, no estimation error in the IDENTITY case)."""
+    from litebase_spark.operators.skew import sketch_hll_intersect
+
+    rows = []
+    ok = 0
+    for y in (1995, 1996):
+        for c in range(1, 201):
+            rows.append((ok, c, f"{y}-06-01", "O", 100.0, "1-URGENT"))
+            ok += 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderdate string,"
+        " o_orderstatus string, o_totalprice double,"
+        " o_orderpriority string",
+    ).withColumn(
+        "o_orderdate", F.to_timestamp("o_orderdate")
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "orders.parquet")
+    )
+    r = sketch_hll_intersect(spark, str(tmp_path)).first()
+    assert (r["year_a"], r["year_b"]) == (1995, 1996)
+    assert r["est_a"] == r["est_b"] == r["est_union"] == r["est_intersect"]
+    # 256-register HLL on 200 distinct: estimate within ~15%
+    assert abs(r["est_a"] - 200) / 200 < 0.15
+
+
+def test_hll_intersect_bounds_on_fixture(spark):
+    from litebase_spark.operators.skew import sketch_hll_intersect
+
+    rows = sketch_hll_intersect(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["year_b"] == r["year_a"] + 1
+        assert r["est_union"] <= r["est_a"] + r["est_b"] + 1e-9
+        assert r["est_union"] >= max(r["est_a"], r["est_b"]) - 1e-9
+        assert r["est_intersect"] <= min(r["est_a"], r["est_b"]) + 1e-9

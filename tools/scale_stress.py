@@ -81,6 +81,12 @@ QUERIES = [
     "pipeline_compaction_plan",  # manifest cumsum binning
     "multimodal_audio_energy",   # Arrow decode-stage PCM windows
     # text_containment_rare is pair-forming — same exclusion class
+    # round 8 (all linear-work by construction)
+    "text_winnowing_fingerprint",  # sliding-min over one doc-keyed exchange
+    "stats_mann_whitney_u",      # cells-not-corpus rank windows
+    "pipeline_tokenizer_fertility",  # one-scan (source, lang) rollup
+    "multimodal_frame_diff",     # Arrow decode-stage frame SAD
+    "agg_cube",                  # cube over pre-aggregated cells
 ]
 
 _SHIFT = 10**9
@@ -169,6 +175,22 @@ def main() -> int:
             + " | ".join(f"{row[k]:.2f}" for k in scales)
             + f" | {ratio:.1f}x | {per_row:.2f} |"
         )
+    lines += [
+        "",
+        "Reading the curves: facts replicate with shifted PRIMARY keys "
+        "only (orders/lineitem stay 1:1 on orderkey — their joins are "
+        "linear in k), but events keeps user_id/ts and documents keeps "
+        "its text, so the replica grows DENSER, not longer. "
+        "Density-coupled operators therefore do quadratically more "
+        "OUTPUT work by construction: join_range_interval's matched "
+        "pairs grow k^2 (183 at x1 -> 46,848 at x16, 256x) because "
+        "every user has 16x the clicks inside each 30-min window; "
+        "join_interval_overlap and text_substring_dedup (16 identical "
+        "copies of every doc make every 8-gram a duplicate) are the "
+        "same class. Their x16/x1 wall ratios of ~4x against 16x rows "
+        "PLUS 256x matches are strongly sub-linear in actual work — "
+        "the per-row ratio column understates them.",
+    ]
     md = "\n".join(lines) + "\n"
     if args.out:
         with open(args.out, "w") as f:
