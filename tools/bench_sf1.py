@@ -58,6 +58,49 @@ _EXCLUDE = {
 }
 
 
+# Per-query floor notes for the >2x rows, carried in the generator so a
+# regeneration cannot clobber them.  Stage decompositions are measured
+# same-process (interleaved A/B, min of 2) on the round-8 machine; the
+# absolute constants drift ±10-30% between runs but the *structure*
+# (exchange count, which variant wins) is stable.
+_FLOOR_NOTES = [
+    "Open bars and per-query floor notes (measured stage decompositions, "
+    "same-process interleaved A/B):",
+    "",
+    "- `q10_returned_items` (bar ≤0.6 s, open): R-filtered lineitem "
+    "scan+project 0.20 s, orderkey pre-agg exchange+agg +0.25, orders "
+    "exchange + shuffle-hash join +0.05, custkey exchange+agg +0.15, "
+    "dims+top-k +0.11. Three exchanges is the canonical minimum for "
+    "fact⋈fact→custkey agg; A/B no-preagg (1.21 vs 0.96) and "
+    "broadcast-orders (1.29 vs 0.83) are both worse. The bar sits below "
+    "the sum of the irreducible exchange constants on this machine.",
+    "- `join_salted_skew` (bar ≤0.5 s, open): a bare one-exchange "
+    "repartition of the 6M-row lineitem costs 0.53 s alone; the full "
+    "adaptive salted SHJ is ~0.75-0.85. The bar is under the "
+    "single-shuffle floor. Pre-agg-below-join A/B'd neutral "
+    "(0.88 vs 0.84).",
+    "- `q12_priority_lateness`: two pre-reduced exchanges (2.4M + 1.5M "
+    "rows) + SHJ — same exchange-constant class as salted.",
+    "- `q4_order_priority`: post-replan (shuffle-hash + dedup-first "
+    "EXISTS, size-adaptive hint) 1.06→~0.7-0.8 s; remaining cost is the "
+    "two fact exchanges.",
+    "- `agg_cube` (re-planned r8, cells-first): cube now Expands over the "
+    "pre-aggregated cell table, not the corpus; remaining ~0.4 s is the "
+    "lineitem pre-agg exchange + the cube stage (two exchange chains).",
+    "- `knn_cosine_vectorized` (re-planned r8): float32 Arrow transfer + "
+    "blocked BLAS; ~0.4 s is one corpus pass + TakeOrdered, within drift "
+    "of the ≤0.4 bar.",
+    "- `join_range_interval` (re-planned r8, build-side explode): one "
+    "bucketed SHJ; at sf1 the matched-pair count, not the shuffle, "
+    "dominates (see SCALE_STRESS density note).",
+    "- `q13/q15/q22/setop_union/subquery_correlated` (>4x, sub-0.5 s): "
+    "2-3 job chains over inputs that shrink to <100k rows after the "
+    "first stage — per-stage launch constants, amortized at cluster "
+    "scale; DuckDB's sub-50 ms times reflect its zero-launch-cost local "
+    "pipeline on the same shrunken inputs.",
+]
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="BENCH_SF1.md")
@@ -183,6 +226,10 @@ def main() -> int:
         "fact replication) measure stage-launch latency, not throughput; "
         "they vanish at cluster scale where task work dominates launch "
         "cost.",
+        "",
+    ]
+    lines += _FLOOR_NOTES
+    lines += [
         "",
         "Excluded (by design, not measured):",
         "",
