@@ -107,6 +107,8 @@ HEADLINE = [
     "stats_mann_whitney_u",
     "pipeline_tokenizer_fertility",
     "multimodal_frame_diff",
+    "ts_acf_lags",
+    "stats_cramers_v",
 ]
 
 

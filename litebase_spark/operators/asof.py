@@ -1385,3 +1385,96 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(sc * 10000) DIV n").alias("mean_value_e6"),
         (F.row_number().over(w) == 1).cast("long").alias("is_peak_hour"),
     )
+
+
+@query(
+    "ts_acf_lags",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, ts, event_id,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+               OVER (PARTITION BY event_type) AS s
+      FROM events
+    ),
+    l AS (
+      SELECT event_type, n, c * n - s AS d,
+             LAG(c, 1) OVER w * n - s AS d1,
+             LAG(c, 2) OVER w * n - s AS d2,
+             LAG(c, 3) OVER w * n - s AS d3
+      FROM v
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CASE WHEN d1 IS NOT NULL THEN
+                   CAST(d AS HUGEINT) * CAST(d1 AS HUGEINT) END) AS DOUBLE)
+                 / CAST(SUM(CAST(d AS HUGEINT) * CAST(d AS HUGEINT))
+                        AS DOUBLE), 6) AS acf_lag1,
+           ROUND(CAST(SUM(CASE WHEN d2 IS NOT NULL THEN
+                   CAST(d AS HUGEINT) * CAST(d2 AS HUGEINT) END) AS DOUBLE)
+                 / CAST(SUM(CAST(d AS HUGEINT) * CAST(d AS HUGEINT))
+                        AS DOUBLE), 6) AS acf_lag2,
+           ROUND(CAST(SUM(CASE WHEN d3 IS NOT NULL THEN
+                   CAST(d AS HUGEINT) * CAST(d3 AS HUGEINT) END) AS DOUBLE)
+                 / CAST(SUM(CAST(d AS HUGEINT) * CAST(d AS HUGEINT))
+                        AS DOUBLE), 6) AS acf_lag3
+    FROM l GROUP BY event_type
+    """,
+    description="Autocorrelation of the value series at lags 1-3 per "
+    "event type — the seasonality/trend screen run before choosing a "
+    "drift detector (white noise -> ks_test is enough; high ACF -> "
+    "CUSUM or the seasonal profile first). Exact to the final "
+    "division via the cross-multiplied identity: with S = sum(x) and "
+    "n the series length, acf_k = sum(d_t * d_{t-k}) / sum(d_t^2) "
+    "where d_t = n*x_t - S = n*(x_t - mean) in cents, so numerator "
+    "and denominator are exact 128-bit integer sums (DECIMAL(38,0) / "
+    "HUGEINT) and the single double division at the end is the only "
+    "rounding site in either engine. ONE exchange keyed by event_type "
+    "serves the partition totals, the three LAGs, and the final "
+    "per-type aggregate (same key -> Catalyst reuses the shuffle); "
+    "per-partition state is the series, the same bound every ordered "
+    "window op in this file carries.",
+    tags=("timeseries", "stats", "window"),
+)
+def ts_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", fp("value").alias("c")
+    )
+    per_type = Window.partitionBy("event_type")
+    ordered = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    v = e.withColumn("n", F.count(F.lit(1)).over(per_type)).withColumn(
+        "s", F.sum("c").over(per_type)
+    )
+    d = (F.col("c") * F.col("n") - F.col("s")).alias("d")
+    lagged = v.select(
+        "event_type",
+        "n",
+        d,
+        (F.lag("c", 1).over(ordered) * F.col("n") - F.col("s")).alias("d1"),
+        (F.lag("c", 2).over(ordered) * F.col("n") - F.col("s")).alias("d2"),
+        (F.lag("c", 3).over(ordered) * F.col("n") - F.col("s")).alias("d3"),
+    )
+    dec = "decimal(38,0)"
+    den = F.sum(F.col("d").cast(dec) * F.col("d").cast(dec))
+
+    def num(lag_col: str):
+        return F.sum(
+            F.when(
+                F.col(lag_col).isNotNull(),
+                F.col("d").cast(dec) * F.col(lag_col).cast(dec),
+            )
+        )
+
+    return lagged.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.round(num("d1").cast("double") / den.cast("double"), 6).alias(
+            "acf_lag1"
+        ),
+        F.round(num("d2").cast("double") / den.cast("double"), 6).alias(
+            "acf_lag2"
+        ),
+        F.round(num("d3").cast("double") / den.cast("double"), 6).alias(
+            "acf_lag3"
+        ),
+    )

@@ -2094,6 +2094,102 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stats_cramers_v",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+      FROM documents GROUP BY lang, source
+    ),
+    m AS (
+      SELECT o,
+             SUM(o) OVER (PARTITION BY lang) AS rt,
+             SUM(o) OVER (PARTITION BY source) AS ct,
+             SUM(o) OVER () AS n,
+             DENSE_RANK() OVER (ORDER BY lang) AS r,
+             DENSE_RANK() OVER (ORDER BY source) AS c
+      FROM cells
+    ),
+    contrib AS (
+      SELECT n, r, c,
+             CAST(ROUND(CAST(o * n AS DOUBLE) * o
+                        / CAST(rt * ct AS DOUBLE), 6)
+                  AS DECIMAL(38,6)) AS cd
+      FROM m
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_total,
+           CAST(MAX(r) AS BIGINT) AS n_rows,
+           CAST(MAX(c) AS BIGINT) AS n_cols,
+           ROUND(CAST(SUM(cd) AS DOUBLE) - MAX(n), 6) AS chi2,
+           ROUND(SQRT((CAST(SUM(cd) AS DOUBLE) - MAX(n))
+                 / (MAX(n) * LEAST(MAX(r) - 1, MAX(c) - 1))), 6)
+             AS cramers_v
+    FROM contrib
+    """,
+    description="Cramer's V effect size for the lang x source "
+    "association — the number that tells a pipeline operator whether "
+    "a significant chi2 (stats_chi2_independence, whose cell "
+    "machinery this extends) is a real confound or a large-n "
+    "artifact. Uses the identity chi2 = sum(O^2/E) - n, whose terms "
+    "are zero for EMPTY contingency cells — so the total is exact "
+    "over the observed-cells-only table a groupBy produces (the "
+    "(O-E)^2/E form would silently drop absent cells' mass). "
+    "Exactness contract: each term is one double multiply+divide on "
+    "exact integer inputs (deterministic IEEE, identical in both "
+    "engines, rounded to 6 places), the cross-cell total is summed "
+    "in DECIMAL(38,6) so float summation ORDER cannot differ, and "
+    "the final V = sqrt(chi2 / (n * min(r-1, c-1))) uses only "
+    "correctly-rounded IEEE ops (divide, sqrt) on identical inputs. "
+    "All windows and the dense-rank dimension counts run over the "
+    "bounded |langs| x |sources| cell table, never the corpus — one "
+    "corpus scan, one shuffle.",
+    tags=("stats",),
+)
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    w_all = Window.partitionBy()
+    m = (
+        cells.withColumn("rt", F.sum("o").over(Window.partitionBy("lang")))
+        .withColumn("ct", F.sum("o").over(Window.partitionBy("source")))
+        .withColumn("n", F.sum("o").over(w_all))
+        .withColumn("r", F.dense_rank().over(Window.orderBy("lang")))
+        .withColumn("c", F.dense_rank().over(Window.orderBy("source")))
+    )
+    contrib = m.select(
+        "n",
+        "r",
+        "c",
+        F.round(
+            (F.col("o") * F.col("n")).cast("double")
+            * F.col("o")
+            / (F.col("rt") * F.col("ct")).cast("double"),
+            6,
+        )
+        .cast("decimal(38,6)")
+        .alias("cd"),
+    )
+    chi2 = F.sum("cd").cast("double") - F.max("n")
+    return contrib.agg(
+        F.max("n").cast("long").alias("n_total"),
+        F.max("r").cast("long").alias("n_rows"),
+        F.max("c").cast("long").alias("n_cols"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                chi2
+                / (
+                    F.max("n")
+                    * F.least(F.max("r") - 1, F.max("c") - 1)
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Two-sample Kolmogorov-Smirnov (distribution drift)
 # ---------------------------------------------------------------------------

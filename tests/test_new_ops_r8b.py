@@ -1,0 +1,133 @@
+"""Round-8 batch 3: autocorrelation lags, Cramer's V effect size.
+
+Oracle exactness is covered by tools/check_oracle.py; these tests pin
+the SEMANTIC invariants (hand-recomputed ACF on a tiny series, the
+perfect-association / independence anchor points of Cramer's V)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_events(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double",
+    ).withColumn("ts", F.to_timestamp("ts")).withColumn(
+        "props", F.lit("{}")
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "events.parquet")
+    )
+    return str(tmp_path)
+
+
+def _write_docs(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def _acf_reference(xs, k):
+    """The exact cross-multiplied identity the operator implements."""
+    n, s = len(xs), sum(xs)
+    d = [n * x - s for x in xs]
+    num = sum(d[t] * d[t - k] for t in range(k, n))
+    den = sum(v * v for v in d)
+    return round(num / den, 6)
+
+
+def test_acf_hand_model(spark, tmp_path):
+    from litebase_spark.operators.asof import ts_acf_lags
+
+    cents = [100, 300, 100, 300, 100, 300, 200, 400]
+    rows = [
+        (i, f"2024-01-01 00:{i:02d}:00", 1, "click", c / 100.0)
+        for i, c in enumerate(cents)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    r = ts_acf_lags(spark, sf).first()
+    assert r["event_type"] == "click" and r["n_events"] == len(cents)
+    for k in (1, 2, 3):
+        assert r[f"acf_lag{k}"] == pytest.approx(
+            _acf_reference(cents, k), abs=1e-9
+        )
+    # period-2 structure: lag-2 correlation dominates lag-1
+    assert r["acf_lag2"] > 0 > r["acf_lag1"]
+
+
+def test_acf_ordering_is_by_ts_not_event_id(spark, tmp_path):
+    """Shuffled event_ids with inverted timestamps: the series must be
+    ordered by ts (event_id only breaks ties), so ACF matches the
+    ts-sorted reference, not the insertion order."""
+    from litebase_spark.operators.asof import ts_acf_lags
+
+    cents = [100, 200, 400, 800, 1600, 300]
+    rows = [
+        (99 - i, f"2024-01-01 00:{i:02d}:00", 1, "click", c / 100.0)
+        for i, c in enumerate(cents)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    r = ts_acf_lags(spark, sf).first()
+    assert r["acf_lag1"] == pytest.approx(
+        _acf_reference(cents, 1), abs=1e-9
+    )
+
+
+def test_acf_fixture_bounds(spark):
+    from litebase_spark.operators.asof import ts_acf_lags
+
+    rows = ts_acf_lags(spark, SF).collect()
+    assert rows
+    for r in rows:
+        for k in (1, 2, 3):
+            v = r[f"acf_lag{k}"]
+            assert v is not None and -1.0 - 1e-9 <= v <= 1.0 + 1e-9
+
+
+def test_cramers_v_perfect_association(spark, tmp_path):
+    from litebase_spark.operators.relational import stats_cramers_v
+
+    rows = [
+        (1, "aa", "en", "src0", 2),
+        (2, "bb", "en", "src0", 2),
+        (3, "cc", "fr", "src1", 2),
+        (4, "dd", "fr", "src1", 2),
+    ]
+    r = stats_cramers_v(spark, _write_docs(spark, tmp_path, rows)).first()
+    assert (r["n_total"], r["n_rows"], r["n_cols"]) == (4, 2, 2)
+    # lang determines source exactly: chi2 = n, V = 1
+    assert r["chi2"] == pytest.approx(4.0, abs=1e-6)
+    assert r["cramers_v"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_cramers_v_independence(spark, tmp_path):
+    from litebase_spark.operators.relational import stats_cramers_v
+
+    rows = [
+        (i, "t", lang, src, 1)
+        for i, (lang, src) in enumerate(
+            [(a, b) for a in ("en", "fr") for b in ("src0", "src1")] * 3
+        )
+    ]
+    r = stats_cramers_v(spark, _write_docs(spark, tmp_path, rows)).first()
+    assert r["chi2"] == pytest.approx(0.0, abs=1e-6)
+    assert r["cramers_v"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_cramers_v_fixture_range(spark):
+    from litebase_spark.operators.relational import stats_cramers_v
+
+    r = stats_cramers_v(spark, SF).first()
+    assert r["n_rows"] >= 2 and r["n_cols"] >= 2
+    assert 0.0 <= r["cramers_v"] <= 1.0 + 1e-9
