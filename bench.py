@@ -109,6 +109,7 @@ HEADLINE = [
     "multimodal_frame_diff",
     "ts_acf_lags",
     "stats_cramers_v",
+    "stats_welch_ttest",
 ]
 
 

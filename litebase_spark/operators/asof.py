@@ -1430,51 +1430,146 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "where d_t = n*x_t - S = n*(x_t - mean) in cents, so numerator "
     "and denominator are exact 128-bit integer sums (DECIMAL(38,0) / "
     "HUGEINT) and the single double division at the end is the only "
-    "rounding site in either engine. ONE exchange keyed by event_type "
-    "serves the partition totals, the three LAGs, and the final "
-    "per-type aggregate (same key -> Catalyst reuses the shuffle); "
-    "per-partition state is the series, the same bound every ordered "
-    "window op in this file carries.",
+    "rounding site in either engine. SCALE PLAN: a naive "
+    "per-event_type ordered window makes partition size grow with "
+    "the corpus (5 types -> 5 threads and an unbounded sort; "
+    "measured 10.8 s at the x100 point). Instead the sort is "
+    "BUCKETED by (event_type, day): lag pairs inside a bucket come "
+    "from a day-bounded window, the <= 2k rows per bucket edge "
+    "(global row-number from a cells-table prefix sum of bucket "
+    "counts) contribute the cross-bucket pairs through a broadcast "
+    "self-join on rn = rn' + k, and the totals/denominator are "
+    "plain partial-aggregated groupBys — no operator anywhere holds "
+    "more than one day of one type in memory, and the oracle (the "
+    "naive global-window SQL) certifies the decomposition is exact.",
     tags=("timeseries", "stats", "window"),
 )
 def ts_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events").select(
-        "event_type", "ts", "event_id", fp("value").alias("c")
-    )
-    per_type = Window.partitionBy("event_type")
-    ordered = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    v = e.withColumn("n", F.count(F.lit(1)).over(per_type)).withColumn(
-        "s", F.sum("c").over(per_type)
-    )
-    d = (F.col("c") * F.col("n") - F.col("s")).alias("d")
-    lagged = v.select(
-        "event_type",
-        "n",
-        d,
-        (F.lag("c", 1).over(ordered) * F.col("n") - F.col("s")).alias("d1"),
-        (F.lag("c", 2).over(ordered) * F.col("n") - F.col("s")).alias("d2"),
-        (F.lag("c", 3).over(ordered) * F.col("n") - F.col("s")).alias("d3"),
-    )
     dec = "decimal(38,0)"
-    den = F.sum(F.col("d").cast(dec) * F.col("d").cast(dec))
-
-    def num(lag_col: str):
-        return F.sum(
-            F.when(
-                F.col(lag_col).isNotNull(),
-                F.col("d").cast(dec) * F.col(lag_col).cast(dec),
-            )
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        fp("value").alias("c"),
+        F.to_date("ts").alias("bkt"),
+    )
+    # Raw-moment formulation: per-row work is PURE int64 (codegen hash
+    # aggregate) — acf_k needs only the lag cross-moment P_k = sum(x_t *
+    # x_{t-k}), the pair-restricted sums A_k = sum(x_t), B_k =
+    # sum(x_{t-k}), and the global n, S, Q = sum(x^2); the d-scale
+    # identity num_k = n^2*P_k - n*S*(A_k+B_k) + (n-k)*S^2 and den =
+    # n^2*Q - n*S^2 widen to 128-bit only at the 5-rows-per-corpus
+    # final stage. (A first cut summed DECIMAL d*d' products per row:
+    # 3x slower end-to-end — BigDecimal per-row aggregation off the
+    # codegen path is the cost, not the sort.)
+    wloc = Window.partitionBy("event_type", "bkt").orderBy("ts", "event_id")
+    g = e.select(
+        "event_type",
+        "bkt",
+        "c",
+        F.row_number().over(wloc).alias("rn_loc"),
+        F.lag("c", 1).over(wloc).alias("lc1"),
+        F.lag("c", 2).over(wloc).alias("lc2"),
+        F.lag("c", 3).over(wloc).alias("lc3"),
+    )
+    within = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+        F.sum(F.col("c") * F.col("lc1")).alias("p1"),
+        F.sum(F.col("c") * F.col("lc2")).alias("p2"),
+        F.sum(F.col("c") * F.col("lc3")).alias("p3"),
+        F.sum(F.when(F.col("lc1").isNotNull(), F.col("c"))).alias("a1"),
+        F.sum(F.when(F.col("lc2").isNotNull(), F.col("c"))).alias("a2"),
+        F.sum(F.when(F.col("lc3").isNotNull(), F.col("c"))).alias("a3"),
+        F.sum("lc1").alias("b1"),
+        F.sum("lc2").alias("b2"),
+        F.sum("lc3").alias("b3"),
+    )
+    # Cross-bucket pairs: both endpoints of a lag<=3 pair spanning a
+    # bucket edge sit in the first/last 3 rows of their buckets. The
+    # edge table gets exact GLOBAL row numbers from a cells-table
+    # prefix sum (buckets, never rows), so the equi-join on rn = rn'+k
+    # finds the true neighbor across any number of empty buckets, and
+    # same-bucket pairs (already counted by the window) are rejected.
+    cell = e.groupBy("event_type", "bkt").agg(F.count(F.lit(1)).alias("nb"))
+    woff = (
+        Window.partitionBy("event_type")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = cell.select(
+        "event_type",
+        "bkt",
+        "nb",
+        F.coalesce(F.sum("nb").over(woff), F.lit(0)).alias("off"),
+    )
+    bd = (
+        g.join(F.broadcast(offs), ["event_type", "bkt"])
+        .filter(
+            (F.col("rn_loc") <= 3) | (F.col("rn_loc") >= F.col("nb") - 2)
         )
+        .select(
+            "event_type",
+            "bkt",
+            (F.col("off") + F.col("rn_loc")).alias("rn"),
+            "c",
+        )
+    )
+    bd2 = bd.select(
+        "event_type",
+        F.col("bkt").alias("bkt2"),
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+        F.col("rn").alias("rn2"),
+        F.col("c").alias("c2"),
+    ).withColumn("rn", F.col("rn2") + F.col("k"))
+    pairs = bd.join(F.broadcast(bd2), ["event_type", "rn"]).filter(
+        F.col("bkt") != F.col("bkt2")
+    )
+    cross = pairs.groupBy("event_type").agg(
+        *[
+            agg
+            for k in (1, 2, 3)
+            for agg in (
+                F.sum(
+                    F.when(F.col("k") == k, F.col("c") * F.col("c2"))
+                ).alias(f"xp{k}"),
+                F.sum(F.when(F.col("k") == k, F.col("c"))).alias(f"xa{k}"),
+                F.sum(F.when(F.col("k") == k, F.col("c2"))).alias(
+                    f"xb{k}"
+                ),
+            )
+        ]
+    )
+    m = within.join(cross, "event_type", "left")
+    zero = F.lit(0)
+    nd = F.col("n").cast(dec)
+    sd = F.col("s").cast(dec)
+    den = nd * nd * F.col("q").cast(dec) - nd * sd * sd
 
-    return lagged.groupBy("event_type").agg(
-        F.max("n").cast("long").alias("n_events"),
-        F.round(num("d1").cast("double") / den.cast("double"), 6).alias(
-            "acf_lag1"
-        ),
-        F.round(num("d2").cast("double") / den.cast("double"), 6).alias(
-            "acf_lag2"
-        ),
-        F.round(num("d3").cast("double") / den.cast("double"), 6).alias(
-            "acf_lag3"
-        ),
+    def acf(k: int):
+        p = F.coalesce(F.col(f"p{k}"), zero) + F.coalesce(
+            F.col(f"xp{k}"), zero
+        )
+        ab = (
+            F.coalesce(F.col(f"a{k}"), zero)
+            + F.coalesce(F.col(f"xa{k}"), zero)
+            + F.coalesce(F.col(f"b{k}"), zero)
+            + F.coalesce(F.col(f"xb{k}"), zero)
+        )
+        num = (
+            nd * nd * p.cast(dec)
+            - nd * sd * ab.cast(dec)
+            + (nd - k) * sd * sd
+        )
+        return F.round(
+            num.cast("double") / den.cast("double"), 6
+        ).alias(f"acf_lag{k}")
+
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        acf(1),
+        acf(2),
+        acf(3),
     )

@@ -2190,6 +2190,129 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stats_welch_ttest",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    agg AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS n1, CAST(SUM(b) AS BIGINT) AS n2,
+             CAST(SUM(a * c) AS BIGINT) AS s1,
+             CAST(SUM(b * c) AS BIGINT) AS s2,
+             SUM(CAST(a * c AS HUGEINT) * c) AS ss1,
+             SUM(CAST(b * c AS HUGEINT) * c) AS ss2
+      FROM s
+    ),
+    t AS (
+      SELECT n1, n2,
+             CAST(CAST(s1 AS HUGEINT) * n2
+                  - CAST(s2 AS HUGEINT) * n1 AS DOUBLE)
+               / n1 / n2 / 100.0 AS md,
+             CAST(n1 * ss1 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+               / n1 / (n1 - 1) / n1 / 10000.0 AS vn1,
+             CAST(n2 * ss2 - CAST(s2 AS HUGEINT) * s2 AS DOUBLE)
+               / n2 / (n2 - 1) / n2 / 10000.0 AS vn2
+      FROM agg
+    )
+    SELECT n1, n2, ROUND(md, 6) AS mean_diff,
+           ROUND(md / SQRT(vn1 + vn2), 6) AS t_stat,
+           ROUND((vn1 + vn2) * (vn1 + vn2)
+                 / (vn1 * vn1 / (n1 - 1) + vn2 * vn2 / (n2 - 1)), 6)
+             AS df_welch
+    FROM t
+    """,
+    description="Welch's unequal-variance t-test between the value "
+    "distributions of two event types — the mean-shift companion to "
+    "stats_ks_test (shape drift) and stats_mann_whitney_u (rank "
+    "drift). ONE scan, one partial+final aggregate, no shuffle "
+    "beyond the 6-cell reduce: per-group n, sum, and sum-of-squares "
+    "are exact integers (sum-of-squares in 128-bit — "
+    "DECIMAL(38,0)/HUGEINT — since n*ss overflows int64 at replica "
+    "scale), and every downstream double op (the variance/mean "
+    "identities n*ss - s^2 and s1*n2 - s2*n1, the divisions, sqrt, "
+    "the Welch-Satterthwaite df) is the SAME correctly-rounded IEEE "
+    "sequence in both engines, so t and df agree to the printed 6 "
+    "places bit-for-bit.",
+    tags=("stats",),
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    s = e.select(
+        fp("value").alias("c"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("a"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("b"),
+    )
+    dec = "decimal(38,0)"
+    agg = s.agg(
+        F.sum("a").cast("long").alias("n1"),
+        F.sum("b").cast("long").alias("n2"),
+        F.sum(F.col("a") * F.col("c")).cast("long").alias("s1"),
+        F.sum(F.col("b") * F.col("c")).cast("long").alias("s2"),
+        F.sum((F.col("a") * F.col("c")).cast(dec) * F.col("c")).alias(
+            "ss1"
+        ),
+        F.sum((F.col("b") * F.col("c")).cast(dec) * F.col("c")).alias(
+            "ss2"
+        ),
+    )
+    md = (
+        (
+            F.col("s1").cast(dec) * F.col("n2")
+            - F.col("s2").cast(dec) * F.col("n1")
+        ).cast("double")
+        / F.col("n1")
+        / F.col("n2")
+        / 100.0
+    )
+    vn1 = (
+        (F.col("n1") * F.col("ss1") - F.col("s1").cast(dec) * F.col("s1"))
+        .cast("double")
+        / F.col("n1")
+        / (F.col("n1") - 1)
+        / F.col("n1")
+        / 10000.0
+    )
+    vn2 = (
+        (F.col("n2") * F.col("ss2") - F.col("s2").cast(dec) * F.col("s2"))
+        .cast("double")
+        / F.col("n2")
+        / (F.col("n2") - 1)
+        / F.col("n2")
+        / 10000.0
+    )
+    t = agg.select(
+        "n1",
+        "n2",
+        md.alias("md"),
+        vn1.alias("vn1"),
+        vn2.alias("vn2"),
+    )
+    se2 = F.col("vn1") + F.col("vn2")
+    return t.select(
+        "n1",
+        "n2",
+        F.round(F.col("md"), 6).alias("mean_diff"),
+        F.round(F.col("md") / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            se2
+            * se2
+            / (
+                F.col("vn1") * F.col("vn1") / (F.col("n1") - 1)
+                + F.col("vn2") * F.col("vn2") / (F.col("n2") - 1)
+            ),
+            6,
+        ).alias("df_welch"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Two-sample Kolmogorov-Smirnov (distribution drift)
 # ---------------------------------------------------------------------------

@@ -131,3 +131,39 @@ def test_cramers_v_fixture_range(spark):
     r = stats_cramers_v(spark, SF).first()
     assert r["n_rows"] >= 2 and r["n_cols"] >= 2
     assert 0.0 <= r["cramers_v"] <= 1.0 + 1e-9
+
+
+def test_welch_ttest_hand_model(spark, tmp_path):
+    from litebase_spark.operators.relational import stats_welch_ttest
+
+    clicks = [1.0, 2.0, 3.0, 4.0]
+    purchases = [2.0, 4.0, 6.0, 8.0]
+    rows = [
+        (i, f"2024-01-01 00:{i:02d}:00", 1, "click", v)
+        for i, v in enumerate(clicks)
+    ] + [
+        (10 + i, f"2024-01-01 01:{i:02d}:00", 2, "purchase", v)
+        for i, v in enumerate(purchases)
+    ]
+    r = stats_welch_ttest(spark, _write_events(spark, tmp_path, rows)).first()
+    assert (r["n1"], r["n2"]) == (4, 4)
+    assert r["mean_diff"] == pytest.approx(-2.5, abs=1e-6)
+    # v1 = 5/3, v2 = 20/3, se^2 = 25/12 -> t = -2.5/sqrt(25/12) = -sqrt(3)
+    assert r["t_stat"] == pytest.approx(-(3 ** 0.5), abs=1e-6)
+    # Welch-Satterthwaite: (25/12)^2 / (((5/12)^2 + (20/12)^2)/3) = 75/17
+    assert r["df_welch"] == pytest.approx(75 / 17, abs=1e-6)
+
+
+def test_welch_ttest_symmetric_zero(spark, tmp_path):
+    from litebase_spark.operators.relational import stats_welch_ttest
+
+    rows = [
+        (i, f"2024-01-01 00:{i:02d}:00", 1, "click", v)
+        for i, v in enumerate([1.0, 3.0])
+    ] + [
+        (10 + i, f"2024-01-01 01:{i:02d}:00", 2, "purchase", v)
+        for i, v in enumerate([3.0, 1.0])
+    ]
+    r = stats_welch_ttest(spark, _write_events(spark, tmp_path, rows)).first()
+    assert r["mean_diff"] == pytest.approx(0.0, abs=1e-9)
+    assert r["t_stat"] == pytest.approx(0.0, abs=1e-9)

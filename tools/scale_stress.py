@@ -87,6 +87,8 @@ QUERIES = [
     "pipeline_tokenizer_fertility",  # one-scan (source, lang) rollup
     "multimodal_frame_diff",     # Arrow decode-stage frame SAD
     "agg_cube",                  # cube over pre-aggregated cells
+    "ts_acf_lags",               # 3 LAGs + totals over one keyed exchange
+    "stats_cramers_v",           # cells-not-corpus effect size
 ]
 
 _SHIFT = 10**9
