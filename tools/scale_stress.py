@@ -87,8 +87,9 @@ QUERIES = [
     "pipeline_tokenizer_fertility",  # one-scan (source, lang) rollup
     "multimodal_frame_diff",     # Arrow decode-stage frame SAD
     "agg_cube",                  # cube over pre-aggregated cells
-    "ts_acf_lags",               # 3 LAGs + totals over one keyed exchange
+    "ts_acf_lags",               # bucketed raw-moment lag windows
     "stats_cramers_v",           # cells-not-corpus effect size
+    "stats_welch_ttest",         # 6-cell two-sample reduce
 ]
 
 _SHIFT = 10**9
