@@ -57,6 +57,14 @@ NAMES = [
     "ts_gapfill_locf",
     "multimodal_phash_dedup",
     "pipeline_survivorship",
+    # round 8: the bucketed-decomposition ACF (global row numbers from a
+    # prefix sum + edge-pair join must agree under any task geometry),
+    # plus the new decimal-fold stats reducers
+    "ts_acf_lags",
+    "stats_cramers_v",
+    "stats_welch_ttest",
+    "sketch_hll_intersect",
+    "text_winnowing_fingerprint",
 ]
 
 
