@@ -110,6 +110,7 @@ HEADLINE = [
     "ts_acf_lags",
     "stats_cramers_v",
     "stats_welch_ttest",
+    "pipeline_dedup_cluster_stats",
 ]
 
 

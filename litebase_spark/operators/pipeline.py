@@ -1523,3 +1523,47 @@ def pipeline_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bytes_per_token_e6"
         ),
     )
+
+
+@query(
+    "pipeline_dedup_cluster_stats",
+    oracle="""
+    WITH clusters AS (
+      SELECT md5(text) AS dig, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM documents GROUP BY md5(text)
+    )
+    SELECT sz AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(sz * COUNT(*) AS BIGINT) AS n_docs,
+           CAST((sz - 1) * COUNT(*) AS BIGINT) AS n_removable
+    FROM clusters GROUP BY sz
+    """,
+    description="Duplicate-cluster size histogram over exact-content "
+    "groups — the audit table behind any dedup rollout decision: how "
+    "many singletons, how big is the largest clique, and n_removable "
+    "(sum over (size-1)*count) is EXACTLY the row count "
+    "dedup_exact would delete, before running it. Two shuffles, both "
+    "shrinking: corpus -> per-digest counts (map-side combined "
+    "md5-keyed exchange, the same digest dedup_exact keys on) -> "
+    "per-size counts (a handful of rows). No windows, no text "
+    "movement after the first projection — at 100 TB the second "
+    "stage input is one row per DISTINCT document.",
+    tags=("pipeline", "dedup"),
+)
+def pipeline_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    clusters = d.groupBy(F.md5("text").alias("dig")).agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    return clusters.groupBy("sz").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.col("sz") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+        ((F.col("sz") - 1) * F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_removable"),
+    ).select(
+        F.col("sz").alias("cluster_size"),
+        "n_clusters",
+        "n_docs",
+        "n_removable",
+    )

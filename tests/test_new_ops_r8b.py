@@ -167,3 +167,40 @@ def test_welch_ttest_symmetric_zero(spark, tmp_path):
     r = stats_welch_ttest(spark, _write_events(spark, tmp_path, rows)).first()
     assert r["mean_diff"] == pytest.approx(0.0, abs=1e-9)
     assert r["t_stat"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_dedup_cluster_stats_hand_model(spark, tmp_path):
+    from litebase_spark.operators.pipeline import (
+        pipeline_dedup_cluster_stats,
+    )
+
+    docs = [
+        (1, "aaa", "en", "s", 3),
+        (2, "aaa", "en", "s", 3),
+        (3, "aaa", "en", "s", 3),
+        (4, "bbb", "en", "s", 3),
+        (5, "bbb", "en", "s", 3),
+        (6, "ccc", "en", "s", 3),
+    ]
+    rows = {
+        r["cluster_size"]: (r["n_clusters"], r["n_docs"], r["n_removable"])
+        for r in pipeline_dedup_cluster_stats(
+            spark, _write_docs(spark, tmp_path, docs)
+        ).collect()
+    }
+    assert rows == {3: (1, 3, 2), 2: (1, 2, 1), 1: (1, 1, 0)}
+
+
+def test_dedup_cluster_stats_matches_dedup_exact(spark):
+    """n_removable summed over the histogram == rows dedup_exact drops."""
+    from litebase_spark.operators.dedup import dedup_exact
+    from litebase_spark.operators.pipeline import (
+        pipeline_dedup_cluster_stats,
+    )
+    from litebase_spark.catalog import load
+
+    hist = pipeline_dedup_cluster_stats(spark, SF).collect()
+    removable = sum(r["n_removable"] for r in hist)
+    total = load(spark, SF, "documents").count()
+    kept = dedup_exact(spark, SF).count()
+    assert removable == total - kept
