@@ -631,17 +631,26 @@ class QueryServer:
                         return self._send(403, {"status": "error", "message": "forbidden"})
                     is_card = _CARD_RE.match(parsed.path) is not None
                     qs = parse_qs(parsed.query)
-                    kw = {
-                        k: vs[0] if is_card else int(vs[0])
-                        for k, vs in qs.items()
-                        if k in (
-                            ("source_col", "lang_col", "text_col",
-                             "chars_col")
-                            if is_card
-                            else ("rows_per_file", "target_bytes")
-                        )
-                    }
                     try:
+                        # parse params inside the error envelope: a
+                        # malformed or non-positive int (e.g.
+                        # ?target_bytes=abc, =0) must come back as a
+                        # 400 body, not a ValueError out of do_GET
+                        kw = {}
+                        for k, vs in qs.items():
+                            if is_card and k in (
+                                "source_col", "lang_col", "text_col",
+                                "chars_col",
+                            ):
+                                kw[k] = vs[0]
+                            elif not is_card and k in (
+                                "rows_per_file", "target_bytes",
+                            ):
+                                kw[k] = int(vs[0])
+                                if kw[k] <= 0:
+                                    raise ValueError(
+                                        f"{k} must be a positive integer"
+                                    )
                         fn = (
                             server.engine.dataset_card
                             if is_card

@@ -1382,7 +1382,13 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "hour",
         F.col("n").cast("long").alias("n_events"),
-        F.expr("(sc * 10000) DIV n").alias("mean_value_e6"),
+        # floor division to match DuckDB's `//` even for negative sums:
+        # Spark DIV truncates toward zero, so subtract the non-negative
+        # pmod remainder first — (a - pmod(a, n)) is exactly divisible
+        # by n and the quotient equals floor(a / n) for n > 0.
+        F.expr(
+            "(sc * 10000 - pmod(sc * 10000, n)) DIV n"
+        ).alias("mean_value_e6"),
         (F.row_number().over(w) == 1).cast("long").alias("is_peak_hour"),
     )
 

@@ -1400,8 +1400,14 @@ def dataset_card(
         F.col(text_col).alias("text"),
         F.col(chars_col).alias("n_chars"),
     )
-    dig = F.md5(
-        F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    # NULL text digests to a sentinel (not a hex md5, so collision-free)
+    # so the NULL-text group still counts as ONE unique document in
+    # n_uniq below — md5(NULL) is NULL and the gid==2 count skips NULL
+    # cells, which would otherwise count every NULL-text doc as an
+    # exact dupe (latent: fixtures carry no NULL text).
+    dig = F.coalesce(
+        F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))),
+        F.lit("<null-text>"),
     )
     # ONE corpus scan (round-7 verdict: the old 3-branch form scanned
     # the corpus three times, reading + processing the heavy text

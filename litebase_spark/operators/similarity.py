@@ -642,9 +642,9 @@ def knn_cosine_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     # parallelism fix only for single-row-group fixture scans — an
     # unconditional repartition paid a full-corpus exchange before the
-    # Arrow stage at larger inputs (0.92 -> 0.46 s at the sf1 point)
-    if e.rdd.getNumPartitions() < 8:
-        e = spread(e)
+    # Arrow stage at larger inputs (0.92 -> 0.46 s at the sf1 point);
+    # spread() carries the <8-partition guard itself
+    e = spread(e)
     # query side is tiny (N_QUERIES rows): ship it in the task closure —
     # the same role as a broadcast hash side
     qrows = (

@@ -1012,6 +1012,17 @@ def test_dataset_card_and_compaction_endpoints(server, spark, sf_dir):
         token="reader:r3ad",
     )
     assert code == 400
+    # malformed / non-positive int params -> 400 body, not a dropped
+    # connection (round-8 ADVICE: int() used to run outside the try)
+    for bad in ("target_bytes=abc", "target_bytes=0", "rows_per_file=-5"):
+        code, body = _call(
+            server, "GET",
+            f"/v1/databases/main/main/tables/docs_http/compaction-plan"
+            f"?{bad}",
+            token="reader:r3ad",
+        )
+        assert code == 400, bad
+        assert body["status"] == "error"
 
 
 def test_engine_card_methods(server, spark, sf_dir):
