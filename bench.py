@@ -114,20 +114,39 @@ HEADLINE = [
 ]
 
 
+def read_loadavg() -> tuple[float, float, float]:
+    """(1m, 5m, 15m) system load — (0, 0, 0) where /proc is unavailable."""
+    try:
+        with open("/proc/loadavg") as f:
+            parts = f.read().split()
+        return float(parts[0]), float(parts[1]), float(parts[2])
+    except (OSError, ValueError, IndexError):
+        return 0.0, 0.0, 0.0
+
+
+# 15-min load above this means something else was burning CPU for most of
+# the measurement window — timings taken here are contention-skewed (the
+# round-8 committed headline carried ~15% machine noise, twice in one
+# round). The bar is absolute, not per-CPU: this box idles under 1.
+BUSY_LOAD15 = 4.0
+
+
 def format_driver_line(result: dict, limit: int = 1950) -> str:
     """Render the ONE stdout JSON line, guaranteed to fit the driver tail.
 
     The driver captures only the last ~2000 bytes of stdout and parses the
     final line as JSON. Shedding order:
-      1. drop optional keys (duckdb map, cold_total, net_of_floor, floor);
+      1. drop optional keys (duckdb map, cold_total, net_of_floor);
       2. if the per-query map alone still overflows (78+ queries crossed
          this cliff in round 7 -> BENCH_r07.json parsed:null), replace it
          with a summary: n_queries + the 5 slowest. Full per-query detail
          always persists in BENCH_FULL.json, so nothing is lost.
+    `floor` and `load15` survive every shed — they are the two keys that
+    let a reader certify the machine conditions behind the total.
     """
     result = dict(result)
     line = json.dumps(result, separators=(",", ":"))
-    for drop in ("duckdb_baseline", "cold_total", "net_of_floor", "floor"):
+    for drop in ("duckdb_baseline", "cold_total", "net_of_floor"):
         if len(line) <= limit:
             return line
         result.pop(drop, None)
@@ -151,6 +170,23 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     baseline = "--baseline" in sys.argv
+
+    # Self-certify machine conditions BEFORE timing anything: a busy box
+    # inflates every number (round-8's committed headline was ~15% noise).
+    load1, load5, load15 = read_loadavg()
+    if load15 > BUSY_LOAD15:
+        msg = (
+            f"# WARNING: 15-min load {load15:.2f} > {BUSY_LOAD15} — this "
+            "machine is busy; timings will be contention-skewed"
+        )
+        print(msg, file=sys.stderr)
+        if baseline and "--force" not in sys.argv:
+            print(
+                "# refusing --baseline on a busy machine (pass --force "
+                "to override)",
+                file=sys.stderr,
+            )
+            return 2
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import litebase_spark.operators  # noqa: F401
@@ -227,6 +263,7 @@ def main() -> int:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cold_total": round(sum(cold.values()), 3),
         "floor": sched_floor,
+        "load15": load15,
         "net_of_floor": round(
             sum(max(v - sched_floor, 0.0) for v in timings.values()), 3
         ),
@@ -256,6 +293,8 @@ def main() -> int:
     full = dict(result)
     full["queries"] = timings
     full["cold"] = cold
+    full["loadavg_at_start"] = [load1, load5, load15]
+    full["loadavg_at_end"] = list(read_loadavg())
     full["methodology"] = (
         "steady-state full-plan execution (noop sink): plan built once "
         "(statement-cache analog), 2 executions, min; cold_total = first "

@@ -56,6 +56,7 @@ def test_driver_line_fits_at_200_queries():
         "sf": 0.1,
         "cold_total": 321.0,
         "floor": 0.25,
+        "load15": 0.87,
         "net_of_floor": 90.0,
         "duckdb_baseline": {f"synthetic_query_name_{i:03d}": 0.1
                             for i in range(200)},
@@ -68,8 +69,20 @@ def test_driver_line_fits_at_200_queries():
     assert parsed["n_queries"] == 200
     assert len(parsed["worst"]) == 5
     assert parsed["detail"] == "BENCH_FULL.json"
+    # the machine-condition keys survive every shed (round-8 verdict:
+    # the artifact must certify its own conditions)
+    assert parsed["floor"] == 0.25
+    assert parsed["load15"] == 0.87
     # worst really are the slowest
     assert all(v >= 0.173 * 194 - 1 for v in parsed["worst"].values())
+
+
+def test_loadavg_reader_and_busy_gate():
+    from bench import BUSY_LOAD15, read_loadavg
+
+    l1, l5, l15 = read_loadavg()
+    assert all(isinstance(v, float) and v >= 0.0 for v in (l1, l5, l15))
+    assert BUSY_LOAD15 > 0
 
 
 def test_driver_line_keeps_full_map_when_small():
