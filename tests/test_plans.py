@@ -131,3 +131,51 @@ def test_topk_uses_take_ordered(spark, sf_dir):
     # ORDER BY + LIMIT must compile to TakeOrderedAndProject, never a
     # global sort of the full aggregate output
     assert "TakeOrderedAndProject" in plan
+
+
+def test_tokenizer_never_inlined_under_generate(spark, sf_dir):
+    """Round-8 verdict task 1: the <8-partition tokenizer-barrier gate
+    skips the anti-inlining exchange exactly where the corpus is big
+    (sf1+ scans yield >=8 partitions).  This pins the no-barrier plan
+    shape structurally: with the scan forced to 32 partitions (tiny
+    maxPartitionBytes), the gate skips the repartition and the plan must
+    STILL evaluate the tokenizer once per consumer branch — never inside
+    a Generate node (CollapseProject inlining re-splits the document per
+    element_at, measured 10-20x) and never in a pushed size(...)>0 scan
+    filter (InferFiltersFromGenerate).  If a Catalyst version bump ever
+    re-enables either rewrite, this fails loudly.
+
+    Expected occurrence counts = number of independent consumers of the
+    token array in each plan (branch re-scan, not per-element re-eval).
+    """
+    budget = {
+        "text_winnowing_fingerprint": 1,
+        "text_substring_dedup": 1,
+        "text_dup_5gram_fraction": 1,
+        "text_contamination": 2,
+        "text_containment_rare": 4,
+        "dedup_ngram_jaccard": 4,
+    }
+    conf = spark.conf
+    old_mpb = conf.get("spark.sql.files.maxPartitionBytes")
+    old_oc = conf.get("spark.sql.files.openCostInBytes")
+    conf.set("spark.sql.files.maxPartitionBytes", "2048")
+    conf.set("spark.sql.files.openCostInBytes", "0")
+    try:
+        from litebase_spark.catalog import load
+
+        # the gate must actually be OFF in this configuration
+        assert load(spark, sf_dir, "documents").rdd.getNumPartitions() >= 8
+        for name, max_occ in budget.items():
+            plan = plan_of(spark, sf_dir, name)
+            lines = plan.splitlines()
+            occ = plan.count("[^a-z0-9]+")  # the tokenizer regex literal
+            assert 1 <= occ <= max_occ, (name, occ)
+            inlined = [
+                ln for ln in lines
+                if "Generate" in ln and "[^a-z0-9]+" in ln
+            ]
+            assert not inlined, (name, inlined[0][:200])
+    finally:
+        conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        conf.set("spark.sql.files.openCostInBytes", old_oc)
