@@ -1447,7 +1447,10 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "self-join on rn = rn' + k, and the totals/denominator are "
     "plain partial-aggregated groupBys — no operator anywhere holds "
     "more than one day of one type in memory, and the oracle (the "
-    "naive global-window SQL) certifies the decomposition is exact.",
+    "naive global-window SQL) certifies the decomposition is exact. "
+    "Headroom: the int64 moments q/p_k are exact while n*max(c)^2 < "
+    "2^62 (~1e10 rows/type at 1e4-cent values); a runtime assert_true "
+    "guard fails LOUDLY past the bound instead of wrapping silently.",
     tags=("timeseries", "stats", "window"),
 )
 def ts_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1480,6 +1483,7 @@ def ts_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     within = g.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
+        F.max(F.abs(F.col("c"))).alias("mx"),
         F.sum("c").alias("s"),
         F.sum(F.col("c") * F.col("c")).alias("q"),
         F.sum(F.col("c") * F.col("lc1")).alias("p1"),
@@ -1572,9 +1576,35 @@ def ts_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
             num.cast("double") / den.cast("double"), 6
         ).alias(f"acf_lag{k}")
 
+    # int64 raw-moment headroom guard (round-8 verdict task 6): the
+    # per-row sums q = sum(c^2) and p_k = sum(c * lag_k(c)) are int64 —
+    # exact while n * mx^2 stays under 2^62 (~1e10 rows/group at cents
+    # scale, ~4.6e18 absolute).  Past that they would wrap SILENTLY, so
+    # fail LOUDLY instead: assert_true evaluates inside the few-rows
+    # final stage (NULL on pass, SparkRuntimeException on violation) and
+    # is woven into n_events so column pruning cannot drop it.  Groups
+    # needing more headroom want the hierarchical split: per-(type, day)
+    # decimal partials over int64 leaf sums.
+    headroom_ok = (
+        F.col("n").cast(dec) * F.col("mx").cast(dec) * F.col("mx").cast(dec)
+        < F.lit(2**62).cast(dec)
+    )
+    guarded_n = F.when(
+        F.assert_true(
+            headroom_ok,
+            F.concat(
+                F.lit("ts_acf_lags int64 moment headroom exceeded for "
+                      "event_type="),
+                F.col("event_type"),
+                F.lit(": n*max(c)^2 >= 2^62 — split the moment "
+                      "accumulation hierarchically"),
+            ),
+        ).isNull(),
+        F.col("n"),
+    )
     return m.select(
         "event_type",
-        F.col("n").cast("long").alias("n_events"),
+        guarded_n.cast("long").alias("n_events"),
         acf(1),
         acf(2),
         acf(3),

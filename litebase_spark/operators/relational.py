@@ -2290,7 +2290,10 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     "identities n*ss - s^2 and s1*n2 - s2*n1, the divisions, sqrt, "
     "the Welch-Satterthwaite df) is the SAME correctly-rounded IEEE "
     "sequence in both engines, so t and df agree to the printed 6 "
-    "places bit-for-bit.",
+    "places bit-for-bit. Headroom: the int64 arm sums s1/s2 are exact "
+    "while n*max|c| < 2^62 (~4.6e14 rows at 1e4-cent values); a "
+    "runtime assert_true guard fails LOUDLY past the bound instead of "
+    "wrapping silently.",
     tags=("stats",),
 )
 def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2306,6 +2309,7 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dec = "decimal(38,0)"
     agg = s.agg(
+        F.max(F.abs(F.col("c"))).alias("mx"),
         F.sum("a").cast("long").alias("n1"),
         F.sum("b").cast("long").alias("n2"),
         F.sum(F.col("a") * F.col("c")).cast("long").alias("s1"),
@@ -2342,8 +2346,21 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.col("n2")
         / 10000.0
     )
+    # int64 headroom guard (round-8 verdict task 6): s1/s2 = sum(c) per
+    # arm are int64 — exact while n * max|c| < 2^62; past that the sum
+    # wraps silently (the sums of squares are already DECIMAL(38,0)).
+    # assert_true is NULL on pass and raises loudly on violation; woven
+    # into n1 so pruning cannot drop it from the 1-row final stage.
+    guard = F.assert_true(
+        (F.col("n1") + F.col("n2")).cast(dec) * F.col("mx").cast(dec)
+        < F.lit(2**62).cast(dec),
+        F.lit(
+            "stats_welch_ttest int64 sum headroom exceeded: "
+            "n*max|c| >= 2^62 — widen s1/s2 to DECIMAL(38,0)"
+        ),
+    )
     t = agg.select(
-        "n1",
+        F.when(guard.isNull(), F.col("n1")).alias("n1"),
         "n2",
         md.alias("md"),
         vn1.alias("vn1"),

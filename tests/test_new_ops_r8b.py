@@ -204,3 +204,56 @@ def test_dedup_cluster_stats_matches_dedup_exact(spark):
     total = load(spark, SF, "documents").count()
     kept = dedup_exact(spark, SF).count()
     assert removable == total - kept
+
+
+def test_acf_int64_headroom_guard_fires_loudly(spark, tmp_path):
+    """Round-8 verdict task 6: q = sum(c^2) is int64; past n*max(c)^2 >=
+    2^62 it would wrap SILENTLY.  The assert_true guard must turn that
+    into a loud failure instead.  value=3e8 -> c=3e10 cents, c^2=9e20 >
+    2^62~4.6e18, so even 4 rows trip the bound."""
+    from py4j.protocol import Py4JJavaError
+
+    from litebase_spark.operators.asof import ts_acf_lags
+
+    rows = [
+        (i, f"2024-01-01 00:{i:02d}:00", 1, "click", 3e8 + i)
+        for i in range(4)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    with pytest.raises(Exception) as ei:
+        ts_acf_lags(spark, sf).collect()
+    assert "headroom" in str(ei.value)
+
+
+def test_acf_guard_passes_and_stays_exact_below_bound(spark, tmp_path):
+    """Just below the bound the guard is silent and values are still the
+    exact hand-model numbers (the guard never perturbs the plan)."""
+    from litebase_spark.operators.asof import ts_acf_lags
+
+    cents = [100, 300, 100, 300, 100, 300, 200, 400]
+    rows = [
+        (i, f"2024-01-01 00:{i:02d}:00", 1, "click", c / 100.0)
+        for i, c in enumerate(cents)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    r = ts_acf_lags(spark, sf).first()
+    assert r["n_events"] == len(cents)
+    assert r["acf_lag1"] == pytest.approx(
+        _acf_reference(cents, 1), abs=1e-9
+    )
+
+
+def test_welch_int64_headroom_guard_fires_loudly(spark, tmp_path):
+    """s1/s2 are int64 sums of cents: (n1+n2)*max|c| >= 2^62 must raise,
+    not wrap.  value=5e16 -> c=5e18 cents crosses the bound alone."""
+    from litebase_spark.operators.relational import stats_welch_ttest
+
+    rows = (
+        [(i, f"2024-01-01 00:00:{i:02d}", 1, "click", 5e16) for i in range(3)]
+        + [(10 + i, f"2024-01-01 00:01:{i:02d}", 1, "purchase", 1.0)
+           for i in range(3)]
+    )
+    sf = _write_events(spark, tmp_path, rows)
+    with pytest.raises(Exception) as ei:
+        stats_welch_ttest(spark, sf).collect()
+    assert "headroom" in str(ei.value)
