@@ -485,3 +485,55 @@ def stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", "ts", "event_id", "value"
     )
     return run_available_now(scd2_apply(stream), output_mode="update")
+
+
+from litebase_spark.operators.dedup import _minhash_lsh_oracle  # noqa: E402
+
+
+@query(
+    "stream_dedup_minhash_lsh",
+    oracle=_minhash_lsh_oracle(),
+    description="Streaming MinHash-LSH near-dedup: the dedup_minhash_lsh "
+    "batch scale path re-expressed as a CUSTOM STATEFUL streaming "
+    "operator (applyInPandasWithState, streaming/stateful.py:"
+    "minhash_lsh_pairs_stream). Arriving documents get signatures via "
+    "the same Arrow mapInPandas kernel and band explosion as batch; "
+    "keyed state per (band, bucket) holds the bucket posting list, and "
+    "each new document compares ONLY against its bucket's seen docs — "
+    "the incremental form of the band self-join, so ingestion cost per "
+    "batch is O(new x bucket-local), never corpus-quadratic. Every "
+    "unordered pair meets exactly once per shared band (when its later "
+    "member arrives), so the cross-batch union of emissions equals the "
+    "batch candidate set; est = matches/32 is exact. Executed here "
+    "with AvailableNow + the upsert-by-(doc_a, doc_b) sink contract "
+    "(dropDuplicates on the materialized sink), then the batch "
+    "threshold/order — which makes the output identical to "
+    "dedup_minhash_lsh and lets the SAME DuckDB oracle certify the "
+    "streaming path. Cross-batch state-carry is pinned by a 4-file "
+    "maxFilesPerTrigger=1 parity test (test_streaming.py).",
+    tags=("streaming", "stateful", "dedup", "lsh", "llm"),
+)
+def stream_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from litebase_spark.operators.dedup import (
+        N_BANDS,
+        N_HASHES,
+        band_signatures,
+        minhash_signatures,
+    )
+    from litebase_spark.streaming.stateful import minhash_lsh_pairs_stream
+    from litebase_spark.streaming.windows import (
+        documents_stream,
+        run_available_now,
+    )
+
+    stream = documents_stream(spark, sf_dir)
+    sigs = minhash_signatures(stream)
+    banded = band_signatures(sigs, N_BANDS, N_HASHES // N_BANDS)
+    out = run_available_now(
+        minhash_lsh_pairs_stream(banded), output_mode="update"
+    )
+    return (
+        out.filter(F.col("est_jaccard") >= 0.4)
+        .dropDuplicates(["doc_a", "doc_b"])
+        .orderBy("doc_a", "doc_b")
+    )

@@ -222,3 +222,85 @@ def scd2_apply(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming MinHash-LSH near-dedup (round-9: the batch/streaming
+# asymmetry closer — batch dedup has minhash/simhash/SRP/SemDeDup;
+# streaming previously had only exact-digest dedup_stream)
+# ---------------------------------------------------------------------------
+
+MINHASH_PAIR_SCHEMA = "doc_a bigint, doc_b bigint, est_jaccard double"
+MINHASH_STATE_SCHEMA = "doc_ids array<bigint>, flat_sigs array<bigint>"
+
+
+def _update_minhash_bucket(key, pdf_iter, state: GroupState):
+    """Fold this (band, bucket)'s arriving signatures into bucket state
+    and emit a candidate pair for every (new doc x previously-seen doc)
+    collision — the incremental form of the batch band self-join: the
+    union over batches of emitted pairs equals the batch operator's
+    candidate set, because every unordered pair meets exactly once (when
+    its later member arrives).  est = matches/len(sig) is a power-of-two
+    division, bit-identical to both batch engines.  State per key is the
+    bucket posting list (ids + flattened signatures); hot buckets carry
+    the same cap/salt contract as the batch join (SURVEY §7.3) and real
+    deployments add an event-time timeout to expire cold buckets."""
+    import pandas as pd  # noqa: F811 (worker-side import)
+
+    rows = pd.concat(list(pdf_iter), ignore_index=True)
+    rows = rows.sort_values("doc_id", kind="mergesort")
+    if state.exists:
+        ids, flat = state.get
+        ids = list(ids)
+        flat = list(flat)
+    else:
+        ids, flat = [], []
+    stride = len(rows["sig"].iloc[0]) if len(rows) else 0
+    sigs = (
+        [flat[i * stride: (i + 1) * stride] for i in range(len(ids))]
+        if stride
+        else []
+    )
+    out_a: list = []
+    out_b: list = []
+    out_e: list = []
+    for doc_id, sig in zip(rows["doc_id"], rows["sig"]):
+        sig = [int(v) for v in sig]
+        for oid, osig in zip(ids, sigs):
+            if oid == doc_id:
+                continue
+            m = sum(1 for x, y in zip(sig, osig) if x == y)
+            a, b = (oid, doc_id) if oid < doc_id else (doc_id, oid)
+            out_a.append(int(a))
+            out_b.append(int(b))
+            out_e.append(m / stride)
+        ids.append(int(doc_id))
+        sigs.append(sig)
+    state.update((ids, [v for s in sigs for v in s]))
+    # explicit dtypes so an empty emission batch still carries typed
+    # columns (object-dtype empties trip pandas' concat deprecation)
+    yield pd.DataFrame(
+        {
+            "doc_a": pd.Series(out_a, dtype="int64"),
+            "doc_b": pd.Series(out_b, dtype="int64"),
+            "est_jaccard": pd.Series(out_e, dtype="float64"),
+        }
+    )
+
+
+def minhash_lsh_pairs_stream(banded: DataFrame) -> DataFrame:
+    """Streaming twin of operators/dedup.lsh_candidate_pairs: banded
+    minhash signatures grouped by (band, bucket) with the bucket posting
+    list in keyed state.  One shuffle co-locates each bucket — the same
+    exchange the batch band join pays — and emission is incremental:
+    only (new x seen) comparisons run per microbatch, never a batch x
+    corpus or corpus x corpus recompare.  A pair colliding in several
+    bands is emitted once per band; the sink contract is upsert by
+    (doc_a, doc_b) (same role as the batch dropDuplicates)."""
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        _update_minhash_bucket,
+        outputStructType=MINHASH_PAIR_SCHEMA,
+        stateStructType=MINHASH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

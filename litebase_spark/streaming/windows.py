@@ -50,6 +50,35 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def documents_stream(
+    spark: SparkSession, sf_dir: str, n_files: int = 1
+) -> DataFrame:
+    """File-source readStream over the documents fixture (same symlink
+    staging as events_stream).  With n_files > 1 the fixture is split
+    into that many parquet files so maxFilesPerTrigger=1 yields real
+    multi-microbatch runs — the cross-batch state-carry test shape."""
+    import os
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="litebase_stream_docs_")
+    src = f"{sf_dir}/documents.parquet"
+    if n_files <= 1:
+        os.symlink(src, os.path.join(stage, "documents.parquet"))
+        schema = spark.read.parquet(src).schema
+    else:
+        d = spark.read.parquet(src)
+        schema = d.schema
+        d.repartition(n_files).write.mode("overwrite").parquet(stage)
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        # skip _SUCCESS markers in the n_files > 1 staging layout
+        .option("pathGlobFilter", "*.parquet")
+        .load(stage)
+    )
+
+
 def _normalized_events(stream: DataFrame) -> DataFrame:
     # mirror catalog.load's nanos handling for the raw stream read
     ts_type = dict(stream.dtypes).get("ts")

@@ -762,3 +762,42 @@ def test_stream_scd2_converges_across_batches(spark, sf_dir, tmp_path):
     # convergence was exercised: some interval was first emitted open in
     # batch 1 and re-emitted closed in batch 2 (more emissions than keys)
     assert len(rows) > len(serving)
+
+
+def test_minhash_lsh_stream_carries_state_across_batches(spark, sf_dir):
+    """Round-9: the streaming MinHash-LSH twin must equal the batch
+    operator even when the corpus arrives over MULTIPLE microbatches —
+    pairs whose members land in different batches only exist if the
+    bucket posting lists really persist in keyed state."""
+    import pyspark.sql.functions as F
+
+    from litebase_spark.operators.dedup import (
+        N_BANDS,
+        N_HASHES,
+        band_signatures,
+        minhash_signatures,
+    )
+    from litebase_spark.streaming.stateful import minhash_lsh_pairs_stream
+    from litebase_spark.streaming.windows import (
+        documents_stream,
+        run_available_now,
+    )
+
+    stream = documents_stream(spark, sf_dir, n_files=4)
+    banded = band_signatures(
+        minhash_signatures(stream), N_BANDS, N_HASHES // N_BANDS
+    )
+    out = run_available_now(
+        minhash_lsh_pairs_stream(banded), output_mode="update"
+    )
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in out.filter(F.col("est_jaccard") >= 0.4)
+        .dropDuplicates(["doc_a", "doc_b"])
+        .collect()
+    )
+    want = sorted(
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in REGISTRY["dedup_minhash_lsh"].builder(spark, sf_dir).collect()
+    )
+    assert got == want and len(want) > 0
