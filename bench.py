@@ -111,6 +111,10 @@ HEADLINE = [
     "stats_cramers_v",
     "stats_welch_ttest",
     "pipeline_dedup_cluster_stats",
+    # round 9 (stream_dedup_minhash_lsh is NOT here: its builder runs the
+    # AvailableNow stream to completion, so steady-state re-execution
+    # would time only the memory-sink read)
+    "window_range_frame",
 ]
 
 

