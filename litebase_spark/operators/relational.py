@@ -995,7 +995,10 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
     "IEEE double in both engines, so the oracle's RANGE semantics are "
     "reproduced bit-exactly. Scale: every corpus-sized stage is keyed "
     "by bucket (parallel); only the O(#buckets) offset table sees a "
-    "global window.",
+    "global window. Measured: ~par with the single-reducer window at "
+    "sf1 (2.2 vs 1.9 s — 3x the rows moved, 32x the parallelism) and "
+    "2.3x ahead at x100 (8.3 vs 19.3 s), a gap that widens with the "
+    "corpus since the old plan is one thread forever.",
     tags=("window",),
 )
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:

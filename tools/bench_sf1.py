@@ -93,11 +93,49 @@ _FLOOR_NOTES = [
     "- `join_range_interval` (re-planned r8, build-side explode): one "
     "bucketed SHJ; at sf1 the matched-pair count, not the shuffle, "
     "dominates (see SCALE_STRESS density note).",
-    "- `q13/q15/q22/setop_union/subquery_correlated` (>4x, sub-0.5 s): "
+    "- `q13/q22/setop_union/subquery_correlated` (>4x, sub-0.5 s): "
     "2-3 job chains over inputs that shrink to <100k rows after the "
     "first stage — per-stage launch constants, amortized at cluster "
     "scale; DuckDB's sub-50 ms times reflect its zero-launch-cost local "
     "pipeline on the same shrunken inputs.",
+    "- `q1_pricing_summary` (re-planned r9): fp() moved off Spark's "
+    "per-row BigDecimal Round path (sign-split floor(|x|+0.5), "
+    "0.64→0.37 s); the plan is the canonical single scan + ONE "
+    "6-group-key exchange, so the remainder is the 6M-row "
+    "4-money-column codegen fold — pure scan throughput that "
+    "amortizes linearly with executors.",
+    "- `q15_top_supplier` (re-planned r9): the scalar max is now a "
+    "global window over the post-aggregate suppkey revenue table "
+    "(dim-bounded rows) instead of a second aggregate branch — the "
+    "two-consumer form recomputed the lineitem scan+aggregate "
+    "(ReusedExchange never fired under AQE); 0.56→0.37 s, one scan, "
+    "2 exchanges.",
+    "- `q3_shipping_priority`: customer dim broadcasts; the two fact "
+    "exchanges (orders + lineitem into the orderkey join/agg) are the "
+    "fact⋈fact minimum (q12's exchange-constant class); TakeOrdered "
+    "caps the output. No second-scan or window pathology.",
+    "- `q16_parts_supplier_relationship`: part + negative-balance "
+    "suppliers broadcast (one lineitem scan, no fact⋈fact); the two "
+    "remaining exchanges are the COUNT(DISTINCT suppkey) expand chain "
+    "— (group, suppkey) partial-distinct then the rollup — the "
+    "documented distinct-aggregate minimum.",
+    "- `q17_small_qty_revenue`: per-part avg exchange (partkey "
+    "pre-agg), broadcast brand slice, single global sum — three "
+    "exchange chains but each input shrinks an order of magnitude "
+    "before shuffling; canonical correlated-scalar decorrelation.",
+    "- `q20_excess_suppliers`: red-part semi broadcast, ONE fact "
+    "exchange for the (partkey, suppkey) pre-agg, dominant-share "
+    "window partitioned by partkey (high-cardinality key — no "
+    "single-reducer), supplier semi broadcast. Exchange-floor bound.",
+    "- `join_asof`: two user-keyed exchanges (dedup window + asof "
+    "pairing), both on the high-cardinality user key; the asof "
+    "single-shuffle plan test_plans pins. Constant-dominated at sf1.",
+    "- `window_range_frame` (re-planned r9): the RANGE ±100 global "
+    "window decomposed into width-200 value buckets + bucket-table "
+    "prefix sum (distributed CDF) — ~par with the single-reducer "
+    "window at sf1 (2.2 vs 1.9 s, 3x rows moved / 32x parallelism) "
+    "and 2.3x ahead at x100 (8.3 vs 19.3 s), the gap widening with "
+    "the corpus.",
 ]
 
 
