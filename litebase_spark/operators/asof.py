@@ -1609,3 +1609,100 @@ def ts_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         acf(2),
         acf(3),
     )
+
+
+@query(
+    "ts_cross_correlation",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(ts AS DATE) AS d,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1
+    ),
+    lagged AS (
+      SELECT y,
+             LAG(x, 0) OVER (ORDER BY d) AS x0,
+             LAG(x, 1) OVER (ORDER BY d) AS x1,
+             LAG(x, 2) OVER (ORDER BY d) AS x2
+      FROM cells
+    ),
+    u AS (
+      SELECT 0 AS lag, x0 AS x, y FROM lagged WHERE x0 IS NOT NULL
+      UNION ALL
+      SELECT 1, x1, y FROM lagged WHERE x1 IS NOT NULL
+      UNION ALL
+      SELECT 2, x2, y FROM lagged WHERE x2 IS NOT NULL
+    ),
+    s AS (
+      SELECT lag, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM u GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_days,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+             AS xcorr
+    FROM s ORDER BY lag
+    """,
+    description="Lagged cross-correlation between the daily click and "
+    "purchase volumes: xcorr_k = corr(clicks(d-k), purchases(d)) for "
+    "k = 0..2 — does purchase volume follow click volume k days "
+    "later? — the lead-lag diagnostic behind conversion-delay "
+    "models. One corpus exchange folds events onto the bounded "
+    "day-grid cell table (conditional counts, map-side combine); the "
+    "LAG window and the per-lag Pearson moments run over O(days) "
+    "cells only — the chi2/KS/seasonal cells-not-corpus shape. All "
+    "moments are exact int64 (daily counts; n*sxy bounded by "
+    "days*count^2), one final divide/sqrt with the identical IEEE "
+    "sequence in both engines.",
+    tags=("timeseries", "stats", "window"),
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    cells = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y"),
+    )
+    wd = Window.orderBy("d")
+    lagged = cells.select(
+        "y",
+        F.col("x").alias("x0"),
+        F.lag("x", 1).over(wd).alias("x1"),
+        F.lag("x", 2).over(wd).alias("x2"),
+    )
+    arms = [
+        lagged.filter(F.col(f"x{k}").isNotNull()).select(
+            F.lit(k).alias("lag"), F.col(f"x{k}").alias("x"), "y"
+        )
+        for k in (0, 1, 2)
+    ]
+    u = arms[0].unionByName(arms[1]).unionByName(arms[2])
+    s = u.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        F.col("lag").cast("long").alias("lag"),
+        n.cast("long").alias("n_days"),
+        F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6).alias("xcorr"),
+    ).orderBy("lag")

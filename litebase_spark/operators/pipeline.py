@@ -1573,3 +1573,99 @@ def pipeline_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "n_removable",
     )
+
+
+@query(
+    "pipeline_quality_funnel",
+    oracle=f"""
+    WITH base AS (
+      SELECT source, doc_id, n_chars,
+             len({_SQL_TOKENS.format(c='text')}) AS nt,
+             len(regexp_extract_all(text, '[0-9]')) AS nd,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+',
+                 ' ', 'g'))))
+               ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    flags AS (
+      SELECT source,
+             CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS p1,
+             CASE WHEN n_chars >= 200 AND nt >= 30
+                  THEN 1 ELSE 0 END AS p2,
+             CASE WHEN n_chars >= 200 AND nt >= 30
+                       AND nd * 5 <= n_chars
+                  THEN 1 ELSE 0 END AS p3,
+             CASE WHEN n_chars >= 200 AND nt >= 30
+                       AND nd * 5 <= n_chars AND rn = 1
+                  THEN 1 ELSE 0 END AS p4
+      FROM base
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(p1) AS BIGINT) AS n_len_ok,
+           CAST(SUM(p2) AS BIGINT) AS n_tok_ok,
+           CAST(SUM(p3) AS BIGINT) AS n_digit_ok,
+           CAST(SUM(p4) AS BIGINT) AS n_kept,
+           ROUND(CAST(SUM(p4) AS DOUBLE) / COUNT(*), 6) AS retention
+    FROM flags GROUP BY source ORDER BY source
+    """,
+    description="Quality-filter cascade attrition per source: the "
+    "stage-by-stage survivor counts (length floor -> token floor -> "
+    "digit-ratio cap -> exact-dup removal) every corpus-curation run "
+    "reports before a training mix is committed — the funnel that "
+    "tells you WHICH gate is eating a source, not just the end-to-end "
+    "yield. Stages are CUMULATIVE (each includes all prior gates, the "
+    "funnel invariant n_docs >= s1 >= s2 >= s3 >= s4, pinned by a "
+    "test). One corpus scan evaluates tokenizer + digit count + "
+    "normalized digest in the projection; the dup flag is a "
+    "rank-1-per-digest window keyed by the HIGH-CARDINALITY digest "
+    "(never a low-cardinality reducer), then one exchange onto the "
+    "source grid. Same per-doc text passes as pipeline_dataset_card; "
+    "the keep-first-doc_id survivor rule matches dedup_exact.",
+    tags=("pipeline", "quality", "llm"),
+)
+def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    dig = F.md5(
+        F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    )
+    base = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.size(tokens("text")).cast("long").alias("nt"),
+        F.size(F.split("text", "[0-9]")).cast("long").alias("nd_plus1"),
+        dig.alias("dig"),
+    )
+    wdup = Window.partitionBy("dig").orderBy("doc_id")
+    flagged = base.select(
+        "source",
+        "n_chars",
+        "nt",
+        (F.col("nd_plus1") - 1).alias("nd"),
+        F.row_number().over(wdup).alias("rn"),
+    )
+    p1 = F.col("n_chars") >= 200
+    p2 = p1 & (F.col("nt") >= 30)
+    p3 = p2 & (F.col("nd") * 5 <= F.col("n_chars"))
+    p4 = p3 & (F.col("rn") == 1)
+    out = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(p1.cast("long")).alias("n_len_ok"),
+        F.sum(p2.cast("long")).alias("n_tok_ok"),
+        F.sum(p3.cast("long")).alias("n_digit_ok"),
+        F.sum(p4.cast("long")).alias("n_kept"),
+    )
+    return out.select(
+        "source",
+        "n_docs",
+        "n_len_ok",
+        "n_tok_ok",
+        "n_digit_ok",
+        "n_kept",
+        F.round(
+            F.col("n_kept").cast("double") / F.col("n_docs"), 6
+        ).alias("retention"),
+    ).orderBy("source")

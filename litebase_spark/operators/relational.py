@@ -2563,3 +2563,284 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         u2a.cast("long").alias("u2_a"),
         z.alias("z_score"),
     )
+
+
+@query(
+    "stats_levene_test",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 2 END AS arm,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    a AS (
+      SELECT arm, COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS sv,
+             SUM(CAST(c AS HUGEINT) * c) AS q
+      FROM s GROUP BY arm
+    ),
+    f AS (
+      SELECT s.arm,
+             SUM(CASE WHEN CAST(s.c AS HUGEINT) * a.n >= a.sv
+                      THEN 1 ELSE 0 END) AS np,
+             CAST(SUM(CASE WHEN CAST(s.c AS HUGEINT) * a.n >= a.sv
+                           THEN s.c ELSE 0 END) AS BIGINT) AS cp
+      FROM s JOIN a ON s.arm = a.arm GROUP BY s.arm
+    ),
+    d AS (
+      SELECT a.arm, a.n,
+             CAST(CAST(a.n AS HUGEINT) * (2 * f.cp - a.sv)
+                  + (a.n - 2 * f.np) * CAST(a.sv AS HUGEINT)
+                  AS DOUBLE) / a.n / a.n AS zbar,
+             CAST(CAST(a.n AS HUGEINT) * a.q
+                  - CAST(a.sv AS HUGEINT) * a.sv AS DOUBLE) / a.n
+               AS sz2
+      FROM a JOIN f ON a.arm = f.arm
+    ),
+    p AS (
+      SELECT MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+             MAX(CASE WHEN arm = 2 THEN n END) AS n2,
+             MAX(CASE WHEN arm = 1 THEN zbar END) AS z1,
+             MAX(CASE WHEN arm = 2 THEN zbar END) AS z2,
+             MAX(CASE WHEN arm = 1 THEN sz2 - n * (zbar * zbar) END)
+               AS ssw1,
+             MAX(CASE WHEN arm = 2 THEN sz2 - n * (zbar * zbar) END)
+               AS ssw2
+      FROM d
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           ROUND(z1 / 100.0, 6) AS mad_1,
+           ROUND(z2 / 100.0, 6) AS mad_2,
+           ROUND((n1 + n2 - 2)
+                 * (n1 * ((z1 - (n1 * z1 + n2 * z2) / (n1 + n2))
+                          * (z1 - (n1 * z1 + n2 * z2) / (n1 + n2)))
+                    + n2 * ((z2 - (n1 * z1 + n2 * z2) / (n1 + n2))
+                            * (z2 - (n1 * z1 + n2 * z2) / (n1 + n2))))
+                 / (ssw1 + ssw2), 6) AS w_stat
+    FROM p
+    """,
+    description="Levene's test (mean-centered) for variance homogeneity "
+    "between two event types — the spread-drift gate completing the "
+    "two-sample family: Welch (mean shift), KS (shape), Mann-Whitney "
+    "(rank), Levene (variance). The absolute deviations never "
+    "materialize per row: sum|c - mean| folds to integer aggregates "
+    "via the sign-split identity sum|n*c - S| = n*(2*C+ - S) + "
+    "(n - 2*n+)*S, where C+/n+ are the conditional sums over rows "
+    "with n*c >= S — so pass 1 is (n, S, Q=sum(c^2)) and pass 2 is "
+    "two conditional int64 sums against the broadcast 2-row arm "
+    "table, and sum(z^2) = (nQ - S^2)/n^2 per the raw-moment "
+    "identity (no abs needed for squares). 128-bit only at the 2-row "
+    "final stage; the W statistic's double sequence is written "
+    "identically in both engines. Headroom: guarded like welch/acf "
+    "(n*max(c)^2 < 2^62).",
+    tags=("stats",),
+)
+def stats_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    s = e.select(
+        F.when(F.col("event_type") == "click", 1).otherwise(2).alias("arm"),
+        fp("value").alias("c"),
+    )
+    dec38 = "decimal(38,0)"
+    a = s.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sv"),
+        F.sum(F.col("c").cast(dec38) * F.col("c")).alias("q"),
+        F.max(F.abs(F.col("c"))).alias("mx"),
+    )
+    f = (
+        s.join(F.broadcast(a.select("arm", "n", "sv")), "arm")
+        .groupBy("arm")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("c").cast(dec38) * F.col("n") >= F.col("sv"), 1
+                ).otherwise(0)
+            ).alias("np"),
+            F.sum(
+                F.when(
+                    F.col("c").cast(dec38) * F.col("n") >= F.col("sv"),
+                    F.col("c"),
+                ).otherwise(0)
+            ).alias("cp"),
+        )
+    )
+    nd = F.col("n").cast(dec38)
+    svd = F.col("sv").cast(dec38)
+    guard = F.assert_true(
+        nd * F.col("mx").cast(dec38) * F.col("mx").cast(dec38)
+        < F.lit(2**62).cast(dec38),
+        F.lit(
+            "stats_levene_test int64 moment headroom exceeded: "
+            "n*max(c)^2 >= 2^62"
+        ),
+    )
+    d = a.join(f, "arm").select(
+        "arm",
+        F.when(guard.isNull(), F.col("n")).alias("n"),
+        (
+            (
+                nd * (F.lit(2).cast(dec38) * F.col("cp").cast(dec38) - svd)
+                + (nd - F.lit(2).cast(dec38) * F.col("np").cast(dec38))
+                * svd
+            ).cast("double")
+            / F.col("n")
+            / F.col("n")
+        ).alias("zbar"),
+        (
+            (nd * F.col("q") - svd * svd).cast("double") / F.col("n")
+        ).alias("sz2"),
+    )
+    p = d.agg(
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 2, F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("arm") == 1, F.col("zbar"))).alias("z1"),
+        F.max(F.when(F.col("arm") == 2, F.col("zbar"))).alias("z2"),
+        F.max(
+            F.when(
+                F.col("arm") == 1,
+                F.col("sz2") - F.col("n") * (F.col("zbar") * F.col("zbar")),
+            )
+        ).alias("ssw1"),
+        F.max(
+            F.when(
+                F.col("arm") == 2,
+                F.col("sz2") - F.col("n") * (F.col("zbar") * F.col("zbar")),
+            )
+        ).alias("ssw2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    z1, z2 = F.col("z1"), F.col("z2")
+    zg = (n1 * z1 + n2 * z2) / (n1 + n2)
+    return p.select(
+        n1.cast("long").alias("n1"),
+        n2.cast("long").alias("n2"),
+        F.round(z1 / 100.0, 6).alias("mad_1"),
+        F.round(z2 / 100.0, 6).alias("mad_2"),
+        F.round(
+            (n1 + n2 - 2)
+            * (
+                n1 * ((z1 - zg) * (z1 - zg))
+                + n2 * ((z2 - zg) * (z2 - zg))
+            )
+            / (F.col("ssw1") + F.col("ssw2")),
+            6,
+        ).alias("w_stat"),
+    )
+
+
+@query(
+    "stats_spearman_rho",
+    oracle="""
+    WITH l AS (
+      SELECT CAST(l_quantity AS BIGINT) AS qty,
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS c
+      FROM lineitem
+    ),
+    xc AS (SELECT qty, COUNT(*) AS t FROM l GROUP BY qty),
+    xr AS (
+      SELECT qty, 2 * COALESCE(SUM(t) OVER (ORDER BY qty
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + t + 1 AS u
+      FROM xc
+    ),
+    yc AS (SELECT c, COUNT(*) AS t FROM l GROUP BY c),
+    yr AS (
+      SELECT c, 2 * COALESCE(SUM(t) OVER (ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + t + 1 AS v
+      FROM yc
+    ),
+    j AS (SELECT u, v FROM l JOIN xr USING (qty) JOIN yr USING (c)),
+    s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(u) AS BIGINT) AS su, CAST(SUM(v) AS BIGINT) AS sv,
+             SUM(CAST(u AS HUGEINT) * u) AS su2,
+             SUM(CAST(v AS HUGEINT) * v) AS sv2,
+             SUM(CAST(u AS HUGEINT) * v) AS suv
+      FROM j
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           ROUND(CAST(n * suv - CAST(su AS HUGEINT) * sv AS DOUBLE)
+                 / (SQRT(CAST(n * su2 - CAST(su AS HUGEINT) * su
+                              AS DOUBLE))
+                    * SQRT(CAST(n * sv2 - CAST(sv AS HUGEINT) * sv
+                                AS DOUBLE))), 6) AS rho
+    FROM s
+    """,
+    description="Spearman rank correlation (quantity vs extended price "
+    "over lineitem) with exact tie handling: Pearson over DOUBLED "
+    "midranks 2r = 2*cum_before + ties + 1, so every rank is an "
+    "integer and every sum is exact until the single final "
+    "divide/sqrt (identical IEEE sequence both engines). The rank "
+    "assignment is the round-9 distributed-CDF machinery: quantity "
+    "ranks come from a 50-cell bounded window (broadcast back); "
+    "price ranks from value-bucketed cells — width-1000-dollar "
+    "buckets, bucket-local prefix window, O(#buckets) offset table "
+    "prefix broadcast back — so NO corpus-sized single-reducer "
+    "window anywhere (the naive global rank() is the scale bug this "
+    "plan kills; same shape as window_range_frame). Rank join back "
+    "to rows shuffles on the value key. The three cross-moment sums "
+    "are DECIMAL(38,0) per row (u*v ~ 4n^2 overflows int64 past "
+    "~1e6 rows); sum(u) stays int64 = n(n+1).",
+    tags=("stats", "window"),
+)
+def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        fp("l_extendedprice").alias("c"),
+    )
+    dec38 = "decimal(38,0)"
+    # x ranks: 50-cell bounded window (cells-not-corpus contract)
+    xc = l.groupBy("qty").agg(F.count(F.lit(1)).alias("t"))
+    wx = Window.orderBy("qty").rowsBetween(Window.unboundedPreceding, -1)
+    xr = xc.select(
+        "qty",
+        (
+            2 * F.coalesce(F.sum("t").over(wx), F.lit(0))
+            + F.col("t") + 1
+        ).alias("u"),
+    )
+    # y ranks: bucketed cells prefix (no corpus-sized global window)
+    yc = l.groupBy("c").agg(F.count(F.lit(1)).alias("t"))
+    yb = yc.withColumn("b", F.floor(F.col("c") / F.lit(100000)))
+    wyl = (
+        Window.partitionBy("b")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    loc = yb.select(
+        "b", "c", "t",
+        F.coalesce(F.sum("t").over(wyl), F.lit(0)).alias("lcum"),
+    )
+    btot = yb.groupBy("b").agg(F.sum("t").alias("bt"))
+    wob = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    off = btot.select(
+        "b", F.coalesce(F.sum("bt").over(wob), F.lit(0)).alias("boff")
+    )
+    yr = loc.join(F.broadcast(off), "b").select(
+        "c",
+        (
+            2 * (F.col("boff") + F.col("lcum")) + F.col("t") + 1
+        ).alias("v"),
+    )
+    j = l.join(F.broadcast(xr), "qty").join(yr, "c")
+    s = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("u").alias("su"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("u").cast(dec38) * F.col("u")).alias("su2"),
+        F.sum(F.col("v").cast(dec38) * F.col("v")).alias("sv2"),
+        F.sum(F.col("u").cast(dec38) * F.col("v")).alias("suv"),
+    )
+    nd = F.col("n").cast(dec38)
+    sud = F.col("su").cast(dec38)
+    svd = F.col("sv").cast(dec38)
+    num = (nd * F.col("suv") - sud * svd).cast("double")
+    dx = (nd * F.col("su2") - sud * sud).cast("double")
+    dy = (nd * F.col("sv2") - svd * svd).cast("double")
+    return s.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6).alias("rho"),
+    )
