@@ -65,6 +65,15 @@ NAMES = [
     "stats_welch_ttest",
     "sketch_hll_intersect",
     "text_winnowing_fingerprint",
+    # round 9: the distributed-CDF decompositions (bucket prefix sums +
+    # global ranks must agree under any task geometry), the sign-split
+    # Levene fold, and the streaming band-state dedup
+    "window_range_frame",
+    "stats_spearman_rho",
+    "stats_levene_test",
+    "ts_cross_correlation",
+    "pipeline_quality_funnel",
+    "stream_dedup_minhash_lsh",
 ]
 
 

@@ -90,6 +90,12 @@ QUERIES = [
     "ts_acf_lags",               # bucketed raw-moment lag windows
     "stats_cramers_v",           # cells-not-corpus effect size
     "stats_welch_ttest",         # 6-cell two-sample reduce
+    # round 9 (all linear-work by construction)
+    "window_range_frame",        # distributed-CDF value-frame count
+    "stats_levene_test",         # sign-split abs-deviation algebra
+    "stats_spearman_rho",        # bucketed midrank CDF + rank join
+    "ts_cross_correlation",      # day-grid lead-lag Pearson
+    "pipeline_quality_funnel",   # one-scan cascade + digest window
 ]
 
 _SHIFT = 10**9
