@@ -115,6 +115,13 @@ HEADLINE = [
     # AvailableNow stream to completion, so steady-state re-execution
     # would time only the memory-sink read)
     "window_range_frame",
+    "stats_levene_test",
+    "stats_spearman_rho",
+    "ts_cross_correlation",
+    "pipeline_quality_funnel",
+    "stats_kruskal_wallis",
+    "stats_kendall_tau",
+    "pipeline_ngram_novelty",
 ]
 
 

@@ -1669,3 +1669,100 @@ def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_kept").cast("double") / F.col("n_docs"), 6
         ).alias("retention"),
     ).orderBy("source")
+
+
+_NOVELTY_GRAM_DUCK = "w[u.pos] || ' ' || w[u.pos+1] || ' ' || w[u.pos+2]"
+
+
+@query(
+    "pipeline_ngram_novelty",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, {_SQL_TOKENS.format(c='text')} AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id, source,
+             {{h}} AS h
+      FROM tok, UNNEST(range(1, len(w) - 1)) AS u(pos)
+      WHERE len(w) >= 3
+    ),
+    fd AS (SELECT h, MIN(doc_id) AS fdoc FROM g GROUP BY h),
+    pd AS (
+      SELECT doc_id, source, COUNT(*) AS ng,
+             SUM(CASE WHEN fdoc = doc_id THEN 1 ELSE 0 END) AS nn
+      FROM g JOIN fd USING (h) GROUP BY doc_id, source
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(ng) AS BIGINT) AS total_grams,
+           CAST(SUM(nn) AS BIGINT) AS novel_grams,
+           CAST(SUM(nn) * 1000000 // SUM(ng) AS BIGINT) AS novelty_ppm,
+           CAST(SUM(nn * 1000000 // ng) // COUNT(*) AS BIGINT)
+             AS mean_doc_novelty_e6
+    FROM pd GROUP BY source
+    """.format(h=h60_duck(_NOVELTY_GRAM_DUCK)),
+    description="Per-source n-gram novelty curve: for every document, "
+    "the fraction of its DISTINCT 3-token shingles whose global first "
+    "occurrence (minimum doc_id over the whole corpus) is this "
+    "document — the standard corpus-redundancy audit that tells a "
+    "training-data pipeline how much genuinely new text each source "
+    "contributes vs re-crawls of already-seen material (the "
+    "complement of dedup: dedup asks 'is this doc a copy', novelty "
+    "asks 'how much of the marginal token mass is new'). Plan: "
+    "single-pass tokenizer (shared regex, DuckDB parity via "
+    "string_split_regex) -> portable h60 gram hashes -> per-doc "
+    "DISTINCT (doc-and-gram-keyed exchange with map-side partial) -> "
+    "gram-keyed MIN(doc_id) aggregation (NO pair-forming: the hottest "
+    "gram's posting list collapses to one row via partial min, so a "
+    "stop-gram that appears in every document costs one combiner "
+    "cell, not a join explosion) -> broadcast-free equi-join back on "
+    "the gram hash -> (source) rollup. Fixed-point e6 ratios with "
+    "floor division on both engines; min-doc-id tie-break makes the "
+    "result partition-invariant. Scales as O(distinct grams) shuffle "
+    "bytes. Reference parity: net-new LLM-pipeline surface.",
+    tags=("pipeline", "dedup", "llm"),
+)
+def pipeline_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = tokens("text")
+    tw = d.select("doc_id", "source", w.alias("w"))
+    if tw.rdd.getNumPartitions() < 8:
+        tw = tw.repartition(spark.sparkContext.defaultParallelism)
+    gram = (
+        "concat_ws(' ', element_at(w, i), element_at(w, i + 1),"
+        " element_at(w, i + 2))"
+    )
+    grams = F.expr(
+        f"transform(sequence(1, size(w) - 2), i -> {h60_spark(gram)})"
+    )
+    g = (
+        tw.select(
+            "doc_id",
+            "source",
+            F.explode_outer(F.when(F.size("w") >= 3, grams)).alias("h"),
+        )
+        .filter(F.col("h").isNotNull())
+        .groupBy("doc_id", "source", "h")
+        .agg(F.count(F.lit(1)).alias("_dup"))
+        .drop("_dup")
+    )
+    fd = g.groupBy("h").agg(F.min("doc_id").alias("fdoc"))
+    pd = (
+        g.join(fd, "h")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("ng"),
+            F.sum(
+                F.when(F.col("fdoc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("nn"),
+        )
+    )
+    return pd.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ng").cast("long").alias("total_grams"),
+        F.sum("nn").cast("long").alias("novel_grams"),
+        F.expr("(sum(nn) * 1000000) DIV sum(ng)").alias("novelty_ppm"),
+        F.expr(
+            "sum((nn * 1000000) DIV ng) DIV count(1)"
+        ).alias("mean_doc_novelty_e6"),
+    )

@@ -2844,3 +2844,301 @@ def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_rows"),
         F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6).alias("rho"),
     )
+
+
+@query(
+    "stats_kruskal_wallis",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g2,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g3
+      FROM events WHERE event_type IN ('click', 'view', 'purchase')
+    ),
+    cells AS (
+      SELECT cents, SUM(g1) AS c1, SUM(g2) AS c2, SUM(g3) AS c3
+      FROM s GROUP BY cents
+    ),
+    r AS (
+      SELECT c1, c2, c3, c1 + c2 + c3 AS t,
+             COALESCE(SUM(c1 + c2 + c3) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum0
+      FROM cells
+    ),
+    a AS (
+      SELECT SUM(c1) AS n1, SUM(c2) AS n2, SUM(c3) AS n3,
+             SUM(t) AS nn,
+             SUM(c1 * (2 * cum0 + t + 1)) AS s1,
+             SUM(c2 * (2 * cum0 + t + 1)) AS s2,
+             SUM(c3 * (2 * cum0 + t + 1)) AS s3,
+             SUM(t * t * t - t) AS ties
+      FROM r
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(n3 AS BIGINT) AS n3,
+           CAST(s1 AS BIGINT) AS two_r1,
+           CAST(s2 AS BIGINT) AS two_r2,
+           CAST(s3 AS BIGINT) AS two_r3,
+           ROUND(
+             (3.0 * (CAST(CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+                       / CAST(n1 AS DOUBLE)
+                     + CAST(CAST(s2 AS HUGEINT) * s2 AS DOUBLE)
+                       / CAST(n2 AS DOUBLE)
+                     + CAST(CAST(s3 AS HUGEINT) * s3 AS DOUBLE)
+                       / CAST(n3 AS DOUBLE))
+              / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0))
+              - 3.0 * (CAST(nn AS DOUBLE) + 1.0))
+             / (1.0 - CAST(ties AS DOUBLE)
+                      / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                         * CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE))),
+             6) AS h_stat
+    FROM a
+    """,
+    description="Kruskal-Wallis H test across THREE event-type arms "
+    "(click/view/purchase) — the k-group generalization of "
+    "stats_mann_whitney_u for 'did any variant shift the value "
+    "distribution', rank-based so it needs no normality. Same "
+    "cells-not-corpus shape: one corpus shuffle onto the distinct-cents "
+    "cell table (map-side combine), doubled midranks 2r = 2*cum_before "
+    "+ ties + 1 from a running sum over the bounded value grid, "
+    "per-arm doubled rank sums 2R_i = sum(c_i * 2r) as exact BIGINT "
+    "(headroom ~ n_i * 2N; int64-safe to ~1e9 rows/arm at 1e9 distinct "
+    "cents — far past any test SF), and the tie-corrected "
+    "H = [3/(N(N+1)) * sum((2R_i)^2/n_i) - 3(N+1)] / (1 - T/(N^3-N)) "
+    "evaluated in fixed-order doubles ONLY on the single final row "
+    "((2R_i)^2 in DECIMAL(38,0) <-> HUGEINT, which agree). The "
+    "unpartitioned cells window never sees the corpus. Reference "
+    "parity: net-new drift-gate surface (the reference ships no "
+    "rank statistics).",
+    tags=("stats", "window"),
+)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    )
+    s = e.select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("g1"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("g2"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("g3"),
+    )
+    cells = s.groupBy("cents").agg(
+        F.sum("g1").alias("c1"),
+        F.sum("g2").alias("c2"),
+        F.sum("g3").alias("c3"),
+    )
+    wg = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    t = F.col("c1") + F.col("c2") + F.col("c3")
+    r = cells.select(
+        "c1",
+        "c2",
+        "c3",
+        t.alias("t"),
+        F.coalesce(F.sum(t).over(wg), F.lit(0)).alias("cum0"),
+    )
+    two_r = 2 * F.col("cum0") + F.col("t") + 1
+    a = r.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum("c3").alias("n3"),
+        F.sum("t").alias("nn"),
+        F.sum(F.col("c1") * two_r).alias("s1"),
+        F.sum(F.col("c2") * two_r).alias("s2"),
+        F.sum(F.col("c3") * two_r).alias("s3"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("ties"),
+    )
+    dec38 = "decimal(38,0)"
+
+    def _sq_over_n(sc: str, nc: str):
+        return (
+            (F.col(sc).cast(dec38) * F.col(sc)).cast("double")
+            / F.col(nc).cast("double")
+        )
+
+    nd = F.col("nn").cast("double")
+    h = (
+        F.lit(3.0)
+        * (
+            _sq_over_n("s1", "n1")
+            + _sq_over_n("s2", "n2")
+            + _sq_over_n("s3", "n3")
+        )
+        / (nd * (nd + F.lit(1.0)))
+        - F.lit(3.0) * (nd + F.lit(1.0))
+    )
+    corr = F.lit(1.0) - F.col("ties").cast("double") / (
+        nd * nd * nd - nd
+    )
+    return a.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("n3").cast("long").alias("n3"),
+        F.col("s1").cast("long").alias("two_r1"),
+        F.col("s2").cast("long").alias("two_r2"),
+        F.col("s3").cast("long").alias("two_r3"),
+        F.round(h / corr, 6).alias("h_stat"),
+    )
+
+
+@query(
+    "stats_kendall_tau",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             YEAR(l_shipdate) * 12 + MONTH(l_shipdate) AS y
+      FROM lineitem
+    ),
+    cells AS (SELECT x, y, COUNT(*) AS cn FROM base GROUP BY x, y),
+    grid AS (
+      SELECT xs.x, ys.y, COALESCE(c.cn, 0) AS cn
+      FROM (SELECT DISTINCT x FROM cells) xs
+      CROSS JOIN (SELECT DISTINCT y FROM cells) ys
+      LEFT JOIN cells c ON c.x = xs.x AND c.y = ys.y
+    ),
+    g1 AS (
+      SELECT x, y, cn,
+        COALESCE(SUM(cn) OVER (PARTITION BY x ORDER BY y
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS cy_lo,
+        COALESCE(SUM(cn) OVER (PARTITION BY x ORDER BY y
+          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+          AS cy_hi
+      FROM grid
+    ),
+    g2 AS (
+      SELECT cn,
+        COALESCE(SUM(cy_lo) OVER (PARTITION BY y ORDER BY x
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p,
+        COALESCE(SUM(cy_hi) OVER (PARTITION BY y ORDER BY x
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS q
+      FROM g1
+    ),
+    cd AS (
+      SELECT SUM(CAST(cn AS HUGEINT) * p) AS c,
+             SUM(CAST(cn AS HUGEINT) * q) AS d,
+             SUM(cn) AS n
+      FROM g2
+    ),
+    tx AS (SELECT SUM(CAST(nx AS HUGEINT) * (nx - 1)) AS t1
+           FROM (SELECT SUM(cn) AS nx FROM grid GROUP BY x)),
+    ty AS (SELECT SUM(CAST(ny AS HUGEINT) * (ny - 1)) AS t2
+           FROM (SELECT SUM(cn) AS ny FROM grid GROUP BY y))
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST(c AS BIGINT) AS concordant,
+           CAST(d AS BIGINT) AS discordant,
+           ROUND(2.0 * CAST(c - d AS DOUBLE)
+                 / SQRT(CAST(CAST(n AS HUGEINT) * (n - 1) - t1
+                             AS DOUBLE)
+                        * CAST(CAST(n AS HUGEINT) * (n - 1) - t2
+                               AS DOUBLE)),
+                 6) AS tau_b
+    FROM cd, tx, ty
+    """,
+    description="Kendall tau-b rank correlation (quantity vs ship "
+    "month over all of lineitem) WITHOUT forming a single pair: the "
+    "O(n^2) concordant/discordant pair counts collapse onto the "
+    "bounded ~50x84 (quantity, month) contingency grid — one corpus "
+    "shuffle with map-side combine, densify the grid via a broadcast "
+    "cross join of the two tiny axis tables (sparse cells would drop "
+    "prefix mass), then TWO bounded-window prefix passes: per-x "
+    "running sums over y give below/above counts, a per-y running sum "
+    "over x turns those into strict southwest (concordant) and "
+    "northwest (discordant) masses per cell. C = sum(n_xy * P_xy), "
+    "D = sum(n_xy * Q_xy) as DECIMAL(38,0) <-> HUGEINT on the 4200 "
+    "cells, tie terms from the axis marginals, and tau_b = "
+    "2(C-D)/sqrt((2n0-2t1)(2n0-2t2)) using DOUBLED tie counts so no "
+    "integer halving ever occurs; doubles only in the single final "
+    "row. Scales with distinct cells, not rows — the pairs-from-cells "
+    "analog of ts_acf_lags' decomposition. Reference parity: net-new "
+    "(no rank statistics in the reference).",
+    tags=("stats", "window"),
+)
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x"),
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("y"),
+    )
+    cells = l.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cn"))
+    xs = cells.select("x").distinct()
+    ys = cells.select("y").distinct()
+    grid = (
+        xs.crossJoin(F.broadcast(ys))
+        .join(F.broadcast(cells), ["x", "y"], "left")
+        .select(
+            "x", "y", F.coalesce(F.col("cn"), F.lit(0)).alias("cn")
+        )
+    )
+    w_lo_y = (
+        Window.partitionBy("x")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_hi_y = (
+        Window.partitionBy("x")
+        .orderBy("y")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    g1 = grid.select(
+        "x",
+        "y",
+        "cn",
+        F.coalesce(F.sum("cn").over(w_lo_y), F.lit(0)).alias("cy_lo"),
+        F.coalesce(F.sum("cn").over(w_hi_y), F.lit(0)).alias("cy_hi"),
+    )
+    w_lo_x = (
+        Window.partitionBy("y")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g2 = g1.select(
+        "cn",
+        F.coalesce(F.sum("cy_lo").over(w_lo_x), F.lit(0)).alias("p"),
+        F.coalesce(F.sum("cy_hi").over(w_lo_x), F.lit(0)).alias("q"),
+    )
+    dec38 = "decimal(38,0)"
+    cd = g2.agg(
+        F.sum(F.col("cn").cast(dec38) * F.col("p")).alias("c"),
+        F.sum(F.col("cn").cast(dec38) * F.col("q")).alias("d"),
+        F.sum("cn").alias("n"),
+    )
+    tx = (
+        grid.groupBy("x")
+        .agg(F.sum("cn").alias("nx"))
+        .agg(
+            F.sum(
+                F.col("nx").cast(dec38) * (F.col("nx") - 1)
+            ).alias("t1")
+        )
+    )
+    ty = (
+        grid.groupBy("y")
+        .agg(F.sum("cn").alias("ny"))
+        .agg(
+            F.sum(
+                F.col("ny").cast(dec38) * (F.col("ny") - 1)
+            ).alias("t2")
+        )
+    )
+    j = cd.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
+    two_n0 = F.col("n").cast(dec38) * (F.col("n") - 1)
+    tau = F.round(
+        F.lit(2.0)
+        * (F.col("c") - F.col("d")).cast("double")
+        / F.sqrt(
+            (two_n0 - F.col("t1")).cast("double")
+            * (two_n0 - F.col("t2")).cast("double")
+        ),
+        6,
+    )
+    return j.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("c").cast("long").alias("concordant"),
+        F.col("d").cast("long").alias("discordant"),
+        tau.alias("tau_b"),
+    )

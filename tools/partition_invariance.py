@@ -74,6 +74,11 @@ NAMES = [
     "ts_cross_correlation",
     "pipeline_quality_funnel",
     "stream_dedup_minhash_lsh",
+    # round 9 batch 2: grid prefix sums (kendall), midrank cells
+    # (kruskal), min-doc-id first-occurrence tie-break (novelty)
+    "stats_kendall_tau",
+    "stats_kruskal_wallis",
+    "pipeline_ngram_novelty",
 ]
 
 

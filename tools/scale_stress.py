@@ -96,6 +96,9 @@ QUERIES = [
     "stats_spearman_rho",        # bucketed midrank CDF + rank join
     "ts_cross_correlation",      # day-grid lead-lag Pearson
     "pipeline_quality_funnel",   # one-scan cascade + digest window
+    "stats_kruskal_wallis",      # k-arm midrank cells
+    "stats_kendall_tau",         # pairs-from-cells 2D prefix grid
+    "pipeline_ngram_novelty",    # gram-keyed min-doc first occurrence
 ]
 
 _SHIFT = 10**9
