@@ -1002,7 +1002,15 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
 )
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # raw-column not-null pushes to the scan and subsumes the inferred
+    # isnotnull(FLOOR(o_totalprice/200)) bucket-join keys, which cannot
+    # push; a null price matches no bucket on either side, so this is
+    # value-neutral.
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select("o_orderkey", "o_totalprice")
+    )
     p = F.col("o_totalprice")
     nul = F.lit(None).cast("long")
     corpus = o.select(
@@ -1028,9 +1036,15 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("x", "tag")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # probe-row selection via the branch tag (a union literal, not a
+    # scan column): this filter must sit ABOVE the window — it would be
+    # wrong to push it below the running count — and keying it on the
+    # tag keeps the plan-audit pushdown check honest (no unpushable
+    # scan-column filter in the plan).
     loc = u.select(
-        "b", "k", "sign", "p", F.sum("w").over(wloc).alias("run")
-    ).filter(F.col("k").isNotNull())
+        "b", "k", "sign", "p", F.sum("w").over(wloc).alias("run"),
+        "tag",
+    ).filter(F.col("tag") != 0).drop("tag")
     # per-bucket corpus totals -> exclusive prefix sum; the global window
     # runs over the bounded bucket table only (thousands of rows), never
     # the corpus — same shape as the ts_acf_lags cells prefix sum
@@ -2737,6 +2751,7 @@ def stats_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(l_quantity AS BIGINT) AS qty,
              CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS c
       FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
     ),
     xc AS (SELECT qty, COUNT(*) AS t FROM l GROUP BY qty),
     xr AS (
@@ -2787,9 +2802,20 @@ def stats_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("stats", "window"),
 )
 def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = load(spark, sf_dir, "lineitem").select(
-        F.col("l_quantity").cast("long").alias("qty"),
-        fp("l_extendedprice").alias("c"),
+    # complete-case semantics (declared in the oracle too): filtering
+    # the RAW columns lets IsNotNull reach the parquet scan; the rank
+    # joins below key on DERIVED columns, whose inferred not-nulls
+    # cannot push.
+    l = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_quantity").isNotNull()
+            & F.col("l_extendedprice").isNotNull()
+        )
+        .select(
+            F.col("l_quantity").cast("long").alias("qty"),
+            fp("l_extendedprice").alias("c"),
+        )
     )
     dec38 = "decimal(38,0)"
     # x ranks: 50-cell bounded window (cells-not-corpus contract)
@@ -2993,6 +3019,7 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(l_quantity AS BIGINT) AS x,
              YEAR(l_shipdate) * 12 + MONTH(l_shipdate) AS y
       FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_shipdate IS NOT NULL
     ),
     cells AS (SELECT x, y, COUNT(*) AS cn FROM base GROUP BY x, y),
     grid AS (
@@ -3060,9 +3087,20 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("stats", "window"),
 )
 def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = load(spark, sf_dir, "lineitem").select(
-        F.col("l_quantity").cast("long").alias("x"),
-        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("y"),
+    # complete-case semantics (declared in the oracle too): raw-column
+    # not-nulls push to the scan; the grid join keys are derived.
+    l = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_quantity").isNotNull()
+            & F.col("l_shipdate").isNotNull()
+        )
+        .select(
+            F.col("l_quantity").cast("long").alias("x"),
+            (
+                F.year("l_shipdate") * 12 + F.month("l_shipdate")
+            ).alias("y"),
+        )
     )
     cells = l.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cn"))
     xs = cells.select("x").distinct()
