@@ -2795,10 +2795,19 @@ def stats_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     "buckets, bucket-local prefix window, O(#buckets) offset table "
     "prefix broadcast back — so NO corpus-sized single-reducer "
     "window anywhere (the naive global rank() is the scale bug this "
-    "plan kills; same shape as window_range_frame). Rank join back "
-    "to rows shuffles on the value key. The three cross-moment sums "
-    "are DECIMAL(38,0) per row (u*v ~ 4n^2 overflows int64 past "
-    "~1e6 rows); sum(u) stays int64 = n(n+1).",
+    "plan kills; same shape as window_range_frame). ONE corpus "
+    "exchange total (re-planned mid-round-9 off a 2.7 s sf1 row): "
+    "the 50-row u map broadcasts onto rows map-side and the corpus "
+    "collapses straight onto the distinct-cents cells carrying int64 "
+    "partials (count, sum(u) <= n(2n+1) ~ 7e13 at sf1); every "
+    "second moment then folds on a CELL table — x-moments on the 50 "
+    "quantity cells, y/cross moments as sum(t*v^2) and sum(v*suc) "
+    "over the cents cells (v is constant within a cell, so these are "
+    "bit-identical to the per-row sums the oracle computes) — which "
+    "keeps all DECIMAL(38,0) products off the corpus codegen path "
+    "(the ts_acf_lags BigDecimal lesson) and deletes the old "
+    "value-keyed rank join back to rows (a full second corpus "
+    "shuffle plus 3 per-row decimal products; 2.69 -> ~0.9 s sf1).",
     tags=("stats", "window"),
 )
 def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2823,21 +2832,44 @@ def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     wx = Window.orderBy("qty").rowsBetween(Window.unboundedPreceding, -1)
     xr = xc.select(
         "qty",
+        "t",
         (
             2 * F.coalesce(F.sum("t").over(wx), F.lit(0))
             + F.col("t") + 1
         ).alias("u"),
     )
+    # x-side moments fold on the 50-cell table (sum u over rows =
+    # sum t*u over cells); decimal math touches 50 rows, never the
+    # corpus
+    xmom = xr.agg(
+        F.sum("t").alias("n"),
+        F.sum(F.col("t") * F.col("u")).alias("su"),
+        F.sum(
+            F.col("t").cast(dec38) * F.col("u") * F.col("u")
+        ).alias("su2"),
+    )
+    # ONE corpus exchange: broadcast the 50-row u map onto rows
+    # map-side, then collapse onto the distinct-cents cells carrying
+    # int64 partial sums only (count + sum(u) — both int64-safe:
+    # sum(u) <= n*(2n+1), ~7e13 at sf1). The previous plan re-shuffled
+    # the corpus a second time to join v back per row and then summed
+    # per-row DECIMAL products over the whole corpus — the interpreted
+    # BigDecimal off-codegen path ts_acf_lags already taught us to
+    # avoid; here every decimal product runs over cells.
+    cells = (
+        l.join(F.broadcast(xr.select("qty", "u")), "qty")
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("t"), F.sum("u").alias("suc"))
+    )
     # y ranks: bucketed cells prefix (no corpus-sized global window)
-    yc = l.groupBy("c").agg(F.count(F.lit(1)).alias("t"))
-    yb = yc.withColumn("b", F.floor(F.col("c") / F.lit(100000)))
+    yb = cells.withColumn("b", F.floor(F.col("c") / F.lit(100000)))
     wyl = (
         Window.partitionBy("b")
         .orderBy("c")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     loc = yb.select(
-        "b", "c", "t",
+        "b", "c", "t", "suc",
         F.coalesce(F.sum("t").over(wyl), F.lit(0)).alias("lcum"),
     )
     btot = yb.groupBy("b").agg(F.sum("t").alias("bt"))
@@ -2845,21 +2877,23 @@ def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     off = btot.select(
         "b", F.coalesce(F.sum("bt").over(wob), F.lit(0)).alias("boff")
     )
-    yr = loc.join(F.broadcast(off), "b").select(
-        "c",
+    yv = loc.join(F.broadcast(off), "b").select(
+        "t", "suc",
         (
             2 * (F.col("boff") + F.col("lcum")) + F.col("t") + 1
         ).alias("v"),
     )
-    j = l.join(F.broadcast(xr), "qty").join(yr, "c")
-    s = j.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("u").alias("su"),
-        F.sum("v").alias("sv"),
-        F.sum(F.col("u").cast(dec38) * F.col("u")).alias("su2"),
-        F.sum(F.col("v").cast(dec38) * F.col("v")).alias("sv2"),
-        F.sum(F.col("u").cast(dec38) * F.col("v")).alias("suv"),
+    # y-side + cross moments fold on the cells: sum(v) = sum t*v,
+    # sum(v^2) = sum t*v^2, sum(u*v) = sum v*suc (v constant within a
+    # cents cell) — bit-identical integers to the per-row sums
+    ymom = yv.agg(
+        F.sum(F.col("t") * F.col("v")).alias("sv"),
+        F.sum(
+            F.col("t").cast(dec38) * F.col("v") * F.col("v")
+        ).alias("sv2"),
+        F.sum(F.col("suc").cast(dec38) * F.col("v")).alias("suv"),
     )
+    s = ymom.crossJoin(F.broadcast(xmom))
     nd = F.col("n").cast(dec38)
     sud = F.col("su").cast(dec38)
     svd = F.col("sv").cast(dec38)

@@ -136,6 +136,27 @@ _FLOOR_NOTES = [
     "window at sf1 (2.2 vs 1.9 s, 3x rows moved / 32x parallelism) "
     "and 2.3x ahead at x100 (8.3 vs 19.3 s), the gap widening with "
     "the corpus.",
+    "- `stats_spearman_rho` (re-planned mid-r9, 2.69→1.67 s): exact "
+    "tie midranks over ~4M NEAR-UNIQUE cents values mean the "
+    "distinct-cents exchange cannot map-side collapse — the bare "
+    "`groupBy(c).count()` alone measures >1/3 of the total "
+    "(interleaved A/B), and the re-plan already folded every decimal "
+    "moment onto cells and deleted the old second corpus shuffle. "
+    "The remainder is the 4M-cell bucket windows + three cell-level "
+    "decimal folds; DuckDB's 0.5 s is one single-process sort-rank "
+    "over the same 4M keys. Exchange-floor-shaped, not corpus-"
+    "coupled: 1.3x flat in SCALE_STRESS x16.",
+    "- `stats_kendall_tau` (0.83 s): one corpus exchange onto the "
+    "~50x84 contingency grid (map-side combine) + bounded grid "
+    "windows; the Spark time is the fact exchange + 4 tiny stages. "
+    "Constant-output; 2.0x in SCALE_STRESS x16 against 16x rows.",
+    "- `stats_levene_test` / `stats_kruskal_wallis` / "
+    "`ts_cross_correlation` (0.4-0.5 s, >10x ratios): the "
+    "constant-output cells-stats class (6-cell / k-arm / day-grid "
+    "reduces) — Spark time is stage-launch floor on 2-3 job chains, "
+    "DuckDB's 0.03-0.04 s is a single-process scan of the same "
+    "shrunken cells; they do not grow under fact replication "
+    "(SCALE_STRESS 1.5-2.2x at x16) and vanish at cluster scale.",
 ]
 
 
