@@ -1712,11 +1712,13 @@ _NOVELTY_GRAM_DUCK = "w[u.pos] || ' ' || w[u.pos+1] || ' ' || w[u.pos+2]"
     "single-pass tokenizer (shared regex, DuckDB parity via "
     "string_split_regex) -> portable h60 gram hashes -> per-doc "
     "DISTINCT (doc-and-gram-keyed exchange with map-side partial) -> "
-    "gram-keyed MIN(doc_id) aggregation (NO pair-forming: the hottest "
-    "gram's posting list collapses to one row via partial min, so a "
-    "stop-gram that appears in every document costs one combiner "
-    "cell, not a join explosion) -> broadcast-free equi-join back on "
-    "the gram hash -> (source) rollup. Fixed-point e6 ratios with "
+    "gram-keyed MIN(doc_id) aggregation + sort-free hash join back "
+    "(NO pair-forming: the hottest gram's posting list collapses to "
+    "one row via partial min, so a stop-gram that appears in every "
+    "document costs one combiner cell, not a join explosion; the "
+    "window-min single-exchange alternative A/B'd SLOWER at x10 — "
+    "WindowExec's per-partition sort on near-unique gram hashes "
+    "costs more than the exchange it saves) -> (source) rollup. Fixed-point e6 ratios with "
     "floor division on both engines; min-doc-id tie-break makes the "
     "result partition-invariant. Scales as O(distinct grams) shuffle "
     "bytes. Reference parity: net-new LLM-pipeline surface.",
@@ -1746,6 +1748,14 @@ def pipeline_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("_dup"))
         .drop("_dup")
     )
+    # first-occurrence via groupBy(h)+join-back, A/B'd against the
+    # gram-partitioned window-min alternative at x10: the window saves
+    # one h exchange but WindowExec must SORT every gram partition,
+    # and on ~10M near-unique gram hashes the sort costs more than the
+    # hash-shuffle it replaces (2.95 vs 2.54 s) — the opposite verdict
+    # from text_inverted_index's doc-frequency window, where the
+    # consumer needed the h partitioning anyway. Hash agg + hash join
+    # keeps the whole path sort-free.
     fd = g.groupBy("h").agg(F.min("doc_id").alias("fdoc"))
     pd = (
         g.join(fd, "h")
