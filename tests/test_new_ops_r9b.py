@@ -173,3 +173,61 @@ def test_ngram_novelty_hand_model(spark, tmp_path):
     assert b.total_grams == 4 and b.novel_grams == 2
     assert b.novelty_ppm == 500000
     assert b.mean_doc_novelty_e6 == (0 + 1000000) // 2
+
+
+def test_kendall_randomized_parity(spark, tmp_path):
+    """Pair-free grid tau-b == brute-force O(n^2) on randomized input.
+
+    Deterministic LCG so the case is reproducible; 60 points across 6
+    quantities x 8 months with heavy ties exercises every strict-
+    inequality corner of the SW/NW prefix masses.
+    """
+    seed = 0x5EED
+    pts = []
+    for i in range(60):
+        seed = (seed * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        q = 1 + (seed >> 33) % 6
+        m = 1 + (seed >> 45) % 8
+        pts.append((q, f"1996-{m:02d}-15"))
+    rows = [(float(q), d + " 00:00:00") for q, d in pts]
+    sf = _write_lineitem_dates(spark, tmp_path, rows)
+    got = stats_kendall_tau(spark, sf).collect()[0]
+    xs = [q for q, _ in pts]
+    ys = [int(d[5:7]) for _, d in pts]
+    c, d_, tau = _tau_b_reference(xs, ys)
+    assert (got.concordant, got.discordant) == (c, d_)
+    assert abs(got.tau_b - tau) < 1e-6
+
+
+def test_kruskal_two_arm_matches_mann_whitney_direction(spark, tmp_path):
+    """With a large location shift in one arm, H must be large and the
+    rank mass must concentrate there (sanity anchor, not a p-value)."""
+    rows, i = [], 0
+    for v in (1.0, 2.0, 3.0, 4.0):
+        rows.append((i, "2024-01-01 00:00:00", i, "click", v)); i += 1
+        rows.append((i, "2024-01-01 00:00:00", i, "view", v)); i += 1
+    for v in (100.0, 101.0, 102.0, 103.0):
+        rows.append((i, "2024-01-01 00:00:00", i, "purchase", v)); i += 1
+    sf = _write_events(spark, tmp_path, rows)
+    got = stats_kruskal_wallis(spark, sf).collect()[0]
+    # purchase holds the top 4 ranks of 12: 2R_3 = 2*(9+10+11+12) = 84
+    assert got.two_r3 == 84
+    exp = _kruskal_reference(
+        [[100, 200, 300, 400], [100, 200, 300, 400],
+         [10000, 10100, 10200, 10300]]
+    )
+    assert abs(got.h_stat - exp) < 1e-6
+
+
+def test_ngram_novelty_order_invariance(spark, tmp_path):
+    """First-occurrence credit follows MIN doc_id, not write order:
+    writing the duplicate with the SMALLER id second must not flip
+    novelty to the larger id."""
+    docs = [
+        (10, "x y z w", "en", "srcA", 7),
+        (2, "x y z w", "en", "srcB", 7),   # same grams, smaller id
+    ]
+    sf = _write_docs(spark, tmp_path, docs)
+    got = {r.source: r for r in pipeline_ngram_novelty(spark, sf).collect()}
+    assert got["srcB"].novel_grams == 2 and got["srcB"].novelty_ppm == 1000000
+    assert got["srcA"].novel_grams == 0 and got["srcA"].novelty_ppm == 0
