@@ -28,6 +28,36 @@ from litebase_spark.catalog import (
     register_views,
 )
 
+# int64 headroom ceiling for the N^2-class moment sums in the rank
+# statistics below (spearman/kruskal/mann-whitney rank sums are bounded
+# by N*(N+1); ks/chi2 cross products by N^2).  Module-level so tests can
+# monkeypatch it down and prove the loud-failure path without 2e9 rows.
+N2_HEADROOM_BOUND = 2**62
+
+
+def _n2_guard(n_col, name: str):
+    """Loud headroom guard for int64 sums bounded by N^2.
+
+    The rank-sum / cross-product partials in the stats family are exact
+    int64 while N*(N+1) < 2^62 (N ~ 2.1e9 rows); past that they would
+    wrap SILENTLY.  assert_true is NULL on pass and raises loudly on
+    violation — weave the result into an output column with
+    ``F.when(guard.isNull(), col)`` so pruning cannot drop it.  Reads
+    :data:`N2_HEADROOM_BOUND` at plan-construction time (monkeypatchable
+    in tests).  Evaluates on the bounded final/cells stage only.
+    """
+    dec38 = "decimal(38,0)"
+    nd = n_col.cast(dec38)
+    return F.assert_true(
+        nd * (nd + F.lit(1).cast(dec38))
+        < F.lit(N2_HEADROOM_BOUND).cast(dec38),
+        F.lit(
+            f"{name} int64 N^2-class headroom exceeded: n*(n+1) >= "
+            "bound — promote the rank-sum partials to DECIMAL(38,0)"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scan / filter / aggregate
 # ---------------------------------------------------------------------------
@@ -2156,10 +2186,13 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "double"
     )
     rc = (F.col("rt") * F.col("ct")).cast("double")
+    # o*n and rt*ct are int64 products bounded by N^2: loud guard past
+    # N ~ 2.1e9 (evaluates per bounded contingency cell, not per row).
+    guard = _n2_guard(F.col("n"), "stats_chi2_independence")
     return m.select(
         "lang",
         "source",
-        F.col("o").alias("observed"),
+        F.when(guard.isNull(), F.col("o")).alias("observed"),
         F.round(rc / F.col("n"), 6).alias("expected"),
         F.round(diff * diff / (rc * F.col("n")), 6).alias("contribution"),
     )
@@ -2243,8 +2276,11 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cd"),
     )
     chi2 = F.sum("cd").cast("double") - F.max("n")
+    # o*n and rt*ct are int64 products bounded by N^2: loud guard past
+    # N ~ 2.1e9 (same policy as chi2/the rank ops).
+    guard = _n2_guard(F.max("n"), "stats_cramers_v")
     return contrib.agg(
-        F.max("n").cast("long").alias("n_total"),
+        F.when(guard.isNull(), F.max("n")).cast("long").alias("n_total"),
         F.max("r").cast("long").alias("n_rows"),
         F.max("c").cast("long").alias("n_cols"),
         F.round(chi2, 6).alias("chi2"),
@@ -2464,8 +2500,11 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ca").over(wa).alias("n1"),
         F.sum("cb").over(wa).alias("n2"),
     )
+    # cuma*n2 / cumb*n1 are int64 cross products bounded by n1*n2 <
+    # N(N+1): loud guard past N ~ 2.1e9 (same policy as the rank ops).
+    guard = _n2_guard(F.max("n1") + F.max("n2"), "stats_ks_test")
     return cum.agg(
-        F.max("n1").cast("long").alias("n1"),
+        F.when(guard.isNull(), F.max("n1")).cast("long").alias("n1"),
         F.max("n2").cast("long").alias("n2"),
         F.round(
             F.max(F.abs(F.col("cuma") * F.col("n2")
@@ -2519,10 +2558,12 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     "EXACTLY in integers over the CELL table: per-distinct-value "
     "counts (one corpus shuffle with map-side combine), doubled "
     "midranks 2r = 2*cum_before + ties + 1 from a running sum over "
-    "the value grid, 2U_A = sum(ca * 2r) - n1(n1+1) as BIGINT, and "
-    "the tie-corrected normal z only at the single final double "
-    "division. The unpartitioned window runs over the bounded "
-    "distinct-value cells, never the corpus — the chi2/KS "
+    "the value grid, 2U_A = sum(ca * 2r) - n1(n1+1) as BIGINT "
+    "(bounded by N(N+1); loud assert_true headroom guard past "
+    "N ~ 2.1e9, ties = sum(t^3 - t) in DECIMAL(38,0) so mega-ties "
+    "cannot wrap), and the tie-corrected normal z only at the single "
+    "final double division. The unpartitioned window runs over the "
+    "bounded distinct-value cells, never the corpus — the chi2/KS "
     "cells-not-corpus shape.",
     tags=("stats", "window"),
 )
@@ -2556,7 +2597,14 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     two_r = F.sum(F.col("ca") * (2 * F.col("cum0") + F.col("t") + 1))
     u2a = two_r - n1 * (n1 + 1)
     nn = n1 + n2
-    ties = F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+    # ties in DECIMAL(38,0): a >=2.1M-way tie would wrap t^3 in int64;
+    # the product runs over the bounded cells table, so exact is free.
+    ties = F.sum(
+        F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+        - F.col("t")
+    )
+    # 2U_A/2R are int64 bounded by N(N+1): loud guard past N ~ 2.1e9.
+    guard = _n2_guard(nn, "stats_mann_whitney_u")
     z = F.round(
         (u2a - n1 * n2).cast("double")
         / (
@@ -2572,7 +2620,7 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return r.agg(
-        n1.cast("long").alias("n1"),
+        F.when(guard.isNull(), n1).cast("long").alias("n1"),
         n2.cast("long").alias("n2"),
         u2a.cast("long").alias("u2_a"),
         z.alias("z_score"),
@@ -2799,7 +2847,9 @@ def stats_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exchange total (re-planned mid-round-9 off a 2.7 s sf1 row): "
     "the 50-row u map broadcasts onto rows map-side and the corpus "
     "collapses straight onto the distinct-cents cells carrying int64 "
-    "partials (count, sum(u) <= n(2n+1) ~ 7e13 at sf1); every "
+    "partials (count, sum(u): total doubled-rank mass = n(n+1), "
+    "~7e13 at sf1; int64-exact to n ~ 2.1e9 rows with a LOUD "
+    "assert_true guard past that, never a silent wrap); every "
     "second moment then folds on a CELL table — x-moments on the 50 "
     "quantity cells, y/cross moments as sum(t*v^2) and sum(v*suc) "
     "over the cents cells (v is constant within a cell, so these are "
@@ -2850,8 +2900,10 @@ def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # ONE corpus exchange: broadcast the 50-row u map onto rows
     # map-side, then collapse onto the distinct-cents cells carrying
-    # int64 partial sums only (count + sum(u) — both int64-safe:
-    # sum(u) <= n*(2n+1), ~7e13 at sf1). The previous plan re-shuffled
+    # int64 partial sums only (count + sum(u): total doubled-rank mass
+    # is exactly n(n+1), ~7e13 at sf1 — exact while n(n+1) < 2^62,
+    # enforced by the loud _n2_guard at the final stage). The previous
+    # plan re-shuffled
     # the corpus a second time to join v back per row and then summed
     # per-row DECIMAL products over the whole corpus — the interpreted
     # BigDecimal off-codegen path ts_acf_lags already taught us to
@@ -2900,8 +2952,12 @@ def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = (nd * F.col("suv") - sud * svd).cast("double")
     dx = (nd * F.col("su2") - sud * sud).cast("double")
     dy = (nd * F.col("sv2") - svd * svd).cast("double")
+    # int64 headroom (round-9 verdict task 1): su = sv = n(n+1) exactly
+    # (doubled-midrank mass), and every per-cell partial suc <= n(n+1)
+    # — silent wrap past n ~ 2.1e9 becomes a loud failure instead.
+    guard = _n2_guard(F.col("n"), "stats_spearman_rho")
     return s.select(
-        F.col("n").cast("long").alias("n_rows"),
+        F.when(guard.isNull(), F.col("n")).cast("long").alias("n_rows"),
         F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6).alias("rho"),
     )
 
@@ -2964,8 +3020,10 @@ def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cell table (map-side combine), doubled midranks 2r = 2*cum_before "
     "+ ties + 1 from a running sum over the bounded value grid, "
     "per-arm doubled rank sums 2R_i = sum(c_i * 2r) as exact BIGINT "
-    "(headroom ~ n_i * 2N; int64-safe to ~1e9 rows/arm at 1e9 distinct "
-    "cents — far past any test SF), and the tie-corrected "
+    "bounded by N(N+1) — int64-exact to N ~ 2.1e9 rows with a LOUD "
+    "assert_true headroom guard past that (never a silent wrap), and "
+    "ties = sum(t^3 - t) in DECIMAL(38,0) over the bounded cells so a "
+    ">=2.1M-way tie cannot wrap t^3 — and the tie-corrected "
     "H = [3/(N(N+1)) * sum((2R_i)^2/n_i) - 3(N+1)] / (1 - T/(N^3-N)) "
     "evaluated in fixed-order doubles ONLY on the single final row "
     "((2R_i)^2 in DECIMAL(38,0) <-> HUGEINT, which agree). The "
@@ -3000,7 +3058,12 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.alias("t"),
         F.coalesce(F.sum(t).over(wg), F.lit(0)).alias("cum0"),
     )
+    dec38 = "decimal(38,0)"
     two_r = 2 * F.col("cum0") + F.col("t") + 1
+    # ties = sum(t^3 - t) accumulates in DECIMAL(38,0): a single cell
+    # with >= ~2.1e6 tied rows would silently wrap t^3 in int64, and
+    # the product runs over the bounded cells table (off the corpus
+    # path), so exactness is free here.
     a = r.agg(
         F.sum("c1").alias("n1"),
         F.sum("c2").alias("n2"),
@@ -3010,10 +3073,9 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c2") * two_r).alias("s2"),
         F.sum(F.col("c3") * two_r).alias("s3"),
         F.sum(
-            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            F.col("t").cast(dec38) * F.col("t") * F.col("t") - F.col("t")
         ).alias("ties"),
     )
-    dec38 = "decimal(38,0)"
 
     def _sq_over_n(sc: str, nc: str):
         return (
@@ -3035,8 +3097,11 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     corr = F.lit(1.0) - F.col("ties").cast("double") / (
         nd * nd * nd - nd
     )
+    # s_i = per-arm doubled rank sums are int64 bounded by N(N+1):
+    # loud guard past N ~ 2.1e9 (same policy as welch/levene/acf).
+    guard = _n2_guard(F.col("nn"), "stats_kruskal_wallis")
     return a.select(
-        F.col("n1").cast("long").alias("n1"),
+        F.when(guard.isNull(), F.col("n1")).cast("long").alias("n1"),
         F.col("n2").cast("long").alias("n2"),
         F.col("n3").cast("long").alias("n3"),
         F.col("s1").cast("long").alias("two_r1"),

@@ -247,7 +247,21 @@ def _update_minhash_bucket(key, pdf_iter, state: GroupState):
     deployments add an event-time timeout to expire cold buckets."""
     import pandas as pd  # noqa: F811 (worker-side import)
 
-    rows = pd.concat(list(pdf_iter), ignore_index=True)
+    batches = [p for p in pdf_iter if len(p)]
+    if not batches:
+        # zero-row invocation (reachable the moment a timeout config is
+        # ever set): leave the stored posting list UNTOUCHED — the old
+        # path would pd.concat-raise, and a stride=0 rebuild would
+        # state.update([]) and wipe the flattened signatures.
+        yield pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "est_jaccard": pd.Series([], dtype="float64"),
+            }
+        )
+        return
+    rows = pd.concat(batches, ignore_index=True)
     rows = rows.sort_values("doc_id", kind="mergesort")
     if state.exists:
         ids, flat = state.get

@@ -801,3 +801,47 @@ def test_minhash_lsh_stream_carries_state_across_batches(spark, sf_dir):
         for r in REGISTRY["dedup_minhash_lsh"].builder(spark, sf_dir).collect()
     )
     assert got == want and len(want) > 0
+
+
+def test_minhash_bucket_state_survives_empty_invocation():
+    """ADVICE r9: a zero-row invocation of the bucket state function
+    (reachable the moment a timeout config is set) must emit an empty
+    typed frame and leave the stored posting list UNTOUCHED — the old
+    path raised in pd.concat, and a stride=0 rebuild would have wiped
+    the flattened signatures from state."""
+    import pandas as pd
+
+    from litebase_spark.streaming.stateful import _update_minhash_bucket
+
+    class FakeState:
+        def __init__(self, value):
+            self._v = value
+            self.updated = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.updated = v
+            self._v = v
+
+    stored = ([1, 2], [10, 20, 30, 40])  # two docs, stride-2 signatures
+    st = FakeState(stored)
+    out = list(_update_minhash_bucket(("b0", 7), iter([]), st))
+    assert len(out) == 1 and len(out[0]) == 0
+    assert list(out[0].columns) == ["doc_a", "doc_b", "est_jaccard"]
+    assert str(out[0]["doc_a"].dtype) == "int64"
+    assert st.updated is None and st.get == stored
+
+    # and an all-empty-frames iterator behaves the same way
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "sig": pd.Series([], dtype="object")})
+    st2 = FakeState(stored)
+    out2 = list(_update_minhash_bucket(("b0", 7), iter([empty]), st2))
+    assert len(out2) == 1 and len(out2[0]) == 0
+    assert st2.updated is None and st2.get == stored
