@@ -122,6 +122,9 @@ HEADLINE = [
     "stats_kruskal_wallis",
     "stats_kendall_tau",
     "pipeline_ngram_novelty",
+    # round 10
+    "stats_psi",
+    "pipeline_incremental_novelty",
 ]
 
 

@@ -1776,3 +1776,116 @@ def pipeline_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum((nn * 1000000) DIV ng) DIV count(1)"
         ).alias("mean_doc_novelty_e6"),
     )
+
+
+@query(
+    "pipeline_incremental_novelty",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, {_SQL_TOKENS.format(c='text')} AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id, source,
+             {{h}} AS h
+      FROM tok, UNNEST(range(1, len(w) - 1)) AS u(pos)
+      WHERE len(w) >= 3
+    ),
+    thr AS (SELECT (MAX(doc_id) * 4) // 5 AS t FROM documents),
+    fd AS (SELECT h, MIN(doc_id) AS fdoc FROM g GROUP BY h),
+    pd AS (
+      SELECT doc_id, source, COUNT(*) AS ng,
+             SUM(CASE WHEN fdoc = doc_id THEN 1 ELSE 0 END) AS nn
+      FROM g JOIN fd USING (h) GROUP BY doc_id, source
+    )
+    SELECT doc_id, source,
+           CAST(ng AS BIGINT) AS total_grams,
+           CAST(nn AS BIGINT) AS novel_grams,
+           CAST(nn * 1000000 // ng AS BIGINT) AS novelty_e6
+    FROM pd, thr WHERE doc_id > thr.t
+    """.format(h=h60_duck(_NOVELTY_GRAM_DUCK)),
+    description="Incremental n-gram novelty — the continuous-ingestion "
+    "twin of pipeline_ngram_novelty, mirroring what "
+    "dedup_incremental_minhash does for near-dedup: the arriving "
+    "batch (the newest ~20% of doc_ids, i.e. doc_id > 4/5 * max — a "
+    "PREFIX split, because ids are assigned at ingest) is probed "
+    "against the already-ingested corpus gram index, and each new "
+    "document is scored for how much genuinely new token mass it "
+    "adds BEFORE it is admitted — the online form of the corpus-"
+    "redundancy audit (gate a crawl batch on novelty_e6, not after "
+    "the fact). A batch gram is novel iff it is ABSENT from the "
+    "corpus index AND this doc is its first occurrence WITHIN the "
+    "batch (min doc_id) — which on a prefix split is exactly the "
+    "batch operator's global-min first-occurrence semantics "
+    "restricted to batch docs, so the oracle is written in the batch "
+    "form and the gate itself certifies the replay identity "
+    "incremental(index) + batch == full-corpus recompute. Plan: the "
+    "tokenizer-barrier gram machinery (shared with the batch op), "
+    "split by a broadcast 1-row threshold aggregate; the batch's "
+    "distinct grams collapse to one row per gram (batch-min owner, "
+    "map-side partial) and only THAT bounded table anti-joins the "
+    "index gram keys — probe cardinality is O(distinct batch grams), "
+    "never gram instances, and at 100 TB the index side is a "
+    "persisted table bucketed by h so the anti-join shuffles the "
+    "batch side alone (the dedup_incremental_minhash deployment "
+    "shape). Fixed-point e6 floor division both engines. Reference "
+    "parity: net-new LLM-pipeline surface.",
+    tags=("pipeline", "dedup", "llm", "incremental"),
+)
+def pipeline_incremental_novelty(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from litebase_spark.functions.portable import h60_spark
+
+    d = load(spark, sf_dir, "documents")
+    w = tokens("text")
+    tw = d.select("doc_id", "source", w.alias("w"))
+    if tw.rdd.getNumPartitions() < 8:
+        tw = tw.repartition(spark.sparkContext.defaultParallelism)
+    gram = (
+        "concat_ws(' ', element_at(w, i), element_at(w, i + 1),"
+        " element_at(w, i + 2))"
+    )
+    grams = F.expr(
+        f"transform(sequence(1, size(w) - 2), i -> {h60_spark(gram)})"
+    )
+    g = (
+        tw.select(
+            "doc_id",
+            "source",
+            F.explode_outer(F.when(F.size("w") >= 3, grams)).alias("h"),
+        )
+        .filter(F.col("h").isNotNull())
+        .groupBy("doc_id", "source", "h")
+        .agg(F.count(F.lit(1)).alias("_dup"))
+        .drop("_dup")
+    )
+    thr = d.agg(F.expr("(max(doc_id) * 4) DIV 5").alias("t"))
+    g = g.crossJoin(F.broadcast(thr))
+    idx = g.filter(F.col("doc_id") <= F.col("t")).select("h")
+    bg = g.filter(F.col("doc_id") > F.col("t"))
+    # one row per distinct batch gram, owned by its within-batch first
+    # occurrence; only this bounded table probes the corpus index
+    bf = bg.groupBy("h").agg(F.min("doc_id").alias("fdoc"))
+    novel = (
+        bf.join(idx, "h", "left_anti")
+        .groupBy("fdoc")
+        .agg(F.count(F.lit(1)).alias("nn"))
+    )
+    pd_ = bg.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("ng")
+    )
+    return (
+        pd_.join(novel, pd_.doc_id == novel.fdoc, "left")
+        .select(
+            "doc_id",
+            "source",
+            F.col("ng").cast("long").alias("total_grams"),
+            F.coalesce(F.col("nn"), F.lit(0))
+            .cast("long")
+            .alias("novel_grams"),
+            F.expr(
+                "(coalesce(nn, 0) * 1000000) DIV ng"
+            ).alias("novelty_e6"),
+        )
+    )

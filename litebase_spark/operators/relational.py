@@ -3279,3 +3279,104 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("long").alias("discordant"),
         tau.alias("tau_b"),
     )
+
+
+@query(
+    "stats_psi",
+    oracle="""
+    WITH s AS (
+      SELECT FLOOR(CAST(ROUND(value * 100, 0) AS BIGINT) / 500.0)
+               AS bin,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END
+               AS refw
+      FROM events WHERE value IS NOT NULL
+    ),
+    cells AS (
+      SELECT bin, SUM(refw) AS c1, SUM(1 - refw) AS c2
+      FROM s GROUP BY bin
+    ),
+    t AS (
+      SELECT bin, c1, c2,
+             SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2
+      FROM cells
+    ),
+    contrib AS (
+      SELECT n1, n2,
+             CASE WHEN c1 > 0 AND c2 > 0 THEN 1 ELSE 0 END AS used,
+             CASE WHEN c1 > 0 AND c2 > 0 THEN
+               CAST(ROUND(
+                 (CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2)
+                 * LN((CAST(c1 AS DOUBLE) / n1)
+                      / (CAST(c2 AS DOUBLE) / n2)), 9)
+                 AS DECIMAL(38,9))
+             ELSE CAST(0 AS DECIMAL(38,9)) END AS cd
+      FROM t
+    )
+    SELECT CAST(MAX(n1) AS BIGINT) AS n_ref,
+           CAST(MAX(n2) AS BIGINT) AS n_cur,
+           CAST(SUM(used) AS BIGINT) AS n_bins_used,
+           CAST(COUNT(*) - SUM(used) AS BIGINT) AS n_bins_dropped,
+           ROUND(CAST(SUM(cd) AS DOUBLE), 6) AS psi
+    FROM contrib
+    """,
+    description="Population stability index between the first and "
+    "second half of the event stream's value distribution — the "
+    "binned-ratio drift gate ops teams actually alert on (psi < 0.1 "
+    "stable, 0.1-0.25 moderate, > 0.25 shifted), completing the drift "
+    "family: chi2/KS/MWU/kruskal test location/shape significance, "
+    "PSI measures banded magnitude. One corpus scan folds rows onto "
+    "the bounded $5-wide value-bin cell table (conditional int64 "
+    "counts, map-side combine); totals ride an unpartitioned window "
+    "over the ~100 cells, never the corpus. Per-bin contribution "
+    "(p - q) * ln(p/q) is computed with the IDENTICAL IEEE sequence "
+    "in both engines (correctly-rounded divides; ln's possible 1-ulp "
+    "skew is absorbed by per-bin ROUND(..,9)), accumulated in "
+    "DECIMAL(38,9) so cross-cell float summation ORDER cannot differ "
+    "(the cramers_v lesson), final round 6. Bins empty on either "
+    "side are excluded from the sum (the standard finite-PSI "
+    "convention) and reported in n_bins_dropped so a silent "
+    "support-mismatch cannot hide. Reference parity: net-new "
+    "drift-gate surface (the reference ships no distribution "
+    "statistics).",
+    tags=("stats", "window"),
+)
+def stats_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = e.select(
+        F.floor(fp("value") / F.lit(500.0)).alias("bin"),
+        F.when(
+            F.col("ts") < F.to_timestamp(F.lit("2024-01-16")), 1
+        ).otherwise(0).alias("refw"),
+    )
+    cells = s.groupBy("bin").agg(
+        F.sum("refw").alias("c1"),
+        F.sum(F.lit(1) - F.col("refw")).alias("c2"),
+    )
+    w_all = Window.partitionBy()
+    t = cells.select(
+        "c1",
+        "c2",
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum("c2").over(w_all).alias("n2"),
+    )
+    p = F.col("c1").cast("double") / F.col("n1")
+    q = F.col("c2").cast("double") / F.col("n2")
+    both = (F.col("c1") > 0) & (F.col("c2") > 0)
+    contrib = t.select(
+        "n1",
+        "n2",
+        F.when(both, 1).otherwise(0).alias("used"),
+        F.when(both, F.round((p - q) * F.log(p / q), 9))
+        .otherwise(F.lit(0.0))
+        .cast("decimal(38,9)")
+        .alias("cd"),
+    )
+    return contrib.agg(
+        F.max("n1").cast("long").alias("n_ref"),
+        F.max("n2").cast("long").alias("n_cur"),
+        F.sum("used").cast("long").alias("n_bins_used"),
+        (F.count(F.lit(1)) - F.sum("used"))
+        .cast("long")
+        .alias("n_bins_dropped"),
+        F.round(F.sum("cd").cast("double"), 6).alias("psi"),
+    )

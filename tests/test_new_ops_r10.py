@@ -288,3 +288,160 @@ def test_fp_exact_half_up_on_boundary_doubles(spark):
             Decimal(repr(v)).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
         )
         assert got[v] == want, (v, got[v], want)
+
+
+# ---------------------------------------------------------------------------
+# stats_psi (round-10 drift gate)
+# ---------------------------------------------------------------------------
+
+
+def _psi_reference(ref_cents, cur_cents, width=500):
+    """PSI from the definition, mirroring the op's per-bin round-9 and
+    drop-one-sided-bins convention."""
+    import math
+    from collections import Counter
+
+    b1 = Counter(c // width if c >= 0 else -((-c) // width) - (1 if (-c) % width else 0)
+                 for c in ref_cents)
+    b2 = Counter(c // width for c in cur_cents)
+    n1, n2 = len(ref_cents), len(cur_cents)
+    bins = set(b1) | set(b2)
+    used = [b for b in bins if b1[b] > 0 and b2[b] > 0]
+    psi = sum(
+        round((b1[b] / n1 - b2[b] / n2)
+              * math.log((b1[b] / n1) / (b2[b] / n2)), 9)
+        for b in used
+    )
+    return len(used), len(bins) - len(used), round(psi, 6)
+
+
+def _write_psi_events(spark, tmp_path, ref_vals, cur_vals):
+    rows = [
+        (i, "2024-01-05 00:00:00", 1, "click", float(v))
+        for i, v in enumerate(ref_vals)
+    ] + [
+        (1000 + i, "2024-01-25 00:00:00", 1, "click", float(v))
+        for i, v in enumerate(cur_vals)
+    ]
+    return _write_events(spark, tmp_path, rows)
+
+
+def test_psi_identical_distributions_is_zero(spark, tmp_path):
+    """Same distribution both windows -> every p == q -> psi == 0."""
+    from litebase_spark.operators.relational import stats_psi
+
+    vals = [1.0, 7.0, 12.0, 12.0, 20.0, 33.0]
+    sf = _write_psi_events(spark, tmp_path, vals, vals)
+    r = stats_psi(spark, sf).first()
+    assert r["n_ref"] == r["n_cur"] == 6
+    assert r["psi"] == 0.0 and r["n_bins_dropped"] == 0
+
+
+def test_psi_hand_model_with_dropped_bins(spark, tmp_path):
+    """A shifted current window: psi matches the definitional Python
+    model bin-for-bin, and bins with one-sided support are counted in
+    n_bins_dropped, not silently folded into the sum."""
+    from litebase_spark.operators.relational import stats_psi
+
+    ref = [1.0, 2.0, 6.0, 7.0, 11.0, 12.0, 12.5, 30.0]
+    cur = [6.0, 7.0, 7.5, 11.0, 12.0, 26.0, 41.0, 41.5]  # 0-bin gone
+    sf = _write_psi_events(spark, tmp_path, ref, cur)
+    r = stats_psi(spark, sf).first()
+    used, dropped, psi = _psi_reference(
+        [round(v * 100) for v in ref], [round(v * 100) for v in cur]
+    )
+    assert r["n_bins_used"] == used
+    assert r["n_bins_dropped"] == dropped and dropped > 0
+    assert r["psi"] == pytest.approx(psi, abs=2e-6)
+    assert r["psi"] > 0.1  # a real shift reads as 'moderate drift'
+
+
+# ---------------------------------------------------------------------------
+# pipeline_incremental_novelty (round-10 incremental twin)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_novelty_hand_model(spark, tmp_path):
+    """Prefix split: max id 9 -> threshold 7 -> batch = {8, 9}.
+    Doc 8 'a b c d': gram 'a b c' already in index doc 0 -> not novel;
+    'b c d' unseen -> novel (nn=1, ng=2).  Doc 9 'b c d e': 'b c d'
+    first occurs within the batch at doc 8 -> NOT novel for 9; 'c d e'
+    novel (nn=1, ng=2).  A short batch doc (<3 tokens) produces no
+    grams and no output row."""
+    from litebase_spark.operators.pipeline import (
+        pipeline_incremental_novelty,
+    )
+
+    docs = [
+        (0, "a b c", "en", "s0", 5),
+        (1, "x y z w", "en", "s0", 7),
+        (2, "filler text here too", "en", "s1", 20),
+        (3, "more filler text here", "en", "s1", 21),
+        (4, "a b c", "en", "s0", 5),
+        (7, "unrelated words entirely", "en", "s1", 24),
+        (8, "a b c d", "en", "s0", 7),
+        (9, "b c d e", "en", "s0", 7),
+        (5, "hi", "en", "s1", 2),  # index, too short
+        (6, "q r s", "en", "s1", 5),
+    ]
+    sf = _write_docs(spark, tmp_path, docs)
+    out = {
+        r["doc_id"]: r
+        for r in pipeline_incremental_novelty(spark, sf).collect()
+    }
+    assert set(out) == {8, 9}
+    assert out[8]["total_grams"] == 2 and out[8]["novel_grams"] == 1
+    assert out[9]["total_grams"] == 2 and out[9]["novel_grams"] == 1
+    assert out[8]["novelty_e6"] == 500000
+    assert out[9]["source"] == "s0"
+
+
+def test_incremental_novelty_replay_identity(spark, tmp_path):
+    """sum(novel_grams) over the batch == distinct grams the batch adds
+    on top of the index — i.e. incremental scoring + the pre-ingested
+    index reconstructs the full-corpus first-occurrence accounting
+    (the oracle certifies the per-doc form of this; here the set form
+    is pinned independently of DuckDB)."""
+    from litebase_spark.operators.pipeline import (
+        pipeline_incremental_novelty,
+    )
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    ws = words.split()
+    docs = [
+        (i, " ".join(ws[(i + j) % len(ws)] for j in range(4 + i % 3)),
+         "en", f"s{i % 2}", 30)
+        for i in range(8)
+    ] + [
+        # batch docs: partly recycled index vocabulary, partly new
+        (8, "alpha beta gamma novelword8 fresh8", "en", "s0", 36),
+        (9, "novelword8 fresh8 alone9 beta gamma delta", "en", "s1", 42),
+    ]
+    sf = _write_docs(spark, tmp_path, docs)
+    out = pipeline_incremental_novelty(spark, sf).collect()
+
+    from litebase_spark.functions.portable import h60_spark
+    from litebase_spark.operators.text import tokens
+
+    d = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    tw = d.select("doc_id", tokens("text").alias("w"))
+    gram = (
+        "concat_ws(' ', element_at(w, i), element_at(w, i + 1),"
+        " element_at(w, i + 2))"
+    )
+    g = tw.select(
+        "doc_id",
+        F.explode_outer(
+            F.when(
+                F.size("w") >= 3,
+                F.expr(
+                    f"transform(sequence(1, size(w) - 2),"
+                    f" i -> {h60_spark(gram)})"
+                ),
+            )
+        ).alias("h"),
+    ).filter(F.col("h").isNotNull())
+    thr = 9 * 4 // 5
+    n_all = g.select("h").distinct().count()
+    n_idx = g.filter(F.col("doc_id") <= thr).select("h").distinct().count()
+    assert sum(r["novel_grams"] for r in out) == n_all - n_idx > 0

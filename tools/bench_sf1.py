@@ -136,16 +136,31 @@ _FLOOR_NOTES = [
     "window at sf1 (2.2 vs 1.9 s, 3x rows moved / 32x parallelism) "
     "and 2.3x ahead at x100 (8.3 vs 19.3 s), the gap widening with "
     "the corpus.",
-    "- `stats_spearman_rho` (re-planned mid-r9, 2.69→1.67 s): exact "
-    "tie midranks over ~4M NEAR-UNIQUE cents values mean the "
+    "- `stats_spearman_rho` (bar ≤2x at sf1, OPEN — formalized r10): "
+    "exact tie midranks over ~4M NEAR-UNIQUE cents values mean the "
     "distinct-cents exchange cannot map-side collapse — the bare "
     "`groupBy(c).count()` alone measures >1/3 of the total "
     "(interleaved A/B), and the re-plan already folded every decimal "
     "moment onto cells and deleted the old second corpus shuffle. "
-    "The remainder is the 4M-cell bucket windows + three cell-level "
-    "decimal folds; DuckDB's 0.5 s is one single-process sort-rank "
-    "over the same 4M keys. Exchange-floor-shaped, not corpus-"
-    "coupled: 1.3x flat in SCALE_STRESS x16.",
+    "Round-10 A/B'd the last re-plan idea: two-level (bucket, cents) "
+    "pre-aggregation before the full-width shuffle is a WASH "
+    "(2.22 vs 2.25 s min, interleaved x4 on the same hot box) — the "
+    "composite key has the same cardinality, so there is still "
+    "nothing for the combiner to merge. The remainder is the 4M-cell "
+    "bucket windows + three cell-level decimal folds; DuckDB's "
+    "0.5 s is one single-process sort-rank over the same 4M keys. "
+    "Exchange-floor-shaped, not corpus-coupled: 1.3x flat in "
+    "SCALE_STRESS x16; the bar is machine-bound (needs executors, "
+    "not a better plan).",
+    "- `q18_large_volume_customer` (re-planned r10): the filtered "
+    "HAVING rollup is broadcast explicitly into the orders join — "
+    "AQE was paying the orders exchange before learning the survivor "
+    "size (x100 interleaved: forced 2.06 s vs AQE-decided 2.55 vs "
+    "bare-rollup floor 1.81; the semi-filter re-aggregate variant "
+    "2.75). Structurally safe: qty <= 50 and <= 7 lineitems/order "
+    "bound the >300 survivors to ~1/25000 of orders. Remaining cost "
+    "IS the floor: the one irreducible lineitem->orderkey rollup "
+    "exchange.",
     "- `stats_kendall_tau` (0.83 s): one corpus exchange onto the "
     "~50x84 contingency grid (map-side combine) + bounded grid "
     "windows; the Spark time is the fact exchange + 4 tiny stages. "

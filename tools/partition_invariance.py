@@ -79,6 +79,9 @@ NAMES = [
     "stats_kendall_tau",
     "stats_kruskal_wallis",
     "pipeline_ngram_novelty",
+    # round 10: decimal-fold PSI cells, min-doc-id incremental probe
+    "stats_psi",
+    "pipeline_incremental_novelty",
 ]
 
 
