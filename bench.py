@@ -125,6 +125,14 @@ HEADLINE = [
     # round 10
     "stats_psi",
     "pipeline_incremental_novelty",
+    # round 10 batch 2
+    "stats_js_divergence",
+    "stats_wasserstein_1d",
+    "stats_benford",
+    "stats_anova_f",
+    "ts_theil_sen",
+    "ts_page_hinkley",
+    "text_zipf_fit",
 ]
 
 

@@ -1706,3 +1706,209 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_days"),
         F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6).alias("xcorr"),
     ).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# Round 10: robust trend + sequential drift detection over the day grid
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_theil_sen",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_d,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS s_d
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    m AS (
+      SELECT d, CAST(s_d AS DOUBLE) / n_d / 100.0 AS mean_v FROM cells
+    ),
+    pairs AS (
+      SELECT (b.mean_v - a.mean_v) / (b.d - a.d) AS slope
+      FROM m a JOIN m b ON b.d > a.d
+    ),
+    r AS (
+      SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rn,
+             COUNT(*) OVER () AS cnt
+      FROM pairs
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cells) AS n_days,
+           CAST(MAX(cnt) AS BIGINT) AS n_pairs,
+           ROUND(AVG(slope), 9) AS sen_slope
+    FROM r
+    WHERE rn IN (CAST(FLOOR((cnt + 1) / 2.0) AS BIGINT),
+                 CAST(FLOOR((cnt + 2) / 2.0) AS BIGINT))
+    """,
+    description="Theil-Sen estimator of the daily-mean value trend: the "
+    "median of all pairwise slopes (mean_j - mean_i)/(day_j - day_i) "
+    "over the day grid — the robust (29%-breakdown) alternative to "
+    "the OLS slope stats_regression fits, immune to the outlier days "
+    "that drag least-squares. Pair formation is over the BOUNDED day "
+    "grid only (D days => D(D-1)/2 pairs; 30 days = 435 — the "
+    "cross_correlation cells-not-corpus shape): one corpus scan "
+    "folds events onto exact per-day (count, cents-sum) cells, "
+    "daily means become doubles via one identical divide, and the "
+    "pair join + median rank run on O(D^2) rows. The median is "
+    "deterministic: slopes ranked by value, the one (odd) or two "
+    "(even) middle elements averaged — value ties make rank "
+    "ambiguity harmless. Every per-pair slope is the identical IEEE "
+    "sequence in both engines; final round 9. Reference parity: "
+    "net-new time-series surface.",
+    tags=("timeseries", "stats"),
+)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cells = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_d"),
+        F.sum(fp("value")).alias("s_d"),
+    )
+    m = cells.select(
+        "d",
+        (
+            F.col("s_d").cast("double") / F.col("n_d") / F.lit(100.0)
+        ).alias("mean_v"),
+    )
+    a = m.select(F.col("d").alias("da"), F.col("mean_v").alias("ma"))
+    b = m.select(F.col("d").alias("db"), F.col("mean_v").alias("mb"))
+    pairs = a.join(b, F.col("db") > F.col("da")).select(
+        (
+            (F.col("mb") - F.col("ma"))
+            / F.datediff(F.col("db"), F.col("da"))
+        ).alias("slope")
+    )
+    w_ord = Window.orderBy("slope")
+    w_all = Window.partitionBy()
+    r = pairs.select(
+        "slope",
+        F.row_number().over(w_ord).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("cnt"),
+    )
+    mid = r.filter(
+        (F.col("rn") == F.floor((F.col("cnt") + 1) / F.lit(2.0)))
+        | (F.col("rn") == F.floor((F.col("cnt") + 2) / F.lit(2.0)))
+    )
+    n_days = cells.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return mid.agg(
+        F.max("cnt").cast("long").alias("n_pairs"),
+        F.round(F.avg("slope"), 9).alias("sen_slope"),
+    ).crossJoin(n_days).select("n_days", "n_pairs", "sen_slope")
+
+
+@query(
+    "ts_page_hinkley",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_d,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS s_d
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    run AS (
+      SELECT d, s_d, n_d,
+             SUM(s_d) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cs,
+             SUM(n_d) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cn
+      FROM cells
+    ),
+    term AS (
+      SELECT d,
+             CAST(ROUND(CAST(s_d AS DOUBLE) / n_d / 100.0
+                        - CAST(cs AS DOUBLE) / cn / 100.0
+                        - 0.005, 9) AS DECIMAL(38,9)) AS t9
+      FROM run
+    ),
+    mt AS (
+      SELECT d,
+             SUM(t9) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS m_t,
+             COUNT(*) OVER () AS n_days
+      FROM term
+    ),
+    ph AS (
+      SELECT d, n_days,
+             m_t - MIN(m_t) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                                  PRECEDING AND CURRENT ROW) AS ph_t
+      FROM mt
+    ),
+    gx AS (
+      SELECT d, n_days, ph_t, MAX(ph_t) OVER () AS gmax FROM ph
+    )
+    SELECT CAST(MAX(n_days) AS BIGINT) AS n_days,
+           ROUND(CAST(MAX(gmax) AS DOUBLE), 6) AS ph_stat,
+           MIN(CASE WHEN ph_t = gmax THEN d END) AS drift_day,
+           CAST(CASE WHEN CAST(MAX(gmax) AS DOUBLE) > 0.5 THEN 1
+                ELSE 0 END AS BIGINT) AS alarm
+    FROM gx
+    """,
+    description="Page-Hinkley sequential drift test over the daily-mean "
+    "value series — the ONLINE changepoint monitor (companion to the "
+    "retrospective ts_changepoint_cusum): m_t = sum_{i<=t} (x_i - "
+    "xbar_i - delta) with xbar_i the running mean up to day i, "
+    "PH_t = m_t - min_{u<=t} m_u, alarm when max PH exceeds lambda "
+    "(delta=0.005 dollars tolerance, lambda=0.5). One corpus scan "
+    "folds events onto exact per-day (count, cents-sum) cells; the "
+    "running mean comes from integer prefix sums (cs/cn) so x_i and "
+    "xbar_i are single identical IEEE divides; each term is "
+    "ROUND(..,9) into DECIMAL(38,9) so the running sum m_t, the "
+    "running min, PH_t, and the argmax equality test are all EXACT "
+    "decimal arithmetic — no order- or tree-shape-dependent float "
+    "accumulation anywhere (windowed double sums differ between "
+    "engines' segment-tree vs sequential evaluation; decimals make "
+    "that moot). All windows ride the bounded day grid (O(days) "
+    "cells), never the corpus. drift_day is the earliest day "
+    "attaining the max (deterministic tie-break). Reference parity: "
+    "net-new time-series surface.",
+    tags=("timeseries", "stats", "window"),
+)
+def ts_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cells = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_d"),
+        F.sum(fp("value")).alias("s_d"),
+    )
+    w_ord = Window.orderBy("d")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    run = cells.select(
+        "d",
+        "s_d",
+        "n_d",
+        F.sum("s_d").over(w_cum).alias("cs"),
+        F.sum("n_d").over(w_cum).alias("cn"),
+    )
+    term = run.select(
+        "d",
+        F.round(
+            F.col("s_d").cast("double") / F.col("n_d") / F.lit(100.0)
+            - F.col("cs").cast("double") / F.col("cn") / F.lit(100.0)
+            - F.lit(0.005),
+            9,
+        ).cast("decimal(38,9)").alias("t9"),
+    )
+    mt = term.select(
+        "d",
+        F.sum("t9").over(w_cum).alias("m_t"),
+        F.count(F.lit(1)).over(w_all).alias("n_days"),
+    )
+    ph = mt.select(
+        "d",
+        "n_days",
+        (F.col("m_t") - F.min("m_t").over(w_cum)).alias("ph_t"),
+    )
+    gx = ph.select(
+        "d", "n_days", "ph_t", F.max("ph_t").over(w_all).alias("gmax")
+    )
+    return gx.agg(
+        F.max("n_days").cast("long").alias("n_days"),
+        F.round(F.max("gmax").cast("double"), 6).alias("ph_stat"),
+        F.min(
+            F.when(F.col("ph_t") == F.col("gmax"), F.col("d"))
+        ).alias("drift_day"),
+        F.when(F.max("gmax").cast("double") > 0.5, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("alarm"),
+    )

@@ -3380,3 +3380,425 @@ def stats_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_bins_dropped"),
         F.round(F.sum("cd").cast("double"), 6).alias("psi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: divergence / goodness-of-fit drift gates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_js_divergence",
+    oracle="""
+    WITH s AS (
+      SELECT FLOOR(CAST(ROUND(value * 100, 0) AS BIGINT) / 500.0)
+               AS bin,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END
+               AS refw
+      FROM events WHERE value IS NOT NULL
+    ),
+    cells AS (
+      SELECT bin, SUM(refw) AS c1, SUM(1 - refw) AS c2
+      FROM s GROUP BY bin
+    ),
+    t AS (
+      SELECT bin, c1, c2,
+             SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2
+      FROM cells
+    ),
+    contrib AS (
+      SELECT n1, n2,
+             CAST(ROUND(
+               CASE WHEN c1 > 0 THEN
+                 0.5 * (CAST(c1 AS DOUBLE) / n1)
+                 * LN((CAST(c1 AS DOUBLE) / n1)
+                      / ((CAST(c1 AS DOUBLE) / n1
+                          + CAST(c2 AS DOUBLE) / n2) * 0.5))
+               ELSE 0 END
+               + CASE WHEN c2 > 0 THEN
+                 0.5 * (CAST(c2 AS DOUBLE) / n2)
+                 * LN((CAST(c2 AS DOUBLE) / n2)
+                      / ((CAST(c1 AS DOUBLE) / n1
+                          + CAST(c2 AS DOUBLE) / n2) * 0.5))
+               ELSE 0 END, 9) AS DECIMAL(38,9)) AS cd
+      FROM t
+    )
+    SELECT CAST(MAX(n1) AS BIGINT) AS n_ref,
+           CAST(MAX(n2) AS BIGINT) AS n_cur,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           ROUND(CAST(SUM(cd) AS DOUBLE), 6) AS jsd_nats,
+           ROUND(CAST(SUM(cd) AS DOUBLE) / LN(2), 6) AS jsd_bits
+    FROM contrib
+    """,
+    description="Jensen-Shannon divergence between the first and second "
+    "half of the event stream's value distribution over the same $5 "
+    "bins as stats_psi — the bounded drift gate (0 <= JSD <= ln 2) "
+    "that, unlike PSI/KL, stays FINITE on support mismatch: a bin "
+    "empty on one side contributes p/2 * ln 2 through the mixture "
+    "m = (p+q)/2 instead of being dropped, so one-sided mass is "
+    "measured, not discarded (stats_psi reports it via "
+    "n_bins_dropped; this op prices it in). Same plan shape as PSI: "
+    "one corpus scan folds rows onto the bounded $5-bin cell table "
+    "(conditional int64 counts, map-side combine); totals ride an "
+    "unpartitioned window over O(bins) cells, never the corpus. "
+    "Per-bin 0.5*p*ln(p/m) + 0.5*q*ln(q/m) is the IDENTICAL IEEE "
+    "sequence in both engines (correctly-rounded divides and "
+    "multiplies; ln's possible 1-ulp skew absorbed by per-bin "
+    "ROUND(..,9)), accumulated in DECIMAL(38,9) so cross-cell float "
+    "summation order cannot differ, final round 6; jsd_bits divides "
+    "the same rounded sum by the shared LN(2) constant. Reference "
+    "parity: net-new drift-gate surface (the reference ships no "
+    "distribution statistics).",
+    tags=("stats", "window"),
+)
+def stats_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = e.select(
+        F.floor(fp("value") / F.lit(500.0)).alias("bin"),
+        F.when(
+            F.col("ts") < F.to_timestamp(F.lit("2024-01-16")), 1
+        ).otherwise(0).alias("refw"),
+    )
+    cells = s.groupBy("bin").agg(
+        F.sum("refw").alias("c1"),
+        F.sum(F.lit(1) - F.col("refw")).alias("c2"),
+    )
+    w_all = Window.partitionBy()
+    t = cells.select(
+        "c1",
+        "c2",
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum("c2").over(w_all).alias("n2"),
+    )
+    p = F.col("c1").cast("double") / F.col("n1")
+    q = F.col("c2").cast("double") / F.col("n2")
+    m = (p + q) * F.lit(0.5)
+    cd = (
+        F.when(F.col("c1") > 0, F.lit(0.5) * p * F.log(p / m))
+        .otherwise(F.lit(0))
+        + F.when(F.col("c2") > 0, F.lit(0.5) * q * F.log(q / m))
+        .otherwise(F.lit(0))
+    )
+    contrib = t.select(
+        "n1",
+        "n2",
+        F.round(cd, 9).cast("decimal(38,9)").alias("cd"),
+    )
+    total = F.sum("cd").cast("double")
+    return contrib.agg(
+        F.max("n1").cast("long").alias("n_ref"),
+        F.max("n2").cast("long").alias("n_cur"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.round(total, 6).alias("jsd_nats"),
+        F.round(total / F.log(F.lit(2.0)), 6).alias("jsd_bits"),
+    )
+
+
+@query(
+    "stats_wasserstein_1d",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END
+               AS refw
+      FROM events WHERE value IS NOT NULL
+    ),
+    cells AS (
+      SELECT c, SUM(refw) AS c1, SUM(1 - refw) AS c2
+      FROM s GROUP BY c
+    ),
+    t AS (
+      SELECT c,
+             SUM(c1) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum1,
+             SUM(c2) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum2,
+             SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2,
+             LEAD(c) OVER (ORDER BY c) AS cnext
+      FROM cells
+    ),
+    contrib AS (
+      SELECT n1, n2,
+             ABS(CAST(cum1 AS DECIMAL(38,0)) * CAST(n2 AS DECIMAL(38,0))
+                 - CAST(cum2 AS DECIMAL(38,0))
+                   * CAST(n1 AS DECIMAL(38,0)))
+               * COALESCE(cnext - c, 0) AS w
+      FROM t
+    )
+    SELECT CAST(MAX(n1) AS BIGINT) AS n_ref,
+           CAST(MAX(n2) AS BIGINT) AS n_cur,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           ROUND(CAST(SUM(w) AS DOUBLE) / MAX(n1) / MAX(n2) / 100.0, 6)
+             AS w1_dollars
+    FROM contrib
+    """,
+    description="1-Wasserstein (earth-mover) distance between the first "
+    "and second half of the event stream's value distribution — the "
+    "integral-of-|CDF difference| drift magnitude in the SAME UNITS "
+    "as the data (dollars moved per unit mass), completing the drift "
+    "triptych: KS = max CDF gap (worst point), PSI/JSD = binned "
+    "log-ratio mass, W1 = total transport cost. W1 = sum over sorted "
+    "distinct cents cells of |F1 - F2| * gap, computed EXACTLY in "
+    "integers: one corpus scan folds rows onto the distinct-cents "
+    "cell table (conditional int64 counts, map-side combine); the "
+    "running CDFs, totals, and LEAD gap ride ordered windows over the "
+    "cell table, which is DOMAIN-bounded (events.value lives in "
+    "[0, ~560] => <= ~56k cells at ANY corpus size — the kendall-grid "
+    "argument, not a corpus-sized single-reducer; fact replication "
+    "adds rows to cells, not cells). Per-cell |cum1*n2 - cum2*n1| * "
+    "gap in DECIMAL(38,0) (bounded by n^2 * domain ~ 1e29 at 100 TB "
+    "< 1e38), exact cross-cell sum, ONE final double divide by "
+    "n1*n2*100 — bit-identical in both engines with no per-cell "
+    "float at all (stronger than the PSI/JSD round-9 contract). "
+    "Reference parity: net-new drift-gate surface.",
+    tags=("stats", "window"),
+)
+def stats_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = e.select(
+        fp("value").alias("c"),
+        F.when(
+            F.col("ts") < F.to_timestamp(F.lit("2024-01-16")), 1
+        ).otherwise(0).alias("refw"),
+    )
+    cells = s.groupBy("c").agg(
+        F.sum("refw").alias("c1"),
+        F.sum(F.lit(1) - F.col("refw")).alias("c2"),
+    )
+    w_all = Window.partitionBy()
+    w_ord = Window.orderBy("c")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec = "decimal(38,0)"
+    t = cells.select(
+        "c",
+        F.sum("c1").over(w_cum).alias("cum1"),
+        F.sum("c2").over(w_cum).alias("cum2"),
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum("c2").over(w_all).alias("n2"),
+        F.lead("c").over(w_ord).alias("cnext"),
+    )
+    w = F.abs(
+        F.col("cum1").cast(dec) * F.col("n2").cast(dec)
+        - F.col("cum2").cast(dec) * F.col("n1").cast(dec)
+    ) * F.coalesce(F.col("cnext") - F.col("c"), F.lit(0))
+    contrib = t.select("n1", "n2", w.alias("w"))
+    return contrib.agg(
+        F.max("n1").cast("long").alias("n_ref"),
+        F.max("n2").cast("long").alias("n_cur"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.round(
+            F.sum("w").cast("double")
+            / F.max("n1")
+            / F.max("n2")
+            / F.lit(100.0),
+            6,
+        ).alias("w1_dollars"),
+    )
+
+
+@query(
+    "stats_benford",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(SUBSTR(CAST(CAST(ROUND(l_extendedprice * 100, 0)
+                               AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+               AS digit
+      FROM lineitem
+    ),
+    cells AS (
+      SELECT digit, COUNT(*) AS cnt FROM s GROUP BY digit
+    ),
+    t AS (
+      SELECT digit, cnt, SUM(cnt) OVER () AS n FROM cells
+    ),
+    contrib AS (
+      SELECT n,
+             CAST(ROUND(
+               (CAST(cnt AS DOUBLE) - n * LOG10(1.0 + 1.0 / digit))
+               * (CAST(cnt AS DOUBLE) - n * LOG10(1.0 + 1.0 / digit))
+               / (n * LOG10(1.0 + 1.0 / digit)), 9)
+               AS DECIMAL(38,9)) AS chi_d,
+             CAST(ROUND(ABS(CAST(cnt AS DOUBLE) / n
+                            - LOG10(1.0 + 1.0 / digit)), 9)
+               AS DECIMAL(38,9)) AS mad_d
+      FROM t
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_digits,
+           ROUND(CAST(SUM(chi_d) AS DOUBLE), 6) AS chi2_stat,
+           ROUND(CAST(SUM(mad_d) AS DOUBLE) / 9.0, 6) AS mad_stat
+    FROM contrib
+    """,
+    description="Benford first-significant-digit test over "
+    "l_extendedprice — the classic synthetic-data / fraud / "
+    "fabrication gate: natural multiplicative data follows "
+    "P(d) = log10(1 + 1/d); uniform generators (like TPC-H's price "
+    "columns) flunk it loudly, which is exactly what a "
+    "training-data-provenance audit wants to detect. The first "
+    "significant digit is extracted EXACTLY with zero float: leading "
+    "digit of the cents int64 rendered as a string (scaling by 10^2 "
+    "preserves the leading significant digit; prices >= $0.01 so "
+    "cents >= 1). One corpus scan folds onto a <= 9-cell digit "
+    "table (map-side combine); chi-square vs the Benford expectation "
+    "and the mean-absolute-deviation of proportions (the "
+    "Nigrini MAD gate) are computed per-digit with the identical "
+    "IEEE sequence in both engines, per-cell ROUND(..,9) into "
+    "DECIMAL(38,9), final round 6. MAD divides by the fixed 9-digit "
+    "support (fixture prices populate all nine; a missing digit "
+    "would shrink COUNT(*) — reported as n_digits so the assumption "
+    "is visible in the output contract). Reference parity: net-new "
+    "data-quality surface.",
+    tags=("stats",),
+)
+def stats_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    s = li.select(
+        F.substring(fp("l_extendedprice").cast("string"), 1, 1)
+        .cast("long")
+        .alias("digit")
+    )
+    cells = s.groupBy("digit").agg(F.count(F.lit(1)).alias("cnt"))
+    t = cells.select(
+        "digit",
+        "cnt",
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    exp_p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    dev = F.col("cnt").cast("double") - F.col("n") * exp_p
+    contrib = t.select(
+        "n",
+        F.round(dev * dev / (F.col("n") * exp_p), 9)
+        .cast("decimal(38,9)")
+        .alias("chi_d"),
+        F.round(
+            F.abs(F.col("cnt").cast("double") / F.col("n") - exp_p), 9
+        )
+        .cast("decimal(38,9)")
+        .alias("mad_d"),
+    )
+    return contrib.agg(
+        F.max("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_digits"),
+        F.round(F.sum("chi_d").cast("double"), 6).alias("chi2_stat"),
+        F.round(F.sum("mad_d").cast("double") / F.lit(9.0), 6).alias(
+            "mad_stat"
+        ),
+    )
+
+
+@query(
+    "stats_anova_f",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority AS grp,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c
+      FROM orders
+    ),
+    arms AS (
+      SELECT grp, COUNT(*) AS n_i, CAST(SUM(c) AS BIGINT) AS s_i,
+             SUM(CAST(c AS HUGEINT) * c) AS ss_i,
+             MAX(ABS(c)) AS mx_i
+      FROM s GROUP BY grp
+    ),
+    g AS (
+      SELECT COUNT(*) AS k, CAST(SUM(n_i) AS BIGINT) AS n,
+             SUM(CAST(s_i AS HUGEINT)) AS stot,
+             SUM(ss_i) AS sstot,
+             SUM(CAST(ROUND(CAST(CAST(s_i AS HUGEINT) * s_i AS DOUBLE)
+                            / n_i, 9) AS DECIMAL(38,9))) AS gsum
+      FROM arms
+    ),
+    f AS (
+      SELECT k, n,
+             CAST(gsum AS DOUBLE)
+               - CAST(stot * stot AS DOUBLE) / n AS ssb,
+             CAST(sstot AS DOUBLE) - CAST(gsum AS DOUBLE) AS ssw
+      FROM g
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(k - 1 AS BIGINT) AS df_between,
+           CAST(n - k AS BIGINT) AS df_within,
+           ROUND((ssb / (k - 1)) / (ssw / (n - k)), 6) AS f_stat
+    FROM f
+    """,
+    description="Classic one-way ANOVA F-test of o_totalprice across "
+    "the 5 order priorities — the PARAMETRIC k-group companion to "
+    "stats_kruskal_wallis (rank-based) and stats_welch_ttest "
+    "(2-group): F = (SSB/(k-1)) / (SSW/(n-k)) from the "
+    "sum-of-squares identities SSB = sum_i s_i^2/n_i - S^2/N and "
+    "SSW = SS_total - sum_i s_i^2/n_i. ONE corpus scan, one "
+    "partial+final aggregate onto the k-arm cell table: per-arm n, "
+    "sum (int64, loud assert_true headroom guard on n*max|c| like "
+    "welch), and sum-of-squares in DECIMAL(38,0)/HUGEINT (c^2 * n "
+    "overflows int64 at replica scale). The only non-integer step "
+    "is s_i^2/n_i — per-arm ROUND(..,9) into DECIMAL(38,9) so the "
+    "k-cell cross-arm sum is exact and order-free; the closing "
+    "SSB/SSW/F arithmetic is the identical IEEE sequence in both "
+    "engines, final round 6. Reference parity: net-new stats "
+    "surface.",
+    tags=("stats",),
+)
+def stats_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    s = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        fp("o_totalprice").alias("c"),
+    )
+    dec = "decimal(38,0)"
+    arms = s.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_i"),
+        F.sum("c").cast("long").alias("s_i"),
+        F.sum(F.col("c").cast(dec) * F.col("c")).alias("ss_i"),
+        F.max(F.abs(F.col("c"))).alias("mx_i"),
+    )
+    g = arms.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_i").cast("long").alias("n"),
+        F.sum(F.col("s_i").cast(dec)).alias("stot"),
+        F.sum("ss_i").alias("sstot"),
+        F.sum(
+            F.round(
+                (F.col("s_i").cast(dec) * F.col("s_i")).cast("double")
+                / F.col("n_i"),
+                9,
+            ).cast("decimal(38,9)")
+        ).alias("gsum"),
+        F.max("mx_i").alias("mx"),
+    )
+    # int64 headroom guard (welch pattern): the per-arm sums s_i are
+    # int64 — exact while n * max|c| < the module bound (2^62); the
+    # sums of squares are already DECIMAL(38,0).  Loud failure, woven
+    # into n_rows so pruning cannot drop it from the 1-row final
+    # stage; reads N2_HEADROOM_BOUND at plan-construction time so
+    # tests can prove both sides without 2e9 rows.
+    guard = F.assert_true(
+        F.col("n").cast(dec) * F.col("mx").cast(dec)
+        < F.lit(N2_HEADROOM_BOUND).cast(dec),
+        F.lit(
+            "stats_anova_f int64 sum headroom exceeded: n*max|c| >= "
+            "2^62 — widen the per-arm sums s_i to DECIMAL(38,0)"
+        ),
+    )
+    ssb = (
+        F.col("gsum").cast("double")
+        - (F.col("stot") * F.col("stot")).cast("double") / F.col("n")
+    )
+    ssw = F.col("sstot").cast("double") - F.col("gsum").cast("double")
+    f = g.select(
+        F.col("k"),
+        F.when(guard.isNull(), F.col("n")).alias("n"),
+        ssb.alias("ssb"),
+        ssw.alias("ssw"),
+    )
+    return f.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("n").cast("long").alias("n_rows"),
+        (F.col("k") - 1).cast("long").alias("df_between"),
+        (F.col("n") - F.col("k")).cast("long").alias("df_within"),
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("n") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+    )

@@ -2198,3 +2198,116 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.groupBy("doc_id", "fp").agg(
         F.count(F.lit(1)).alias("n_sel")
     )
+
+
+@query(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT u.w AS term
+      FROM documents, UNNEST({_SQL_TOKENS.format(c='text')}) AS u(w)
+    ),
+    tf AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY term),
+    top AS (
+      SELECT term, n FROM tf ORDER BY n DESC, term LIMIT 500
+    ),
+    pts AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rnk, n
+      FROM top
+    ),
+    acc AS (
+      SELECT COUNT(*) AS k,
+             SUM(CAST(ROUND(LN(CAST(rnk AS DOUBLE)), 9)
+                 AS DECIMAL(38,9))) AS sx,
+             SUM(CAST(ROUND(LN(CAST(n AS DOUBLE)), 9)
+                 AS DECIMAL(38,9))) AS sy,
+             SUM(CAST(ROUND(LN(CAST(rnk AS DOUBLE))
+                            * LN(CAST(n AS DOUBLE)), 9)
+                 AS DECIMAL(38,9))) AS sxy,
+             SUM(CAST(ROUND(LN(CAST(rnk AS DOUBLE))
+                            * LN(CAST(rnk AS DOUBLE)), 9)
+                 AS DECIMAL(38,9))) AS sxx
+      FROM pts
+    ),
+    fit AS (
+      SELECT k,
+             (k * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (k * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      FROM acc
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tf) AS vocab_size,
+           CAST(k AS BIGINT) AS k_fit,
+           ROUND(-slope, 6) AS zipf_exponent,
+           ROUND((syd - slope * sxd) / k, 6) AS intercept_ln
+    FROM fit
+    """,
+    description="Zipf's-law exponent of the corpus unigram frequency "
+    "distribution: OLS fit of ln(freq) on ln(rank) over the top-500 "
+    "terms — natural language sits near exponent 1.0; templated, "
+    "boilerplate-heavy, or synthetic corpora drift far from it, "
+    "making this the distribution-shape companion to "
+    "text_unigram_logppl (per-doc) and text_repetition_ratio "
+    "(per-doc): ONE number that audits the WHOLE corpus's lexical "
+    "statistics. Corpus-scale work is the tokenize + term-keyed "
+    "count (explode keyed by term, partial counts map-side — the "
+    "same shuffle profile as text_topk_bigrams); ranking and the "
+    "regression run over the bounded top-500 table (TakeOrdered, "
+    "ties broken by term so ranks are total). Per-point ln "
+    "products are ROUND(..,9) into DECIMAL(38,9) (the PSI "
+    "convention: identical IEEE products, cross-point sum made "
+    "order-free), closing slope/intercept arithmetic is one "
+    "identical IEEE sequence, final round 6. Reference parity: "
+    "net-new corpus-analysis surface.",
+    tags=("text", "stats"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    tf = (
+        d.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab = tf.agg(F.count(F.lit(1)).cast("long").alias("vocab_size"))
+    top = tf.orderBy(F.desc("n"), "term").limit(500)
+    from pyspark.sql import Window
+
+    w_rank = Window.orderBy(F.desc("n"), "term")
+    pts = top.select(
+        F.row_number().over(w_rank).alias("rnk"), F.col("n")
+    )
+    lx = F.log(F.col("rnk").cast("double"))
+    ly = F.log(F.col("n").cast("double"))
+    d9 = "decimal(38,9)"
+    acc = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.round(lx, 9).cast(d9)).alias("sx"),
+        F.sum(F.round(ly, 9).cast(d9)).alias("sy"),
+        F.sum(F.round(lx * ly, 9).cast(d9)).alias("sxy"),
+        F.sum(F.round(lx * lx, 9).cast(d9)).alias("sxx"),
+    )
+    slope = (
+        F.col("k") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        F.col("k") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    fit = acc.select(
+        F.col("k"),
+        slope.alias("slope"),
+        F.col("sx").cast("double").alias("sxd"),
+        F.col("sy").cast("double").alias("syd"),
+    )
+    return fit.crossJoin(vocab).select(
+        "vocab_size",
+        F.col("k").cast("long").alias("k_fit"),
+        F.round(-F.col("slope"), 6).alias("zipf_exponent"),
+        F.round(
+            (F.col("syd") - F.col("slope") * F.col("sxd")) / F.col("k"),
+            6,
+        ).alias("intercept_ln"),
+    )

@@ -1,0 +1,494 @@
+"""Round-10 batch 2: divergence/goodness-of-fit drift gates (JSD,
+Wasserstein-1, Benford, one-way ANOVA), robust/sequential time-series
+(Theil-Sen, Page-Hinkley), and the corpus Zipf fit.
+
+Every test pins the operator against a definitional Python model built
+with the SAME fixed-point/rounding contract the engine declares (cents
+int64, per-cell round-9 decimals), so a regression in either the plan
+or the numeric contract fails here without needing the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_events(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double",
+    ).withColumn("ts", F.to_timestamp("ts")).withColumn(
+        "props", F.lit("{}")
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "events.parquet")
+    )
+    return str(tmp_path)
+
+
+def _write_halves(spark, tmp_path, ref_vals, cur_vals):
+    rows = [
+        (i, "2024-01-05 00:00:00", 1, "click", float(v))
+        for i, v in enumerate(ref_vals)
+    ] + [
+        (1000 + i, "2024-01-25 00:00:00", 1, "click", float(v))
+        for i, v in enumerate(cur_vals)
+    ]
+    return _write_events(spark, tmp_path, rows)
+
+
+def _write_daily(spark, tmp_path, day_to_vals):
+    rows = []
+    eid = 0
+    for day, vals in sorted(day_to_vals.items()):
+        for v in vals:
+            rows.append((eid, f"2024-01-{day:02d} 12:00:00", 1, "click",
+                         float(v)))
+            eid += 1
+    return _write_events(spark, tmp_path, rows)
+
+
+def _write_orders(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "o_orderpriority string, o_totalprice double"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "orders.parquet")
+    )
+    return str(tmp_path)
+
+
+def _write_lineitem_prices(spark, tmp_path, prices):
+    spark.createDataFrame(
+        [(float(p),) for p in prices], "l_extendedprice double"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "lineitem.parquet")
+    )
+    return str(tmp_path)
+
+
+def _write_docs(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+# ---------------------------------------------------------------------------
+# stats_js_divergence
+# ---------------------------------------------------------------------------
+
+
+def test_jsd_identical_distributions_is_zero(spark, tmp_path):
+    from litebase_spark.operators.relational import stats_js_divergence
+
+    vals = [1.0, 7.0, 12.0, 12.0, 20.0, 33.0]
+    sf = _write_halves(spark, tmp_path, vals, vals)
+    r = stats_js_divergence(spark, sf).first()
+    assert r["n_ref"] == r["n_cur"] == 6
+    assert r["jsd_nats"] == 0.0 and r["jsd_bits"] == 0.0
+
+
+def test_jsd_disjoint_support_is_ln2(spark, tmp_path):
+    """Fully disjoint supports: m = p/2 on every bin, so
+    JSD = ln 2 exactly (the upper bound) — and unlike PSI nothing is
+    dropped; the one-sided mass IS the signal."""
+    from litebase_spark.operators.relational import stats_js_divergence
+
+    ref = [1.0, 2.0, 3.0, 4.0]        # bins 0
+    cur = [50.0, 51.0, 52.0, 53.0]    # bin 10
+    sf = _write_halves(spark, tmp_path, ref, cur)
+    r = stats_js_divergence(spark, sf).first()
+    assert r["jsd_nats"] == pytest.approx(math.log(2), abs=2e-6)
+    assert r["jsd_bits"] == pytest.approx(1.0, abs=2e-6)
+    assert r["n_bins"] == 2
+
+
+def test_jsd_hand_model(spark, tmp_path):
+    """Definitional model over the $5 bins with the engine's
+    per-bin round-9 contract."""
+    from litebase_spark.operators.relational import stats_js_divergence
+
+    ref = [1.0, 2.0, 6.0, 7.0, 11.0, 12.0, 12.5, 30.0]
+    cur = [6.0, 7.0, 7.5, 11.0, 12.0, 26.0, 41.0, 41.5]
+    sf = _write_halves(spark, tmp_path, ref, cur)
+    r = stats_js_divergence(spark, sf).first()
+
+    bins_ref = [round(v * 100) // 500 for v in ref]
+    bins_cur = [round(v * 100) // 500 for v in cur]
+    support = sorted(set(bins_ref) | set(bins_cur))
+    n1, n2 = len(ref), len(cur)
+    jsd = 0.0
+    for b in support:
+        p = bins_ref.count(b) / n1
+        q = bins_cur.count(b) / n2
+        m = (p + q) * 0.5
+        c = 0.0
+        if p > 0:
+            c += 0.5 * p * math.log(p / m)
+        if q > 0:
+            c += 0.5 * q * math.log(q / m)
+        jsd += round(c, 9)
+    assert r["n_bins"] == len(support)
+    assert r["jsd_nats"] == pytest.approx(jsd, abs=2e-6)
+    assert 0.0 < r["jsd_nats"] < math.log(2)
+
+
+# ---------------------------------------------------------------------------
+# stats_wasserstein_1d
+# ---------------------------------------------------------------------------
+
+
+def test_w1_identical_is_zero(spark, tmp_path):
+    from litebase_spark.operators.relational import stats_wasserstein_1d
+
+    vals = [1.0, 2.0, 2.0, 9.5]
+    sf = _write_halves(spark, tmp_path, vals, vals)
+    r = stats_wasserstein_1d(spark, sf).first()
+    assert r["w1_dollars"] == 0.0
+
+
+def test_w1_constant_shift_is_the_shift(spark, tmp_path):
+    """W1 between X and X + c is exactly |c| — the definitional
+    transport identity that makes W1 readable in data units."""
+    from litebase_spark.operators.relational import stats_wasserstein_1d
+
+    ref = [1.0, 2.0, 5.0, 9.25]
+    cur = [v + 1.75 for v in ref]
+    sf = _write_halves(spark, tmp_path, ref, cur)
+    r = stats_wasserstein_1d(spark, sf).first()
+    assert r["w1_dollars"] == pytest.approx(1.75, abs=1e-9)
+    assert r["n_ref"] == r["n_cur"] == 4
+
+
+def test_w1_hand_model_unequal_sizes(spark, tmp_path):
+    """Definitional sum over sorted cells of |F1 - F2| * gap, with
+    unequal half sizes exercising the n1*n2 cross-normalization."""
+    from litebase_spark.operators.relational import stats_wasserstein_1d
+
+    ref = [1.0, 1.0, 4.0]
+    cur = [2.0, 8.0]
+    sf = _write_halves(spark, tmp_path, ref, cur)
+    r = stats_wasserstein_1d(spark, sf).first()
+
+    cents_r = sorted(round(v * 100) for v in ref)
+    cents_c = sorted(round(v * 100) for v in cur)
+    support = sorted(set(cents_r) | set(cents_c))
+    n1, n2 = len(ref), len(cur)
+    w1 = 0.0
+    for c, cn in zip(support, support[1:]):
+        f1 = sum(1 for x in cents_r if x <= c) / n1
+        f2 = sum(1 for x in cents_c if x <= c) / n2
+        w1 += abs(f1 - f2) * (cn - c)
+    assert r["w1_dollars"] == pytest.approx(w1 / 100.0, abs=1e-9)
+    assert r["n_cells"] == len(support)
+
+
+# ---------------------------------------------------------------------------
+# stats_benford
+# ---------------------------------------------------------------------------
+
+
+def test_benford_exact_digit_extraction_and_model(spark, tmp_path):
+    """Digits come from the cents STRING (zero float); chi2/MAD match
+    the definitional model.  Includes a price whose cents leading
+    digit differs from a naive float log10 path near a power of 10."""
+    from litebase_spark.operators.relational import stats_benford
+
+    prices = [1.0, 1.23, 9.99, 10.0, 25.50, 33.33, 41.5, 5.25,
+              67.89, 71.0, 88.8, 9.0, 100.0, 2.0]
+    sf = _write_lineitem_prices(spark, tmp_path, prices)
+    r = stats_benford(spark, sf).first()
+
+    digits = [int(str(round(p * 100))[0]) for p in prices]
+    counts = {d: digits.count(d) for d in set(digits)}
+    n = len(prices)
+    chi2 = 0.0
+    mad = 0.0
+    for d, cnt in sorted(counts.items()):
+        exp_p = math.log10(1.0 + 1.0 / d)
+        chi2 += round((cnt - n * exp_p) ** 2 / (n * exp_p), 9)
+        mad += round(abs(cnt / n - exp_p), 9)
+    assert r["n_rows"] == n
+    assert r["n_digits"] == len(counts)
+    assert r["chi2_stat"] == pytest.approx(chi2, abs=2e-6)
+    assert r["mad_stat"] == pytest.approx(mad / 9.0, abs=2e-6)
+
+
+def test_benford_conforming_sample_scores_low(spark, tmp_path):
+    """A sample drawn to match Benford proportions exactly (counts
+    proportional to log10(1+1/d) out of 1000) scores chi2 ~ 0 under
+    the test — and a uniform-digit sample scores far higher."""
+    from litebase_spark.operators.relational import stats_benford
+
+    conforming = []
+    for d in range(1, 10):
+        cnt = round(1000 * math.log10(1.0 + 1.0 / d))
+        conforming += [d * 1.11] * cnt
+    sf = _write_lineitem_prices(spark, tmp_path, conforming)
+    lo = stats_benford(spark, sf).first()
+
+    uniform = [d * 1.11 for d in range(1, 10)] * 100
+    sf2 = _write_lineitem_prices(spark, tmp_path, uniform)
+    hi = stats_benford(spark, sf2).first()
+    assert lo["chi2_stat"] < 1.0
+    assert hi["chi2_stat"] > 50.0
+    assert hi["mad_stat"] > lo["mad_stat"]
+
+
+# ---------------------------------------------------------------------------
+# stats_anova_f
+# ---------------------------------------------------------------------------
+
+
+def test_anova_f_hand_model(spark, tmp_path):
+    """Textbook 3-group ANOVA — F matches the definitional
+    sum-of-squares computation on exact cents."""
+    from litebase_spark.operators.relational import stats_anova_f
+
+    groups = {
+        "1-URGENT": [10.0, 12.0, 11.0, 13.0],
+        "2-HIGH": [20.0, 22.0, 21.0],
+        "3-MEDIUM": [30.0, 29.0, 31.0, 30.0, 30.0],
+    }
+    rows = [(g, v) for g, vals in groups.items() for v in vals]
+    sf = _write_orders(spark, tmp_path, rows)
+    r = stats_anova_f(spark, sf).first()
+
+    cents = {g: [round(v * 100) for v in vals]
+             for g, vals in groups.items()}
+    n = sum(len(v) for v in cents.values())
+    k = len(cents)
+    stot = sum(sum(v) for v in cents.values())
+    sstot = sum(x * x for v in cents.values() for x in v)
+    gsum = sum(round(sum(v) ** 2 / len(v), 9) for v in cents.values())
+    ssb = gsum - stot * stot / n
+    ssw = sstot - gsum
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert r["k_groups"] == k and r["n_rows"] == n
+    assert r["df_between"] == k - 1 and r["df_within"] == n - k
+    assert r["f_stat"] == pytest.approx(f, rel=1e-6)
+
+
+def test_anova_f_no_separation_is_small(spark, tmp_path):
+    """Same distribution in every arm -> F near 0; strongly separated
+    arms -> F large.  Direction sanity on top of the exact model."""
+    from litebase_spark.operators.relational import stats_anova_f
+
+    same = [("1-URGENT", v) for v in (5.0, 6.0, 7.0)] + [
+        ("2-HIGH", v) for v in (5.0, 6.0, 7.0)
+    ]
+    sf = _write_orders(spark, tmp_path, same)
+    low = stats_anova_f(spark, sf).first()
+    assert abs(low["f_stat"]) < 1e-6
+
+    apart = [("1-URGENT", v) for v in (5.0, 6.0, 7.0)] + [
+        ("2-HIGH", v) for v in (500.0, 600.0, 700.0)
+    ]
+    sf2 = _write_orders(spark, tmp_path, apart)
+    high = stats_anova_f(spark, sf2).first()
+    assert high["f_stat"] > 10.0
+
+
+def test_anova_guard_fires_loudly(spark, tmp_path, monkeypatch):
+    """Bound below n*max|c| -> the assert_true guard raises with a
+    diagnosable message instead of wrapping silently."""
+    from litebase_spark.operators import relational
+
+    rows = [("1-URGENT", 10.0), ("2-HIGH", 20.0), ("2-HIGH", 30.0)]
+    sf = _write_orders(spark, tmp_path, rows)
+    # n = 3, max cents = 3000 -> n * mx = 9000
+    monkeypatch.setattr(relational, "N2_HEADROOM_BOUND", 8999)
+    with pytest.raises(Exception, match="headroom"):
+        relational.stats_anova_f(spark, sf).collect()
+
+
+def test_anova_guard_silent_below_bound(spark, tmp_path, monkeypatch):
+    from litebase_spark.operators import relational
+
+    rows = [("1-URGENT", 10.0), ("2-HIGH", 20.0), ("2-HIGH", 30.0)]
+    sf = _write_orders(spark, tmp_path, rows)
+    monkeypatch.setattr(relational, "N2_HEADROOM_BOUND", 9001)
+    r = relational.stats_anova_f(spark, sf).first()
+    assert r["n_rows"] == 3 and r["k_groups"] == 2
+
+
+# ---------------------------------------------------------------------------
+# ts_theil_sen
+# ---------------------------------------------------------------------------
+
+
+def test_theil_sen_exact_linear_trend(spark, tmp_path):
+    """Daily means exactly on a line with slope 0.5/day -> every
+    pairwise slope is 0.5 -> the median is 0.5."""
+    from litebase_spark.operators.asof import ts_theil_sen
+
+    day_vals = {d: [10.0 + 0.5 * (d - 1)] for d in range(1, 8)}
+    sf = _write_daily(spark, tmp_path, day_vals)
+    r = ts_theil_sen(spark, sf).first()
+    assert r["n_days"] == 7
+    assert r["n_pairs"] == 21
+    assert r["sen_slope"] == pytest.approx(0.5, abs=1e-9)
+
+
+def test_theil_sen_resists_outlier_day(spark, tmp_path):
+    """One wild outlier day drags the OLS slope far from the trend but
+    moves the Theil-Sen median only within its breakdown bound —
+    pinned against the definitional Python median of pairwise
+    slopes."""
+    from litebase_spark.operators.asof import ts_theil_sen
+
+    day_vals = {d: [10.0 + 1.0 * (d - 1)] for d in range(1, 10)}
+    day_vals[5] = [500.0]  # outlier
+    sf = _write_daily(spark, tmp_path, day_vals)
+    r = ts_theil_sen(spark, sf).first()
+
+    means = {d: v[0] for d, v in day_vals.items()}
+    days = sorted(means)
+    slopes = sorted(
+        (means[b] - means[a]) / (b - a)
+        for i, a in enumerate(days)
+        for b in days[i + 1:]
+    )
+    n = len(slopes)
+    med = (slopes[(n - 1) // 2] + slopes[n // 2]) / 2
+    assert r["n_pairs"] == n
+    assert r["sen_slope"] == pytest.approx(med, abs=1e-9)
+    assert abs(r["sen_slope"] - 1.0) < 1.0  # robust: still near trend
+
+
+def test_theil_sen_even_pair_count_averages_middles(spark, tmp_path):
+    """4 days -> 6 pairs (even): the median is the average of the two
+    middle slopes, exercising the two-row rn branch."""
+    from litebase_spark.operators.asof import ts_theil_sen
+
+    day_vals = {1: [1.0], 2: [4.0], 3: [4.5], 4: [10.0]}
+    sf = _write_daily(spark, tmp_path, day_vals)
+    r = ts_theil_sen(spark, sf).first()
+    means = {d: v[0] for d, v in day_vals.items()}
+    days = sorted(means)
+    slopes = sorted(
+        (means[b] - means[a]) / (b - a)
+        for i, a in enumerate(days)
+        for b in days[i + 1:]
+    )
+    med = (slopes[2] + slopes[3]) / 2
+    assert r["n_pairs"] == 6
+    assert r["sen_slope"] == pytest.approx(med, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# ts_page_hinkley
+# ---------------------------------------------------------------------------
+
+
+def _ph_reference(day_means, delta=0.005):
+    """Definitional PH with the engine's round-9 decimal contract."""
+    terms = []
+    cs = cn = 0
+    for s_d, n_d in day_means:
+        cs += s_d
+        cn += n_d
+        terms.append(round(s_d / n_d / 100.0 - cs / cn / 100.0 - delta, 9))
+    m = 0.0
+    mmin = None
+    best = (float("-inf"), None)
+    for i, t in enumerate(terms):
+        m = round(m + t, 9)
+        mmin = m if mmin is None else min(mmin, m)
+        ph = round(m - mmin, 9)
+        if ph > best[0]:
+            best = (ph, i)
+    return best
+
+
+def test_page_hinkley_level_shift_detected(spark, tmp_path):
+    """Stable mean for 10 days then a +$3 level shift: PH climbs after
+    the shift, the stat exceeds lambda, and drift_day lands in the
+    shifted regime — pinned against the definitional model."""
+    from litebase_spark.operators.asof import ts_page_hinkley
+
+    day_vals = {d: [20.0, 20.5, 19.5] for d in range(1, 11)}
+    for d in range(11, 21):
+        day_vals[d] = [23.0, 23.5, 22.5]
+    sf = _write_daily(spark, tmp_path, day_vals)
+    r = ts_page_hinkley(spark, sf).first()
+
+    cells = [
+        (sum(round(v * 100) for v in vals), len(vals))
+        for _, vals in sorted(day_vals.items())
+    ]
+    ph, idx = _ph_reference(cells)
+    assert r["n_days"] == 20
+    assert r["ph_stat"] == pytest.approx(ph, abs=2e-6)
+    assert r["alarm"] == 1 and r["ph_stat"] > 0.5
+    assert r["drift_day"].day == sorted(day_vals)[idx]
+
+
+def test_page_hinkley_stable_series_no_alarm(spark, tmp_path):
+    from litebase_spark.operators.asof import ts_page_hinkley
+
+    day_vals = {d: [20.0, 20.1, 19.9] for d in range(1, 15)}
+    sf = _write_daily(spark, tmp_path, day_vals)
+    r = ts_page_hinkley(spark, sf).first()
+    assert r["alarm"] == 0
+    assert r["ph_stat"] < 0.5
+
+
+# ---------------------------------------------------------------------------
+# text_zipf_fit
+# ---------------------------------------------------------------------------
+
+
+def test_zipf_exact_power_law_fits_exponent_one(spark, tmp_path):
+    """A corpus whose term frequencies are exactly freq_r = 120/r has
+    ln(freq) = ln(120) - 1.0 * ln(rank): the OLS fit recovers
+    exponent ~ 1 and intercept ~ ln(120)."""
+    from litebase_spark.operators.text import text_zipf_fit
+
+    # term_r repeated round(120/r) times, r = 1..20
+    words = []
+    for r in range(1, 21):
+        words += [f"term{r:02d}"] * round(120 / r)
+    docs = [(i, " ".join(words[i::5]), "en", "s0", 100)
+            for i in range(5)]
+    sf = _write_docs(spark, tmp_path, docs)
+    out = text_zipf_fit(spark, sf).first()
+    assert out["vocab_size"] == 20
+    assert out["k_fit"] == 20
+    assert out["zipf_exponent"] == pytest.approx(1.0, abs=0.05)
+    assert out["intercept_ln"] == pytest.approx(math.log(120), abs=0.15)
+
+
+def test_zipf_hand_model_small_vocab(spark, tmp_path):
+    """Exact OLS model with the engine's per-point round-9 contract and
+    the (freq desc, term asc) deterministic ranking."""
+    from litebase_spark.operators.text import text_zipf_fit
+
+    text = "a a a a b b b c c d"
+    sf = _write_docs(spark, tmp_path, [(0, text, "en", "s0", 10)])
+    out = text_zipf_fit(spark, sf).first()
+
+    freqs = [4, 3, 2, 1]  # a, b, c, d by (freq desc, term asc)
+    k = len(freqs)
+    xs = [round(math.log(r), 9) for r in range(1, k + 1)]
+    ys = [round(math.log(f), 9) for f in freqs]
+    xys = [round(math.log(r) * math.log(f), 9)
+           for r, f in zip(range(1, k + 1), freqs)]
+    xxs = [round(math.log(r) ** 2, 9) for r in range(1, k + 1)]
+    sx, sy, sxy, sxx = sum(xs), sum(ys), sum(xys), sum(xxs)
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    assert out["vocab_size"] == 4 and out["k_fit"] == 4
+    assert out["zipf_exponent"] == pytest.approx(-slope, abs=2e-6)
+    assert out["intercept_ln"] == pytest.approx(
+        (sy - slope * sx) / k, abs=2e-6
+    )

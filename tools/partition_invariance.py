@@ -82,6 +82,17 @@ NAMES = [
     # round 10: decimal-fold PSI cells, min-doc-id incremental probe
     "stats_psi",
     "pipeline_incremental_novelty",
+    # round 10 batch 2: ordered-window CDF cells (wasserstein), running
+    # decimal PH state, median-rank pair selection (theil-sen), global
+    # (freq, term) ranking (zipf) — every new order-sensitive shape;
+    # jsd/benford/anova are included as decimal-fold cells reducers
+    "stats_js_divergence",
+    "stats_wasserstein_1d",
+    "stats_benford",
+    "stats_anova_f",
+    "ts_theil_sen",
+    "ts_page_hinkley",
+    "text_zipf_fit",
 ]
 
 
