@@ -133,6 +133,8 @@ HEADLINE = [
     "ts_theil_sen",
     "ts_page_hinkley",
     "text_zipf_fit",
+    "ts_mann_kendall",
+    "text_lexical_diversity",
 ]
 
 

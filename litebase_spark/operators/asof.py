@@ -1912,3 +1912,124 @@ def ts_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alarm"),
     )
+
+
+@query(
+    "ts_mann_kendall",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CASE WHEN b.x > a.x THEN 1
+                  WHEN b.x < a.x THEN -1 ELSE 0 END AS sg
+      FROM cells a JOIN cells b ON b.d > a.d
+    ),
+    sstat AS (
+      SELECT CAST(SUM(sg) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM pairs
+    ),
+    ties AS (
+      SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)
+                  AS BIGINT) AS tie_term
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t
+            FROM cells GROUP BY x) g
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cells),
+    z AS (
+      SELECT n, n_pairs, s,
+             (CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE))
+               / 18.0 AS var_s
+      FROM sstat, ties, nn
+    )
+    SELECT n AS n_days, n_pairs, s AS s_stat,
+           ROUND(var_s, 6) AS var_s,
+           ROUND(CASE WHEN s > 0 THEN (s - 1) / SQRT(var_s)
+                      WHEN s < 0 THEN (s + 1) / SQRT(var_s)
+                      ELSE 0.0 END, 6) AS z_stat,
+           CASE WHEN (CASE WHEN s > 0 THEN (s - 1) / SQRT(var_s)
+                           WHEN s < 0 THEN (s + 1) / SQRT(var_s)
+                           ELSE 0.0 END) > 1.959964 THEN 'increasing'
+                WHEN (CASE WHEN s > 0 THEN (s - 1) / SQRT(var_s)
+                           WHEN s < 0 THEN (s + 1) / SQRT(var_s)
+                           ELSE 0.0 END) < -1.959964 THEN 'decreasing'
+                ELSE 'no trend' END AS trend
+    FROM z
+    """,
+    description="Mann-Kendall trend test over the daily total value "
+    "series — the SIGNIFICANCE companion to ts_theil_sen (which gives "
+    "the robust slope magnitude): S = sum of pairwise signs, "
+    "tie-corrected variance n(n-1)(2n+5)/18 - sum t(t-1)(2t+5)/18, "
+    "continuity-corrected z, and the 95% verdict label. Pair "
+    "formation is over the BOUNDED day grid only (D days => "
+    "D(D-1)/2 sign comparisons — the theil_sen/cross_correlation "
+    "cells-not-corpus shape). The trend variable is the EXACT int64 "
+    "daily cents total, so every pairwise sign and every tie-group "
+    "size is integer-exact (no epsilon ties, no float compare); S, "
+    "the tie term, and n(n-1)(2n+5) are exact integers and the only "
+    "doubles are the final /18, sqrt, and divide — one identical "
+    "IEEE sequence in both engines, final round 6. Reference "
+    "parity: net-new time-series surface.",
+    tags=("timeseries", "stats"),
+)
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cells = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(fp("value")).alias("x")
+    )
+    a = cells.select(F.col("d").alias("da"), F.col("x").alias("xa"))
+    b = cells.select(F.col("d").alias("db"), F.col("x").alias("xb"))
+    pairs = a.join(b, F.col("db") > F.col("da")).select(
+        F.when(F.col("xb") > F.col("xa"), 1)
+        .when(F.col("xb") < F.col("xa"), -1)
+        .otherwise(0)
+        .alias("sg")
+    )
+    sstat = pairs.agg(
+        F.sum("sg").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    t = F.col("t")
+    ties = (
+        cells.groupBy("x")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg(
+            F.coalesce(
+                F.sum(t * (t - 1) * (2 * t + 5)), F.lit(0)
+            ).cast("long").alias("tie_term")
+        )
+    )
+    nn = cells.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    n = F.col("n")
+    z = sstat.crossJoin(ties).crossJoin(nn).select(
+        "n",
+        "n_pairs",
+        "s",
+        (
+            (n * (n - 1) * (2 * n + 5) - F.col("tie_term")).cast(
+                "double"
+            )
+            / F.lit(18.0)
+        ).alias("var_s"),
+    )
+    s = F.col("s")
+    zval = (
+        F.when(s > 0, (s - 1) / F.sqrt(F.col("var_s")))
+        .when(s < 0, (s + 1) / F.sqrt(F.col("var_s")))
+        .otherwise(F.lit(0.0))
+    )
+    return z.select(
+        F.col("n").alias("n_days"),
+        "n_pairs",
+        s.alias("s_stat"),
+        F.round(F.col("var_s"), 6).alias("var_s"),
+        F.round(zval, 6).alias("z_stat"),
+        F.when(zval > 1.959964, "increasing")
+        .when(zval < -1.959964, "decreasing")
+        .otherwise("no trend")
+        .alias("trend"),
+    )

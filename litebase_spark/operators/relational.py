@@ -3281,9 +3281,10 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "stats_psi",
-    oracle="""
+# Shared by stats_psi and its streaming twin stream_drift_psi: the
+# AvailableNow replay converges the streaming per-bin counts to the
+# batch cells, so the SAME oracle certifies both paths.
+PSI_ORACLE = """
     WITH s AS (
       SELECT FLOOR(CAST(ROUND(value * 100, 0) AS BIGINT) / 500.0)
                AS bin,
@@ -3318,40 +3319,13 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) - SUM(used) AS BIGINT) AS n_bins_dropped,
            ROUND(CAST(SUM(cd) AS DOUBLE), 6) AS psi
     FROM contrib
-    """,
-    description="Population stability index between the first and "
-    "second half of the event stream's value distribution — the "
-    "binned-ratio drift gate ops teams actually alert on (psi < 0.1 "
-    "stable, 0.1-0.25 moderate, > 0.25 shifted), completing the drift "
-    "family: chi2/KS/MWU/kruskal test location/shape significance, "
-    "PSI measures banded magnitude. One corpus scan folds rows onto "
-    "the bounded $5-wide value-bin cell table (conditional int64 "
-    "counts, map-side combine); totals ride an unpartitioned window "
-    "over the ~100 cells, never the corpus. Per-bin contribution "
-    "(p - q) * ln(p/q) is computed with the IDENTICAL IEEE sequence "
-    "in both engines (correctly-rounded divides; ln's possible 1-ulp "
-    "skew is absorbed by per-bin ROUND(..,9)), accumulated in "
-    "DECIMAL(38,9) so cross-cell float summation ORDER cannot differ "
-    "(the cramers_v lesson), final round 6. Bins empty on either "
-    "side are excluded from the sum (the standard finite-PSI "
-    "convention) and reported in n_bins_dropped so a silent "
-    "support-mismatch cannot hide. Reference parity: net-new "
-    "drift-gate surface (the reference ships no distribution "
-    "statistics).",
-    tags=("stats", "window"),
-)
-def stats_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    s = e.select(
-        F.floor(fp("value") / F.lit(500.0)).alias("bin"),
-        F.when(
-            F.col("ts") < F.to_timestamp(F.lit("2024-01-16")), 1
-        ).otherwise(0).alias("refw"),
-    )
-    cells = s.groupBy("bin").agg(
-        F.sum("refw").alias("c1"),
-        F.sum(F.lit(1) - F.col("refw")).alias("c2"),
-    )
+    """
+
+
+def psi_from_cells(cells: DataFrame) -> DataFrame:
+    """PSI final reduction over a (bin, c1, c2) cell table — shared by
+    the batch stats_psi and the streaming stream_drift_psi so the two
+    paths cannot drift numerically."""
     w_all = Window.partitionBy()
     t = cells.select(
         "c1",
@@ -3380,6 +3354,50 @@ def stats_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_bins_dropped"),
         F.round(F.sum("cd").cast("double"), 6).alias("psi"),
     )
+
+
+def psi_binned(df: DataFrame) -> DataFrame:
+    """Project events rows onto the PSI (bin, refw) shape — shared by
+    both PSI paths (and reused by the streaming twin on a raw stream)."""
+    return df.filter(F.col("value").isNotNull()).select(
+        F.floor(fp("value") / F.lit(500.0)).alias("bin"),
+        F.when(
+            F.col("ts") < F.to_timestamp(F.lit("2024-01-16")), 1
+        ).otherwise(0).alias("refw"),
+    )
+
+
+@query(
+    "stats_psi",
+    oracle=PSI_ORACLE,
+    description="Population stability index between the first and "
+    "second half of the event stream's value distribution — the "
+    "binned-ratio drift gate ops teams actually alert on (psi < 0.1 "
+    "stable, 0.1-0.25 moderate, > 0.25 shifted), completing the drift "
+    "family: chi2/KS/MWU/kruskal test location/shape significance, "
+    "PSI measures banded magnitude. One corpus scan folds rows onto "
+    "the bounded $5-wide value-bin cell table (conditional int64 "
+    "counts, map-side combine); totals ride an unpartitioned window "
+    "over the ~100 cells, never the corpus. Per-bin contribution "
+    "(p - q) * ln(p/q) is computed with the IDENTICAL IEEE sequence "
+    "in both engines (correctly-rounded divides; ln's possible 1-ulp "
+    "skew is absorbed by per-bin ROUND(..,9)), accumulated in "
+    "DECIMAL(38,9) so cross-cell float summation ORDER cannot differ "
+    "(the cramers_v lesson), final round 6. Bins empty on either "
+    "side are excluded from the sum (the standard finite-PSI "
+    "convention) and reported in n_bins_dropped so a silent "
+    "support-mismatch cannot hide. Reference parity: net-new "
+    "drift-gate surface (the reference ships no distribution "
+    "statistics).",
+    tags=("stats", "window"),
+)
+def stats_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    cells = psi_binned(e).groupBy("bin").agg(
+        F.sum("refw").alias("c1"),
+        F.sum(F.lit(1) - F.col("refw")).alias("c2"),
+    )
+    return psi_from_cells(cells)
 
 
 # ---------------------------------------------------------------------------

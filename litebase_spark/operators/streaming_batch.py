@@ -537,3 +537,56 @@ def stream_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_a", "doc_b"])
         .orderBy("doc_a", "doc_b")
     )
+
+
+from litebase_spark.operators.relational import (  # noqa: E402
+    PSI_ORACLE,
+    psi_binned,
+    psi_from_cells,
+)
+
+
+@query(
+    "stream_drift_psi",
+    oracle=PSI_ORACLE,
+    description="Streaming population-stability drift gate: the "
+    "stats_psi batch operator re-expressed as a CONTINUOUS monitor — "
+    "arriving events fold into an update-mode streaming aggregation "
+    "keyed by the same $5 value bin (per-bin reference/current "
+    "counts; Spark keeps the running counts in keyed state, so "
+    "per-microbatch cost is O(touched bins), never corpus-rescan), "
+    "and the PSI reduction runs over the final bin cells. Because "
+    "per-bin counts are MONOTONE non-decreasing across updates, the "
+    "latest update per bin == max per bin, which makes the "
+    "memory-sink materialization deterministic; AvailableNow replay "
+    "converges the state to exactly the batch cell table, so the "
+    "SAME DuckDB oracle certifies the streaming path, and the final "
+    "arithmetic is literally shared code (relational.psi_from_cells "
+    "— the two paths cannot drift numerically). Cross-batch "
+    "state-carry is pinned by a 4-file maxFilesPerTrigger=1 parity "
+    "test vs the batch operator (test_streaming.py). Completes the "
+    "streaming twins: dedup (r9), novelty (r10 batch 1), and now "
+    "the drift-gate family.",
+    tags=("streaming", "stateful", "stats", "drift"),
+)
+def stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from litebase_spark.streaming.windows import (
+        _normalized_events,
+        events_stream,
+        run_available_now,
+    )
+
+    stream = _normalized_events(events_stream(spark, sf_dir))
+    cells = (
+        psi_binned(stream)
+        .groupBy("bin")
+        .agg(
+            F.sum("refw").alias("c1"),
+            F.sum(F.lit(1) - F.col("refw")).alias("c2"),
+        )
+    )
+    sink = run_available_now(cells, output_mode="update")
+    final = sink.groupBy("bin").agg(
+        F.max("c1").alias("c1"), F.max("c2").alias("c2")
+    )
+    return psi_from_cells(final)

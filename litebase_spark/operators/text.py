@@ -2311,3 +2311,85 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("intercept_ln"),
     )
+
+
+@query(
+    "text_lexical_diversity",
+    oracle=f"""
+    WITH tok AS (
+      SELECT d.source, u.w AS term
+      FROM documents d,
+           UNNEST({_SQL_TOKENS.format(c='d.text')}) AS u(w)
+    ),
+    tf AS (
+      SELECT source, term, COUNT(*) AS n_t
+      FROM tok GROUP BY source, term
+    ),
+    agg AS (
+      SELECT source,
+             CAST(SUM(n_t) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             SUM(CAST(n_t AS HUGEINT) * (n_t - 1)) AS rep2,
+             CAST(SUM(CASE WHEN n_t = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hapax
+      FROM tf GROUP BY source
+    )
+    SELECT source, n_tokens, n_types,
+           ROUND(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+           ROUND(CAST(rep2 AS DOUBLE)
+                 / CAST(CAST(n_tokens AS HUGEINT)
+                        * (n_tokens - 1) AS DOUBLE), 9) AS simpson_d,
+           ROUND(CAST(hapax AS DOUBLE) / n_types, 6) AS hapax_ratio
+    FROM agg ORDER BY source
+    """,
+    description="Per-source lexical-diversity audit: type-token ratio, "
+    "Simpson repeat-probability D = sum n_t(n_t-1) / (N(N-1)) (the "
+    "chance two random tokens from the source are the same type — "
+    "boilerplate and template farms score high), and the hapax "
+    "ratio (share of once-only types — OCR noise and random-string "
+    "spam score high) — three corpus-health numbers per source that "
+    "the per-doc gates (text_repetition_ratio, text_quality_score) "
+    "cannot see because they aggregate ACROSS documents. "
+    "Corpus-scale work is tokenize + ONE (source, term)-keyed count "
+    "(explode, partial counts map-side — the text_topk_bigrams "
+    "shuffle profile) followed by a source-keyed rollup onto "
+    "O(sources * types) cells; every statistic is exact integer "
+    "arithmetic (repeat mass in DECIMAL(38,0)/HUGEINT — n_t^2 "
+    "overflows int64 on a 100 TB hot term) with one final identical "
+    "IEEE divide per column. Reference parity: net-new "
+    "corpus-analysis surface.",
+    tags=("text", "stats"),
+)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    tf = (
+        d.select("source", F.explode(tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+    )
+    dec = "decimal(38,0)"
+    nt = F.col("n_t")
+    agg = tf.groupBy("source").agg(
+        F.sum("n_t").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(nt.cast(dec) * (nt - 1)).alias("rep2"),
+        F.sum(F.when(nt == 1, 1).otherwise(0)).cast("long").alias(
+            "hapax"
+        ),
+    )
+    n = F.col("n_tokens")
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.round(F.col("n_types").cast("double") / n, 6).alias("ttr"),
+        F.round(
+            F.col("rep2").cast("double")
+            / (n.cast(dec) * (n - 1)).cast("double"),
+            9,
+        ).alias("simpson_d"),
+        F.round(
+            F.col("hapax").cast("double") / F.col("n_types"), 6
+        ).alias("hapax_ratio"),
+    ).orderBy("source")

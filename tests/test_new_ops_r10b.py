@@ -492,3 +492,121 @@ def test_zipf_hand_model_small_vocab(spark, tmp_path):
     assert out["intercept_ln"] == pytest.approx(
         (sy - slope * sx) / k, abs=2e-6
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_mann_kendall
+# ---------------------------------------------------------------------------
+
+
+def test_mann_kendall_strict_increase(spark, tmp_path):
+    """Strictly increasing daily totals: S = n_pairs, no ties, and the
+    95% label reads 'increasing'."""
+    from litebase_spark.operators.asof import ts_mann_kendall
+
+    day_vals = {d: [10.0 + d] for d in range(1, 11)}
+    sf = _write_daily(spark, tmp_path, day_vals)
+    r = ts_mann_kendall(spark, sf).first()
+    assert r["n_days"] == 10 and r["n_pairs"] == 45
+    assert r["s_stat"] == 45
+    n = 10
+    var_s = n * (n - 1) * (2 * n + 5) / 18.0
+    z = (45 - 1) / math.sqrt(var_s)
+    assert r["var_s"] == pytest.approx(var_s, abs=1e-6)
+    assert r["z_stat"] == pytest.approx(z, abs=2e-6)
+    assert r["trend"] == "increasing"
+
+
+def test_mann_kendall_all_tied_is_zero(spark, tmp_path):
+    """Identical daily totals: every pair ties exactly (int compare,
+    no epsilon), S = 0, z = 0, 'no trend'."""
+    from litebase_spark.operators.asof import ts_mann_kendall
+
+    day_vals = {d: [25.0, 25.0] for d in range(1, 7)}
+    sf = _write_daily(spark, tmp_path, day_vals)
+    r = ts_mann_kendall(spark, sf).first()
+    assert r["s_stat"] == 0
+    assert r["z_stat"] == 0.0
+    assert r["trend"] == "no trend"
+
+
+def test_mann_kendall_hand_model_with_ties(spark, tmp_path):
+    """Mixed series with one tied pair: S, the tie-corrected variance,
+    and z match the definitional model on exact cents totals."""
+    from litebase_spark.operators.asof import ts_mann_kendall
+
+    totals = [10.0, 14.0, 12.0, 14.0, 20.0, 9.0, 22.0]
+    day_vals = {d + 1: [v] for d, v in enumerate(totals)}
+    sf = _write_daily(spark, tmp_path, day_vals)
+    r = ts_mann_kendall(spark, sf).first()
+
+    x = [round(v * 100) for v in totals]
+    n = len(x)
+    s = sum(
+        (1 if x[j] > x[i] else -1 if x[j] < x[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    tie_term = sum(
+        t * (t - 1) * (2 * t + 5) for t in Counter(x).values()
+    )
+    var_s = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+    z = (s - 1) / math.sqrt(var_s) if s > 0 else (
+        (s + 1) / math.sqrt(var_s) if s < 0 else 0.0
+    )
+    assert r["s_stat"] == s and tie_term > 0
+    assert r["var_s"] == pytest.approx(var_s, abs=1e-6)
+    assert r["z_stat"] == pytest.approx(z, abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# text_lexical_diversity
+# ---------------------------------------------------------------------------
+
+
+def test_lexical_diversity_hand_model(spark, tmp_path):
+    """Two sources with known term multisets: TTR, Simpson repeat
+    probability, and hapax ratio match exact-arithmetic values."""
+    from litebase_spark.operators.text import text_lexical_diversity
+
+    docs = [
+        (0, "a a a b b c", "en", "s0", 11),   # s0: a:3 b:2 c:1
+        (1, "x y z w", "en", "s1", 7),         # s1: all hapax
+        (2, "x x", "en", "s1", 3),             # s1: x:3 total
+    ]
+    sf = _write_docs(spark, tmp_path, docs)
+    rows = {r["source"]: r
+            for r in text_lexical_diversity(spark, sf).collect()}
+
+    s0 = rows["s0"]
+    assert s0["n_tokens"] == 6 and s0["n_types"] == 3
+    assert s0["ttr"] == round(3 / 6, 6)
+    # sum n(n-1) = 3*2 + 2*1 + 0 = 8 over 6*5 = 30
+    assert s0["simpson_d"] == round(8 / 30, 9)
+    assert s0["hapax_ratio"] == round(1 / 3, 6)
+
+    s1 = rows["s1"]  # x:3, y:1, z:1, w:1 -> N=6, V=4
+    assert s1["n_tokens"] == 6 and s1["n_types"] == 4
+    assert s1["simpson_d"] == round(6 / 30, 9)
+    assert s1["hapax_ratio"] == round(3 / 4, 6)
+
+
+def test_lexical_diversity_extremes(spark, tmp_path):
+    """All-unique source -> simpson 0, ttr 1, hapax 1; single repeated
+    token -> simpson 1, hapax 0."""
+    from litebase_spark.operators.text import text_lexical_diversity
+
+    docs = [
+        (0, "q w e r t y", "en", "uniq", 11),
+        (1, "spam spam spam spam", "en", "rep", 19),
+    ]
+    sf = _write_docs(spark, tmp_path, docs)
+    rows = {r["source"]: r
+            for r in text_lexical_diversity(spark, sf).collect()}
+    assert rows["uniq"]["simpson_d"] == 0.0
+    assert rows["uniq"]["ttr"] == 1.0
+    assert rows["uniq"]["hapax_ratio"] == 1.0
+    assert rows["rep"]["simpson_d"] == 1.0
+    assert rows["rep"]["hapax_ratio"] == 0.0

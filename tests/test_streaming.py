@@ -845,3 +845,52 @@ def test_minhash_bucket_state_survives_empty_invocation():
     out2 = list(_update_minhash_bucket(("b0", 7), iter([empty]), st2))
     assert len(out2) == 1 and len(out2[0]) == 0
     assert st2.updated is None and st2.get == stored
+
+
+def test_drift_psi_stream_carries_state_across_batches(spark, sf_dir, tmp_path):
+    """Round-10: the streaming PSI twin must equal the batch stats_psi
+    even when the corpus arrives over MULTIPLE microbatches — the
+    per-bin reference/current counts only converge if the update-mode
+    aggregation state really accumulates across triggers (and the
+    monotone-counts => max-per-bin sink reduction is correct)."""
+    import pyspark.sql.functions as F
+
+    from litebase_spark.catalog import load
+    from litebase_spark.operators.relational import (
+        psi_binned,
+        psi_from_cells,
+        stats_psi,
+    )
+    from litebase_spark.streaming.windows import run_available_now
+
+    events = load(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    # four files; each microbatch carries a slice of BOTH halves so the
+    # per-bin counts genuinely update across triggers
+    events.withColumn(
+        "part", F.pmod(F.col("event_id"), F.lit(4))
+    ).write.partitionBy("part").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .select(*[c for c in events.columns])
+    )
+    cells = (
+        psi_binned(stream.withColumn("ts", F.col("ts").cast("timestamp")))
+        .groupBy("bin")
+        .agg(
+            F.sum("refw").alias("c1"),
+            F.sum(F.lit(1) - F.col("refw")).alias("c2"),
+        )
+    )
+    sink = run_available_now(cells, output_mode="update")
+    # state really carried: some bin was updated in more than one batch
+    assert sink.count() > sink.select("bin").distinct().count()
+    final = sink.groupBy("bin").agg(
+        F.max("c1").alias("c1"), F.max("c2").alias("c2")
+    )
+    got = psi_from_cells(final).first()
+    want = stats_psi(spark, sf_dir).first()
+    assert got.asDict() == want.asDict()

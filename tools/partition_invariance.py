@@ -93,6 +93,11 @@ NAMES = [
     "ts_theil_sen",
     "ts_page_hinkley",
     "text_zipf_fit",
+    # exact-integer pairwise signs / per-source term cells
+    "ts_mann_kendall",
+    "text_lexical_diversity",
+    # streaming keyed-state PSI twin (update-mode accumulation)
+    "stream_drift_psi",
 ]
 
 
