@@ -135,6 +135,7 @@ HEADLINE = [
     "text_zipf_fit",
     "ts_mann_kendall",
     "text_lexical_diversity",
+    "text_bigram_logppl",
 ]
 
 

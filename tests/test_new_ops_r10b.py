@@ -610,3 +610,61 @@ def test_lexical_diversity_extremes(spark, tmp_path):
     assert rows["uniq"]["hapax_ratio"] == 1.0
     assert rows["rep"]["simpson_d"] == 1.0
     assert rows["rep"]["hapax_ratio"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# text_bigram_logppl
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_logppl_hand_model(spark, tmp_path):
+    """Two docs, tiny bigram LM trained on the corpus itself: each
+    doc's bits/bigram matches the definitional MLE cross-entropy."""
+    from litebase_spark.operators.text import text_bigram_logppl
+
+    docs = [
+        (0, "a b a b c", "en", "s0", 9),   # bigrams: ab, ba, ab, bc
+        (1, "a b c", "en", "s0", 5),       # bigrams: ab, bc
+        (2, "zz", "en", "s0", 2),          # 1 token -> no bigrams, no row
+    ]
+    sf = _write_docs(spark, tmp_path, docs)
+    rows = {r["doc_id"]: r
+            for r in text_bigram_logppl(spark, sf).collect()}
+    assert set(rows) == {0, 1}
+
+    # corpus LM: ab:3, ba:1, bc:2 ; left contexts: a.:3, b.:3
+    import collections
+    corpus = {0: ["a b", "b a", "a b", "b c"], 1: ["a b", "b c"]}
+    cb = collections.Counter(b for bs in corpus.values() for b in bs)
+    cl = collections.Counter()
+    for b, c in cb.items():
+        cl[b.split(" ")[0]] += c
+
+    for doc, bs in corpus.items():
+        per = collections.Counter(bs)
+        n = sum(per.values())
+        bits = -sum(
+            cnt * math.log2(cb[b] / cl[b.split(" ")[0]])
+            for b, cnt in per.items()
+        ) / n
+        assert rows[doc]["n_bigrams"] == n
+        assert rows[doc]["bits_per_bigram"] == pytest.approx(
+            bits, abs=2e-6
+        )
+
+
+def test_bigram_logppl_flags_shuffled_transitions(spark, tmp_path):
+    """A document reusing corpus-common words in an order the corpus
+    never produces scores HIGHER bits/bigram than the docs that share
+    the dominant transition structure — the gap the unigram gate
+    cannot see (same word multiset)."""
+    from litebase_spark.operators.text import text_bigram_logppl
+
+    base = "the cat sat on the mat"
+    docs = [(i, base, "en", "s0", 23) for i in range(4)] + [
+        (9, "mat the on sat cat the", "en", "s0", 23)  # shuffled
+    ]
+    sf = _write_docs(spark, tmp_path, docs)
+    rows = {r["doc_id"]: r
+            for r in text_bigram_logppl(spark, sf).collect()}
+    assert rows[9]["bits_per_bigram"] > rows[0]["bits_per_bigram"]

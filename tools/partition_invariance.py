@@ -98,6 +98,8 @@ NAMES = [
     "text_lexical_diversity",
     # streaming keyed-state PSI twin (update-mode accumulation)
     "stream_drift_psi",
+    # bigram-LM scoring join (term-keyed counts + broadcast LM)
+    "text_bigram_logppl",
 ]
 
 

@@ -130,6 +130,10 @@ _REVIEWED_NONPUSHABLE = {
     "expr_null_safe_eq",  # isnotnull(o_orderkey % 100) inferred from
     # the combo-join keys — a one-op modulo guard on a non-null key,
     # verified harmless by inspection (the r7 combinatorial re-plan)
+    # round 10:
+    "text_bigram_logppl",  # size(tokens(text)) > 1 bigram guard —
+    # same class as text_topk_bigrams; sits above the tokenizer
+    # barrier, only the cheap guard is non-pushable
 }
 
 # Registered builders allowed a driver-side collect because it is O(k)

@@ -99,6 +99,19 @@ QUERIES = [
     "stats_kruskal_wallis",      # k-arm midrank cells
     "stats_kendall_tau",         # pairs-from-cells 2D prefix grid
     "pipeline_ngram_novelty",    # gram-keyed min-doc first occurrence
+    # round 10 (all linear-work by construction)
+    "stats_psi",                 # $5-bin conditional-count cells
+    "stats_js_divergence",       # same cells, mixture log-ratio
+    "stats_wasserstein_1d",      # domain-bounded CDF-gap integral
+    "stats_benford",             # 9-digit cells from cents strings
+    "stats_anova_f",             # k-arm sum/sumsq cells
+    "ts_theil_sen",              # day-grid pairwise-slope median
+    "ts_page_hinkley",           # day-grid decimal running state
+    "ts_mann_kendall",           # day-grid pairwise signs
+    "text_zipf_fit",             # term-keyed count + top-500 fit
+    "text_lexical_diversity",    # (source, term)-keyed count cells
+    "text_bigram_logppl",        # bigram-LM scoring join
+    "pipeline_incremental_novelty",  # batch-probe gram index
 ]
 
 _SHIFT = 10**9
