@@ -136,6 +136,7 @@ HEADLINE = [
     "ts_mann_kendall",
     "text_lexical_diversity",
     "text_bigram_logppl",
+    "graph_k_core",
 ]
 
 

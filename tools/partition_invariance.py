@@ -100,6 +100,8 @@ NAMES = [
     "stream_drift_psi",
     # bigram-LM scoring join (term-keyed counts + broadcast LM)
     "text_bigram_logppl",
+    # iterative peel fixpoint (checkpointed per-round edge state)
+    "graph_k_core",
 ]
 
 

@@ -111,6 +111,7 @@ QUERIES = [
     "text_zipf_fit",             # term-keyed count + top-500 fit
     "text_lexical_diversity",    # (source, term)-keyed count cells
     "text_bigram_logppl",        # bigram-LM scoring join
+    "graph_k_core",              # iterative degree-peel fixpoint
     "pipeline_incremental_novelty",  # batch-probe gram index
 ]
 
