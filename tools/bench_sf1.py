@@ -264,13 +264,18 @@ def main() -> int:
             duck_t[name] = round(time.time() - t1, 3)
             print(f"# duckdb {name}: {duck_t[name]:.2f}s", file=sys.stderr)
 
+    from bench import read_loadavg
+
+    load1, load5, load15 = read_loadavg()
     lines = [
         f"# BENCH_SF{args.k // 10} — headline set at sf{args.k // 10}-equivalent "
         f"(facts x{args.k} key-shifted from sf0.1, dims fixed), "
         f"local[{spark.sparkContext.defaultParallelism}]",
         "",
         "Same files for both engines. Steady-state: plan built once, "
-        "2 executions, min (bench.py methodology).",
+        "2 executions, min (bench.py methodology). Machine load at "
+        f"artifact write (1m/5m/15m): {load1:.2f}/{load5:.2f}/"
+        f"{load15:.2f} — self-certifying, like bench.py's driver line.",
         "",
         "| query | spark s | duckdb s | ratio |",
         "|---|---|---|---|",
@@ -319,6 +324,7 @@ def main() -> int:
         f.write("\n".join(lines))
     print(json.dumps({
         "sf": args.k / 10.0,
+        "load15": load15,
         "n_queries": len(names),
         "spark_total": round(tot_s, 2),
         "both_subset": len(both),
