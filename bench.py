@@ -137,6 +137,7 @@ HEADLINE = [
     "text_lexical_diversity",
     "text_bigram_logppl",
     "graph_k_core",
+    "ts_holt_forecast",
 ]
 
 

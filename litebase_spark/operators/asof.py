@@ -2033,3 +2033,141 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("no trend")
         .alias("trend"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: Holt double-exponential smoothing as a fixed-tap linear form
+# ---------------------------------------------------------------------------
+
+_HOLT_ALPHA, _HOLT_BETA, _HOLT_TAPS, _HOLT_H = 0.3, 0.2, 28, 7
+
+
+def _holt_weights() -> tuple[list[float], list[float]]:
+    """Compile the Holt recurrence to per-day weights by linearity.
+
+    l_t = a*y_t + (1-a)(l_{t-1}+b_{t-1}); b_t = B(l_t-l_{t-1}) +
+    (1-B)b_{t-1}; init l_1=y_1, b_1=y_2-y_1.  The state is LINEAR in
+    the inputs, so feeding unit impulses y_j = e_j through the
+    recurrence yields exact weight vectors: l_T = sum wl_j y_j,
+    b_T = sum wb_j y_j.  Computed once at import in pure Python
+    (deterministic doubles) and embedded as LITERALS in both the
+    Spark plan and the DuckDB oracle — the ewma 32-tap trick — so the
+    engines evaluate the identical closed form instead of each
+    running a sequential recurrence whose FP order could differ."""
+    wl = [0.0] * _HOLT_TAPS
+    wb = [0.0] * _HOLT_TAPS
+    for j in range(_HOLT_TAPS):
+        y = [0.0] * _HOLT_TAPS
+        y[j] = 1.0
+        lev, tr = y[0], y[1] - y[0]
+        for t in range(1, _HOLT_TAPS):
+            prev = lev
+            lev = _HOLT_ALPHA * y[t] + (1 - _HOLT_ALPHA) * (lev + tr)
+            tr = _HOLT_BETA * (lev - prev) + (1 - _HOLT_BETA) * tr
+        wl[j], wb[j] = lev, tr
+    return wl, wb
+
+
+_HOLT_WL, _HOLT_WB = _holt_weights()
+
+
+def _holt_oracle() -> str:
+    vals = ", ".join(
+        f"({i + 1}, {_HOLT_WL[i]!r}, {_HOLT_WB[i]!r})"
+        for i in range(_HOLT_TAPS)
+    )
+    return f"""
+    WITH cells AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / 100.0 AS y
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    tail AS (
+      SELECT d, y FROM (SELECT d, y, MAX(d) OVER () AS md FROM cells)
+      WHERE md - d < {_HOLT_TAPS}
+    ),
+    idx AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY d) AS i, y FROM tail
+    ),
+    w(i, wl, wb) AS (VALUES {vals}),
+    acc AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(ROUND(wl * y, 9) AS DECIMAL(38,9))) AS lev,
+             SUM(CAST(ROUND(wb * y, 9) AS DECIMAL(38,9))) AS tr
+      FROM idx JOIN w USING (i)
+    )
+    SELECT CAST(n AS BIGINT) AS n_days_used,
+           ROUND(CAST(lev AS DOUBLE), 6) AS level,
+           ROUND(CAST(tr AS DOUBLE), 6) AS trend,
+           ROUND(CAST(lev AS DOUBLE) + {_HOLT_H} * CAST(tr AS DOUBLE),
+                 6) AS forecast_{_HOLT_H}d
+    FROM acc
+    """
+
+
+@query(
+    "ts_holt_forecast",
+    oracle=_holt_oracle(),
+    description="Holt double-exponential smoothing (level + trend, "
+    "alpha=0.3, beta=0.2) of the daily-mean value series over the "
+    "trailing 28 days, with a 7-day-ahead forecast — the classical "
+    "short-horizon forecaster one step up from ts_ewma_smooth "
+    "(level only). The sequential recurrence is compiled AWAY by "
+    "linearity: unit impulses through the recurrence at import time "
+    "yield exact per-day weight vectors (sum wl = 1, sum wb = 0, "
+    "and a perfectly linear series recovers its slope exactly — "
+    "pinned in tests), embedded as double literals in BOTH plans, "
+    "so each engine evaluates one identical 28-term weighted sum "
+    "(per-term ROUND(..,9) into DECIMAL(38,9), order-free exact "
+    "accumulation) instead of a 28-step sequential loop whose FP "
+    "order could differ — the ewma 32-tap trick extended to coupled "
+    "level/trend state. One corpus fold onto the day grid; the tail "
+    "window, ranking, and weighted sum all run on O(days) cells. "
+    "Requires >= 28 days for the stated semantics (fewer days apply "
+    "the weight prefix identically in both engines — deterministic, "
+    "documented). Reference parity: net-new time-series surface.",
+    tags=("timeseries", "stats"),
+)
+def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cells = e.groupBy(F.to_date("ts").alias("d")).agg(
+        (
+            F.sum(fp("value")).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(100.0)
+        ).alias("y")
+    )
+    w_all = Window.partitionBy()
+    tail = cells.select(
+        "d", "y", F.max("d").over(w_all).alias("md")
+    ).filter(F.datediff("md", "d") < _HOLT_TAPS)
+    idx = tail.select(
+        F.row_number().over(Window.orderBy("d")).alias("i"), "y"
+    )
+    wl = F.array(*[F.lit(w) for w in _HOLT_WL])
+    wb = F.array(*[F.lit(w) for w in _HOLT_WB])
+    d9 = "decimal(38,9)"
+    acc = idx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.round(F.element_at(wl, F.col("i")) * F.col("y"), 9).cast(
+                d9
+            )
+        ).alias("lev"),
+        F.sum(
+            F.round(F.element_at(wb, F.col("i")) * F.col("y"), 9).cast(
+                d9
+            )
+        ).alias("tr"),
+    )
+    lev = F.col("lev").cast("double")
+    tr = F.col("tr").cast("double")
+    return acc.select(
+        F.col("n").cast("long").alias("n_days_used"),
+        F.round(lev, 6).alias("level"),
+        F.round(tr, 6).alias("trend"),
+        F.round(lev + F.lit(float(_HOLT_H)) * tr, 6).alias(
+            f"forecast_{_HOLT_H}d"
+        ),
+    )

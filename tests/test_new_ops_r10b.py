@@ -750,3 +750,75 @@ def test_k_core_fixpoint_within_unroll_on_fixture(spark):
     # every surviving node reports degree >= 2 (the 2-core invariant,
     # which is exactly 'another peel removes nothing')
     assert min(out.values()) >= 2
+
+
+# ---------------------------------------------------------------------------
+# ts_holt_forecast
+# ---------------------------------------------------------------------------
+
+
+def test_holt_weights_identities():
+    """The compiled weight vectors satisfy the exact smoother
+    identities: constant series -> level = const, trend = 0; linear
+    series -> trend = slope (floating-point exact to 1e-12)."""
+    from litebase_spark.operators.asof import (
+        _HOLT_TAPS,
+        _HOLT_WB,
+        _HOLT_WL,
+    )
+
+    assert sum(_HOLT_WL) == pytest.approx(1.0, abs=1e-12)
+    assert sum(_HOLT_WB) == pytest.approx(0.0, abs=1e-12)
+    lin_b = sum(w * (i + 1) for i, w in enumerate(_HOLT_WB))
+    assert lin_b == pytest.approx(1.0, abs=1e-12)
+    assert len(_HOLT_WL) == len(_HOLT_WB) == _HOLT_TAPS
+
+
+def test_holt_linear_series_recovers_trend(spark, tmp_path):
+    """Daily means exactly on a line (slope 0.25/day) for 30 days:
+    the trailing-28 smoother reports trend ~ 0.25, level ~ the last
+    day's value, forecast = level + 7 * trend."""
+    from litebase_spark.operators.asof import ts_holt_forecast
+
+    day_vals = {d: [50.0 + 0.25 * (d - 1)] for d in range(1, 31)}
+    sf = _write_daily(spark, tmp_path, day_vals)
+    r = ts_holt_forecast(spark, sf).first()
+    assert r["n_days_used"] == 28
+    assert r["trend"] == pytest.approx(0.25, abs=1e-4)
+    assert r["level"] == pytest.approx(50.0 + 0.25 * 29, abs=1e-3)
+    assert r["forecast_7d"] == pytest.approx(
+        r["level"] + 7 * r["trend"], abs=2e-6
+    )
+
+
+def test_holt_matches_sequential_recurrence(spark, tmp_path):
+    """The compiled weighted sum equals the definitional sequential
+    Holt recurrence run in Python over the same trailing-28 daily
+    means (to the round-9-per-term contract)."""
+    from litebase_spark.operators.asof import (
+        _HOLT_ALPHA,
+        _HOLT_BETA,
+        ts_holt_forecast,
+    )
+
+    import datetime as dt
+
+    vals = [50.0, 52.0, 51.0, 55.0, 54.5, 58.0, 57.0, 60.0]
+    base = dt.date(2024, 1, 1)
+    rows = [
+        (i, f"{base + dt.timedelta(days=i)} 12:00:00", 1, "click",
+         float(v))
+        for i, v in enumerate(vals * 4)  # 32 consecutive days
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    r = ts_holt_forecast(spark, sf).first()
+
+    ys = [(vals * 4)[i] for i in range(4, 32)]  # trailing 28
+    lev, tr = ys[0], ys[1] - ys[0]
+    for t in range(1, len(ys)):
+        prev = lev
+        lev = _HOLT_ALPHA * ys[t] + (1 - _HOLT_ALPHA) * (lev + tr)
+        tr = _HOLT_BETA * (lev - prev) + (1 - _HOLT_BETA) * tr
+    assert r["n_days_used"] == 28
+    assert r["level"] == pytest.approx(lev, abs=2e-6)
+    assert r["trend"] == pytest.approx(tr, abs=2e-6)

@@ -102,6 +102,8 @@ NAMES = [
     "text_bigram_logppl",
     # iterative peel fixpoint (checkpointed per-round edge state)
     "graph_k_core",
+    # compiled-weights smoother over the ranked day tail
+    "ts_holt_forecast",
 ]
 
 

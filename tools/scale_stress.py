@@ -112,6 +112,7 @@ QUERIES = [
     "text_lexical_diversity",    # (source, term)-keyed count cells
     "text_bigram_logppl",        # bigram-LM scoring join
     "graph_k_core",              # iterative degree-peel fixpoint
+    "ts_holt_forecast",          # 28-tap compiled Holt smoother
     "pipeline_incremental_novelty",  # batch-probe gram index
 ]
 
