@@ -138,6 +138,7 @@ HEADLINE = [
     "text_bigram_logppl",
     "graph_k_core",
     "ts_holt_forecast",
+    "stats_drift_report",
 ]
 
 

@@ -746,6 +746,28 @@ class Engine:
 
         return compaction_plan(self.spark.table(table), **options)
 
+    def drift_report(
+        self,
+        table: str,
+        value_col: str = "value",
+        ts_col: str = "ts",
+        split: str = "2024-01-16",
+    ) -> DataFrame:
+        """Fused distribution-drift report for a registered table: PSI,
+        Jensen-Shannon, KS D, and 1-Wasserstein between the rows before
+        and after `split` (on `ts_col`), over `value_col` — the nightly
+        pipeline health gate as ONE corpus scan (the four standalone
+        stats operators would cost four). Served over HTTP at
+        /tables/{t}/drift-report."""
+        from litebase_spark.operators.relational import drift_report
+
+        return drift_report(
+            self.spark.table(table),
+            value_col=value_col,
+            ts_col=ts_col,
+            split=split,
+        )
+
     def _rewrite_connection_fns(self, sql_text: str) -> str:
         """Connection-scope SQLite functions: changes()/total_changes()
         substitute the engine's DML counters (the reference captures

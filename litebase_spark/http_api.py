@@ -444,6 +444,10 @@ _COMPACTION_RE = re.compile(
     r"^/v1/databases/([^/]+)/([^/]+)/tables/([A-Za-z_][A-Za-z0-9_]*)"
     r"/compaction-plan$"
 )
+_DRIFT_RE = re.compile(
+    r"^/v1/databases/([^/]+)/([^/]+)/tables/([A-Za-z_][A-Za-z0-9_]*)"
+    r"/drift-report$"
+)
 _SNAP_RE = re.compile(r"^/v1/databases/([^/]+)/([^/]+)/snapshots$")
 _SNAP_ID_RE = re.compile(
     r"^/v1/databases/([^/]+)/([^/]+)/snapshots/([^/]+)$"
@@ -615,14 +619,17 @@ class QueryServer:
                     return self._send(
                         200, {"status": "success", "data": data}
                     )
-                m = _CARD_RE.match(parsed.path) or _COMPACTION_RE.match(
-                    parsed.path
+                m = (
+                    _CARD_RE.match(parsed.path)
+                    or _COMPACTION_RE.match(parsed.path)
+                    or _DRIFT_RE.match(parsed.path)
                 )
                 if m:
                     # ops-parity introspection for corpus tables: the
-                    # dataset card (datasheet rollup) and the OPTIMIZE
-                    # bin-packing plan, served like metrics — read-only,
-                    # database:select scoped
+                    # dataset card (datasheet rollup), the OPTIMIZE
+                    # bin-packing plan, and the fused drift report,
+                    # served like metrics — read-only, database:select
+                    # scoped
                     key = self._auth()
                     if key is None:
                         return self._send(401, {"status": "error", "message": "invalid access key"})
@@ -630,6 +637,7 @@ class QueryServer:
                     if not key.allows(resource, "database:select"):
                         return self._send(403, {"status": "error", "message": "forbidden"})
                     is_card = _CARD_RE.match(parsed.path) is not None
+                    is_drift = _DRIFT_RE.match(parsed.path) is not None
                     qs = parse_qs(parsed.query)
                     try:
                         # parse params inside the error envelope: a
@@ -643,7 +651,11 @@ class QueryServer:
                                 "chars_col",
                             ):
                                 kw[k] = vs[0]
-                            elif not is_card and k in (
+                            elif is_drift and k in (
+                                "value_col", "ts_col", "split",
+                            ):
+                                kw[k] = vs[0]
+                            elif not is_card and not is_drift and k in (
                                 "rows_per_file", "target_bytes",
                             ):
                                 kw[k] = int(vs[0])
@@ -654,6 +666,8 @@ class QueryServer:
                         fn = (
                             server.engine.dataset_card
                             if is_card
+                            else server.engine.drift_report
+                            if is_drift
                             else server.engine.compaction_plan
                         )
                         rows = fn(m.group(3), **kw).collect()

@@ -3820,3 +3820,213 @@ def stats_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f_stat"),
     )
+
+
+def drift_report(
+    df: DataFrame,
+    value_col: str = "value",
+    ref_cond: Column | None = None,
+    ts_col: str = "ts",
+    split: str = "2024-01-16",
+) -> DataFrame:
+    """Fused drift report: PSI, Jensen-Shannon, Kolmogorov-Smirnov D,
+    and 1-Wasserstein between the reference and current halves of one
+    value column, from ONE corpus scan.
+
+    All four statistics are derivable from the same distinct-cents
+    cell table (c, c1, c2): KS and W1 ride the ordered-cell CDF
+    windows (exact integers: max / sum of |cum1*n2 - cum2*n1|), and
+    PSI/JSD re-aggregate the cells onto the $5 bins (a cells-sized
+    second fold, never the corpus). Running the four registered
+    operators separately costs four corpus scans; a pipeline health
+    check wants one. `ref_cond` marks the reference half (default:
+    ts_col < split). Engine.drift_report / the HTTP drift-report
+    endpoint surface this per-table."""
+    if ref_cond is None:
+        ref_cond = F.col(ts_col) < F.to_timestamp(F.lit(split))
+    s = df.filter(F.col(value_col).isNotNull()).select(
+        fp(value_col).alias("c"),
+        F.when(ref_cond, 1).otherwise(0).alias("refw"),
+    )
+    cells = s.groupBy("c").agg(
+        F.sum("refw").alias("c1"),
+        F.sum(F.lit(1) - F.col("refw")).alias("c2"),
+    )
+    dec = "decimal(38,0)"
+    w_all = Window.partitionBy()
+    w_ord = Window.orderBy("c")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t = cells.select(
+        "c",
+        F.sum("c1").over(w_cum).alias("cum1"),
+        F.sum("c2").over(w_cum).alias("cum2"),
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum("c2").over(w_all).alias("n2"),
+        F.lead("c").over(w_ord).alias("cnext"),
+    )
+    absdiff = F.abs(
+        F.col("cum1").cast(dec) * F.col("n2").cast(dec)
+        - F.col("cum2").cast(dec) * F.col("n1").cast(dec)
+    )
+    gap = F.coalesce(F.col("cnext") - F.col("c"), F.lit(0))
+    cdf_stats = t.agg(
+        F.max("n1").cast("long").alias("n_ref"),
+        F.max("n2").cast("long").alias("n_cur"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.max(absdiff).alias("ksnum"),
+        F.sum(absdiff * gap).alias("w1num"),
+    )
+    bins = cells.groupBy(
+        F.floor(F.col("c") / F.lit(500.0)).alias("bin")
+    ).agg(F.sum("c1").alias("c1"), F.sum("c2").alias("c2"))
+    bt = bins.select(
+        "c1",
+        "c2",
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum("c2").over(w_all).alias("n2"),
+    )
+    p = F.col("c1").cast("double") / F.col("n1")
+    q = F.col("c2").cast("double") / F.col("n2")
+    both = (F.col("c1") > 0) & (F.col("c2") > 0)
+    m = (p + q) * F.lit(0.5)
+    jsd_cd = (
+        F.when(F.col("c1") > 0, F.lit(0.5) * p * F.log(p / m))
+        .otherwise(F.lit(0))
+        + F.when(F.col("c2") > 0, F.lit(0.5) * q * F.log(q / m))
+        .otherwise(F.lit(0))
+    )
+    contrib = bt.select(
+        F.when(both, 1).otherwise(0).alias("used"),
+        F.when(both, F.round((p - q) * F.log(p / q), 9))
+        .otherwise(F.lit(0.0))
+        .cast("decimal(38,9)")
+        .alias("psi_cd"),
+        F.round(jsd_cd, 9).cast("decimal(38,9)").alias("jsd_cd"),
+    )
+    bin_stats = contrib.agg(
+        (F.count(F.lit(1)) - F.sum("used"))
+        .cast("long")
+        .alias("psi_bins_dropped"),
+        F.round(F.sum("psi_cd").cast("double"), 6).alias("psi"),
+        F.round(F.sum("jsd_cd").cast("double"), 6).alias("jsd_nats"),
+    )
+    nn = F.col("n_ref").cast("double") * F.col("n_cur")
+    return cdf_stats.crossJoin(bin_stats).select(
+        "n_ref",
+        "n_cur",
+        "n_cells",
+        F.round(F.col("ksnum").cast("double") / nn, 6).alias("ks_d"),
+        F.round(
+            F.col("w1num").cast("double") / nn / F.lit(100.0), 6
+        ).alias("w1_dollars"),
+        "psi",
+        "psi_bins_dropped",
+        "jsd_nats",
+    )
+
+
+@query(
+    "stats_drift_report",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END
+               AS refw
+      FROM events WHERE value IS NOT NULL
+    ),
+    cells AS (
+      SELECT c, SUM(refw) AS c1, SUM(1 - refw) AS c2
+      FROM s GROUP BY c
+    ),
+    t AS (
+      SELECT c,
+             SUM(c1) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum1,
+             SUM(c2) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum2,
+             SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2,
+             LEAD(c) OVER (ORDER BY c) AS cnext
+      FROM cells
+    ),
+    cdf AS (
+      SELECT CAST(MAX(n1) AS BIGINT) AS n_ref,
+             CAST(MAX(n2) AS BIGINT) AS n_cur,
+             CAST(COUNT(*) AS BIGINT) AS n_cells,
+             MAX(ABS(CAST(cum1 AS DECIMAL(38,0))
+                       * CAST(n2 AS DECIMAL(38,0))
+                     - CAST(cum2 AS DECIMAL(38,0))
+                       * CAST(n1 AS DECIMAL(38,0)))) AS ksnum,
+             SUM(ABS(CAST(cum1 AS DECIMAL(38,0))
+                       * CAST(n2 AS DECIMAL(38,0))
+                     - CAST(cum2 AS DECIMAL(38,0))
+                       * CAST(n1 AS DECIMAL(38,0)))
+                 * COALESCE(cnext - c, 0)) AS w1num
+      FROM t
+    ),
+    bins AS (
+      SELECT FLOOR(c / 500.0) AS bin, SUM(c1) AS c1, SUM(c2) AS c2
+      FROM cells GROUP BY 1
+    ),
+    bt AS (
+      SELECT c1, c2, SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2
+      FROM bins
+    ),
+    contrib AS (
+      SELECT CASE WHEN c1 > 0 AND c2 > 0 THEN 1 ELSE 0 END AS used,
+             CASE WHEN c1 > 0 AND c2 > 0 THEN
+               CAST(ROUND(
+                 (CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2)
+                 * LN((CAST(c1 AS DOUBLE) / n1)
+                      / (CAST(c2 AS DOUBLE) / n2)), 9)
+                 AS DECIMAL(38,9))
+             ELSE CAST(0 AS DECIMAL(38,9)) END AS psi_cd,
+             CAST(ROUND(
+               CASE WHEN c1 > 0 THEN
+                 0.5 * (CAST(c1 AS DOUBLE) / n1)
+                 * LN((CAST(c1 AS DOUBLE) / n1)
+                      / ((CAST(c1 AS DOUBLE) / n1
+                          + CAST(c2 AS DOUBLE) / n2) * 0.5))
+               ELSE 0 END
+               + CASE WHEN c2 > 0 THEN
+                 0.5 * (CAST(c2 AS DOUBLE) / n2)
+                 * LN((CAST(c2 AS DOUBLE) / n2)
+                      / ((CAST(c1 AS DOUBLE) / n1
+                          + CAST(c2 AS DOUBLE) / n2) * 0.5))
+               ELSE 0 END, 9) AS DECIMAL(38,9)) AS jsd_cd
+      FROM bt
+    ),
+    binstats AS (
+      SELECT CAST(COUNT(*) - SUM(used) AS BIGINT)
+               AS psi_bins_dropped,
+             ROUND(CAST(SUM(psi_cd) AS DOUBLE), 6) AS psi,
+             ROUND(CAST(SUM(jsd_cd) AS DOUBLE), 6) AS jsd_nats
+      FROM contrib
+    )
+    SELECT n_ref, n_cur, n_cells,
+           ROUND(CAST(ksnum AS DOUBLE)
+                 / (CAST(n_ref AS DOUBLE) * n_cur), 6) AS ks_d,
+           ROUND(CAST(w1num AS DOUBLE)
+                 / (CAST(n_ref AS DOUBLE) * n_cur) / 100.0, 6)
+             AS w1_dollars,
+           psi, psi_bins_dropped, jsd_nats
+    FROM cdf, binstats
+    """,
+    description="Fused drift report — PSI + Jensen-Shannon + "
+    "Kolmogorov-Smirnov D + 1-Wasserstein between the first and "
+    "second half of the event value distribution, from ONE corpus "
+    "scan: all four statistics derive from the same distinct-cents "
+    "cell table (KS = exact-integer max of |cum1*n2 - cum2*n1| over "
+    "the ordered-cell CDF, W1 = its gap-weighted sum; PSI/JSD "
+    "re-aggregate the CELLS onto the $5 bins — a cells-sized second "
+    "fold, never a second corpus pass). Running the four registered "
+    "single-stat operators costs four corpus scans; the nightly "
+    "pipeline health check wants one row with all the gates, which "
+    "is exactly what Engine.drift_report / the HTTP drift-report "
+    "endpoint serve per table. Field-for-field consistency with the "
+    "standalone operators is pinned in tests; each statistic keeps "
+    "its own exactness contract (integer KS/W1, per-bin round-9 "
+    "decimal PSI/JSD).",
+    tags=("stats", "window", "drift"),
+)
+def stats_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return drift_report(load(spark, sf_dir, "events"))

@@ -1035,3 +1035,52 @@ def test_engine_card_methods(server, spark, sf_dir):
         "docs_eng", target_bytes=25_000
     ).collect()
     assert all(r["bin_bytes"] > 0 for r in plan)
+
+
+def test_drift_report_endpoint_and_engine_method(server, spark, sf_dir):
+    """GET .../tables/{t}/drift-report — the fused PSI/JSD/KS/W1
+    pipeline health gate over a registered table, one corpus scan."""
+    from litebase_spark.catalog import load
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_http")
+    code, body = _call(
+        server, "GET",
+        "/v1/databases/main/main/tables/events_http/drift-report",
+        token="reader:r3ad",
+    )
+    assert code == 200
+    rows = body["data"]
+    assert len(rows) == 1
+    r = rows[0]
+    assert {"n_ref", "n_cur", "n_cells", "ks_d", "w1_dollars", "psi",
+            "psi_bins_dropped", "jsd_nats"} <= set(r)
+    assert r["n_ref"] > 0 and r["n_cur"] > 0
+    assert 0.0 <= r["ks_d"] <= 1.0
+    assert r["w1_dollars"] >= 0.0 and r["jsd_nats"] >= 0.0
+
+    # param routing: a split past all data puts everything in ref
+    code, body = _call(
+        server, "GET",
+        "/v1/databases/main/main/tables/events_http/drift-report"
+        "?split=2030-01-01",
+        token="reader:r3ad",
+    )
+    assert code == 200
+    assert body["data"][0]["n_cur"] == 0
+
+    # engine method == endpoint
+    eng = server.engine.drift_report("events_http").first()
+    assert eng["ks_d"] == r["ks_d"] and eng["psi"] == r["psi"]
+
+    # auth + unknown table behave like the card endpoint
+    code, _ = _call(
+        server, "GET",
+        "/v1/databases/main/main/tables/events_http/drift-report",
+    )
+    assert code == 401
+    code, _ = _call(
+        server, "GET",
+        "/v1/databases/main/main/tables/nope_tbl/drift-report",
+        token="reader:r3ad",
+    )
+    assert code == 400

@@ -822,3 +822,54 @@ def test_holt_matches_sequential_recurrence(spark, tmp_path):
     assert r["n_days_used"] == 28
     assert r["level"] == pytest.approx(lev, abs=2e-6)
     assert r["trend"] == pytest.approx(tr, abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# stats_drift_report (fused gate == the standalone operators)
+# ---------------------------------------------------------------------------
+
+
+def test_drift_report_matches_standalone_ops(spark):
+    """Field-for-field consistency on the fixture: the fused one-scan
+    report must equal stats_psi / stats_js_divergence /
+    stats_wasserstein_1d exactly (shared arithmetic contracts)."""
+    from litebase_spark.operators.relational import (
+        stats_drift_report,
+        stats_js_divergence,
+        stats_psi,
+        stats_wasserstein_1d,
+    )
+
+    sf = SF
+    fused = stats_drift_report(spark, sf).first()
+    psi = stats_psi(spark, sf).first()
+    jsd = stats_js_divergence(spark, sf).first()
+    w1 = stats_wasserstein_1d(spark, sf).first()
+    assert fused["psi"] == psi["psi"]
+    assert fused["psi_bins_dropped"] == psi["n_bins_dropped"]
+    assert fused["jsd_nats"] == jsd["jsd_nats"]
+    assert fused["w1_dollars"] == w1["w1_dollars"]
+    assert fused["n_ref"] == psi["n_ref"] == w1["n_ref"]
+    assert fused["n_cells"] == w1["n_cells"]
+
+
+def test_drift_report_ks_hand_model(spark, tmp_path):
+    """KS in the fused report: constant shift of a uniform-ish sample
+    gives D = max CDF gap, checked against the definitional model."""
+    from litebase_spark.operators.relational import drift_report
+
+    ref = [1.0, 2.0, 3.0, 4.0]
+    cur = [3.0, 4.0, 5.0, 6.0]
+    sf = _write_halves(spark, tmp_path, ref, cur)
+    df = spark.read.parquet(os.path.join(sf, "events.parquet"))
+    r = drift_report(df).first()
+
+    support = sorted(set(round(v * 100) for v in ref + cur))
+    d = max(
+        abs(
+            sum(1 for x in ref if round(x * 100) <= c) / len(ref)
+            - sum(1 for x in cur if round(x * 100) <= c) / len(cur)
+        )
+        for c in support
+    )
+    assert r["ks_d"] == pytest.approx(d, abs=1e-9)

@@ -104,6 +104,8 @@ NAMES = [
     "graph_k_core",
     # compiled-weights smoother over the ranked day tail
     "ts_holt_forecast",
+    # fused PSI/JSD/KS/W1 over shared CDF + bin cells
+    "stats_drift_report",
 ]
 
 
