@@ -139,6 +139,9 @@ HEADLINE = [
     "graph_k_core",
     "ts_holt_forecast",
     "stats_drift_report",
+    # round 11
+    "fts_match_porter",
+    "stats_drift_report_multi",
 ]
 
 

@@ -751,21 +751,47 @@ class Engine:
         table: str,
         value_col: str = "value",
         ts_col: str = "ts",
-        split: str = "2024-01-16",
+        split: str | None = None,
+        cols: str | list[str] | None = None,
     ) -> DataFrame:
         """Fused distribution-drift report for a registered table: PSI,
         Jensen-Shannon, KS D, and 1-Wasserstein between the rows before
-        and after `split` (on `ts_col`), over `value_col` — the nightly
-        pipeline health gate as ONE corpus scan (the four standalone
-        stats operators would cost four). Served over HTTP at
-        /tables/{t}/drift-report."""
-        from litebase_spark.operators.relational import drift_report
+        and after `split` (on `ts_col`; default = the table's median
+        timestamp — no fixture date baked in), over `value_col` — the
+        nightly pipeline health gate as ONE corpus scan (the four
+        standalone stats operators would cost four). An unparseable
+        split or an empty half raises (HTTP surfaces it as a 400).
 
+        `cols` switches to the MULTI-column report (one row per
+        column, still one corpus scan): a list, a comma-separated
+        string (the HTTP form, ?cols=a,b), or '*' for every numeric
+        column of the table. Served at /tables/{t}/drift-report."""
+        from litebase_spark.operators.relational import (
+            drift_report,
+            drift_report_multi,
+        )
+
+        df = self.spark.table(table)
+        if cols is not None:
+            if isinstance(cols, str):
+                cols = (
+                    [c for c, t in df.dtypes
+                     if t in ("double", "float", "bigint", "int",
+                              "smallint", "tinyint")
+                     or t.startswith("decimal")]
+                    if cols == "*"
+                    else [c.strip() for c in cols.split(",") if c.strip()]
+                )
+            if not cols:
+                raise ValueError(
+                    f"drift_report: no numeric columns resolved on "
+                    f"{table!r}"
+                )
+            return drift_report_multi(
+                df, value_cols=cols, ts_col=ts_col, split=split
+            )
         return drift_report(
-            self.spark.table(table),
-            value_col=value_col,
-            ts_col=ts_col,
-            split=split,
+            df, value_col=value_col, ts_col=ts_col, split=split
         )
 
     def _rewrite_connection_fns(self, sql_text: str) -> str:

@@ -652,7 +652,7 @@ class QueryServer:
                             ):
                                 kw[k] = vs[0]
                             elif is_drift and k in (
-                                "value_col", "ts_col", "split",
+                                "value_col", "ts_col", "split", "cols",
                             ):
                                 kw[k] = vs[0]
                             elif not is_card and not is_drift and k in (

@@ -2084,11 +2084,12 @@ def _holt_oracle() -> str:
       FROM events WHERE value IS NOT NULL GROUP BY 1
     ),
     tail AS (
-      SELECT d, y FROM (SELECT d, y, MAX(d) OVER () AS md FROM cells)
+      SELECT d, y, md
+      FROM (SELECT d, y, MAX(d) OVER () AS md FROM cells)
       WHERE md - d < {_HOLT_TAPS}
     ),
     idx AS (
-      SELECT ROW_NUMBER() OVER (ORDER BY d) AS i, y FROM tail
+      SELECT {_HOLT_TAPS} - (md - d) AS i, y FROM tail
     ),
     w(i, wl, wb) AS (VALUES {vals}),
     acc AS (
@@ -2123,10 +2124,15 @@ def _holt_oracle() -> str:
     "accumulation) instead of a 28-step sequential loop whose FP "
     "order could differ — the ewma 32-tap trick extended to coupled "
     "level/trend state. One corpus fold onto the day grid; the tail "
-    "window, ranking, and weighted sum all run on O(days) cells. "
-    "Requires >= 28 days for the stated semantics (fewer days apply "
-    "the weight prefix identically in both engines — deterministic, "
-    "documented). Reference parity: net-new time-series surface.",
+    "window and weighted sum all run on O(days) cells. Taps are "
+    "indexed by CALENDAR OFFSET from the max day (tap i = 28 - "
+    "datediff(max_day, d)), not by rank over days present, so a gap "
+    "in the day grid never shifts later days onto wrong taps — the "
+    "most recent day always carries the heaviest tap. A gapped or "
+    "short (<28-day) tail skips the missing taps (treating absent "
+    "days as zero-contribution), identically in both engines; "
+    "n_days_used < 28 is the caller's gap/short-series signal. Full "
+    "Holt semantics hold on a gapless >= 28-day grid (the fixture).",
     tags=("timeseries", "stats"),
 )
 def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2143,7 +2149,7 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d", "y", F.max("d").over(w_all).alias("md")
     ).filter(F.datediff("md", "d") < _HOLT_TAPS)
     idx = tail.select(
-        F.row_number().over(Window.orderBy("d")).alias("i"), "y"
+        (F.lit(_HOLT_TAPS) - F.datediff("md", "d")).alias("i"), "y"
     )
     wl = F.array(*[F.lit(w) for w in _HOLT_WL])
     wb = F.array(*[F.lit(w) for w in _HOLT_WB])

@@ -272,7 +272,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KCORE_K = 2
-_KCORE_ITERS = 8
+_KCORE_ITERS = 8  # oracle unroll depth (fixtures converge well inside it)
+# Spark-side fixpoint bound: each round peels at least one whole fringe
+# layer, so rounds needed = depth of the acyclic fringe, not |V|. 40
+# covers any realistic co-purchase graph; a pendant chain deeper than
+# that raises loudly instead of silently returning a superset core.
+_KCORE_MAX_ROUNDS = 40
 
 
 def _kcore_oracle() -> str:
@@ -332,13 +337,18 @@ def _kcore_oracle() -> str:
     "analytics (community detection / embedding propagation run on "
     "the core, not the hairball). Iterative relational algebra in "
     "the pagerank/components style: each peel is ONE degree "
-    "aggregate (endpoint union, map-side combine) + two broadcast "
-    "semi joins against the surviving-node set, localCheckpoint "
-    "capping lineage per round; fixed 8-round unroll like "
-    "pagerank's 5 (the peel is idempotent once converged, and a "
-    "pinning test proves round 8 == round 9 on BOTH fixture SFs — "
-    "real peeling happens at both: 3445 -> 3108 edges at sf0.01, "
-    "3573 -> 3 at sf0.1). All arithmetic is integer (degrees), so "
+    "aggregate (endpoint union, map-side combine) + two semi joins "
+    "against the surviving-node set — NO forced broadcast hint: the "
+    "keep-set is O(|parts|) and at sf100+ exceeds safe broadcast "
+    "size, so AQE picks broadcast vs shuffle from runtime stats "
+    "(same size-adaptive stance as join_range_interval's build "
+    "side). localCheckpoint caps lineage per round; the loop is a "
+    "COUNTED FIXPOINT (stop when a peel removes no edge — the peel "
+    "only deletes, so an unchanged count IS an unchanged set), "
+    "bounded at _KCORE_MAX_ROUNDS with a loud RuntimeError on "
+    "non-convergence rather than a silent superset core. Fixtures "
+    "converge in <= 8 rounds (3445 -> 3108 edges at sf0.01, 3573 "
+    "-> 3 at sf0.1). All arithmetic is integer (degrees), so "
     "the surviving node set and degrees are bit-identical in both "
     "engines; oracle = the unrolled 8-peel MATERIALIZED-CTE replay. "
     "Output: surviving parts with their in-core degrees.",
@@ -364,7 +374,9 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
         .localCheckpoint(eager=True)
     )
-    for _ in range(_KCORE_ITERS):
+    prev_cnt = edges.count()
+    converged = False
+    for _ in range(_KCORE_MAX_ROUNDS):
         deg = (
             edges.select(F.col("u").alias("node"))
             .unionAll(edges.select(F.col("v").alias("node")))
@@ -373,18 +385,21 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         keep = deg.filter(F.col("d") >= _KCORE_K).select("node")
         edges = (
-            edges.join(
-                F.broadcast(keep.withColumnRenamed("node", "u")),
-                "u",
-                "semi",
-            )
-            .join(
-                F.broadcast(keep.withColumnRenamed("node", "v")),
-                "v",
-                "semi",
-            )
+            edges.join(keep.withColumnRenamed("node", "u"), "u", "semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "semi")
             .select("u", "v")
             .localCheckpoint(eager=True)
+        )
+        cnt = edges.count()
+        if cnt == prev_cnt:
+            converged = True
+            break
+        prev_cnt = cnt
+    if not converged:
+        raise RuntimeError(
+            f"graph_k_core: peel did not converge within "
+            f"{_KCORE_MAX_ROUNDS} rounds ({prev_cnt} edges still "
+            f"shrinking) — raise _KCORE_MAX_ROUNDS for this graph"
         )
     return (
         edges.select(F.col("u").alias("part"))

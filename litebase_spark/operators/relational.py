@@ -3822,12 +3822,60 @@ def stats_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _drift_ref_cond(
+    df: DataFrame,
+    ref_cond: Column | None,
+    ts_col: str,
+    split: str | None,
+) -> Column:
+    """Resolve the reference-half predicate for the drift family:
+    explicit ref_cond > ts_col < split (parse-validated: an
+    unparseable split raises instead of degrading to a null
+    comparison that silently empties one half) > ts_col < the
+    table's MEDIAN timestamp (O(1)-result percentile_approx probe —
+    no fixture date baked in)."""
+    if ref_cond is not None:
+        return ref_cond
+    if split is not None:
+        split_ts = F.to_timestamp(F.lit(split))
+        # ANSI mode throws on the probe, non-ANSI returns null —
+        # both fold to the same ValueError
+        try:
+            probe = df.sparkSession.range(1).select(
+                split_ts.alias("t")
+            ).first()["t"]
+        except Exception:
+            probe = None
+        if probe is None:
+            raise ValueError(
+                f"drift_report: unparseable split timestamp {split!r}"
+            )
+        return F.col(ts_col) < split_ts
+    # epoch-micros round-trip: TIMESTAMP_NTZ won't cast to a numeric
+    # directly, and comparing in micros on both sides keeps the cut
+    # timezone-consistent whatever the column type
+    med = df.agg(
+        F.expr(
+            f"percentile_approx(unix_micros("
+            f"cast({ts_col} as timestamp)), 0.5)"
+        ).alias("m")
+    ).first()["m"]
+    if med is None:
+        raise ValueError(
+            f"drift_report: cannot derive a median split — "
+            f"{ts_col} has no non-null values"
+        )
+    return (
+        F.unix_micros(F.col(ts_col).cast("timestamp")) < F.lit(int(med))
+    )
+
+
 def drift_report(
     df: DataFrame,
     value_col: str = "value",
     ref_cond: Column | None = None,
     ts_col: str = "ts",
-    split: str = "2024-01-16",
+    split: str | None = None,
 ) -> DataFrame:
     """Fused drift report: PSI, Jensen-Shannon, Kolmogorov-Smirnov D,
     and 1-Wasserstein between the reference and current halves of one
@@ -3839,11 +3887,14 @@ def drift_report(
     PSI/JSD re-aggregate the cells onto the $5 bins (a cells-sized
     second fold, never the corpus). Running the four registered
     operators separately costs four corpus scans; a pipeline health
-    check wants one. `ref_cond` marks the reference half (default:
-    ts_col < split). Engine.drift_report / the HTTP drift-report
-    endpoint surface this per-table."""
-    if ref_cond is None:
-        ref_cond = F.col(ts_col) < F.to_timestamp(F.lit(split))
+    check wants one. `ref_cond` marks the reference half: ts_col <
+    split when given, else ts_col < the table's MEDIAN timestamp (an
+    O(1)-result percentile_approx probe — no fixture-specific default
+    date baked in). An empty reference or current half fails LOUDLY
+    at execution (runtime assert), never null statistics.
+    Engine.drift_report / the HTTP drift-report endpoint surface this
+    per-table."""
+    ref_cond = _drift_ref_cond(df, ref_cond, ts_col, split)
     s = df.filter(F.col(value_col).isNotNull()).select(
         fp(value_col).alias("c"),
         F.when(ref_cond, 1).otherwise(0).alias("refw"),
@@ -3911,8 +3962,19 @@ def drift_report(
         F.round(F.sum("jsd_cd").cast("double"), 6).alias("jsd_nats"),
     )
     nn = F.col("n_ref").cast("double") * F.col("n_cur")
+    # runtime guard: an empty half means every downstream ratio is
+    # null/div-by-zero — fail loudly instead (assert_true returns
+    # NULL when the condition holds, so the when() threads n_ref
+    # through unchanged on the happy path)
+    halves_ok = F.assert_true(
+        (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+        F.lit(
+            "drift_report: empty reference or current half — "
+            "check split/ts_col"
+        ),
+    )
     return cdf_stats.crossJoin(bin_stats).select(
-        "n_ref",
+        F.when(halves_ok.isNull(), F.col("n_ref")).alias("n_ref"),
         "n_cur",
         "n_cells",
         F.round(F.col("ksnum").cast("double") / nn, 6).alias("ks_d"),
@@ -4029,4 +4091,276 @@ def drift_report(
     tags=("stats", "window", "drift"),
 )
 def stats_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return drift_report(load(spark, sf_dir, "events"))
+    return drift_report(load(spark, sf_dir, "events"), split="2024-01-16")
+
+
+def drift_report_multi(
+    df: DataFrame,
+    value_cols: list[str],
+    ref_cond: Column | None = None,
+    ts_col: str = "ts",
+    split: str | None = None,
+) -> DataFrame:
+    """drift_report over EVERY listed numeric column in ONE corpus
+    scan — the nightly whole-table gate (per-column calls would cost
+    len(value_cols) scans). stack() unpivots the columns inside the
+    scan projection; everything downstream keys on (vcol, cents), so
+    the windows stay cells-sized per column and the engine shuffles
+    one stacked cell table instead of the corpus.
+
+    Columns with heterogeneous scales get ADAPTIVE bins for PSI/JSD:
+    20 equal-width bins over each column's own [min, max] cents range
+    (integer widths — deterministic in both engines), instead of the
+    single-column twin's fixed $5 buckets which would degenerate for
+    sub-dollar columns like a discount rate. KS/W1 bin-free as ever.
+    One row per column: vcol, n_ref, n_cur, n_cells, ks_d, w1_units,
+    psi, psi_bins_dropped, jsd_nats."""
+    if not value_cols:
+        raise ValueError("drift_report_multi: value_cols is empty")
+    ref_cond = _drift_ref_cond(df, ref_cond, ts_col, split)
+    # stack() needs homogeneous value types — normalize every column
+    # to double (fp()'s exact domain covers |x| * 100 < 2^52)
+    pairs = ", ".join(
+        f"'{c}', cast({c} as double)" for c in value_cols
+    )
+    s = (
+        df.select(
+            F.expr(f"stack({len(value_cols)}, {pairs})").alias(
+                "vcol", "v"
+            ),
+            F.when(ref_cond, 1).otherwise(0).alias("refw"),
+        )
+        .filter(F.col("v").isNotNull())
+        .select("vcol", fp("v").alias("c"), "refw")
+    )
+    cells = s.groupBy("vcol", "c").agg(
+        F.sum("refw").alias("c1"),
+        F.sum(F.lit(1) - F.col("refw")).alias("c2"),
+    )
+    dec = "decimal(38,0)"
+    w_all = Window.partitionBy("vcol")
+    w_ord = Window.partitionBy("vcol").orderBy("c")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t = cells.select(
+        "vcol",
+        "c",
+        "c1",
+        "c2",
+        F.sum("c1").over(w_cum).alias("cum1"),
+        F.sum("c2").over(w_cum).alias("cum2"),
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum("c2").over(w_all).alias("n2"),
+        F.lead("c").over(w_ord).alias("cnext"),
+        F.min("c").over(w_all).alias("cmin"),
+        F.max("c").over(w_all).alias("cmax"),
+    )
+    absdiff = F.abs(
+        F.col("cum1").cast(dec) * F.col("n2").cast(dec)
+        - F.col("cum2").cast(dec) * F.col("n1").cast(dec)
+    )
+    gap = F.coalesce(F.col("cnext") - F.col("c"), F.lit(0))
+    halves_ok = F.assert_true(
+        (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+        F.lit(
+            "drift_report_multi: empty reference or current half — "
+            "check split/ts_col"
+        ),
+    )
+    cdf_stats = t.groupBy("vcol").agg(
+        F.max("n1").cast("long").alias("n_ref"),
+        F.max("n2").cast("long").alias("n_cur"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.max(absdiff).alias("ksnum"),
+        F.sum(absdiff * gap).alias("w1num"),
+    )
+    # adaptive 20-bin grid per column: integer width over the cents
+    # range (>= 1), computed from the SAME cells pass — no extra scan
+    width = F.greatest(
+        F.lit(1),
+        F.floor((F.col("cmax") - F.col("cmin") + F.lit(19)) / F.lit(20)),
+    )
+    bins = t.groupBy(
+        "vcol",
+        F.floor((F.col("c") - F.col("cmin")) / width).alias("bin"),
+    ).agg(F.sum("c1").alias("c1"), F.sum("c2").alias("c2"))
+    bt = bins.select(
+        "vcol",
+        "c1",
+        "c2",
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum("c2").over(w_all).alias("n2"),
+    )
+    p = F.col("c1").cast("double") / F.col("n1")
+    q = F.col("c2").cast("double") / F.col("n2")
+    both = (F.col("c1") > 0) & (F.col("c2") > 0)
+    m = (p + q) * F.lit(0.5)
+    jsd_cd = (
+        F.when(F.col("c1") > 0, F.lit(0.5) * p * F.log(p / m))
+        .otherwise(F.lit(0))
+        + F.when(F.col("c2") > 0, F.lit(0.5) * q * F.log(q / m))
+        .otherwise(F.lit(0))
+    )
+    contrib = bt.select(
+        "vcol",
+        F.when(both, 1).otherwise(0).alias("used"),
+        F.when(both, F.round((p - q) * F.log(p / q), 9))
+        .otherwise(F.lit(0.0))
+        .cast("decimal(38,9)")
+        .alias("psi_cd"),
+        F.round(jsd_cd, 9).cast("decimal(38,9)").alias("jsd_cd"),
+    )
+    bin_stats = contrib.groupBy("vcol").agg(
+        (F.count(F.lit(1)) - F.sum("used"))
+        .cast("long")
+        .alias("psi_bins_dropped"),
+        F.round(F.sum("psi_cd").cast("double"), 6).alias("psi"),
+        F.round(F.sum("jsd_cd").cast("double"), 6).alias("jsd_nats"),
+    )
+    nn = F.col("n_ref").cast("double") * F.col("n_cur")
+    return (
+        cdf_stats.join(F.broadcast(bin_stats), "vcol")
+        .select(
+            "vcol",
+            F.when(halves_ok.isNull(), F.col("n_ref")).alias("n_ref"),
+            "n_cur",
+            "n_cells",
+            F.round(F.col("ksnum").cast("double") / nn, 6).alias("ks_d"),
+            F.round(
+                F.col("w1num").cast("double") / nn / F.lit(100.0), 6
+            ).alias("w1_units"),
+            "psi",
+            "psi_bins_dropped",
+            "jsd_nats",
+        )
+        .orderBy("vcol")
+    )
+
+
+@query(
+    "stats_drift_report_multi",
+    oracle="""
+    WITH s AS (
+      SELECT vcol, CAST(ROUND(v * 100, 0) AS BIGINT) AS c,
+             CASE WHEN l_shipdate < TIMESTAMP '1998-06-01'
+                  THEN 1 ELSE 0 END AS refw
+      FROM (
+        SELECT 'l_discount' AS vcol, l_discount AS v, l_shipdate
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', l_extendedprice, l_shipdate
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity', l_quantity, l_shipdate FROM lineitem
+      ) WHERE v IS NOT NULL
+    ),
+    cells AS (
+      SELECT vcol, c, SUM(refw) AS c1, SUM(1 - refw) AS c2
+      FROM s GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT vcol, c, c1, c2,
+             SUM(c1) OVER (PARTITION BY vcol ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+             SUM(c2) OVER (PARTITION BY vcol ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+             SUM(c1) OVER (PARTITION BY vcol) AS n1,
+             SUM(c2) OVER (PARTITION BY vcol) AS n2,
+             LEAD(c) OVER (PARTITION BY vcol ORDER BY c) AS cnext,
+             MIN(c) OVER (PARTITION BY vcol) AS cmin,
+             MAX(c) OVER (PARTITION BY vcol) AS cmax
+      FROM cells
+    ),
+    cdf AS (
+      SELECT vcol,
+             CAST(MAX(n1) AS BIGINT) AS n_ref,
+             CAST(MAX(n2) AS BIGINT) AS n_cur,
+             CAST(COUNT(*) AS BIGINT) AS n_cells,
+             MAX(ABS(CAST(cum1 AS DECIMAL(38,0))
+                       * CAST(n2 AS DECIMAL(38,0))
+                     - CAST(cum2 AS DECIMAL(38,0))
+                       * CAST(n1 AS DECIMAL(38,0)))) AS ksnum,
+             SUM(ABS(CAST(cum1 AS DECIMAL(38,0))
+                       * CAST(n2 AS DECIMAL(38,0))
+                     - CAST(cum2 AS DECIMAL(38,0))
+                       * CAST(n1 AS DECIMAL(38,0)))
+                 * COALESCE(cnext - c, 0)) AS w1num
+      FROM t GROUP BY 1
+    ),
+    bins AS (
+      SELECT vcol,
+             FLOOR((c - cmin)
+               / GREATEST(1, FLOOR((cmax - cmin + 19) / 20))) AS bin,
+             SUM(c1) AS c1, SUM(c2) AS c2
+      FROM t GROUP BY 1, 2
+    ),
+    bt AS (
+      SELECT vcol, c1, c2,
+             SUM(c1) OVER (PARTITION BY vcol) AS n1,
+             SUM(c2) OVER (PARTITION BY vcol) AS n2
+      FROM bins
+    ),
+    contrib AS (
+      SELECT vcol,
+             CASE WHEN c1 > 0 AND c2 > 0 THEN 1 ELSE 0 END AS used,
+             CASE WHEN c1 > 0 AND c2 > 0 THEN
+               CAST(ROUND(
+                 (CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2)
+                 * LN((CAST(c1 AS DOUBLE) / n1)
+                      / (CAST(c2 AS DOUBLE) / n2)), 9)
+                 AS DECIMAL(38,9))
+             ELSE CAST(0 AS DECIMAL(38,9)) END AS psi_cd,
+             CAST(ROUND(
+               CASE WHEN c1 > 0 THEN
+                 0.5 * (CAST(c1 AS DOUBLE) / n1)
+                 * LN((CAST(c1 AS DOUBLE) / n1)
+                      / ((CAST(c1 AS DOUBLE) / n1
+                          + CAST(c2 AS DOUBLE) / n2) * 0.5))
+               ELSE 0 END
+               + CASE WHEN c2 > 0 THEN
+                 0.5 * (CAST(c2 AS DOUBLE) / n2)
+                 * LN((CAST(c2 AS DOUBLE) / n2)
+                      / ((CAST(c1 AS DOUBLE) / n1
+                          + CAST(c2 AS DOUBLE) / n2) * 0.5))
+               ELSE 0 END, 9) AS DECIMAL(38,9)) AS jsd_cd
+      FROM bt
+    ),
+    binstats AS (
+      SELECT vcol,
+             CAST(COUNT(*) - SUM(used) AS BIGINT)
+               AS psi_bins_dropped,
+             ROUND(CAST(SUM(psi_cd) AS DOUBLE), 6) AS psi,
+             ROUND(CAST(SUM(jsd_cd) AS DOUBLE), 6) AS jsd_nats
+      FROM contrib GROUP BY 1
+    )
+    SELECT vcol, n_ref, n_cur, n_cells,
+           ROUND(CAST(ksnum AS DOUBLE)
+                 / (CAST(n_ref AS DOUBLE) * n_cur), 6) AS ks_d,
+           ROUND(CAST(w1num AS DOUBLE)
+                 / (CAST(n_ref AS DOUBLE) * n_cur) / 100.0, 6)
+             AS w1_units,
+           psi, psi_bins_dropped, jsd_nats
+    FROM cdf JOIN binstats USING (vcol)
+    ORDER BY vcol
+    """,
+    description="Whole-table drift gate: the fused PSI/JSD/KS/W1 "
+    "report over EVERY monitored numeric column of lineitem "
+    "(quantity, extendedprice, discount) in ONE corpus scan — "
+    "stack() unpivots the columns inside the scan projection (the "
+    "dataset-card GROUPING SETS trick applied to drift cells), all "
+    "downstream windows partition by (column, cents-cell) so nothing "
+    "runs over the corpus and nothing is single-reducer. PSI/JSD use "
+    "ADAPTIVE 20-bin grids per column (integer widths over each "
+    "column's own cents range) so a 0-10%% discount rate and a "
+    "100k-cent price column both get meaningful bins; KS/W1 stay "
+    "bin-free on the exact cell CDF. Split: shipdate < 1998-06-01 "
+    "(explicit; Engine.drift_report defaults to the median "
+    "timestamp). Engine/HTTP: GET /tables/{t}/drift-report?cols=a,b.",
+    tags=("stats", "window", "drift"),
+)
+def stats_drift_report_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return drift_report_multi(
+        load(spark, sf_dir, "lineitem"),
+        value_cols=["l_quantity", "l_extendedprice", "l_discount"],
+        ts_col="l_shipdate",
+        split="1998-06-01",
+    )

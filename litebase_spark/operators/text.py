@@ -604,6 +604,7 @@ def fts_match(
     must_not: list[str] = (),
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokenize: str = "unicode61",
 ) -> DataFrame:
     """FTS5 MATCH boolean retrieval (`docs MATCH 'a AND b (c OR d) NOT e'`)
     as posting-list algebra — the FTS5 query surface the reference enables
@@ -615,13 +616,49 @@ def fts_match(
     one groupBy(doc) computing must-coverage and should-hits -> must_not
     via the same aggregate (no extra anti-join pass). Returns the
     matching id rows with `n_matched` (distinct query terms hit).
+
+    `tokenize='porter'` mirrors FTS5's `tokenize='porter unicode61'`
+    option (the reference build's stemming tokenizer): corpus terms
+    are stemmed scan-side by the staged Porter expression (pure
+    codegen, functions/porter.py — same shuffle shape as the
+    unstemmed path) and query terms through the identical stage chain
+    driver-side, so 'querying' matches docs containing 'query'.
     """
     must, should, must_not = list(must), list(should), list(must_not)
+    if tokenize == "porter":
+        from litebase_spark.functions.porter import (
+            porter_stem_py,
+            stem_vocabulary,
+        )
+
+        must = [porter_stem_py(t) for t in must]
+        should = [porter_stem_py(t) for t in should]
+        must_not = [porter_stem_py(t) for t in must_not]
+    elif tokenize != "unicode61":
+        raise ValueError(f"unsupported tokenize mode {tokenize!r}")
     qterms = must + should + must_not
     postings = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens(text_col))).alias("term"),
-    ).filter(F.col("term").isin(qterms))
+    )
+    if tokenize == "porter":
+        # vocabulary-side stemming: the distinct-term table is tiny
+        # relative to the postings, so the stemmer runs once over it,
+        # the map is pruned to surface forms of the QUERY stems (a
+        # handful of rows — always broadcastable), and a broadcast
+        # semi-ish join replaces per-posting stemming. Surface forms
+        # of one stem then dedupe on (doc, stem) before the coverage
+        # aggregate (same doc-keyed exchange as the groupBy).
+        qmap = stem_vocabulary(
+            postings.select("term"), "term", "__stem"
+        ).filter(F.col("__stem").isin(qterms))
+        postings = (
+            postings.join(F.broadcast(qmap), "term")
+            .select(id_col, F.col("__stem").alias("term"))
+            .dropDuplicates([id_col, "term"])
+        )
+    else:
+        postings = postings.filter(F.col("term").isin(qterms))
     in_set = lambda ts: F.sum(F.when(F.col("term").isin(ts), 1).otherwise(0))
     agg = postings.groupBy(id_col).agg(
         in_set(must).alias("__must") if must else F.lit(0).alias("__must"),
@@ -670,6 +707,63 @@ def fts_match_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
         must=["spark", "query"],
         should=["stream", "vector"],
         must_not=["merge"],
+    )
+
+
+def _porter_match_oracle() -> str:
+    from litebase_spark.functions.porter import porter_duckdb_cte
+
+    stemmed = porter_duckdb_cte(
+        f"""SELECT doc_id, UNNEST(list_distinct(
+              {_SQL_TOKENS.format(c='text')})) AS tok
+            FROM documents"""
+    )
+    # query-term stems ('querying','tables','valued','merges' through
+    # the same chain) — literal here, pinned by test_porter's twin test
+    return f"""
+    WITH hits AS (
+      SELECT DISTINCT doc_id, stem
+      FROM ({stemmed})
+      WHERE stem IN ('queri', 'tabl', 'valu', 'merg')
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched
+    FROM hits
+    GROUP BY doc_id
+    HAVING SUM(CASE WHEN stem = 'queri' THEN 1 ELSE 0 END) = 1
+       AND SUM(CASE WHEN stem IN ('tabl', 'valu') THEN 1 ELSE 0 END) >= 1
+       AND SUM(CASE WHEN stem = 'merg' THEN 1 ELSE 0 END) = 0
+    """
+
+
+@query(
+    "fts_match_porter",
+    oracle=_porter_match_oracle(),
+    description="FTS5 MATCH with the reference's porter stemming "
+    "tokenizer option (tokenize='porter unicode61', the FTS5 flag at "
+    "pkg/sqlite3/sqlite3.go:20): 'querying AND (tables OR valued) "
+    "NOT merges' retrieves docs containing query/table/value surface "
+    "forms — the stemmed index is what makes morphological variants "
+    "match. The stemmer is the classic Porter algorithm compiled to "
+    "a dialect-neutral SQL stage chain (functions/porter.py): the "
+    "SAME stage strings run as Catalyst expressions here and as the "
+    "oracle's CTE chain, and are differential-tested against Python "
+    "sqlite3's actual FTS5 porter tokenizer over a 17k-word fuzz "
+    "corpus (tests/test_porter.py). Scale: stemming is a scan-side "
+    "codegen expression on exploded postings (no UDF, no extra "
+    "shuffle); the isin(stemmed-query-terms) prune still reaches "
+    "the scan, then one doc-keyed exchange dedupes surface forms "
+    "and evaluates must/should/not coverage.",
+    tags=("text", "fts"),
+)
+def fts_match_porter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    return fts_match(
+        d,
+        must=["querying"],
+        should=["tables", "valued"],
+        must_not=["merges"],
+        tokenize="porter",
     )
 
 
@@ -2421,7 +2515,9 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
-           ROUND(-SUM(cnt * log2(CAST(cb AS DOUBLE) / cl)) / SUM(cnt),
+           ROUND(-CAST(SUM(CAST(ROUND(
+                     cnt * log2(CAST(cb AS DOUBLE) / cl), 9)
+                   AS DECIMAL(38,9))) AS DOUBLE) / SUM(cnt),
                  6) AS bits_per_bigram
     FROM bf
     JOIN lm USING (b)
@@ -2477,9 +2573,16 @@ def text_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").over(wb).alias("cb"),
         F.sum("cnt").over(w1).alias("cl"),
     )
-    bits = -F.sum(
-        F.col("cnt") * F.log2(F.col("cb").cast("double") / F.col("cl"))
-    ) / F.sum("cnt")
+    # per-term ROUND(..,9) -> DECIMAL(38,9) accumulation (the repo-wide
+    # convention): exact, order-free summation so cross-engine /
+    # cross-partition float ordering can never flip the round-6 output
+    # on boundary docs
+    term = F.round(
+        F.col("cnt")
+        * F.log2(F.col("cb").cast("double") / F.col("cl")),
+        9,
+    ).cast("decimal(38,9)")
+    bits = -F.sum(term).cast("double") / F.sum("cnt")
     return scored.groupBy("doc_id").agg(
         F.sum("cnt").alias("n_bigrams"),
         F.round(bits, 6).alias("bits_per_bigram"),

@@ -1058,19 +1058,49 @@ def test_drift_report_endpoint_and_engine_method(server, spark, sf_dir):
     assert 0.0 <= r["ks_d"] <= 1.0
     assert r["w1_dollars"] >= 0.0 and r["jsd_nats"] >= 0.0
 
-    # param routing: a split past all data puts everything in ref
+    # param routing + loud empty-half guard: a split past all data
+    # empties the current half -> runtime assert -> 400, never null
+    # statistics (round-11 ADVICE fix)
     code, body = _call(
         server, "GET",
         "/v1/databases/main/main/tables/events_http/drift-report"
         "?split=2030-01-01",
         token="reader:r3ad",
     )
-    assert code == 200
-    assert body["data"][0]["n_cur"] == 0
+    assert code == 400
+    assert "empty reference or current half" in body["message"]
+
+    # an unparseable split string is a 400 too, not a null-comparison
+    # half-empty degradation
+    code, body = _call(
+        server, "GET",
+        "/v1/databases/main/main/tables/events_http/drift-report"
+        "?split=not-a-date",
+        token="reader:r3ad",
+    )
+    assert code == 400
+    assert "unparseable split" in body["message"]
 
     # engine method == endpoint
     eng = server.engine.drift_report("events_http").first()
     assert eng["ks_d"] == r["ks_d"] and eng["psi"] == r["psi"]
+
+    # multi-column form: ?cols=... -> one row per column, same scan
+    code, body = _call(
+        server, "GET",
+        "/v1/databases/main/main/tables/events_http/drift-report"
+        "?cols=value",
+        token="reader:r3ad",
+    )
+    assert code == 200
+    assert [row["vcol"] for row in body["data"]] == ["value"]
+    assert body["data"][0]["n_ref"] > 0
+
+    # '*' resolves every numeric column; engine twin agrees
+    multi = server.engine.drift_report("events_http", cols="*").collect()
+    assert {row["vcol"] for row in multi} >= {"value"}
+    for row in multi:
+        assert row["n_ref"] > 0 and row["n_cur"] > 0
 
     # auth + unknown table behave like the card endpoint
     code, _ = _call(

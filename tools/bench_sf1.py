@@ -151,7 +151,14 @@ _FLOOR_NOTES = [
     "0.5 s is one single-process sort-rank over the same 4M keys. "
     "Exchange-floor-shaped, not corpus-coupled: 1.3x flat in "
     "SCALE_STRESS x16; the bar is machine-bound (needs executors, "
-    "not a better plan).",
+    "not a better plan). CLOSED r11: the last re-plan idea from the "
+    "round-10 verdict — fold BOTH rank passes onto one corpus "
+    "exchange via (qty, cents) pair cells, deriving the x-rank map, "
+    "y-rank windows, and all moments from that single shuffle — "
+    "A/B'd a WASH at sf1 (current min 1.91-2.54 s vs pair-cell "
+    "2.37-2.52 s, interleaved x3: extendedprice cents are "
+    "near-unique, so the pair-cell table IS corpus-sized and the "
+    "merged pass moves the same bytes). Machine-bound stands.",
     "- `q18_large_volume_customer` (re-planned r10): the filtered "
     "HAVING rollup is broadcast explicitly into the orders join — "
     "AQE was paying the orders exchange before learning the survivor "
