@@ -64,6 +64,15 @@ _EXCLUDE = {
 # absolute constants drift ±10-30% between runs but the *structure*
 # (exchange count, which variant wins) is stable.
 _FLOOR_NOTES = [
+    "Headline-reading note (r11): `fts_match_porter`'s DuckDB side "
+    "(66 s at sf1 — the oracle stems every posting through the "
+    "19-stage porter chain; the Spark plan stems the 31-term "
+    "VOCABULARY and broadcast-joins the map back) contributes ~38% "
+    "of the DuckDB total on its own. Ex-porter the both-engines "
+    "subset reads 57.8 vs 107.6 = 0.54x — quote that number when "
+    "comparing across rounds; the 0.34x gross includes a "
+    "structural win, not a tuning one.",
+    "",
     "Open bars and per-query floor notes (measured stage decompositions, "
     "same-process interleaved A/B):",
     "",
