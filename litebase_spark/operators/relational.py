@@ -4133,26 +4133,70 @@ def drift_report_multi(
         .filter(F.col("v").isNotNull())
         .select("vcol", fp("v").alias("c"), "refw")
     )
-    cells = s.groupBy("vcol", "c").agg(
-        F.sum("refw").alias("c1"),
-        F.sum(F.lit(1) - F.col("refw")).alias("c2"),
+    # ONE corpus scan: the cell table feeds BOTH the CDF stats and the
+    # PSI/JSD bins, and AQE does not reuse a shared subtree across
+    # consumers (the q15 lesson) — a LAZY localCheckpoint turns the
+    # cells into one RDD both consumers reference, so the corpus fold
+    # runs once INSIDE the query execution (eager would shift it to
+    # plan-construction time and flatter the benchmarks). Cells are
+    # value-domain-bounded per column, never corpus-rows.
+    cells = (
+        s.groupBy("vcol", "c")
+        .agg(
+            F.sum("refw").alias("c1"),
+            F.sum(F.lit(1) - F.col("refw")).alias("c2"),
+        )
+        .localCheckpoint(eager=False)
     )
     dec = "decimal(38,0)"
-    w_all = Window.partitionBy("vcol")
-    w_ord = Window.partitionBy("vcol").orderBy("c")
-    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t = cells.select(
-        "vcol",
-        "c",
-        "c1",
-        "c2",
-        F.sum("c1").over(w_cum).alias("cum1"),
-        F.sum("c2").over(w_cum).alias("cum2"),
-        F.sum("c1").over(w_all).alias("n1"),
-        F.sum("c2").over(w_all).alias("n2"),
-        F.lead("c").over(w_ord).alias("cnext"),
-        F.min("c").over(w_all).alias("cmin"),
-        F.max("c").over(w_all).alias("cmax"),
+    # per-column totals/extrema: one tiny agg, broadcast everywhere
+    # (replaces two near-single-reducer unbounded windows over the
+    # full cell table)
+    tot = cells.groupBy("vcol").agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.min("c").alias("cmin"),
+        F.max("c").alias("cmax"),
+    )
+    # bucketed two-level cumulative sums (the spearman y-rank pattern):
+    # local prefix within (vcol, bucket) + bucket offsets from the
+    # bucket-level table — no per-column single-task sort of the whole
+    # cell table. Bucket lead(min c) stitches cnext across boundaries.
+    yb = cells.withColumn("b", F.floor(F.col("c") / F.lit(100000)))
+    w_loc = (
+        Window.partitionBy("vcol", "b")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_lead = Window.partitionBy("vcol", "b").orderBy("c")
+    loc = yb.select(
+        "vcol", "b", "c", "c1", "c2",
+        F.sum("c1").over(w_loc).alias("lcum1"),
+        F.sum("c2").over(w_loc).alias("lcum2"),
+        F.lead("c").over(w_lead).alias("lnext"),
+    )
+    bt0 = yb.groupBy("vcol", "b").agg(
+        F.sum("c1").alias("bc1"),
+        F.sum("c2").alias("bc2"),
+        F.min("c").alias("bmin"),
+    )
+    w_ob = Window.partitionBy("vcol").orderBy("b")
+    w_obp = w_ob.rowsBetween(Window.unboundedPreceding, -1)
+    off = bt0.select(
+        "vcol", "b",
+        F.coalesce(F.sum("bc1").over(w_obp), F.lit(0)).alias("off1"),
+        F.coalesce(F.sum("bc2").over(w_obp), F.lit(0)).alias("off2"),
+        F.lead("bmin").over(w_ob).alias("nextbmin"),
+    )
+    t = (
+        loc.join(F.broadcast(off), ["vcol", "b"])
+        .join(F.broadcast(tot), "vcol")
+        .select(
+            "vcol", "c", "n1", "n2",
+            (F.col("off1") + F.col("lcum1")).alias("cum1"),
+            (F.col("off2") + F.col("lcum2")).alias("cum2"),
+            F.coalesce(F.col("lnext"), F.col("nextbmin")).alias("cnext"),
+        )
     )
     absdiff = F.abs(
         F.col("cum1").cast(dec) * F.col("n2").cast(dec)
@@ -4174,22 +4218,22 @@ def drift_report_multi(
         F.sum(absdiff * gap).alias("w1num"),
     )
     # adaptive 20-bin grid per column: integer width over the cents
-    # range (>= 1), computed from the SAME cells pass — no extra scan
+    # range (>= 1), from the broadcast totals — no extra corpus scan
     width = F.greatest(
         F.lit(1),
         F.floor((F.col("cmax") - F.col("cmin") + F.lit(19)) / F.lit(20)),
     )
-    bins = t.groupBy(
-        "vcol",
-        F.floor((F.col("c") - F.col("cmin")) / width).alias("bin"),
-    ).agg(F.sum("c1").alias("c1"), F.sum("c2").alias("c2"))
-    bt = bins.select(
-        "vcol",
-        "c1",
-        "c2",
-        F.sum("c1").over(w_all).alias("n1"),
-        F.sum("c2").over(w_all).alias("n2"),
+    bins = (
+        cells.join(F.broadcast(tot), "vcol")
+        .groupBy(
+            "vcol",
+            F.floor((F.col("c") - F.col("cmin")) / width).alias("bin"),
+        )
+        .agg(F.sum("c1").alias("c1"), F.sum("c2").alias("c2"))
     )
+    bt = bins.join(
+        F.broadcast(tot.select("vcol", "n1", "n2")), "vcol"
+    ).select("vcol", "c1", "c2", "n1", "n2")
     p = F.col("c1").cast("double") / F.col("n1")
     q = F.col("c2").cast("double") / F.col("n2")
     both = (F.col("c1") > 0) & (F.col("c2") > 0)

@@ -106,6 +106,11 @@ NAMES = [
     "ts_holt_forecast",
     # fused PSI/JSD/KS/W1 over shared CDF + bin cells
     "stats_drift_report",
+    # r11: stacked multi-column drift (per-column windows + adaptive
+    # bins) and porter-stemmed MATCH (vocabulary-side stage chain +
+    # broadcast map join — stem must not depend on partitioning)
+    "stats_drift_report_multi",
+    "fts_match_porter",
 ]
 
 
