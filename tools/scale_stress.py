@@ -114,6 +114,9 @@ QUERIES = [
     "graph_k_core",              # iterative degree-peel fixpoint
     "ts_holt_forecast",          # 28-tap compiled Holt smoother
     "pipeline_incremental_novelty",  # batch-probe gram index
+    # r11
+    "stats_drift_report_multi",  # stacked 3-col cells + bucketed CDF
+    "fts_match_porter",          # vocab-side porter + broadcast map
 ]
 
 _SHIFT = 10**9
