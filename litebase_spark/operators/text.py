@@ -2587,3 +2587,72 @@ def text_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").alias("n_bigrams"),
         F.round(bits, 6).alias("bits_per_bigram"),
     )
+
+
+def _vocab_porter_oracle() -> str:
+    from litebase_spark.functions.porter import porter_duckdb_cte
+
+    stems = porter_duckdb_cte("SELECT DISTINCT term AS tok FROM tf", "tok")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST({_SQL_TOKENS.format(c='text')}) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY 1, 2
+    ),
+    stems AS ({stems}),
+    ds AS (
+      SELECT doc_id, stem, SUM(c) AS c
+      FROM tf JOIN stems ON tf.term = stems.tok
+      GROUP BY 1, 2
+    )
+    SELECT stem AS term,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(c) AS BIGINT) AS n_occurrences
+    FROM ds GROUP BY 1 ORDER BY 1
+    """
+
+
+@query(
+    "fts_vocab_porter",
+    oracle=_vocab_porter_oracle(),
+    description="fts5vocab('row')-analog introspection of the "
+    "porter-stemmed inverted index: per stemmed term, the number of "
+    "documents containing it and its total occurrence count — the "
+    "FTS5 vocabulary virtual table that ships with the reference's "
+    "SQLITE_ENABLE_FTS5 build (pkg/sqlite3/sqlite3.go:20; "
+    "sqlite.org/fts5.html#the_fts5vocab_virtual_table_module), over "
+    "the tokenize='porter' index surface added in round 11. Plan: "
+    "term-frequency pre-agg (map-side combine onto (doc, term)), "
+    "stem the DISTINCT VOCABULARY via the staged porter chain and "
+    "broadcast the term->stem map back (stemming is O(|vocab|)), "
+    "re-aggregate (doc, stem) so two surface forms of one stem in a "
+    "doc count once for n_docs, then one vocabulary-keyed rollup. "
+    "Never a posting-side stem, never a single-reducer stage.",
+    tags=("text", "fts"),
+)
+def fts_vocab_porter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from litebase_spark.functions.porter import stem_vocabulary
+
+    d = load(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stems = stem_vocabulary(tf.select("term"), "term", "stem")
+    ds = (
+        tf.join(F.broadcast(stems), "term")
+        .groupBy("doc_id", "stem")
+        .agg(F.sum("c").alias("c"))
+    )
+    return (
+        ds.groupBy(F.col("stem").alias("term"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("c").alias("n_occurrences"),
+        )
+        .orderBy("term")
+    )

@@ -207,3 +207,26 @@ def test_fts_match_rejects_unknown_tokenizer(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="unsupported tokenize"):
         fts_match(docs, must=["x"], tokenize="porter2")
+
+
+def test_fts_vocab_porter_semantics(spark, tmp_path, monkeypatch):
+    """fts5vocab('row') analog: n_docs counts a stem once per doc even
+    when multiple surface forms appear; n_occurrences sums them."""
+    import os
+
+    from litebase_spark.operators.text import fts_vocab_porter
+
+    docs = [
+        (1, "query queries querying", "en", "s0", 23),
+        (2, "query table", "en", "s0", 11),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    rows = {r["term"]: (r["n_docs"], r["n_occurrences"])
+            for r in fts_vocab_porter(spark, str(tmp_path)).collect()}
+    assert rows["queri"] == (2, 4)   # 3 forms in doc 1 + 1 in doc 2
+    assert rows["tabl"] == (1, 1)

@@ -111,6 +111,7 @@ NAMES = [
     # broadcast map join — stem must not depend on partitioning)
     "stats_drift_report_multi",
     "fts_match_porter",
+    "fts_vocab_porter",
 ]
 
 
