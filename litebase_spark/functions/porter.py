@@ -314,10 +314,12 @@ def porter_stem_py(word: str) -> str:
     import duckdb
 
     con = duckdb.connect()
-    sql = porter_duckdb_cte(
-        f"SELECT '{word.lower()}' AS tok", "tok"
-    )
-    return con.execute(f"SELECT stem FROM ({sql})").fetchone()[0]
+    # bound parameter, not an f-string literal: a query term containing
+    # a quote must reach the stemmer as data, never as SQL
+    sql = porter_duckdb_cte("SELECT lower(?) AS tok", "tok")
+    return con.execute(
+        f"SELECT stem FROM ({sql})", [word]
+    ).fetchone()[0]
 
 
 def porter_duckdb_cte(inner: str, token_col: str = "tok") -> str:

@@ -272,18 +272,24 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KCORE_K = 2
-_KCORE_ITERS = 8  # oracle unroll depth (fixtures converge well inside it)
 # Spark-side fixpoint bound: each round peels at least one whole fringe
 # layer, so rounds needed = depth of the acyclic fringe, not |V|. 40
 # covers any realistic co-purchase graph; a pendant chain deeper than
 # that raises loudly instead of silently returning a superset core.
 _KCORE_MAX_ROUNDS = 40
+# Oracle unroll depth == the Spark fixpoint bound: any graph the Spark
+# side can converge on (it raises loudly past _KCORE_MAX_ROUNDS), the
+# oracle replays to at least the same depth, so the two engines cannot
+# legitimately diverge on a deep peel. The peel is idempotent once
+# converged, so over-unrolling costs only no-op CTE stages.
+_KCORE_ITERS = _KCORE_MAX_ROUNDS
 
 
 def _kcore_oracle() -> str:
-    """Unrolled 8-peel 2-core replay for DuckDB (pagerank's unrolled-CTE
-    style: the peel is idempotent once converged, so a fixed unroll is
-    deterministic in both engines even if convergence lands early)."""
+    """Unrolled peel-to-the-fixpoint-bound 2-core replay for DuckDB
+    (pagerank's unrolled-CTE style: the peel is idempotent once
+    converged, so a fixed unroll is deterministic in both engines even
+    if convergence lands early)."""
     head = """
     WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     e0 AS MATERIALIZED (
@@ -350,7 +356,8 @@ def _kcore_oracle() -> str:
     "converge in <= 8 rounds (3445 -> 3108 edges at sf0.01, 3573 "
     "-> 3 at sf0.1). All arithmetic is integer (degrees), so "
     "the surviving node set and degrees are bit-identical in both "
-    "engines; oracle = the unrolled 8-peel MATERIALIZED-CTE replay. "
+    "engines; oracle = the MATERIALIZED-CTE replay unrolled to the "
+    "same _KCORE_MAX_ROUNDS bound as the Spark fixpoint. "
     "Output: surviving parts with their in-core degrees.",
     tags=("graph", "iterative"),
 )

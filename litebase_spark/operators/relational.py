@@ -3832,8 +3832,10 @@ def _drift_ref_cond(
     explicit ref_cond > ts_col < split (parse-validated: an
     unparseable split raises instead of degrading to a null
     comparison that silently empties one half) > ts_col < the
-    table's MEDIAN timestamp (O(1)-result percentile_approx probe —
-    no fixture date baked in)."""
+    table's MEDIAN timestamp (exact percentile(0.5), O(1) result —
+    no fixture date baked in; approx sketches are partition-order
+    sensitive on large tables, and a default split that drifts
+    between runs would make the whole report non-reproducible)."""
     if ref_cond is not None:
         return ref_cond
     if split is not None:
@@ -3853,11 +3855,21 @@ def _drift_ref_cond(
         return F.col(ts_col) < split_ts
     # epoch-micros round-trip: TIMESTAMP_NTZ won't cast to a numeric
     # directly, and comparing in micros on both sides keeps the cut
-    # timezone-consistent whatever the column type
+    # timezone-consistent whatever the column type. EXACT percentile,
+    # not percentile_approx: the sketch's merge is partition-order
+    # sensitive, so the default split point (and the whole report)
+    # could shift between runs of the same table. ts_col comes from
+    # the HTTP surface too — resolve it before interpolating.
+    if ts_col not in df.columns:
+        raise ValueError(
+            f"drift_report: unknown ts_col {ts_col!r} — "
+            f"table has {df.columns!r}"
+        )
+    ts_ident = "`" + ts_col.replace("`", "``") + "`"
     med = df.agg(
         F.expr(
-            f"percentile_approx(unix_micros("
-            f"cast({ts_col} as timestamp)), 0.5)"
+            f"percentile(unix_micros("
+            f"cast({ts_ident} as timestamp)), 0.5)"
         ).alias("m")
     ).first()["m"]
     if med is None:
@@ -4117,11 +4129,25 @@ def drift_report_multi(
     psi, psi_bins_dropped, jsd_nats."""
     if not value_cols:
         raise ValueError("drift_report_multi: value_cols is empty")
+    # the column list reaches this F.expr straight from the HTTP
+    # ?cols= param — resolve each name against the schema FIRST (a
+    # non-column string must never be interpolated into SQL text) and
+    # backtick-quote the identifiers so legitimate names needing
+    # quoting parse too
+    unknown = [c for c in value_cols if c not in df.columns]
+    if unknown:
+        raise ValueError(
+            f"drift_report_multi: unknown column(s) {unknown!r} — "
+            f"table has {df.columns!r}"
+        )
     ref_cond = _drift_ref_cond(df, ref_cond, ts_col, split)
     # stack() needs homogeneous value types — normalize every column
     # to double (fp()'s exact domain covers |x| * 100 < 2^52)
     pairs = ", ".join(
-        f"'{c}', cast({c} as double)" for c in value_cols
+        "'{lbl}', cast(`{ident}` as double)".format(
+            lbl=c.replace("'", "''"), ident=c.replace("`", "``")
+        )
+        for c in value_cols
     )
     s = (
         df.select(

@@ -4,16 +4,18 @@ The driver's CORRECTNESS_rN.json scores only the first 50 queries in
 alphabetical order, and the registry's growth sorts almost entirely
 after that prefix — so the driver gate is structurally blind to the
 tail. This tool closes the local blind spot: it draws N names
-uniformly from the registry with a deterministic seed (default: the
-round number via git tag-less fallback, overridable), biased to
-ALWAYS include every name outside the driver's 50-query window that
-changed since --base when --changed-first is set, then delegates to
-check_oracle's compare loop.
+uniformly from the registry with a deterministic seed, and with
+--changed-first additionally forces IN every registry name that
+appears in the `git diff --base..HEAD` text (i.e. every query a
+change since --base could have touched), so edited queries can never
+be missed by the sample. Forced names are included on top of the N
+uniform picks.
 
 Usage:
   python tools/verify_tail.py [--n 25] [--seed 11] [--sf-dir DIR]
   python tools/verify_tail.py --tail-only   # sample only past the
                                             # driver's 50-name window
+  python tools/verify_tail.py --base HEAD~1 --changed-first
 """
 
 from __future__ import annotations
@@ -30,13 +32,37 @@ from litebase_spark.catalog import REGISTRY
 DRIVER_WINDOW = 50  # first-N-alphabetical names the driver re-checks
 
 
-def sample_names(n: int, seed: int, tail_only: bool) -> list[str]:
+def changed_names(base: str) -> set[str]:
+    """Every registry name whose DEFINING MODULE differs from `base`
+    (check_oracle's module-granular map — an edit anywhere in an
+    operator file forces all of that file's queries, which is the
+    over-approximation we want). A cross-cutting change (catalog /
+    session / functions / plans) affects every plan; the tail sample
+    can't cover that, so force nothing and say so — run the full
+    sweep instead."""
+    from tools.check_oracle import changed_query_names
+
+    picked = changed_query_names(base)
+    if picked is None:
+        print(
+            "# verify_tail: cross-cutting diff — --changed-first "
+            "forces nothing; run the FULL check_oracle sweep"
+        )
+        return set()
+    return set(picked)
+
+
+def sample_names(
+    n: int, seed: int, tail_only: bool, forced: set[str]
+) -> list[str]:
     names = sorted(REGISTRY)
     pool = names[DRIVER_WINDOW:] if tail_only else names
-    if n >= len(pool):
-        return pool
+    forced_in = sorted(forced & set(pool))
+    rest = [p for p in pool if p not in forced]
+    if n >= len(rest):
+        return sorted(set(rest) | set(forced_in))
     rng = random.Random(seed)
-    return sorted(rng.sample(pool, n))
+    return sorted(set(rng.sample(rest, n)) | set(forced_in))
 
 
 def main() -> int:
@@ -49,14 +75,28 @@ def main() -> int:
         help="sample only names sorting AFTER the driver's 50-query "
         "window (its structural blind spot)",
     )
+    ap.add_argument(
+        "--base", default="HEAD~1",
+        help="git ref the --changed-first bias diffs against",
+    )
+    ap.add_argument(
+        "--changed-first", action="store_true",
+        help="force-include every registry name mentioned in the "
+        "diff since --base, on top of the uniform sample",
+    )
     args = ap.parse_args()
 
-    picked = sample_names(args.n, args.seed, args.tail_only)
-    in_window = sum(1 for p in picked if p in sorted(REGISTRY)[:DRIVER_WINDOW])
+    forced = changed_names(args.base) if args.changed_first else set()
+    picked = sample_names(args.n, args.seed, args.tail_only, forced)
+    in_window = sum(
+        1 for p in picked if p in sorted(REGISTRY)[:DRIVER_WINDOW]
+    )
     print(
         f"# verify_tail: {len(picked)} of {len(REGISTRY)} queries, "
         f"seed={args.seed}, {in_window} inside / "
         f"{len(picked) - in_window} outside the driver window"
+        + (f", {len(forced)} changed since {args.base} forced in"
+           if args.changed_first else "")
     )
     sys.argv = [
         "check_oracle.py", "--sf-dir", args.sf_dir, *picked,
