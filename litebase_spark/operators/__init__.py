@@ -17,5 +17,6 @@ from litebase_spark.operators import (  # noqa: F401
     spatial,
     streaming_batch,
     text,
+    text_trigram,
     tpch,
 )

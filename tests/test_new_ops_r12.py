@@ -150,3 +150,171 @@ def test_kcore_deep_peel_agrees_with_oracle(spark, tmp_path):
     )
     oracle = {tuple(r) for r in con.execute(_kcore_oracle()).fetchall()}
     assert oracle == got
+
+
+# ---------------------------------------------------------------------------
+# FTS5 trigram tokenizer (round-12 task 1)
+# ---------------------------------------------------------------------------
+
+def test_trigram_postings_hand_model(spark):
+    from litebase_spark.operators.text_trigram import trigram_postings
+
+    df = spark.createDataFrame(
+        [(1, "AbCd"), (2, "ab"), (3, None), (4, "xyz")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["pos"], r["tri"])
+        for r in trigram_postings(df).collect()
+    }
+    # case-folded, 0-based positions; <3-char and null text emit none
+    assert got == {(1, 0, "abc"), (1, 1, "bcd"), (4, 0, "xyz")}
+    cs = {
+        (r["doc_id"], r["pos"], r["tri"])
+        for r in trigram_postings(df, case_sensitive=True).collect()
+    }
+    assert (1, 0, "AbC") in cs and (1, 1, "bCd") in cs
+
+
+def test_trigram_match_counts_overlapping_occurrences(spark):
+    from litebase_spark.operators.text_trigram import match_trigram
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "xaaax"), (3, "aa"), (4, "bbb")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["n_occurrences"])
+        for r in match_trigram(df, "aaa").collect()
+    }
+    # "aaaa" holds aaa at 0 AND 1 — overlapping phrase hits, like FTS5
+    assert got == {(1, 2), (2, 1)}
+
+
+def test_trigram_like_ordering_and_overlap(spark):
+    from litebase_spark.operators.text_trigram import like_trigram
+
+    df = spark.createDataFrame(
+        [
+            (1, "hash window sort"),
+            (2, "sort window hash"),   # wrong order
+            (3, "window hash"),        # missing run
+            (4, "hashwindowsort"),     # adjacent runs, no separator
+            (5, "abcabc"),
+            (6, "abcbc"),              # 'abc','abc' would need overlap
+        ],
+        "doc_id long, text string",
+    )
+    ids = lambda pat: sorted(
+        r["doc_id"] for r in like_trigram(df, pat).collect()
+    )
+    assert ids("%hash%window%sort%") == [1, 4]
+    assert ids("%abc%abc%") == [5]
+    assert ids("%HASH%") == [1, 2, 3, 4]  # LIKE folds case
+
+
+def test_trigram_glob_case_sensitive(spark):
+    from litebase_spark.operators.text_trigram import glob_trigram
+
+    df = spark.createDataFrame(
+        [(1, "Big Table"), (2, "big table")],
+        "doc_id long, text string",
+    )
+    assert [
+        r["doc_id"] for r in glob_trigram(df, "*Big*Table*").collect()
+    ] == [1]
+    assert sorted(
+        r["doc_id"] for r in glob_trigram(df, "*big*table*").collect()
+    ) == [2]
+
+
+def test_trigram_refusals(spark):
+    from litebase_spark.operators.text_trigram import (
+        glob_trigram,
+        like_trigram,
+        match_trigram,
+    )
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="shorter than 3"):
+        match_trigram(df, "ab")
+    with pytest.raises(ValueError, match="shorter than 3"):
+        like_trigram(df, "%abc%xy%")
+    with pytest.raises(ValueError, match="wildcards are not"):
+        like_trigram(df, "%a_c%")
+    with pytest.raises(ValueError, match="wildcards are not"):
+        glob_trigram(df, "*a?c*")
+    with pytest.raises(ValueError, match="anchor-free"):
+        like_trigram(df, "abc%def%")
+
+
+def test_trigram_like_plan_never_scans_text(spark, sf_dir):
+    """The verdict's plan assertion: the LIKE probe is posting
+    algebra — no Contains/Like/RLike predicate over the corpus text
+    anywhere in the physical plan."""
+    from litebase_spark.catalog import REGISTRY
+
+    for name in ("fts_like_trigram", "fts_glob_trigram",
+                 "fts_match_trigram"):
+        plan = (
+            REGISTRY[name]
+            .builder(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for bad in ("Contains(text", "LIKE", " RLIKE", "Like(text"):
+            assert bad not in plan, f"{name}: {bad} in plan"
+
+
+def test_trigram_materialized_index_probe_pushes_down(spark, tmp_path):
+    """The 100 TB path: against a MATERIALIZED index table, the
+    probe's trigram prune must reach the parquet scan as an In()
+    pushed filter (reads matching row-groups, not the index)."""
+    from litebase_spark.operators.text_trigram import (
+        build_trigram_index,
+        like_trigram,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"hash window sort {i}") for i in range(100)],
+        "doc_id long, text string",
+    )
+    idx_path = str(tmp_path / "tri_idx.parquet")
+    build_trigram_index(docs).write.parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+    probe = like_trigram(None, "%window%", postings=idx)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(tri" in plan
+    assert probe.count() == 100
+
+
+def test_trigram_like_fuzz_vs_python_reference(spark):
+    """Randomized differential: like_trigram == the regex semantics
+    of anchor-free multi-run LIKE on a corpus-vocab random fixture."""
+    import random
+    import re
+
+    from litebase_spark.operators.text_trigram import like_trigram
+
+    rng = random.Random(12012)
+    vocab = ["hash", "window", "sort", "big", "table", "scan",
+             "query", "agg"]
+    rows = [
+        (i, " ".join(rng.choice(vocab)
+                     for _ in range(rng.randint(1, 12))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for _ in range(6):
+        k = rng.randint(1, 3)
+        runs = [rng.choice(vocab) for _ in range(k)]
+        pat = "%" + "%".join(runs) + "%"
+        want = {
+            i for i, t in rows
+            if re.search(".*?".join(re.escape(r) for r in runs), t)
+        }
+        got = {
+            r["doc_id"] for r in like_trigram(df, pat).collect()
+        }
+        assert got == want, f"pattern {pat}"
