@@ -2656,3 +2656,128 @@ def fts_vocab_porter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+@query(
+    "fts_vocab_col",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, 'text' AS col,
+             UNNEST({_SQL_TOKENS.format(c='text')}) AS term
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 'source',
+             UNNEST({_SQL_TOKENS.format(c='source')})
+      FROM documents
+    ),
+    pd AS (
+      SELECT term, col, doc_id, COUNT(*) AS c
+      FROM tok GROUP BY 1, 2, 3
+    )
+    SELECT term, col,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(c) AS BIGINT) AS n_occurrences
+    FROM pd GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    description="fts5vocab('col')-analog introspection of a "
+    "TWO-column FTS index (text, source): one row per term/column "
+    "combination with the documents-containing and total-occurrence "
+    "counts for that column — the per-column variant of the "
+    "fts5vocab virtual table the reference's SQLITE_ENABLE_FTS5 "
+    "build ships (pkg/sqlite3/sqlite3.go:20; "
+    "sqlite.org/fts5.html#the_fts5vocab_virtual_table_module), "
+    "completing the row/col/instance mode trio next to "
+    "fts_vocab_porter ('row') and fts_vocab_instance. Plan: per-"
+    "column token explodes union into one (term, col, doc) pre-agg "
+    "(map-side combine), then one vocabulary-keyed rollup — "
+    "output is O(|vocab| x n_cols), shuffles carry term keys only.",
+    tags=("text", "fts"),
+)
+def fts_vocab_col(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    tok = d.select(
+        "doc_id",
+        F.explode(tokens("text")).alias("term"),
+        F.lit("text").alias("col"),
+    ).unionAll(
+        d.select(
+            "doc_id",
+            F.explode(tokens("source")).alias("term"),
+            F.lit("source"),
+        )
+    )
+    pd_ = tok.groupBy("term", "col", "doc_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        pd_.groupBy("term", "col")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("c").alias("n_occurrences"),
+        )
+        .orderBy("term", "col")
+    )
+
+
+_VOCAB_INSTANCE_TERMS = ("spark", "vector", "merge")
+
+
+@query(
+    "fts_vocab_instance",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, 'text' AS col, t.term, t.off
+      FROM (
+        SELECT doc_id,
+               UNNEST({_SQL_TOKENS.format(c='text')}) AS term,
+               generate_subscripts(
+                 {_SQL_TOKENS.format(c='text')}, 1) - 1 AS off
+        FROM documents
+      ) t
+      UNION ALL
+      SELECT doc_id, 'source', t.term, t.off
+      FROM (
+        SELECT doc_id,
+               UNNEST({_SQL_TOKENS.format(c='source')}) AS term,
+               generate_subscripts(
+                 {_SQL_TOKENS.format(c='source')}, 1) - 1 AS off
+        FROM documents
+      ) t
+    )
+    SELECT term, doc_id, col, CAST(off AS BIGINT) AS off
+    FROM tok
+    WHERE term IN {_VOCAB_INSTANCE_TERMS!r}
+    ORDER BY term, doc_id, col, off
+    """,
+    description="fts5vocab('instance')-analog: one row PER TOKEN "
+    "INSTANCE — term, containing document, column, and 0-based "
+    "token offset within that column — for a queried term set "
+    "(instance mode is always probed with term constraints; an "
+    "unconstrained instance table is the corpus itself), over the "
+    "same two-column (text, source) index as fts_vocab_col. "
+    "Offsets come from posexplode (the positional tokenizer view "
+    "FTS5 keeps in its posting lists). Plan: narrow posexplode + "
+    "isin(terms) prune in the scan stage; the only shuffle is the "
+    "presentation sort.",
+    tags=("text", "fts"),
+)
+def fts_vocab_instance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    inst = d.select(
+        "doc_id",
+        F.lit("text").alias("col"),
+        F.posexplode(tokens("text")).alias("off", "term"),
+    ).unionAll(
+        d.select(
+            "doc_id",
+            F.lit("source"),
+            F.posexplode(tokens("source")).alias("off", "term"),
+        )
+    )
+    return (
+        inst.filter(F.col("term").isin(list(_VOCAB_INSTANCE_TERMS)))
+        .select("term", "doc_id", "col", F.col("off").cast("long"))
+        .orderBy("term", "doc_id", "col", "off")
+    )

@@ -318,3 +318,80 @@ def test_trigram_like_fuzz_vs_python_reference(spark):
             r["doc_id"] for r in like_trigram(df, pat).collect()
         }
         assert got == want, f"pattern {pat}"
+
+
+# ---------------------------------------------------------------------------
+# fts5vocab col / instance modes (round-12 task 2)
+# ---------------------------------------------------------------------------
+
+def _write_docs(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_vocab_col_hand_model(spark, tmp_path):
+    from litebase_spark.operators.text import fts_vocab_col
+
+    sf = _write_docs(spark, tmp_path, [
+        (1, "spark spark table", "spark"),
+        (2, "table", "src"),
+    ])
+    got = {
+        (r["term"], r["col"], r["n_docs"], r["n_occurrences"])
+        for r in fts_vocab_col(spark, sf).collect()
+    }
+    # per-column doc and occurrence counts, fts5vocab('col') contract:
+    # 'spark' in text of 1 doc (2 occurrences) AND in source of 1 doc
+    assert got == {
+        ("spark", "text", 1, 2),
+        ("spark", "source", 1, 1),
+        ("table", "text", 2, 2),
+        ("src", "source", 1, 1),
+    }
+
+
+def test_vocab_instance_hand_model(spark, tmp_path):
+    from litebase_spark.operators.text import fts_vocab_instance
+
+    sf = _write_docs(spark, tmp_path, [
+        (1, "spark table spark", "merge"),
+        (2, "vector", "x"),
+    ])
+    got = {
+        (r["term"], r["doc_id"], r["col"], r["off"])
+        for r in fts_vocab_instance(spark, sf).collect()
+    }
+    # one row per instance, 0-based token offset WITHIN the column;
+    # 'table' is outside the queried term set
+    assert got == {
+        ("spark", 1, "text", 0),
+        ("spark", 1, "text", 2),
+        ("merge", 1, "source", 0),
+        ("vector", 2, "text", 0),
+    }
+
+
+def test_vocab_modes_consistent_with_row_mode(spark, sf_dir):
+    """instance-mode cardinality per (term, col) == col-mode
+    n_occurrences for the queried terms (the posting algebra must
+    agree across the fts5vocab modes)."""
+    from collections import Counter
+
+    from litebase_spark.operators.text import (
+        _VOCAB_INSTANCE_TERMS,
+        fts_vocab_col,
+        fts_vocab_instance,
+    )
+
+    inst = Counter(
+        (r["term"], r["col"])
+        for r in fts_vocab_instance(spark, sf_dir).collect()
+    )
+    colm = {
+        (r["term"], r["col"]): r["n_occurrences"]
+        for r in fts_vocab_col(spark, sf_dir).collect()
+        if r["term"] in _VOCAB_INSTANCE_TERMS
+    }
+    assert dict(inst) == colm
