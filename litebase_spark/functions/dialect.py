@@ -177,10 +177,112 @@ def _printf_call(args: list[str]) -> str:
     return f"printf({', '.join(cast_args)})"
 
 
+_JSON_PATH_KEY_RE = re.compile(r"^\$\.([A-Za-z_][A-Za-z0-9_]*)$")
+
+# json_* / jsonb_* modify family accepted at a literal TOP-LEVEL path
+# ('$.key'); nested paths are left unrewritten so the resolver error
+# names the original function instead of silently mis-editing.
+_JSON_MODIFY = {
+    "json_set", "jsonb_set",
+    "json_insert", "jsonb_insert",
+    "json_replace", "jsonb_replace",
+}
+
+
+def _json_path_key(arg: str) -> str | None:
+    p = _literal(arg)
+    if p is None:
+        return None
+    m = _JSON_PATH_KEY_RE.match(p)
+    return m.group(1).replace("'", "''") if m else None
+
+
+def _json_xform(n: str, args: list[str], j: str) -> str | None:
+    """SQLite JSON1 family -> Spark SQL (SURVEY §2.B; the reference
+    enables JSON1 wholesale, pkg/sqlite3/sqlite3.go:22, which since
+    SQLite 3.45 includes the jsonb_* binary-storage variants —
+    present in the reference's 3.49.1).
+
+    jsonb is a STORAGE optimization, not a semantics change
+    (sqlite.org/json1.html#jsonb): every jsonb_* accepts the same
+    arguments and represents the same document as its json_* twin, so
+    this engine accepts both spellings and returns TEXT JSON for
+    both — the documented deviation (columnar parquet + Spark's
+    variant kernel already fill jsonb's decode-saving role; a binary
+    wire format would buy nothing here). Second deviation: outputs
+    canonicalize key order (parse_json sorts keys) where SQLite
+    preserves insertion order. Values keep their JSON types
+    end-to-end: documents round-trip through Spark's
+    map<string,variant>, never through a stringly-typed map."""
+    if n in ("json", "jsonb") and len(args) == 1:
+        return f"to_json(parse_json({args[0]}))"
+    if n in ("json_extract", "jsonb_extract") and len(args) == 2:
+        return f"get_json_object({args[0]}, {args[1]})"
+    if n in ("json_array", "jsonb_array"):
+        return f"to_json(array({j}))" if args else "'[]'"
+    if n in ("json_object", "jsonb_object") and len(args) % 2 == 0:
+        return f"to_json(named_struct({j}))" if args else "'{}'"
+    if n in ("json_group_array", "jsonb_group_array") and len(args) == 1:
+        return f"to_json(collect_list({args[0]}))"
+    if n in ("json_group_object", "jsonb_group_object") and len(args) == 2:
+        return f"to_json(map_from_entries(collect_list(struct({j}))))"
+    if n == "json_valid" and len(args) == 1:
+        return f"(try_parse_json({args[0]}) IS NOT NULL)"
+    if n in ("json_array_length", "jsonb_array_length") and len(args) == 2:
+        return f"json_array_length(get_json_object({args[0]}, {args[1]}))"
+    if n == "jsonb_array_length" and len(args) == 1:
+        return f"json_array_length({args[0]})"
+    if n in _JSON_MODIFY and len(args) == 3:
+        key = _json_path_key(args[1])
+        if key is None:
+            return None
+        x, val = args[0], args[2]
+        m = f"from_json({x}, 'map<string,variant>')"
+        # lift an arbitrary SQL value to variant without string
+        # mangling: wrap in a 1-element array, render, re-parse
+        vv = f"variant_get(parse_json(to_json(array({val}))), '$[0]')"
+        set_expr = (
+            f"to_json(parse_json(to_json(map_concat("
+            f"map_filter({m}, (k, v) -> k != '{key}'), "
+            f"map('{key}', {vv})))))"
+        )
+        if n.endswith("_set"):
+            return set_expr
+        unchanged = f"to_json(parse_json({x}))"
+        guard = f"map_contains_key({m}, '{key}')"
+        if n.endswith("_replace"):
+            return f"(CASE WHEN {guard} THEN {set_expr} ELSE {unchanged} END)"
+        return f"(CASE WHEN {guard} THEN {unchanged} ELSE {set_expr} END)"
+    if n in ("json_remove", "jsonb_remove") and len(args) == 2:
+        key = _json_path_key(args[1])
+        if key is None:
+            return None
+        return (
+            f"to_json(parse_json(to_json(map_filter("
+            f"from_json({args[0]}, 'map<string,variant>'), "
+            f"(k, v) -> k != '{key}'))))"
+        )
+    if n in ("json_patch", "jsonb_patch") and len(args) == 2:
+        # RFC 7386 MergePatch at the top level (patch nulls delete,
+        # other keys overwrite/insert); SQLite recurses into nested
+        # objects — nested-object patches are left unrewritten by the
+        # one-level map model, a documented depth limit
+        a = f"from_json({args[0]}, 'map<string,variant>')"
+        b = f"from_json({args[1]}, 'map<string,variant>')"
+        return (
+            f"to_json(parse_json(to_json(map_concat("
+            f"map_filter({a}, (k, v) -> NOT map_contains_key({b}, k)), "
+            f"map_filter({b}, (k, v) -> NOT is_variant_null(v))))))"
+        )
+    return None
+
+
 def _xform(name: str, args: list[str]) -> str | None:
     """Replacement text for one call, or None to leave it unchanged."""
     n = name.lower()
     j = ", ".join(args)
+    if n.startswith(("json", "jsonb")):
+        return _json_xform(n, args, j)
     if n == "iif" and len(args) == 3:
         return f"if({j})"
     if n in ("format", "printf") and len(args) >= 1:
@@ -246,6 +348,16 @@ _NAMES = {
     "iif", "format", "printf", "max", "min", "char", "like", "quote",
     "unicode", "zeroblob", "typeof", "glob", "strftime", "datetime",
     "date", "time", "ltrim", "rtrim", "trim",
+    # JSON1 family, both spellings (jsonb_* = SQLite >= 3.45 binary
+    # storage variants; accepted, TEXT JSON returned)
+    "json", "jsonb", "json_extract", "jsonb_extract",
+    "json_array", "jsonb_array", "json_object", "jsonb_object",
+    "json_group_array", "jsonb_group_array",
+    "json_group_object", "jsonb_group_object",
+    "json_valid", "json_array_length", "jsonb_array_length",
+    "json_set", "jsonb_set", "json_insert", "jsonb_insert",
+    "json_replace", "jsonb_replace", "json_remove", "jsonb_remove",
+    "json_patch", "jsonb_patch",
 }
 
 

@@ -545,3 +545,73 @@ def func_json_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("atom").alias("min_atom"),
         F.max("atom").alias("max_atom"),
     )
+
+
+@query(
+    "func_jsonb",
+    oracle="""
+    WITH rows_ AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             CAST(json(props) AS VARCHAR) AS canon,
+             CAST(json_merge_patch(props, json_object('new', user_id))
+                  AS VARCHAR) AS with_new,
+             CAST(json_merge_patch(props, '{"k":null}') AS VARCHAR)
+                 AS removed,
+             CAST(json_merge_patch(props, '{"k": null, "z": 1}')
+                  AS VARCHAR) AS patched
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           MIN(canon) AS min_canon,
+           MIN(with_new) AS min_with_new,
+           MIN(removed) AS min_removed,
+           MIN(patched) AS min_patched,
+           CAST(SUM(k) AS BIGINT) AS sum_k
+    FROM rows_ GROUP BY event_type
+    """,
+    description="jsonb_* function family (SQLite >= 3.45; present in "
+    "the reference's embedded 3.49.1, whose build enables JSON1 "
+    "wholesale — pkg/sqlite3/sqlite3.go:22): jsonb / jsonb_extract / "
+    "jsonb_set / jsonb_remove / jsonb_patch accepted as SQL TEXT and "
+    "rewritten by the dialect layer (functions/dialect.py "
+    "_json_xform) onto Spark's variant kernel — from_json to "
+    "map<string,variant> preserves JSON value types end-to-end, "
+    "parse_json canonicalizes. This query deliberately goes THROUGH "
+    "rewrite_sqlite_functions + spark.sql so the driver gate "
+    "exercises the dialect path itself, not a DataFrame twin. "
+    "Documented deviations: outputs are TEXT JSON (jsonb is a "
+    "storage-format optimization; parquet+variant already fill that "
+    "role), canonical key order on round-tripped documents, "
+    "modify family at literal top-level paths. Plan: pure per-row "
+    "codegen expressions + one group-by — no UDF, no extra "
+    "exchange.",
+    tags=("functions", "json"),
+)
+def func_jsonb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from litebase_spark.functions.dialect import rewrite_sqlite_functions
+
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "__jsonb_events"
+    )
+    sqlite_sql = """
+    WITH rows_ AS (
+      SELECT event_type,
+             CAST(jsonb_extract(props, '$.k') AS BIGINT) AS k,
+             jsonb(props) AS canon,
+             jsonb_set(props, '$.new', user_id) AS with_new,
+             jsonb_remove(props, '$.k') AS removed,
+             jsonb_patch(props, '{"k": null, "z": 1}') AS patched
+      FROM __jsonb_events
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           MIN(canon) AS min_canon,
+           MIN(with_new) AS min_with_new,
+           MIN(removed) AS min_removed,
+           MIN(patched) AS min_patched,
+           SUM(k) AS sum_k
+    FROM rows_ GROUP BY event_type
+    """
+    return spark.sql(rewrite_sqlite_functions(sqlite_sql))

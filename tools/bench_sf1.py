@@ -203,6 +203,13 @@ def main() -> int:
                     "the full headline set)")
     args = ap.parse_args()
 
+    # sample machine load at run START (bench.py's methodology): by
+    # artifact-write time the loadavg is dominated by this bench's own
+    # 32 threads, which would make a verified-idle run read as busy
+    from bench import read_loadavg
+
+    load1, load5, load15 = read_loadavg()
+
     import litebase_spark.operators  # noqa: F401
     from bench import HEADLINE
     from litebase_spark.catalog import REGISTRY, TABLES
@@ -280,9 +287,6 @@ def main() -> int:
             duck_t[name] = round(time.time() - t1, 3)
             print(f"# duckdb {name}: {duck_t[name]:.2f}s", file=sys.stderr)
 
-    from bench import read_loadavg
-
-    load1, load5, load15 = read_loadavg()
     lines = [
         f"# BENCH_SF{args.k // 10} — headline set at sf{args.k // 10}-equivalent "
         f"(facts x{args.k} key-shifted from sf0.1, dims fixed), "
@@ -290,7 +294,7 @@ def main() -> int:
         "",
         "Same files for both engines. Steady-state: plan built once, "
         "2 executions, min (bench.py methodology). Machine load at "
-        f"artifact write (1m/5m/15m): {load1:.2f}/{load5:.2f}/"
+        f"run START (1m/5m/15m): {load1:.2f}/{load5:.2f}/"
         f"{load15:.2f} — self-certifying, like bench.py's driver line.",
         "",
         "| query | spark s | duckdb s | ratio |",

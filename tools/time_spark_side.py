@@ -4,45 +4,142 @@ The oracle sweep times Spark+DuckDB together; this isolates OUR side so
 plan pathologies (serialized stages, recomputed subtrees) show up as
 outliers. Prints one `name seconds rows` line per query, slowest last.
 
-Usage: python tools/time_spark_side.py [--sf-dir DIR] [name ...]
+--x K runs the FULL registry against the x-K fact replica
+(tools/scale_stress.build_replica — same files BENCH_SF10 uses), so
+every query gets a measured at-scale number and outliers can't hide
+outside a curated subset. Methodology there: noop WRITE (full column
+materialization — count() would let Catalyst prune every column), one
+warm execution then one timed, per-query wall cap enforced by
+cancelJobGroup with the capped queries listed loudly in the output
+(a cap is a measurement too: it bounds the query from below).
+
+Usage:
+  python tools/time_spark_side.py [--sf-dir DIR] [name ...]
+  python tools/time_spark_side.py --x 100 --cap 120 --out SWEEP_X100.md
 """
 
 from __future__ import annotations
 
 import argparse
 import sys
+import threading
 import time
+
+
+def _timed_noop(spark, name, builder, sf_dir, cap):
+    """Build + warm + time one query in a worker thread; cancel its
+    job group at the cap. Returns dict(sec=, rows=) or dict(err=)."""
+    out: dict = {}
+    group = f"sweep-{name}"
+
+    def work():
+        try:
+            spark.sparkContext.setJobGroup(group, name, True)
+            df = builder(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()  # warm
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            out["sec"] = time.time() - t0
+        except Exception as exc:
+            out.setdefault("err", str(exc).splitlines()[0][:140])
+        finally:
+            spark.sparkContext.clearJobGroup()
+
+    th = threading.Thread(target=work, daemon=True)
+    th.start()
+    th.join(cap)
+    if th.is_alive():
+        spark.sparkContext.cancelJobGroup(group)
+        th.join(60)
+        out["err"] = f">cap {cap:.0f}s (job group cancelled)"
+        out["capped"] = True
+    return out
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--x", type=int, default=None,
+        help="time against the x-K fact replica of sf0.1 instead of "
+        "--sf-dir (builds it if absent; same files as BENCH_SF10)",
+    )
+    ap.add_argument(
+        "--cap", type=float, default=None,
+        help="per-query wall cap in seconds (default: none at base "
+        "SF, 120 with --x)",
+    )
+    ap.add_argument(
+        "--out", default=None,
+        help="also write a markdown artifact (sweep table, slowest "
+        "first, capped/err section on top)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
     sys.path.insert(0, ".")
     import litebase_spark.operators  # noqa: F401
+    from bench import read_loadavg
     from litebase_spark.catalog import REGISTRY
     from litebase_spark.session import get_spark
 
+    load = read_loadavg()
     spark = get_spark("time-spark-side")
+    spark.range(1).count()
+
+    sf_dir = args.sf_dir
+    if args.x:
+        from tools.scale_stress import build_replica
+
+        t0 = time.time()
+        sf_dir = build_replica(spark, args.x)
+        print(f"# x{args.x} replica ready in {time.time() - t0:.1f}s "
+              f"at {sf_dir}", file=sys.stderr)
+    cap = args.cap if args.cap is not None else (120.0 if args.x else 1e9)
+
     names = args.names or sorted(REGISTRY)
-    out = []
-    for name in names:
-        spec = REGISTRY[name]
-        try:
-            df = spec.builder(spark, args.sf_dir)
-            df.count()  # warm
-            t0 = time.time()
-            n = df.count()
-            out.append((time.time() - t0, name, n))
-        except Exception as exc:  # pragma: no cover
-            print(f"\nERR {name}: {str(exc)[:100]}", flush=True)
-    out.sort()
+    timed, bad = [], []
+    for i, name in enumerate(names):
+        r = _timed_noop(spark, name, REGISTRY[name].builder, sf_dir, cap)
+        if "sec" in r:
+            timed.append((r["sec"], name))
+            print(f"[{i + 1}/{len(names)}] {name} {r['sec']:.2f}s",
+                  flush=True)
+        else:
+            bad.append((name, r["err"]))
+            print(f"[{i + 1}/{len(names)}] {name} ERR {r['err']}",
+                  flush=True)
+    timed.sort()
     print()
-    for sec, name, n in out:
-        print(f"{sec:7.2f}  {name}  rows={n}")
-    print(f"\ntotal {sum(s for s, _, _ in out):.1f}s over {len(out)}")
+    for sec, name in timed:
+        print(f"{sec:7.2f}  {name}")
+    total = sum(s for s, _ in timed)
+    print(f"\ntotal {total:.1f}s over {len(timed)} timed, "
+          f"{len(bad)} capped/err")
+
+    if args.out:
+        tag = f"x{args.x}" if args.x else args.sf_dir
+        lines = [
+            f"# Spark-side warm-time sweep — {tag}, "
+            f"local[{spark.sparkContext.defaultParallelism}], "
+            f"{len(names)} registry queries",
+            "",
+            "Methodology: noop write (full materialization), 1 warm + "
+            f"1 timed execution, per-query cap {cap:.0f}s via "
+            "cancelJobGroup. Machine load at run START (1m/5m/15m): "
+            f"{load[0]:.2f}/{load[1]:.2f}/{load[2]:.2f}.",
+            "",
+        ]
+        if bad:
+            lines += ["## Capped / errored", ""]
+            lines += [f"- `{n}` — {e}" for n, e in bad]
+            lines += [""]
+        lines += ["| query | spark s |", "|---|---|"]
+        lines += [f"| {n} | {s:.2f} |" for s, n in reversed(timed)]
+        lines += ["", f"Total timed: {total:.1f}s over {len(timed)}."]
+        with open(args.out, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        print(f"# wrote {args.out}")
     return 0
 
 
