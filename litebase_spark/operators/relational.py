@@ -1508,23 +1508,92 @@ def window_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="Exact interpolated percentiles per group — the rollup "
     "shape of the reference's query-latency telemetry "
-    "(count/p50/p90/p99, pkg/logs/query_metric.go:14-28) applied to data. "
-    "Exact percentile needs the group's values collected per key (fine "
-    "for bounded groups); at 100 TB unbounded groups use "
-    "approx_percentile (t-digest, mergeable sketches) instead.",
+    "(count/p50/p90/p99, pkg/logs/query_metric.go:14-28) applied to "
+    "data. Re-planned round 12 (the x100 full-registry sweep caught "
+    "the old plan): Spark's percentile() collects every group's value "
+    "list into one aggregation buffer — 20M doubles per return flag "
+    "at x100 blew the 120 s cap and is an OOM at 100 TB. This plan is "
+    "the distributed-CDF pattern the drift/spearman family owns: ONE "
+    "corpus exchange onto (flag, cents) VALUE-DOMAIN cells (map-side "
+    "combine; 2-decimal money so cents are exact longs bounded by the "
+    "price domain, not the corpus), bucketed two-level cumulative "
+    "counts (local prefix within (flag, c div 1e5) + broadcast "
+    "bucket offsets — no per-flag single-task sort), then the q-th "
+    "value = the first cell whose cumulative count covers "
+    "floor((n-1)q) (a conditional MIN — the cumulative count is "
+    "monotone in c), linearly interpolated to the next index like "
+    "percentile()/quantile_cont. Exact at any scale; agreement with "
+    "the old collect-based plan pinned by test.",
     tags=("agg", "percentile"),
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem")
-    return (
-        l.groupBy("l_returnflag")
-        .agg(
-            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("p99"),
-            F.count(F.lit(1)).alias("n"),
+    return _cdf_percentiles(
+        l, "l_returnflag", "l_extendedprice",
+        [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")],
+    ).orderBy("l_returnflag")
+
+
+def _cdf_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: list[tuple[float, str]],
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact interpolated percentiles from a value-domain cell table
+    (distributed CDF): cells -> bucketed cumulative counts -> the
+    index-covering cell per quantile. The value column must be
+    2-decimal (goes through fp()); output interpolates in exact cents
+    then divides once, agreeing with percentile() to well inside the
+    round-6 contract."""
+    cells = df.groupBy(
+        F.col(group_col), fp(value_col).alias("c")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    yb = cells.withColumn("b", F.floor(F.col("c") / F.lit(100000)))
+    w_loc = (
+        Window.partitionBy(group_col, "b")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    loc = yb.select(
+        group_col, "b", "c", "cnt",
+        F.sum("cnt").over(w_loc).alias("lcum"),
+    )
+    w_b = (
+        Window.partitionBy(group_col)
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = (
+        yb.groupBy(group_col, "b")
+        .agg(F.sum("cnt").alias("bc"))
+        .select(
+            group_col, "b",
+            F.coalesce(F.sum("bc").over(w_b), F.lit(0)).alias("off"),
         )
-        .orderBy("l_returnflag")
+    )
+    cum = loc.join(F.broadcast(boff), [group_col, "b"]).select(
+        group_col, "c", (F.col("lcum") + F.col("off")).alias("cum")
+    )
+    tot = cells.groupBy(group_col).agg(F.sum("cnt").alias("n"))
+    j = cum.join(F.broadcast(tot), group_col)
+    aggs = []
+    for q, name in quantiles:
+        r = (F.col("n") - 1).cast("double") * F.lit(q)
+        k0 = F.floor(r)
+        vlo = F.min(F.when(F.col("cum") >= k0 + 1, F.col("c")))
+        vhi = F.coalesce(
+            F.min(F.when(F.col("cum") >= k0 + 2, F.col("c"))), vlo
+        )
+        g = r - k0.cast("double")
+        val = (
+            vlo.cast("double") + g * (vhi - vlo).cast("double")
+        ) / 100.0
+        aggs.append(F.round(val, round_digits).alias(name))
+    return j.groupBy(group_col, "n").agg(*aggs).select(
+        group_col, *[name for _, name in quantiles],
+        F.col("n"),
     )
 
 

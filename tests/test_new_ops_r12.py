@@ -503,3 +503,62 @@ def test_jsonb_through_engine_sql(spark, sf_dir):
 
     doc = json.loads(row["doc"])
     assert doc["k"] == int(row["k"]) and "t" in doc
+
+
+# ---------------------------------------------------------------------------
+# agg_percentiles re-plan (round-12 x100 sweep finding)
+# ---------------------------------------------------------------------------
+
+def test_cdf_percentiles_match_sparks_percentile(spark):
+    """The distributed-CDF exact percentile must agree with Spark's
+    collect-based percentile() (the old plan) on a randomized 2-decimal
+    fixture — including interpolation between ranks and duplicate
+    values."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from litebase_spark.operators.relational import _cdf_percentiles
+
+    rng = random.Random(1212)
+    rows = [
+        (rng.choice("ABC"), round(rng.uniform(1, 5000), 2))
+        for _ in range(4000)
+    ] + [("A", 7.77)] * 25  # duplicate block: cum-count covering spans
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r["g"]: (r["p50"], r["p90"], r["p99"], r["n"])
+        for r in _cdf_percentiles(
+            df, "g", "v", [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]
+        ).collect()
+    }
+    want = {
+        r["g"]: (r["p50"], r["p90"], r["p99"], r["n"])
+        for r in df.groupBy("g").agg(
+            F.round(F.percentile("v", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("v", F.lit(0.9)), 6).alias("p90"),
+            F.round(F.percentile("v", F.lit(0.99)), 6).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_cdf_percentiles_tiny_group_edge(spark):
+    """n=1 and n=2 groups: k0+2 exceeds the cell count, the vhi
+    coalesce must fall back to vlo instead of nulling the result."""
+    from pyspark.sql import functions as F
+
+    from litebase_spark.operators.relational import _cdf_percentiles
+
+    df = spark.createDataFrame(
+        [("X", 5.0), ("Y", 1.0), ("Y", 2.0)], "g string, v double"
+    )
+    got = {
+        r["g"]: (r["p50"], r["p99"])
+        for r in _cdf_percentiles(
+            df, "g", "v", [(0.5, "p50"), (0.99, "p99")]
+        ).collect()
+    }
+    assert got["X"] == (5.0, 5.0)
+    assert got["Y"] == (1.5, 1.99)

@@ -34,6 +34,8 @@ def _timed_noop(spark, name, builder, sf_dir, cap):
 
     def work():
         try:
+            # job groups are thread-local; each query gets its own
+            # worker thread, so stale groups never leak across queries
             spark.sparkContext.setJobGroup(group, name, True)
             df = builder(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()  # warm
@@ -42,8 +44,6 @@ def _timed_noop(spark, name, builder, sf_dir, cap):
             out["sec"] = time.time() - t0
         except Exception as exc:
             out.setdefault("err", str(exc).splitlines()[0][:140])
-        finally:
-            spark.sparkContext.clearJobGroup()
 
     th = threading.Thread(target=work, daemon=True)
     th.start()
@@ -97,10 +97,44 @@ def main() -> int:
               f"at {sf_dir}", file=sys.stderr)
     cap = args.cap if args.cap is not None else (120.0 if args.x else 1e9)
 
+    def rebuild_spark():
+        """A per-query OOM in local mode kills the whole JVM; the
+        sweep must record that query as the (legitimate, interesting)
+        at-scale failure it is and carry on in a fresh JVM."""
+        from pyspark import SparkContext
+        from pyspark.sql import SparkSession
+
+        try:
+            SparkSession.builder.getOrCreate().stop()
+        except Exception:
+            pass
+        SparkContext._active_spark_context = None
+        SparkContext._gateway = None
+        SparkContext._jvm = None
+        SparkSession._instantiatedSession = None
+        SparkSession._activeSession = None
+        s = get_spark("time-spark-side")
+        s.range(1).count()
+        return s
+
+    def alive() -> bool:
+        try:
+            spark.range(1).count()
+            return True
+        except Exception:
+            return False
+
     names = args.names or sorted(REGISTRY)
     timed, bad = [], []
     for i, name in enumerate(names):
         r = _timed_noop(spark, name, REGISTRY[name].builder, sf_dir, cap)
+        if "err" in r and not r.get("capped") and not alive():
+            r["err"] = (
+                f"JVM died executing this query at this scale "
+                f"(heap exhaustion class) — original: {r['err']}"
+            )
+            spark = rebuild_spark()
+            print(f"# JVM restarted after {name}", file=sys.stderr)
         if "sec" in r:
             timed.append((r["sec"], name))
             print(f"[{i + 1}/{len(names)}] {name} {r['sec']:.2f}s",
