@@ -623,8 +623,59 @@ def fts_match(
     codegen, functions/porter.py — same shuffle shape as the
     unstemmed path) and query terms through the identical stage chain
     driver-side, so 'querying' matches docs containing 'query'.
+
+    `tokenize='trigram'` mirrors FTS5's trigram tokenizer on the same
+    boolean surface: every query term is an exact SUBSTRING predicate
+    (no word boundaries), resolved purely index-side by the
+    phrase-adjacency anchor algebra (text_trigram._anchor_hits) — one
+    pruned posting probe for ALL terms, then the identical
+    must/should/not coverage aggregate keyed by term index.
     """
     must, should, must_not = list(must), list(should), list(must_not)
+    if tokenize == "trigram":
+        from litebase_spark.operators.text_trigram import (
+            _anchor_hits,
+            trigram_postings,
+        )
+
+        terms = [t.lower() for t in must + should + must_not]
+        short = [t for t in terms if len(t) < 3]
+        if short:
+            raise ValueError(
+                f"fts_match(tokenize='trigram'): terms shorter than "
+                f"3 chars are unindexable: {short!r}"
+            )
+        n_m, n_s = len(must), len(should)
+        hits = (
+            _anchor_hits(
+                trigram_postings(docs, id_col, text_col), terms, id_col
+            )
+            .select(id_col, "run")
+            .distinct()
+        )
+        in_rng = lambda lo, hi: F.sum(
+            F.when((F.col("run") >= lo) & (F.col("run") < hi), 1)
+            .otherwise(0)
+        )
+        agg = hits.groupBy(id_col).agg(
+            in_rng(0, n_m).alias("__must"),
+            (in_rng(n_m, n_m + n_s) if n_s else F.lit(1)).alias(
+                "__should"
+            ),
+            in_rng(n_m + n_s, len(terms)).alias("__not"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+        return (
+            agg.filter(
+                (F.col("__must") == n_m)
+                & (F.col("__should") >= (1 if n_s else 0))
+                & (F.col("__not") == 0)
+            )
+            .select(
+                id_col,
+                (F.col("n_matched") - F.col("__not")).alias("n_matched"),
+            )
+        )
     if tokenize == "porter":
         from litebase_spark.functions.porter import (
             porter_stem_py,

@@ -341,3 +341,45 @@ def fts_glob_trigram(spark, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     d = d.repartition(spark.sparkContext.defaultParallelism)
     return glob_trigram(d, "*big*table*")
+
+
+@query(
+    "fts_match_trigram_boolean",
+    oracle="""
+    SELECT doc_id,
+           CAST((CASE WHEN contains(lower(text), 'que') THEN 1 ELSE 0 END)
+              + (CASE WHEN contains(lower(text), 'tab') THEN 1 ELSE 0 END)
+              + (CASE WHEN contains(lower(text), 'vect') THEN 1 ELSE 0 END)
+              + (CASE WHEN contains(lower(text), 'strea') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_matched
+    FROM documents
+    WHERE contains(lower(text), 'que')
+      AND contains(lower(text), 'tab')
+      AND (contains(lower(text), 'vect')
+           OR contains(lower(text), 'strea'))
+      AND NOT contains(lower(text), 'merg')
+    """,
+    description="FTS5 boolean MATCH under tokenize='trigram' ('que "
+    "AND tab (vect OR strea) NOT merg'): the full MATCH grammar over "
+    "SUBSTRING predicates — FTS5's trigram tokenizer keeps the whole "
+    "query syntax, each term matching anywhere in the text with no "
+    "word boundaries (que hits query/queue, tab hits table). One "
+    "pruned posting probe resolves ALL five terms' anchors "
+    "(run-tagged broadcast), then the same must/should/not coverage "
+    "aggregate as the unicode61/porter MATCH surface, keyed by term "
+    "index. No Contains/LIKE over text in the plan; shuffle carries "
+    "only query-gram hits.",
+    tags=("text", "fts", "trigram"),
+)
+def fts_match_trigram_boolean(spark, sf_dir: str) -> DataFrame:
+    from litebase_spark.operators.text import fts_match
+
+    d = load(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    return fts_match(
+        d,
+        must=["que", "tab"],
+        should=["vect", "strea"],
+        must_not=["merg"],
+        tokenize="trigram",
+    )

@@ -562,3 +562,30 @@ def test_cdf_percentiles_tiny_group_edge(spark):
     }
     assert got["X"] == (5.0, 5.0)
     assert got["Y"] == (1.5, 1.99)
+
+
+def test_fts_match_trigram_boolean_hand_model(spark):
+    """Substring semantics on the boolean MATCH surface: 'que' must
+    hit 'queue' AND 'query' (no word boundaries), NOT excludes, and
+    n_matched counts hit terms."""
+    from litebase_spark.operators.text import fts_match
+
+    df = spark.createDataFrame(
+        [
+            (1, "the queue is long"),        # que, no tab -> out
+            (2, "query the table"),          # que + tab -> in, n=2
+            (3, "query the table merged"),   # merg -> out
+            (4, "tabulate questions"),       # tab + que -> in, n=2
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["n_matched"])
+        for r in fts_match(
+            df, must=["que", "tab"], must_not=["merg"],
+            tokenize="trigram",
+        ).collect()
+    }
+    assert got == {(2, 2), (4, 2)}
+    with pytest.raises(ValueError, match="shorter than 3"):
+        fts_match(df, must=["ab"], tokenize="trigram")

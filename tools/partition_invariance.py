@@ -112,6 +112,18 @@ NAMES = [
     "stats_drift_report_multi",
     "fts_match_porter",
     "fts_vocab_porter",
+    # r12: trigram posting algebra (anchor folds + sorted collect_list
+    # arrays in the multi-run LIKE/GLOB fold), two-column vocab modes,
+    # the variant-kernel jsonb rewrite (MIN over rendered text), and
+    # the distributed-CDF exact percentile (bucketed cumulative
+    # windows — the class this gate exists for)
+    "fts_match_trigram",
+    "fts_like_trigram",
+    "fts_glob_trigram",
+    "fts_vocab_col",
+    "fts_vocab_instance",
+    "func_jsonb",
+    "agg_percentiles",
 ]
 
 
