@@ -589,3 +589,38 @@ def test_fts_match_trigram_boolean_hand_model(spark):
     assert got == {(2, 2), (4, 2)}
     with pytest.raises(ValueError, match="shorter than 3"):
         fts_match(df, must=["ab"], tokenize="trigram")
+
+
+def test_ntile_closed_form_matches_window_ntile(spark):
+    """The distributed rank's closed-form NTILE/PERCENT_RANK/CUME_DIST
+    must equal Spark's own window functions — including the uneven
+    n % 4 bucket split — on sizes straddling the remainder cases."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from litebase_spark.operators.relational import window_ntile_dist
+
+    rng = random.Random(44)
+    for n in (1, 2, 3, 4, 5, 7, 101):
+        rows = [
+            (i, round(rng.uniform(900, 105000), 2)) for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "o_orderkey long, o_totalprice double")
+        df.write.mode("overwrite").parquet("/tmp/__ntile_probe/orders.parquet")
+        got = {
+            r["o_orderkey"]: (r["quartile"], r["pct_rank"], r["cume"])
+            for r in window_ntile_dist(spark, "/tmp/__ntile_probe").collect()
+        }
+        w = Window.orderBy("o_totalprice", "o_orderkey")
+        want = {
+            r["o_orderkey"]: (r["q"], r["p"], r["c"])
+            for r in df.select(
+                "o_orderkey",
+                F.ntile(4).over(w).alias("q"),
+                F.round(F.percent_rank().over(w), 8).alias("p"),
+                F.round(F.cume_dist().over(w), 8).alias("c"),
+            ).collect()
+        }
+        assert got == want, f"n={n}"
