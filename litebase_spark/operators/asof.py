@@ -342,7 +342,12 @@ def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "previous/next observed value weighted by time distance. Two window "
     "sweeps over ONE partitioning (user_id) — single shuffle, state "
     "bounded per key; the standard sensor/metric repair op the reference "
-    "cannot express without application code.",
+    "cannot express without application code. Round 12: the backward "
+    "carry runs as last-ignorenulls over the REVERSED in-partition "
+    "order (running frame, O(n)) — Spark evaluates a "
+    "[currentRow, unboundedFollowing] frame by rescanning to the "
+    "partition end per row, O(n^2) per key (>120 s at x100; the full "
+    "sweep caught it).",
     tags=("timeseries", "window"),
 )
 def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -362,10 +367,18 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # the backward carry is last-ignorenulls over the REVERSED order,
+    # never first() over [currentRow, unboundedFollowing]: Spark's
+    # UnboundedFollowing frame recomputes its aggregate by rescanning
+    # current..end for EVERY row — O(rows_per_key^2) per partition,
+    # >120 s at the x100 point (caught by the full-registry sweep).
+    # Running frames are O(n); the reversed sort reuses the same
+    # exchange (identical partitioning), costing one extra
+    # in-partition sort.
     bwd = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     t_obs = F.when(F.col("v").isNotNull(), F.col("tsec"))
     bounds = marked.select(
@@ -375,8 +388,8 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tsec",
         F.last("v", ignorenulls=True).over(fwd).alias("pv"),
         F.last(t_obs, ignorenulls=True).over(fwd).alias("pt"),
-        F.first("v", ignorenulls=True).over(bwd).alias("nv"),
-        F.first(t_obs, ignorenulls=True).over(bwd).alias("nt"),
+        F.last("v", ignorenulls=True).over(bwd).alias("nv"),
+        F.last(t_obs, ignorenulls=True).over(bwd).alias("nt"),
     )
     filled = (
         F.when(F.col("v").isNotNull(), F.col("v"))
