@@ -142,6 +142,17 @@ HEADLINE = [
     # round 11
     "fts_match_porter",
     "stats_drift_report_multi",
+    # round 12 (note: the four fts trigram/vocab rows build their
+    # posting index INLINE per run — the deployment shape is
+    # materialize-once; their sf0.1 ratios price the build, see
+    # SWEEP_X100.md notes)
+    "fts_match_trigram",
+    "fts_like_trigram",
+    "fts_glob_trigram",
+    "fts_match_trigram_boolean",
+    "fts_vocab_col",
+    "fts_vocab_instance",
+    "func_jsonb",
 ]
 
 

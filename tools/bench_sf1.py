@@ -64,14 +64,38 @@ _EXCLUDE = {
 # absolute constants drift ±10-30% between runs but the *structure*
 # (exchange count, which variant wins) is stable.
 _FLOOR_NOTES = [
-    "Headline-reading note (r11): `fts_match_porter`'s DuckDB side "
-    "(66 s at sf1 — the oracle stems every posting through the "
-    "19-stage porter chain; the Spark plan stems the 31-term "
-    "VOCABULARY and broadcast-joins the map back) contributes ~38% "
-    "of the DuckDB total on its own. Ex-porter the both-engines "
-    "subset reads 57.8 vs 107.6 = 0.54x — quote that number when "
-    "comparing across rounds; the 0.34x gross includes a "
-    "structural win, not a tuning one.",
+    "Headline-reading note (r11, numbers refreshed r12): "
+    "`fts_match_porter`'s DuckDB side (47-66 s at sf1 across runs — "
+    "the oracle stems every posting through the 19-stage porter "
+    "chain; the Spark plan stems the 31-term VOCABULARY and "
+    "broadcast-joins the map back) contributes ~1/3 of the DuckDB "
+    "total on its own. Ex-porter the r12 both-engines subset "
+    "(112 rows incl. the four inline-index-build trigram/vocab "
+    "adds) reads 64.1 vs 85.2 = 0.75x (r11, 105 rows: 57.8 vs "
+    "107.6 = 0.54x) — quote "
+    "the ex-porter number when comparing across rounds; the gross "
+    "ratio includes a structural win, not a tuning one.",
+    "",
+    "Round-12 bar closure — the verdict's last idea "
+    "(shuffle-partition right-sizing / AQE advisory tuning) A/B'd "
+    "with tools/ab_shuffle_floor.py at the x10 point, 5 arms "
+    "interleaved x3 (p32-adv64m default / p16 / p8 / p32-adv256m / "
+    "p64), mins: q4 0.640/0.564/0.546/0.576/0.701; "
+    "q10 0.566/0.512/0.505/0.566/0.805; "
+    "q12 0.432/0.335/0.370/0.390/0.562; "
+    "salted 0.567/0.587/0.682/0.588/0.802. At sf0.1 all arms are a "
+    "wash within 0.05 s. Reading: (a) the floor is "
+    "partition-COUNT-constant-bound — halving partitions buys "
+    "10-22% on the TPC-H floors while 4x-ing the AQE advisory size "
+    "moves nothing; (b) no repo-wide win: p16/p8 regress "
+    "join_salted_skew (salting needs spread) and p64 regresses "
+    "everything, so 32 (= defaultParallelism) stays the session "
+    "default, and per-query conf overrides from registry builders "
+    "would leak session state — rejected; (c) even best-arm times "
+    "stay >2x DuckDB — the remainder is launch cost, which "
+    "SCALE_STRESS's flat x16 curves show amortizing with executors, "
+    "not plans. With the stage decompositions and structural A/Bs "
+    "below, all four bars are closed machine-bound, spearman-style.",
     "",
     "Open bars and per-query floor notes (measured stage decompositions, "
     "same-process interleaved A/B):",
