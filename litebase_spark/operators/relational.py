@@ -966,6 +966,13 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
+    # explicit, PUSHABLE non-null gate: the bucket join would add
+    # isnotnull(floor(fp(...))) null-filters that cannot reach the
+    # parquet scan (computed column); stating the precondition on the
+    # source column pushes IsNotNull into both scans instead. (A null
+    # order key has no defined quartile; the fixture column is
+    # non-null.)
+    o = o.filter(F.col("o_totalprice").isNotNull())
     base = o.select(
         "o_orderkey", fp("o_totalprice").alias("c")
     ).withColumn("b", F.floor(F.col("c") / F.lit(1000000)))

@@ -124,6 +124,8 @@ NAMES = [
     "fts_vocab_instance",
     "func_jsonb",
     "agg_percentiles",
+    "window_ntile_dist",
+    "ts_interpolate",
 ]
 
 
