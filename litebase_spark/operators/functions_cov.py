@@ -590,9 +590,13 @@ def func_json_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("functions", "json"),
 )
 def func_jsonb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from litebase_spark.catalog import spread
     from litebase_spark.functions.dialect import rewrite_sqlite_functions
 
-    load(spark, sf_dir, "events").createOrReplaceTempView(
+    # single-file fixture scan = one task; the variant parse work is
+    # per-row and embarrassingly parallel — spread() (conditional, a
+    # no-op on real multi-split inputs) lets it use the executors
+    spread(load(spark, sf_dir, "events")).createOrReplaceTempView(
         "__jsonb_events"
     )
     sqlite_sql = """
