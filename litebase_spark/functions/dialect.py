@@ -197,6 +197,79 @@ def _json_path_key(arg: str) -> str | None:
     return m.group(1).replace("'", "''") if m else None
 
 
+_VMAP = "'map<string,variant>'"
+_EMPTY_VMAP = f"from_json('{{}}', {_VMAP})"
+
+# json_patch recurses into nested objects (RFC 7386); the generated
+# merge expression is unrolled to this depth, and a patch value that
+# is STILL an object past it raises loudly instead of silently
+# wholesale-replacing (same bounded-recursion policy as
+# json_tree_walk's max_depth)
+_PATCH_DEPTH = 3
+
+
+def _vmap(x: str) -> str:
+    """Parse a TEXT JSON document into map<string,variant> — NULL for
+    a non-object document (array/scalar), which the callers use as
+    the SQLite 'path does not match, return doc unchanged' guard."""
+    return f"from_json({x}, {_VMAP})"
+
+
+def _canon_render(m: str) -> str:
+    """Render a map<string,variant> to canonical TEXT JSON in ONE
+    pass: sort the top-level entries by key (variant values already
+    carry sorted nested keys out of from_json), then to_json. This
+    replaces the old to_json -> parse_json -> to_json canonicalizing
+    round-trip, which cost an extra full-document parse AND render
+    per modify call — the per-row money at 100 TB (round-12 bench:
+    jsonb chain 45x DuckDB at x100 from exactly this)."""
+    return (
+        f"to_json(map_from_entries(array_sort(map_entries({m}), "
+        f"(l, r) -> CASE WHEN l.key < r.key THEN -1 "
+        f"WHEN l.key > r.key THEN 1 ELSE 0 END)))"
+    )
+
+
+def _merge_patch(a: str, b: str, depth: int) -> str:
+    """RFC-7386 MergePatch of two map<string,variant> expressions ->
+    merged map expression. `a` may be NULL (non-object doc: treated
+    as {}, matching SQLite json_patch('[1,2]','{...}') -> '{...}');
+    the caller guards `b` non-null. Recursive object-vs-object merges
+    are unrolled `depth` levels; past that a nested-object patch
+    value raises rather than silently diverging from SQLite.
+
+    Each unrolled level needs its own lambda variable (e3, e2, ...)
+    — the inner transform would otherwise shadow the outer binding
+    its sub-expressions still reference."""
+    e = f"e{depth}"
+    aa = f"coalesce({a}, {_EMPTY_VMAP})"
+    keep_a = f"map_filter({aa}, (k, v) -> NOT map_contains_key({b}, k))"
+    if depth <= 0:
+        val = (
+            f"CASE WHEN startswith(to_json({e}.value), '{{') "
+            f"THEN raise_error('json_patch: object nesting deeper "
+            f"than {_PATCH_DEPTH} levels is unsupported') "
+            f"ELSE {e}.value END"
+        )
+    else:
+        sub_a = f"from_json(to_json(element_at({aa}, {e}.key)), {_VMAP})"
+        sub_b = f"from_json(to_json({e}.value), {_VMAP})"
+        merged = _merge_patch(sub_a, sub_b, depth - 1)
+        # parse_json re-canonicalizes the nested level; the top-level
+        # _canon_render pass only sorts depth-0 keys
+        val = (
+            f"CASE WHEN startswith(to_json({e}.value), '{{') "
+            f"THEN parse_json(to_json({merged})) "
+            f"ELSE {e}.value END"
+        )
+    from_b = (
+        f"map_from_entries(transform(filter(map_entries({b}), "
+        f"{e} -> NOT is_variant_null({e}.value)), "
+        f"{e} -> struct({e}.key, {val})))"
+    )
+    return f"map_concat({keep_a}, {from_b})"
+
+
 def _json_xform(n: str, args: list[str], j: str) -> str | None:
     """SQLite JSON1 family -> Spark SQL (SURVEY §2.B; the reference
     enables JSON1 wholesale, pkg/sqlite3/sqlite3.go:22, which since
@@ -210,10 +283,15 @@ def _json_xform(n: str, args: list[str], j: str) -> str | None:
     both — the documented deviation (columnar parquet + Spark's
     variant kernel already fill jsonb's decode-saving role; a binary
     wire format would buy nothing here). Second deviation: outputs
-    canonicalize key order (parse_json sorts keys) where SQLite
-    preserves insertion order. Values keep their JSON types
-    end-to-end: documents round-trip through Spark's
-    map<string,variant>, never through a stringly-typed map."""
+    canonicalize key order (sorted, matching parse_json) where SQLite
+    preserves insertion order. Third: json_patch merges nested
+    objects recursively to _PATCH_DEPTH levels and raises loudly
+    past that (SQLite recurses arbitrarily). Values keep their JSON
+    types end-to-end: documents round-trip through Spark's
+    map<string,variant>, never through a stringly-typed map; each
+    modify call costs ONE document parse and ONE render
+    (_canon_render sorts entries in place of the old
+    parse_json(to_json(...)) round-trip)."""
     if n in ("json", "jsonb") and len(args) == 1:
         return f"to_json(parse_json({args[0]}))"
     if n in ("json_extract", "jsonb_extract") and len(args) == 2:
@@ -237,42 +315,57 @@ def _json_xform(n: str, args: list[str], j: str) -> str | None:
         if key is None:
             return None
         x, val = args[0], args[2]
-        m = f"from_json({x}, 'map<string,variant>')"
+        m = _vmap(x)
         # lift an arbitrary SQL value to variant without string
         # mangling: wrap in a 1-element array, render, re-parse
         vv = f"variant_get(parse_json(to_json(array({val}))), '$[0]')"
-        set_expr = (
-            f"to_json(parse_json(to_json(map_concat("
-            f"map_filter({m}, (k, v) -> k != '{key}'), "
-            f"map('{key}', {vv})))))"
+        set_expr = _canon_render(
+            f"map_concat(map_filter({m}, (k, v) -> k != '{key}'), "
+            f"map('{key}', {vv}))"
         )
+        # non-object document (array/scalar): a '$.key' path matches
+        # nothing — SQLite returns the document unchanged; the repeated
+        # {m} occurrences are one subexpression for Spark's CSE
+        nonobj = f"to_json(parse_json({x}))"
         if n.endswith("_set"):
-            return set_expr
-        unchanged = f"to_json(parse_json({x}))"
+            return (
+                f"(CASE WHEN {m} IS NULL THEN {nonobj} "
+                f"ELSE {set_expr} END)"
+            )
+        unchanged = _canon_render(m)
         guard = f"map_contains_key({m}, '{key}')"
-        if n.endswith("_replace"):
-            return f"(CASE WHEN {guard} THEN {set_expr} ELSE {unchanged} END)"
-        return f"(CASE WHEN {guard} THEN {unchanged} ELSE {set_expr} END)"
+        hit, miss = (
+            (set_expr, unchanged)
+            if n.endswith("_replace")
+            else (unchanged, set_expr)
+        )
+        return (
+            f"(CASE WHEN {m} IS NULL THEN {nonobj} "
+            f"WHEN {guard} THEN {hit} ELSE {miss} END)"
+        )
     if n in ("json_remove", "jsonb_remove") and len(args) == 2:
         key = _json_path_key(args[1])
         if key is None:
             return None
+        m = _vmap(args[0])
+        removed = _canon_render(f"map_filter({m}, (k, v) -> k != '{key}')")
         return (
-            f"to_json(parse_json(to_json(map_filter("
-            f"from_json({args[0]}, 'map<string,variant>'), "
-            f"(k, v) -> k != '{key}'))))"
+            f"(CASE WHEN {m} IS NULL THEN to_json(parse_json({args[0]})) "
+            f"ELSE {removed} END)"
         )
     if n in ("json_patch", "jsonb_patch") and len(args) == 2:
-        # RFC 7386 MergePatch at the top level (patch nulls delete,
-        # other keys overwrite/insert); SQLite recurses into nested
-        # objects — nested-object patches are left unrewritten by the
-        # one-level map model, a documented depth limit
-        a = f"from_json({args[0]}, 'map<string,variant>')"
-        b = f"from_json({args[1]}, 'map<string,variant>')"
+        # RFC 7386 MergePatch, recursive to _PATCH_DEPTH object levels
+        # (loud raise past that): patch nulls delete, objects merge
+        # recursively, everything else overwrites/inserts; a
+        # non-object patch replaces the document wholesale and a
+        # non-object document is treated as {} — all per SQLite
+        a, b = _vmap(args[0]), _vmap(args[1])
+        merged = _canon_render(_merge_patch(a, b, _PATCH_DEPTH))
         return (
-            f"to_json(parse_json(to_json(map_concat("
-            f"map_filter({a}, (k, v) -> NOT map_contains_key({b}, k)), "
-            f"map_filter({b}, (k, v) -> NOT is_variant_null(v))))))"
+            f"(CASE WHEN {args[0]} IS NULL OR {args[1]} IS NULL "
+            f"THEN CAST(NULL AS STRING) "
+            f"WHEN {b} IS NULL THEN to_json(parse_json({args[1]})) "
+            f"ELSE {merged} END)"
         )
     return None
 
@@ -280,6 +373,10 @@ def _json_xform(n: str, args: list[str], j: str) -> str | None:
 def _xform(name: str, args: list[str]) -> str | None:
     """Replacement text for one call, or None to leave it unchanged."""
     n = name.lower()
+    # _split_args('') yields [''] — normalize so zero-arg forms
+    # (json_array() -> '[]', json_object() -> '{}') actually fire
+    if args == [""]:
+        args = []
     j = ", ".join(args)
     if n.startswith(("json", "jsonb")):
         return _json_xform(n, args, j)

@@ -3981,12 +3981,26 @@ def _drift_ref_cond(
             f"table has {df.columns!r}"
         )
     ts_ident = "`" + ts_col.replace("`", "``") + "`"
-    med = df.agg(
-        F.expr(
-            f"percentile(unix_micros("
-            f"cast({ts_ident} as timestamp)), 0.5)"
-        ).alias("m")
-    ).first()["m"]
+    # pre-aggregate to the distinct-timestamp domain BEFORE the exact
+    # percentile: percentile() buffers its full per-group input list,
+    # and over raw rows that is the same single-buffer OOM class
+    # _cdf_percentiles removed from agg_percentiles at x100. Grouping
+    # to (ts, weight) first bounds the buffer by |distinct ts| while
+    # keeping the split exact and partition-order invariant
+    # (percentile with a frequency column == percentile over the
+    # expanded multiset).
+    med = (
+        df.select(
+            F.expr(
+                f"unix_micros(cast({ts_ident} as timestamp))"
+            ).alias("__um")
+        )
+        .where(F.col("__um").isNotNull())
+        .groupBy("__um")
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .agg(F.expr("percentile(__um, 0.5, __w)").alias("m"))
+        .first()["m"]
+    )
     if med is None:
         raise ValueError(
             f"drift_report: cannot derive a median split — "
