@@ -130,6 +130,60 @@ def test_jsonb_spellings_match_json_twins(spark):
         assert _canon(row[i]) == _canon(want), e
 
 
+_JSON_VALUE_LIFT_CASES = [
+    # the jsonb_set value is lifted via cast(v as variant) — pin the
+    # type-preservation corners against SQLite
+    "json_set('{}','$.a', 1.5)",
+    "json_set('{}','$.a', 'str''ing')",
+    "json_set('{}','$.a', NULL)",
+    "json_set('{}','$.a', 0)",
+    "json_set('{}','$.a', '[1,2]')",   # TEXT stays TEXT (needs json())
+]
+
+
+@pytest.mark.parametrize("expr", _JSON_VALUE_LIFT_CASES)
+def test_json_set_value_lift_differential(spark, expr):
+    from litebase_spark.functions.dialect import rewrite_sqlite_functions
+
+    want = _sqlite_eval(expr)
+    got = spark.sql(
+        rewrite_sqlite_functions(f"select {expr} as r")
+    ).collect()[0][0]
+    assert _canon(got) == _canon(want), f"{expr}: {got!r} != {want!r}"
+
+
+def test_json_patch_non_literal_patch_column(spark):
+    """A column-valued patch takes the general recursive-merge path
+    (the flat-literal fast path requires a literal); differential vs
+    SQLite over a mixed batch of docs/patches."""
+    from litebase_spark.functions.dialect import rewrite_sqlite_functions
+
+    rows = [
+        ('{"a":1,"b":2}', '{"b":null,"c":3}'),
+        ('{"a":{"x":1}}', '{"a":{"y":2}}'),
+        ("[1,2]", '{"a":1}'),
+        ('{"a":1}', "[9]"),
+    ]
+    con = sqlite3.connect(":memory:")
+    want = [
+        con.execute("select json_patch(?, ?)", r).fetchone()[0]
+        for r in rows
+    ]
+    con.close()
+    spark.createDataFrame(rows, ["doc", "p"]).createOrReplaceTempView(
+        "__patch_nl"
+    )
+    got = [
+        r[0]
+        for r in spark.sql(
+            rewrite_sqlite_functions(
+                "select json_patch(doc, p) as r from __patch_nl"
+            )
+        ).collect()
+    ]
+    assert [_canon(g) for g in got] == [_canon(w) for w in want]
+
+
 # ---------------------------------------------------------------------------
 # drift default split: bounded percentile buffer (ADVICE medium)
 # ---------------------------------------------------------------------------
