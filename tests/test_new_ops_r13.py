@@ -185,6 +185,50 @@ def test_json_patch_non_literal_patch_column(spark):
 
 
 # ---------------------------------------------------------------------------
+# fts_match_phrase_prefix: posting probe, never a corpus regexp scan
+# ---------------------------------------------------------------------------
+
+def test_phrase_prefix_plan_never_scans_text(spark, sf_dir):
+    """Round-12 verdict task 5: the phrase+prefix MATCH compiles to
+    pruned posting algebra — no Contains/LIKE/RLIKE predicate over
+    the corpus text anywhere in the physical plan (same assertion
+    style as the trigram family's)."""
+    import litebase_spark.operators  # noqa: F401 — populate REGISTRY
+    from litebase_spark.catalog import REGISTRY
+
+    plan = (
+        REGISTRY["fts_match_phrase_prefix"]
+        .builder(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for bad in ("Contains(text", " LIKE ", " RLIKE ", "Like(text",
+                "RLike(", "rlike"):
+        assert bad not in plan, f"{bad} in plan"
+
+
+def test_fts_phrase_prefix_hand_model(spark):
+    """Adjacency + prefix semantics against a hand model: phrase
+    words must be ADJACENT in order; prefix matches any token."""
+    from litebase_spark.operators.text import fts_phrase_prefix
+
+    rows = [
+        (1, "the big table strict rows"),       # phrase + 'strict'
+        (2, "big red table string"),            # non-adjacent phrase
+        (3, "a big table here"),                # phrase, no str*
+        (4, "strong big table bond"),           # phrase + 'strong'
+        (5, "table big structure"),             # reversed phrase
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(
+        r.doc_id
+        for r in fts_phrase_prefix(df, ["big", "table"], "str").collect()
+    )
+    assert got == [1, 4]
+
+
+# ---------------------------------------------------------------------------
 # drift default split: bounded percentile buffer (ADVICE medium)
 # ---------------------------------------------------------------------------
 
