@@ -65,10 +65,33 @@ def sample_names(
     return sorted(set(rng.sample(rest, n)) | set(forced_in))
 
 
+def head_seed() -> int:
+    """Default gate seed derived from the repo's HEAD commit hash.
+    Why: a hand-picked 'fresh' seed tends to land on the obvious pick
+    (round 12: builder and judge both chose the next-date integer),
+    which defeats the gate's unpredictability. HEAD changes with
+    every commit and cannot be chosen to flatter the sample; the run
+    header prints it so the committed artifact stays reproducible."""
+    import subprocess
+
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        return int(sha, 16) % 2**32
+    except Exception:
+        return 11  # not a git checkout: fixed fallback
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=25)
-    ap.add_argument("--seed", type=int, default=11)
+    ap.add_argument(
+        "--seed", type=int, default=None,
+        help="sample seed (default: derived from HEAD commit hash — "
+        "see head_seed)",
+    )
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument(
         "--tail-only", action="store_true",
@@ -85,6 +108,8 @@ def main() -> int:
         "diff since --base, on top of the uniform sample",
     )
     args = ap.parse_args()
+    if args.seed is None:
+        args.seed = head_seed()
 
     forced = changed_names(args.base) if args.changed_first else set()
     picked = sample_names(args.n, args.seed, args.tail_only, forced)
