@@ -592,11 +592,26 @@ def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     from litebase_spark.operators.similarity import dot, norm2
 
     TAU = 0.4
-    EPS = 1e-9  # prune margin >> BLAS-vs-JVM summation-order ulps
+    # prune margin >> float32-matmul-vs-JVM-float64 error (64-dim dot
+    # of unit vectors: float32 relative error ~1e-5); the margin only
+    # admits a sliver of extra candidates into the EXACT verify pass
+    # below, which alone decides membership and values. float32 HALVES
+    # the matmul bytes/flops — at 200k vectors (2e10 pairs) that is
+    # the difference between fitting the sweep cap and not.
+    EPS = 1e-3
     G = 8  # block grid; at 100 TB pick G so 2n/G rows fit one task
     e = load(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
+
+    # strip height for the tiled matmul: a FULL sims matrix for a
+    # 25k-row block is 2.5 GB float32, and with every core running a
+    # block pair concurrently that is an 80 GB aggregate allocation —
+    # measured as the x100 cap cause (GC thrash, not flops: the
+    # matmul itself is ~16 s of wall across the grid). Tiling bounds
+    # each task's live sims buffer to STRIP x |B| (~200 MB at x100)
+    # at identical flop count.
+    STRIP = 2048
 
     def block_pairs(key, pdf):
         import numpy as np
@@ -604,23 +619,29 @@ def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         g1, g2 = divmod(int(key[0]), G)
         M = np.stack(pdf["embedding"].apply(np.asarray).values).astype(
-            np.float64
+            np.float32
         )
         Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
         ids = pdf["vec_id"].values
         if g1 == g2:
-            sims = Mn @ Mn.T
-            ai, bj = np.nonzero(sims >= TAU - EPS)
-            keep = ids[ai] < ids[bj]
-            lo, hi = ids[ai][keep], ids[bj][keep]
+            A = B = Mn
+            aid = bid = ids
         else:
             s1 = (pdf["g"] == g1).values
             A, B = Mn[s1], Mn[~s1]
             aid, bid = ids[s1], ids[~s1]
-            sims = A @ B.T
+        los, his = [], []
+        for s in range(0, A.shape[0], STRIP):
+            sims = A[s:s + STRIP] @ B.T
             ai, bj = np.nonzero(sims >= TAU - EPS)
-            x, y = aid[ai], bid[bj]
-            lo, hi = np.minimum(x, y), np.maximum(x, y)
+            x, y = aid[s + ai], bid[bj]
+            keep = x < y if g1 == g2 else slice(None)
+            lo = np.minimum(x, y)[keep] if g1 != g2 else x[keep]
+            hi = np.maximum(x, y)[keep] if g1 != g2 else y[keep]
+            los.append(lo)
+            his.append(hi)
+        lo = np.concatenate(los) if los else np.array([], dtype=np.int64)
+        hi = np.concatenate(his) if his else np.array([], dtype=np.int64)
         return pd.DataFrame({"vec_id_a": lo, "vec_id_b": hi})
 
     blocked = e.select(
@@ -671,18 +692,41 @@ def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SRP_BANDS = 4
-_SRP_ROWS = 4  # sign bits per band; raise for bigger corpora
+_SRP_ROWS = 4  # sign bits per band at the oracle SFs
+# sign bits per band scale with corpus size (clamped here): bucket
+# population ~ n / 2^rows, so FIXED rows make candidate pairs grow
+# ~n^2/2^rows — the x100 sweep measured exactly that (16 buckets x
+# 12.5k rows each at 200k vectors = 5e9 candidates, >cap). Target
+# ~128 rows/bucket: rows = clamp(4, 12, ceil(log2(n/128))). At the
+# oracle SFs (n <= 2000) this resolves to 4, so buckets, candidates
+# and results are bit-identical to the committed DuckDB oracle; the
+# adaptive width only engages beyond them. True near-dups survive
+# narrower buckets: at cos 0.999 the per-bit agreement is 0.992, so
+# a 12-bit band still collides with p~0.91 and 4 bands reach ~0.99993.
+_SRP_ROWS_MAX = 12
 _SRP_DIM = 64
-_SRP_PLANES = plane_components(_SRP_BANDS * _SRP_ROWS, _SRP_DIM)
+_SRP_PLANES = plane_components(_SRP_BANDS * _SRP_ROWS_MAX, _SRP_DIM)
 _SRP_TAU = 0.4
 
 
-def _srp_bucket_spark(vec, band: int):
-    """band-local bucket id: _SRP_ROWS sign bits under md5-derived
-    hyperplanes (deterministic literals, duplicated into the oracle)."""
+def _srp_rows_for(n: int) -> int:
+    import math
+
+    if n <= 128:
+        return _SRP_ROWS
+    return min(
+        _SRP_ROWS_MAX, max(_SRP_ROWS, math.ceil(math.log2(n / 128)))
+    )
+
+
+def _srp_bucket_spark(vec, band: int, rows: int = _SRP_ROWS):
+    """band-local bucket id: `rows` sign bits under md5-derived
+    hyperplanes (deterministic literals, duplicated into the oracle;
+    plane indices are band*rows+j, which at rows=4 — every oracle SF
+    — reproduce the committed oracle's planes exactly)."""
     out = F.lit(0)
-    for j in range(_SRP_ROWS):
-        plane = _SRP_PLANES[band * _SRP_ROWS + j]
+    for j in range(rows):
+        plane = _SRP_PLANES[band * rows + j]
         proj = F.aggregate(
             F.zip_with(vec, F.lit(plane), lambda x, c: x.cast("double") * c),
             F.lit(0.0),
@@ -760,38 +804,38 @@ def dedup_embedding_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
+    # corpus-adaptive band width (see _srp_rows_for): an O(1) scalar
+    # count — the same bounded driver-read class as the k-means model
+    rows = _srp_rows_for(e.count())
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                _srp_bucket_spark(F.col("embedding"), b).alias("bucket"),
+                _srp_bucket_spark(
+                    F.col("embedding"), b, rows
+                ).alias("bucket"),
             )
             for b in range(_SRP_BANDS)
         ]
     )
     # Norms are per-row scalars: compute them ONCE before banding (O(n d))
     # and carry them through the join instead of refolding O(cand x d).
+    # the band join and the candidate dedupe move IDS ONLY: carrying
+    # the two 64-float embeddings through the bucket join made every
+    # candidate row ~0.5 KB — at x100 (4e7 candidates) a ~20 GB
+    # dropDuplicates exchange, the measured cap cause. Embeddings are
+    # joined back per side AFTER the dedupe, so the wide rows never
+    # enter the candidate shuffle.
     banded = (
-        e.select(
-            "vec_id",
-            "embedding",
-            norm2(F.col("embedding")).alias("nrm"),
-            F.explode(bands).alias("bb"),
-        )
-        .select("vec_id", "embedding", "nrm", "bb.band", "bb.bucket")
+        e.select("vec_id", F.explode(bands).alias("bb"))
+        .select("vec_id", "bb.band", "bb.bucket")
         .localCheckpoint(eager=True)  # both join sides reuse the sketches
     )
     a = banded.select(
-        F.col("vec_id").alias("vec_id_a"),
-        F.col("embedding").alias("va"),
-        F.col("nrm").alias("na"),
-        "band",
-        "bucket",
+        F.col("vec_id").alias("vec_id_a"), "band", "bucket"
     )
     b = banded.select(
         F.col("vec_id").alias("vec_id_b"),
-        F.col("embedding").alias("vb"),
-        F.col("nrm").alias("nb"),
         F.col("band").alias("band_b"),
         F.col("bucket").alias("bucket_b"),
     )
@@ -802,12 +846,27 @@ def dedup_embedding_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("bucket") == F.col("bucket_b"))
             & (F.col("vec_id_a") < F.col("vec_id_b")),
         )
-        .select("vec_id_a", "vec_id_b", "va", "vb", "na", "nb")
+        .select("vec_id_a", "vec_id_b")
         .dropDuplicates(["vec_id_a", "vec_id_b"])
+    )
+    emb = e.select(
+        "vec_id", "embedding", norm2(F.col("embedding")).alias("nrm")
+    )
+    ea = emb.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
     sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        cand.select("vec_id_a", "vec_id_b", sim.alias("raw_sim"))
+        cand.join(ea, "vec_id_a")
+        .join(eb, "vec_id_b")
+        .select("vec_id_a", "vec_id_b", sim.alias("raw_sim"))
         .filter(F.col("raw_sim") >= _SRP_TAU)
         .select("vec_id_a", "vec_id_b", F.round("raw_sim", 6).alias("cos_sim"))
     )
@@ -1001,7 +1060,17 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
-    assigned, _ = kmeans_fit(e, iters=2)
+    # corpus-adaptive cell count (the docstring's 'pick k ~ n/cell'
+    # made concrete): fixed k makes per-cell pairwise work grow n^2/k
+    # — the x100 sweep measured 10 cells x 20k rows = 2e9 in-cell
+    # pairs, >cap. Target ~1k-row cells, clamped so every oracle SF
+    # (n <= 2000) keeps k = K_CLUSTERS and stays bit-identical to the
+    # committed DuckDB k-means replay.
+    n = e.count()
+    from litebase_spark.operators.similarity import K_CLUSTERS
+
+    k = min(128, max(K_CLUSTERS, n // 1024))
+    assigned, _ = kmeans_fit(e, k=k, iters=2)
     cell = assigned.select(
         "vec_id",
         "cluster_id",

@@ -121,11 +121,109 @@ QUERIES = [
 
 _SHIFT = 10**9
 
+# fact files per table: match local[32] so the scan packs into
+# wave-even splits. The old per-copy layout (k files of ~1.6 MB)
+# packed into 34 uneven splits on 32 cores — a 2-wave tail that
+# halved scan-stage utilization and inflated every sweep number by
+# up to ~2x (measured on func_jsonb: ~12s -> ~10s from layout
+# alone). Range-partitioned on the shifted key, so per-file min/max
+# pruning survives.
+_FILES = 32
 
-def build_replica(spark, k: int) -> str:
-    """Write the k-times replicated fixture dir (idempotent)."""
-    out = f"{WORK}/x{k}"
-    marker = f"{out}/.complete"
+# mutated-replica knobs (see build_replica docstring)
+_NEAR_PCT = 2        # % of copies that are true near-duplicates
+_NEAR_TOKEN_PCT = 5  # token mutation rate inside a near-dup copy
+_FAR_TOKEN_PCT = 70  # token mutation rate inside a distinct copy
+_NEAR_EMB_NOISE = 0.02
+
+
+def _mut_documents(df, i: int):
+    """Per-copy deterministic token-level mutation of documents.
+
+    Copy i of every doc is either a NEAR-DUP (2% of copies: 5% of
+    tokens replaced -> 3-gram shingle survival 0.95^3 ~ 0.857,
+    Jaccard ~ 0.75, comfortably above the 0.4 dedup threshold) or
+    DISTINCT (70% of tokens replaced with copy-salted novel tokens
+    -> survival 0.3^3 = 2.7%, Jaccard ~ 0.014, far below it, and
+    the novel tokens share nothing across copies so posting lists
+    stay near-linear). All hash-decided -- deterministic, no RNG."""
+    from pyspark.sql import functions as F
+
+    near = (
+        F.pmod(F.xxhash64(F.col("doc_id"), F.lit(i), F.lit(0xD0C)),
+               F.lit(100)) < _NEAR_PCT
+    )
+    rate = F.when(near, F.lit(_NEAR_TOKEN_PCT)).otherwise(
+        F.lit(_FAR_TOKEN_PCT)
+    )
+    mut = F.transform(
+        F.split(F.col("text"), " "),
+        lambda t, p: F.when(
+            F.pmod(F.xxhash64(t, p, F.col("doc_id"), F.lit(i)),
+                   F.lit(100)) < rate,
+            F.concat(
+                t, F.lit("~"),
+                F.lower(F.hex(F.xxhash64(t, p, F.col("doc_id"),
+                                         F.lit(i)))),
+            ),
+        ).otherwise(t),
+    )
+    return df.withColumn("text", F.array_join(mut, " ")).withColumn(
+        "n_chars", F.length("text")
+    )
+
+
+def _mut_embeddings(df, i: int):
+    """Per-copy embedding mutation: near-dup copies (2%) get the
+    original vector plus tiny noise (cos ~ 0.999 vs the original);
+    distinct copies get a fresh hash-derived direction (cos vs
+    anything concentrates at 0 +- 1/sqrt(64)). NB: at dim 64 the
+    chance tail P(cos >= 0.4) ~ 5e-4 is intrinsic — the BASE
+    corpus's 920 pairs at the registry threshold 0.4 are exactly
+    that tail — so at-scale dedup measurements must probe at a
+    high threshold (0.9) where only manufactured near-dups match;
+    tools/dedup_x100.py does."""
+    from pyspark.sql import functions as F
+
+    near = (
+        F.pmod(F.xxhash64(F.col("vec_id"), F.lit(i), F.lit(0xE3B)),
+               F.lit(100)) < _NEAR_PCT
+    )
+
+    def noise(j):
+        return (
+            F.pmod(F.xxhash64(F.col("vec_id"), j, F.lit(i)),
+                   F.lit(2000001))
+            / F.lit(1000000.0) - F.lit(1.0)
+        )
+
+    mut = F.transform(
+        F.col("embedding"),
+        lambda v, j: F.when(
+            near, v + F.lit(_NEAR_EMB_NOISE) * noise(j)
+        ).otherwise(noise(j)).cast("float"),
+    )
+    return df.withColumn("embedding", mut)
+
+
+def build_replica(spark, k: int, mutate: bool = False) -> str:
+    """Write the k-times replicated fixture dir (idempotent).
+
+    mutate=False: verbatim copies (keys shifted). Join/agg work
+    scales faithfully, but TEXT and EMBEDDINGS become degenerate
+    for pair-forming ops: every doc gains k-1 exact clones, so
+    candidate pairs grow ~k^2 inside every bucket — a replica
+    artifact, not a plan property.
+
+    mutate=True (dir suffix `m`): documents/embeddings copies are
+    deterministically mutated so duplicate DENSITY stays realistic
+    — ~2% of copies are true near-dups of their original, the rest
+    are distinct documents/vectors (novel copy-salted tokens, fresh
+    directions). This is the replica the dedup family is measured
+    on: bucket sizes and pair counts reflect a real corpus where
+    near-dup rate is a few percent, not a 100-clone family per doc."""
+    out = f"{WORK}/x{k}m" if mutate else f"{WORK}/x{k}"
+    marker = f"{out}/.complete_v2"
     if os.path.exists(marker):
         return out
     shutil.rmtree(out, ignore_errors=True)
@@ -140,13 +238,18 @@ def build_replica(spark, k: int) -> str:
         parts = []
         for i in range(k):
             p = df
+            if mutate and i > 0 and t == "documents":
+                p = _mut_documents(p, i)
+            if mutate and i > 0 and t == "embeddings":
+                p = _mut_embeddings(p, i)
             for key in keys:
                 p = p.withColumn(key, F.col(key) + F.lit(i * _SHIFT))
             parts.append(p)
         u = parts[0]
         for p in parts[1:]:
             u = u.unionAll(p)
-        u.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+        u.repartitionByRange(_FILES, F.col(keys[0])).write.mode(
+            "overwrite").parquet(f"{out}/{t}.parquet")
     open(marker, "w").close()
     return out
 

@@ -110,6 +110,28 @@ def main() -> int:
     ))
     print(json.dumps(results[-1]), flush=True)
 
+    # stream-stream OUTER joins — the heaviest stateful shapes: both
+    # sides buffer rows until the global watermark clears their
+    # horizon (purchase side at p_ts, click side at c_ts + the 30-min
+    # forward window), so the state curve must track the IN-FLIGHT
+    # horizon window, not cumulative input, and `removed` must show
+    # continuous watermark eviction
+    from litebase_spark.streaming.windows import (
+        stream_stream_full_outer,
+        stream_stream_left_outer,
+    )
+
+    results.append(soak(
+        spark, "stream_left_outer_join",
+        stream_stream_left_outer(events_stream()), "append",
+    ))
+    print(json.dumps(results[-1]), flush=True)
+    results.append(soak(
+        spark, "stream_full_outer_join",
+        stream_stream_full_outer(events_stream()), "append",
+    ))
+    print(json.dumps(results[-1]), flush=True)
+
     record = {
         "x": args.x,
         "files_per_trigger": args.files_per_trigger,

@@ -74,6 +74,13 @@ def main() -> int:
         help="also write a markdown artifact (sweep table, slowest "
         "first, capped/err section on top)",
     )
+    ap.add_argument(
+        "--mutate", action="store_true",
+        help="with --x: use the MUTATED replica (x{K}m — per-copy "
+        "token/vector mutations, ~2%% true near-dup copies) so "
+        "pair-forming dedup ops see realistic duplicate density "
+        "instead of k-clone families; see scale_stress.build_replica",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -92,7 +99,7 @@ def main() -> int:
         from tools.scale_stress import build_replica
 
         t0 = time.time()
-        sf_dir = build_replica(spark, args.x)
+        sf_dir = build_replica(spark, args.x, mutate=args.mutate)
         print(f"# x{args.x} replica ready in {time.time() - t0:.1f}s "
               f"at {sf_dir}", file=sys.stderr)
     cap = args.cap if args.cap is not None else (120.0 if args.x else 1e9)
@@ -152,7 +159,10 @@ def main() -> int:
           f"{len(bad)} capped/err")
 
     if args.out:
-        tag = f"x{args.x}" if args.x else args.sf_dir
+        tag = (
+            f"x{args.x}{'m (mutated)' if args.mutate else ''}"
+            if args.x else args.sf_dir
+        )
         lines = [
             f"# Spark-side warm-time sweep — {tag}, "
             f"local[{spark.sparkContext.defaultParallelism}], "
