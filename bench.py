@@ -153,6 +153,9 @@ HEADLINE = [
     "fts_vocab_col",
     "fts_vocab_instance",
     "func_jsonb",
+    # round 13
+    "fts_match_phrase_prefix",
+    "fts_match_unicode61_sep",
 ]
 
 
