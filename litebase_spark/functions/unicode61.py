@@ -12,12 +12,14 @@ FTS5 tokenizer per codepoint (tools/gen_unicode61_tables.py — the
 porter-work methodology) and shipped as static tables
 (unicode61_tables.py). The Spark expression is then:
 
-    tokens = filter(split(translate(text, SRC, DST), sep_regex), _ != '')
+    split(sep_regex) -> join on U+001F -> ONE translate -> re-split
 
-one translate (the probed fold — strictly 1:1 or deletion, so
-translate expresses it exactly; Java lower() is deliberately NOT used
-because it maps U+0130 to two chars and folds codepoints sqlite's
-older-Unicode tables leave alone), one split on a character class
+one split classifying ORIGINAL codepoints, then one whole-row
+translate folding the surviving token text (the probed fold —
+strictly 1:1 or deletion, so translate expresses it exactly; Java
+lower() is deliberately NOT used because it maps U+0130 to two chars
+and folds codepoints sqlite's older-Unicode tables leave alone),
+against a separator character class
 built from \\p{L}\\p{N}\\p{M} plus the probed classification deltas
 plus the user's tokenchars/separators. Everything stays JVM-side in
 whole-stage codegen — at 100 TB this is a narrow scan-stage map, the
@@ -48,6 +50,8 @@ from litebase_spark.functions.unicode61_tables import (
 
 _SEP_EXTRA_SET = {m: frozenset(v) for m, v in SEP_EXTRA.items()}
 _TOK_EXTRA_SET = {m: frozenset(v) for m, v in TOK_EXTRA.items()}
+
+_SEP = "\x1f"
 
 __all__ = [
     "parse_unicode61_options",
@@ -96,7 +100,28 @@ def _fold_src_dst(mode: int) -> tuple[str, str]:
 
 
 def _char_class(cps) -> str:
-    return "".join(re.escape(chr(cp)) for cp in cps)
+    """Codepoint set -> regex class body with consecutive runs
+    compressed to x-y ranges. This is a per-ROW cost, not cosmetics:
+    Spark's StringSplit recompiles its pattern on EVERY evaluation
+    (UTF8String.split -> Pattern.compile), and the uncompressed
+    1260-literal class made a ~5 KB pattern whose per-row compile
+    dominated the x100 corpus scan (~300 s for 500k docs; ~50 ranges
+    compile in microseconds)."""
+    cps = sorted(set(cps))
+    out = []
+    i = 0
+    while i < len(cps):
+        j = i
+        while j + 1 < len(cps) and cps[j + 1] == cps[j] + 1:
+            j += 1
+        if j - i >= 2:
+            out.append(
+                re.escape(chr(cps[i])) + "-" + re.escape(chr(cps[j]))
+            )
+        else:
+            out.extend(re.escape(chr(cps[p])) for p in range(i, j + 1))
+        i = j + 1
+    return "".join(out)
 
 
 def _sep_regex(mode: int, tokenchars: str, separators: str) -> str:
@@ -120,7 +145,7 @@ def unicode61_tokens(
     separators: str = "",
 ) -> Column:
     """Token array under unicode61 with options — drop-in anywhere
-    text.tokens() is used. One split + one per-token translate, pure
+    text.tokens() is used. One split + one whole-row translate, pure
     codegen. Order matters and mirrors sqlite's scanner: characters
     are CLASSIFIED (token vs separator, including the user's
     tokenchars/separators) by their ORIGINAL codepoint, and only the
@@ -128,21 +153,35 @@ def unicode61_tokens(
     not swallow an 'O' (sqlite folds it to a token 'o'), and listing
     a diacritic-bearing char in tokenchars matches before the fold
     rewrites it."""
+    if _SEP in tokenchars:
+        raise ValueError("U+001F cannot be a tokenchar (fold sentinel)")
     c = col if not isinstance(col, str) else F.col(col)
     src, dst = _fold_src_dst(remove_diacritics)
     pat = _sep_regex(remove_diacritics, tokenchars, separators)
-    return F.filter(
-        F.transform(
-            F.split(c, pat),
-            # a combining mark cannot BEGIN a token (it attaches to a
-            # preceding base char) — sqlite silently drops leading
-            # marks even in mode 0, where in-token marks survive
-            lambda w: F.translate(
-                F.regexp_replace(w, r"^\p{M}+", ""), src, dst
-            ),
-        ),
-        lambda w: F.length(w) > 0,
-    )
+    # fold ONCE PER ROW, not once per token: the first cut ran
+    # translate (a ~1100-entry fold) inside the interpreted transform
+    # lambda, which re-evaluated it per token — >120 s on the x100
+    # corpus. Joining the already-classified tokens on a sentinel
+    # (U+001F, a control char the first split can never let through),
+    # translating the joined string, and re-splitting keeps the
+    # classify-then-fold order bit-identical at one fold pass per
+    # document. The anchored \p{M} strip (a mark cannot BEGIN a
+    # token) runs on the same joined string; in modes 1/2 token-class
+    # marks are deleted by the fold anyway, so it only bites mode 0.
+    toks = F.split(c, pat)
+    folded = F.translate(F.array_join(toks, _SEP), src, dst)
+    cleaned = F.regexp_replace(folded, "(^|\\x{1F})\\p{M}+", "$1")
+    # drop empty tokens (fold deletions, leading/trailing separators)
+    # with sentinel collapse + trim instead of a filter() lambda: a
+    # higher-order function ANYWHERE in the expression knocks the
+    # consuming explode out of whole-stage codegen, and the
+    # interpreted Generate re-evaluates this whole chain per OUTPUT
+    # token (~90 s over the x100 corpus vs ~1 s all-codegen)
+    compact = F.regexp_replace(cleaned, "\\x{1F}{2,}", _SEP)
+    trimmed = F.regexp_replace(compact, "^\\x{1F}|\\x{1F}$", "")
+    return F.when(
+        trimmed == "", F.array().cast("array<string>")
+    ).otherwise(F.split(trimmed, "\\x{1F}"))
 
 
 def _is_token_py(

@@ -605,6 +605,7 @@ def fts_match(
     id_col: str = "doc_id",
     text_col: str = "text",
     tokenize: str = "unicode61",
+    trigram_postings_df: DataFrame | None = None,
 ) -> DataFrame:
     """FTS5 MATCH boolean retrieval (`docs MATCH 'a AND b (c OR d) NOT e'`)
     as posting-list algebra — the FTS5 query surface the reference enables
@@ -646,10 +647,16 @@ def fts_match(
                 f"3 chars are unindexable: {short!r}"
             )
         n_m, n_s = len(must), len(should)
+        # pass a prebuilt trigram_postings_df (the materialized
+        # parquet index) to skip the inline index build — the
+        # amortized 100 TB shape tools/trigram_economics.py measures
+        post = (
+            trigram_postings_df
+            if trigram_postings_df is not None
+            else trigram_postings(docs, id_col, text_col)
+        )
         hits = (
-            _anchor_hits(
-                trigram_postings(docs, id_col, text_col), terms, id_col
-            )
+            _anchor_hits(post, terms, id_col)
             .select(id_col, "run")
             .distinct()
         )
@@ -718,13 +725,29 @@ def fts_match(
     if u61_opts is not None:
         from litebase_spark.functions.unicode61 import unicode61_tokens
 
-        toks_col = unicode61_tokens(text_col, **u61_opts)
+        # materialize the token arrays BEFORE the explode (eager
+        # localCheckpoint -> the Generate's child is a bare column):
+        # Spark's Generate re-evaluates its child expression per
+        # OUTPUT row, and the options tokenizer's corrected-class
+        # split recompiles a ~650-char pattern each time — measured
+        # 190 s vs ~3 s over the x100 corpus. The default tokenizer
+        # below survives the same re-evaluation because its pattern
+        # is 12 chars; at 100 TB this materialization is the posting
+        # table every FTS design persists anyway.
+        tok_tbl = docs.select(
+            F.col(id_col),
+            F.array_distinct(
+                unicode61_tokens(text_col, **u61_opts)
+            ).alias("__w"),
+        ).localCheckpoint(eager=True)
+        postings = tok_tbl.select(
+            F.col(id_col), F.explode("__w").alias("term")
+        )
     else:
-        toks_col = tokens(text_col)
-    postings = docs.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(toks_col)).alias("term"),
-    )
+        postings = docs.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(tokens(text_col))).alias("term"),
+        )
     if tokenize == "porter":
         # vocabulary-side stemming: the distinct-term table is tiny
         # relative to the postings, so the stemmer runs once over it,

@@ -126,6 +126,13 @@ NAMES = [
     "agg_percentiles",
     "window_ntile_dist",
     "ts_interpolate",
+    # r13: posting-algebra phrase+prefix probe, probed-table unicode61
+    # tokenizer, the re-planned SRP-LSH candidate pipeline, and the
+    # single-parse jsonb default drift split's percentile domain
+    "fts_match_phrase_prefix",
+    "fts_match_unicode61_sep",
+    "dedup_embedding_lsh_verified",
+    "stats_drift_report",
 ]
 
 
