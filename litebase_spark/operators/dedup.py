@@ -826,8 +826,18 @@ def dedup_embedding_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dropDuplicates exchange, the measured cap cause. Embeddings are
     # joined back per side AFTER the dedupe, so the wide rows never
     # enter the candidate shuffle.
+    #
+    # emb (vec_id, embedding, nrm) is materialized ONCE and feeds both
+    # join-back sides AND the banding pass: without the barrier each
+    # side re-scanned + re-repartitioned the corpus per execution
+    # (plans/r13/dedup_embedding_lsh_verified_before.txt: 4 parquet
+    # scans, 12 exchanges -> after: the two join-backs read the
+    # checkpointed row set).
+    emb = e.select(
+        "vec_id", "embedding", norm2(F.col("embedding")).alias("nrm")
+    ).localCheckpoint(eager=True)
     banded = (
-        e.select("vec_id", F.explode(bands).alias("bb"))
+        emb.select("vec_id", F.explode(bands).alias("bb"))
         .select("vec_id", "bb.band", "bb.bucket")
         .localCheckpoint(eager=True)  # both join sides reuse the sketches
     )
@@ -848,9 +858,6 @@ def dedup_embedding_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id_a", "vec_id_b")
         .dropDuplicates(["vec_id_a", "vec_id_b"])
-    )
-    emb = e.select(
-        "vec_id", "embedding", norm2(F.col("embedding")).alias("nrm")
     )
     ea = emb.select(
         F.col("vec_id").alias("vec_id_a"),

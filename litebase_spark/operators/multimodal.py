@@ -564,7 +564,18 @@ _PHASH_BITS_SQL = """
 )
 def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = attach_media(load(spark, sf_dir, "documents"))
-    ph = perceptual_hash(m).select("doc_id", "phash")
+    # Materialize the (doc_id, phash) table ONCE: both sides of the
+    # band self-join consume it, and without the barrier the whole
+    # Arrow decode+hash stage is inlined into EACH side (2 MapInPandas
+    # nodes, 2 full media decodes per execution — plans/r13/
+    # multimodal_phash_dedup_before.txt). 16 bytes/item, the
+    # fingerprint table every media-dedup deployment persists anyway
+    # (same convention as similarity.py's banded sketches).
+    ph = (
+        perceptual_hash(m)
+        .select("doc_id", "phash")
+        .localCheckpoint(eager=True)
+    )
     # 4 bands of 16 bits; band k = string positions [16k+1, 16k+16] =
     # long bits 63-16k .. 48-16k (MSB-first assembly above)
     bands = ph.select(

@@ -1708,17 +1708,20 @@ _NOVELTY_GRAM_DUCK = "w[u.pos] || ' ' || w[u.pos+1] || ' ' || w[u.pos+2]"
     "training-data pipeline how much genuinely new text each source "
     "contributes vs re-crawls of already-seen material (the "
     "complement of dedup: dedup asks 'is this doc a copy', novelty "
-    "asks 'how much of the marginal token mass is new'). Plan: "
-    "single-pass tokenizer (shared regex, DuckDB parity via "
-    "string_split_regex) -> portable h60 gram hashes -> per-doc "
-    "DISTINCT (doc-and-gram-keyed exchange with map-side partial) -> "
-    "gram-keyed MIN(doc_id) aggregation + sort-free hash join back "
-    "(NO pair-forming: the hottest gram's posting list collapses to "
-    "one row via partial min, so a stop-gram that appears in every "
-    "document costs one combiner cell, not a join explosion; the "
+    "asks 'how much of the marginal token mass is new'). Plan (r13 "
+    "re-plan): tokenizer (shared regex, DuckDB parity via "
+    "string_split_regex) -> portable h60 gram hashes with the per-doc "
+    "DISTINCT computed SCAN-SIDE (array_distinct inside the "
+    "projection — no doc-and-gram-keyed exchange of gram instances) "
+    "-> ONE gram-keyed MIN(doc_id) aggregation (map-side partial: a "
+    "stop-gram appearing in every document costs one combiner cell) "
+    "-> per-doc novelty as the OWNER COUNT of that first-occurrence "
+    "table (no join back at gram granularity; the r12 plan broadcast "
+    "the whole gram dictionary into a gram-level join — unbounded at "
+    "scale) -> narrow doc-keyed join + (source) rollup. The "
     "window-min single-exchange alternative A/B'd SLOWER at x10 — "
     "WindowExec's per-partition sort on near-unique gram hashes "
-    "costs more than the exchange it saves) -> (source) rollup. Fixed-point e6 ratios with "
+    "costs more than the exchange it saves. Fixed-point e6 ratios with "
     "floor division on both engines; min-doc-id tie-break makes the "
     "result partition-invariant. Scales as O(distinct grams) shuffle "
     "bytes. Reference parity: net-new LLM-pipeline surface.",
@@ -1737,35 +1740,41 @@ def pipeline_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = F.expr(
         f"transform(sequence(1, size(w) - 2), i -> {h60_spark(gram)})"
     )
-    g = (
-        tw.select(
-            "doc_id",
-            "source",
-            F.explode_outer(F.when(F.size("w") >= 3, grams)).alias("h"),
-        )
-        .filter(F.col("h").isNotNull())
-        .groupBy("doc_id", "source", "h")
-        .agg(F.count(F.lit(1)).alias("_dup"))
-        .drop("_dup")
-    )
-    # first-occurrence via groupBy(h)+join-back, A/B'd against the
-    # gram-partitioned window-min alternative at x10: the window saves
-    # one h exchange but WindowExec must SORT every gram partition,
-    # and on ~10M near-unique gram hashes the sort costs more than the
-    # hash-shuffle it replaces (2.95 vs 2.54 s) — the opposite verdict
-    # from text_inverted_index's doc-frequency window, where the
-    # consumer needed the h partitioning anyway. Hash agg + hash join
-    # keeps the whole path sort-free.
+    # Per-doc gram DEDUPE moved into the array (array_distinct inside
+    # the projection): the r12 plan deduped via a (doc, source, h)
+    # hash-aggregate exchange of every gram INSTANCE — computed twice,
+    # once per consumer (plans/r13/pipeline_ngram_novelty_before.txt:
+    # the whole tokenize->explode->distinct subtree appears on BOTH
+    # sides of the h join). Scan-side dedupe removes those gram-
+    # instance exchanges entirely (guide §2.3/§2.4: shuffle fewer
+    # bytes, remove shuffles outright).
+    g = tw.select(
+        "doc_id",
+        "source",
+        F.explode_outer(
+            F.when(F.size("w") >= 3, F.array_distinct(grams))
+        ).alias("h"),
+    ).filter(F.col("h").isNotNull())
+    # first-occurrence owners: one gram-keyed exchange with map-side
+    # partial MIN (the only corpus-scale shuffle left). nn per doc is
+    # the OWNER COUNT of fd — no join back to the gram rows at gram
+    # granularity (the r12 plan broadcast the whole gram dictionary
+    # into a gram-granularity join: unboundedly large at scale).
     fd = g.groupBy("h").agg(F.min("doc_id").alias("fdoc"))
-    pd = (
-        g.join(fd, "h")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.count(F.lit(1)).alias("ng"),
-            F.sum(
-                F.when(F.col("fdoc") == F.col("doc_id"), 1).otherwise(0)
-            ).alias("nn"),
-        )
+    nn = fd.groupBy("fdoc").agg(F.count(F.lit(1)).alias("nn"))
+    # ng per doc: count of its distinct grams — the rows g already
+    # emits, collapsed by a map-side combine to one row per doc before
+    # the (narrow) doc-keyed exchange.
+    ngt = g.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("ng")
+    )
+    pd = ngt.join(
+        nn, ngt.doc_id == nn.fdoc, "left"
+    ).select(
+        "doc_id",
+        "source",
+        "ng",
+        F.coalesce(F.col("nn"), F.lit(0)).alias("nn"),
     )
     return pd.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1819,17 +1828,20 @@ def pipeline_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "batch operator's global-min first-occurrence semantics "
     "restricted to batch docs, so the oracle is written in the batch "
     "form and the gate itself certifies the replay identity "
-    "incremental(index) + batch == full-corpus recompute. Plan: the "
-    "tokenizer-barrier gram machinery (shared with the batch op), "
-    "split by a broadcast 1-row threshold aggregate; the batch's "
-    "distinct grams collapse to one row per gram (batch-min owner, "
-    "map-side partial) and only THAT bounded table anti-joins the "
-    "index gram keys — probe cardinality is O(distinct batch grams), "
-    "never gram instances, and at 100 TB the index side is a "
-    "persisted table bucketed by h so the anti-join shuffles the "
-    "batch side alone (the dedup_incremental_minhash deployment "
-    "shape). Fixed-point e6 floor division both engines. Reference "
-    "parity: net-new LLM-pipeline surface.",
+    "incremental(index) + batch == full-corpus recompute. Plan (r13 "
+    "re-plan): the tokenizer-barrier gram machinery with scan-side "
+    "per-doc DISTINCT (array_distinct in the projection), split by a "
+    "broadcast 1-row threshold aggregate; on a prefix split 'absent "
+    "from the index AND first within the batch' IS 'global first "
+    "occurrence past the threshold', so one gram-keyed MIN over all "
+    "docs (map-side partial) replaces the whole index/batch "
+    "anti-join — novel counts are the filtered OWNER COUNTS of that "
+    "table, probe cardinality O(distinct grams), never gram "
+    "instances; at 100 TB the index side is a persisted first-"
+    "occurrence table keyed by h and the MIN folds the batch into it "
+    "(the dedup_incremental_minhash deployment shape). Fixed-point "
+    "e6 floor division both engines. Reference parity: net-new "
+    "LLM-pipeline surface.",
     tags=("pipeline", "dedup", "llm", "incremental"),
 )
 def pipeline_incremental_novelty(
@@ -1849,31 +1861,37 @@ def pipeline_incremental_novelty(
     grams = F.expr(
         f"transform(sequence(1, size(w) - 2), i -> {h60_spark(gram)})"
     )
-    g = (
-        tw.select(
-            "doc_id",
-            "source",
-            F.explode_outer(F.when(F.size("w") >= 3, grams)).alias("h"),
-        )
-        .filter(F.col("h").isNotNull())
-        .groupBy("doc_id", "source", "h")
-        .agg(F.count(F.lit(1)).alias("_dup"))
-        .drop("_dup")
-    )
+    # Scan-side per-doc gram dedupe + owner-count novelty — the same
+    # re-plan as pipeline_ngram_novelty (see its comments): on a
+    # PREFIX split, "absent from the index AND first within the batch"
+    # is exactly "global first occurrence is a batch doc", so the
+    # whole index/batch anti-join machinery collapses into ONE
+    # gram-keyed MIN over all docs filtered to owners past the
+    # threshold. The r12 plan evaluated the tokenize->explode->
+    # distinct subtree once per consumer (3x) and anti-joined batch
+    # grams against the index grams (plans/r13/
+    # pipeline_incremental_novelty_before.txt: 12 parquet scans, 34
+    # exchanges -> 4 scans, 1 corpus-scale exchange).
+    g = tw.select(
+        "doc_id",
+        "source",
+        F.explode_outer(
+            F.when(F.size("w") >= 3, F.array_distinct(grams))
+        ).alias("h"),
+    ).filter(F.col("h").isNotNull())
     thr = d.agg(F.expr("(max(doc_id) * 4) DIV 5").alias("t"))
-    g = g.crossJoin(F.broadcast(thr))
-    idx = g.filter(F.col("doc_id") <= F.col("t")).select("h")
-    bg = g.filter(F.col("doc_id") > F.col("t"))
-    # one row per distinct batch gram, owned by its within-batch first
-    # occurrence; only this bounded table probes the corpus index
-    bf = bg.groupBy("h").agg(F.min("doc_id").alias("fdoc"))
+    fd = g.groupBy("h").agg(F.min("doc_id").alias("fdoc"))
     novel = (
-        bf.join(idx, "h", "left_anti")
+        fd.crossJoin(F.broadcast(thr))
+        .filter(F.col("fdoc") > F.col("t"))
         .groupBy("fdoc")
         .agg(F.count(F.lit(1)).alias("nn"))
     )
-    pd_ = bg.groupBy("doc_id", "source").agg(
-        F.count(F.lit(1)).alias("ng")
+    pd_ = (
+        g.crossJoin(F.broadcast(thr))
+        .filter(F.col("doc_id") > F.col("t"))
+        .groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("ng"))
     )
     return (
         pd_.join(novel, pd_.doc_id == novel.fdoc, "left")

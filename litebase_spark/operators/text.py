@@ -942,12 +942,20 @@ def fts_phrase_prefix(
     postings + fts_near's pruned posting joins). Returns distinct
     matching ids."""
     words = [w.lower() for w in phrase]
+    # Materialize the PRUNED postings once: the phrase anchors, each
+    # phrase-word probe and the prefix probe all consume `pos`, and
+    # without the barrier every consumer re-inlines the full
+    # tokenize+posexplode corpus pass (plans/r13/
+    # fts_match_phrase_prefix_before.txt: 8 parquet scans, 18
+    # exchanges for a 2-word phrase + prefix). The pruned postings are
+    # a few rows per matching doc — exactly the slice of the posting
+    # index a materialized-index deployment would read.
     pos = docs.select(
         F.col(id_col),
         F.posexplode(tokens(text_col)).alias("p", "term"),
     ).filter(
         F.col("term").isin(words) | F.col("term").startswith(prefix.lower())
-    )
+    ).localCheckpoint(eager=True)
     anchors = pos.filter(F.col("term") == words[0]).select(id_col, "p")
     for k, w in enumerate(words[1:], start=1):
         nxt = pos.filter(F.col("term") == w).select(
@@ -986,10 +994,13 @@ def fts_phrase_prefix(
     tags=("text", "fts"),
 )
 def fts_match_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    raw = load(spark, sf_dir, "documents")
+    d = raw.repartition(spark.sparkContext.defaultParallelism)
     hits = fts_phrase_prefix(d, ["big", "table"], "str")
-    return hits.join(d.select("doc_id", "n_chars"), "doc_id")
+    # join the narrow (doc_id, n_chars) projection of the RAW scan —
+    # repartitioning it first paid a full exchange ahead of a build
+    # side that is broadcast anyway
+    return hits.join(raw.select("doc_id", "n_chars"), "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -2364,11 +2375,18 @@ def text_containment_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle of (int64, int64) postings, no groupBy + join-back; the
     # 60-bit portable hash keeps the exchange and the pair-join compares
     # on longs, never 32-char digests
+    # Materialize the rare-shingle postings ONCE: sizes, and both pair
+    # sides consume rp, and without the barrier the whole tokenize ->
+    # shingle -> explode -> df-window subtree is re-inlined into each
+    # consumer (plans/r13/text_containment_rare_before.txt: 8 parquet
+    # scans, 4 Window sorts over the full posting set per execution).
+    # rp is the df-capped posting slice (2..50 docs/shingle) — the
+    # bounded index table this operator's design doc promises.
     rp = postings.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("s"))
     ).filter(
         (F.col("df") >= 2) & (F.col("df") <= _CONTAIN_DF_CAP)
-    ).select("doc_id", "s")
+    ).select("doc_id", "s").localCheckpoint(eager=True)
     sizes = rp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_rare"))
     a = rp.alias("a")
     b = rp.alias("b")

@@ -148,12 +148,16 @@ def test_tokenizer_never_inlined_under_generate(spark, sf_dir):
     Expected occurrence counts = number of independent consumers of the
     token array in each plan (branch re-scan, not per-element re-eval).
     """
+    # text_containment_rare: 0 since round 13 — the rare-postings table
+    # is materialized once (localCheckpoint), so the returned plan reads
+    # Scan ExistingRDD and the tokenizer lives only in the (single)
+    # checkpointed build pass; the zero-count branch below pins that.
     budget = {
         "text_winnowing_fingerprint": 1,
         "text_substring_dedup": 1,
         "text_dup_5gram_fraction": 1,
         "text_contamination": 2,
-        "text_containment_rare": 4,
+        "text_containment_rare": 0,
         "dedup_ngram_jaccard": 4,
     }
     conf = spark.conf
@@ -170,6 +174,13 @@ def test_tokenizer_never_inlined_under_generate(spark, sf_dir):
             plan = plan_of(spark, sf_dir, name)
             lines = plan.splitlines()
             occ = plan.count("[^a-z0-9]+")  # the tokenizer regex literal
+            if max_occ == 0:
+                # tokenizer fully materialized at build: the executed
+                # plan must read the checkpointed rows, never re-split
+                assert occ == 0 and "Scan ExistingRDD" in plan, (
+                    name, occ
+                )
+                continue
             assert 1 <= occ <= max_occ, (name, occ)
             inlined = [
                 ln for ln in lines
