@@ -174,7 +174,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         ).alias("sh"),
-    )
+        # materialized ONCE (r13): sizes and both pair-join sides
+        # consume this, and each consumer otherwise re-inlines the
+        # tokenize+md5-shingle corpus pass (4 parquet scans per
+        # execution in plans/r13/dedup_ngram_jaccard_before.txt) —
+        # the same fix as text_containment_rare
+    ).localCheckpoint(eager=True)
     # NULL n_sh rows (short docs) never match a pair_inter doc id below
     sizes = shingled.select("doc_id", F.size("sh").alias("n_sh"))
     postings = shingled.select(
@@ -849,16 +854,21 @@ def dedup_embedding_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("band").alias("band_b"),
         F.col("bucket").alias("bucket_b"),
     )
-    cand = (
-        a.join(
-            b,
-            (F.col("band") == F.col("band_b"))
-            & (F.col("bucket") == F.col("bucket_b"))
-            & (F.col("vec_id_a") < F.col("vec_id_b")),
-        )
-        .select("vec_id_a", "vec_id_b")
-        .dropDuplicates(["vec_id_a", "vec_id_b"])
-    )
+    # NO dedupe here: a pair colliding in k of the 4 bands is verified
+    # k times (near-dups are the only multi-band colliders, and they
+    # are the rare rows), and the distinct is taken AFTER the tau
+    # filter where only survivors remain — a few hundred rows instead
+    # of the full candidate set. The pre-verify dropDuplicates was the
+    # single largest exchange in the query at every scale (sf0.1:
+    # 463k-row exchange to save ~10% duplicate fold work; x100: the
+    # 4e7-row id exchange): measured 0.68 s -> 0.27 s for the
+    # candidate stage alone.
+    cand = a.join(
+        b,
+        (F.col("band") == F.col("band_b"))
+        & (F.col("bucket") == F.col("bucket_b"))
+        & (F.col("vec_id_a") < F.col("vec_id_b")),
+    ).select("vec_id_a", "vec_id_b")
     ea = emb.select(
         F.col("vec_id").alias("vec_id_a"),
         F.col("embedding").alias("va"),
@@ -876,6 +886,9 @@ def dedup_embedding_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id_a", "vec_id_b", sim.alias("raw_sim"))
         .filter(F.col("raw_sim") >= _SRP_TAU)
         .select("vec_id_a", "vec_id_b", F.round("raw_sim", 6).alias("cos_sim"))
+        # distinct over SURVIVORS only (duplicate candidates score
+        # identically, so post-filter dedupe is value-identical)
+        .dropDuplicates(["vec_id_a", "vec_id_b"])
     )
 
 

@@ -1103,9 +1103,14 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("k"), F.lit(-1).alias("sign"),
         p.alias("p"),
     )
+    # materialized ONCE (r13): the bucket-local window and the
+    # per-bucket totals both consume u, and each consumer otherwise
+    # re-inlines the 3-branch union scan (6 parquet scans of orders
+    # per execution)
     u = (
         corpus.unionByName(hi).unionByName(lo)
         .withColumn("b", F.floor(F.col("x") / 200.0).cast("long"))
+        .localCheckpoint(eager=True)
     )
     wloc = (
         Window.partitionBy("b")
@@ -1593,9 +1598,14 @@ def _cdf_percentiles(
     2-decimal (goes through fp()); output interpolates in exact cents
     then divides once, agreeing with percentile() to well inside the
     round-6 contract."""
+    # bounded value-domain cell table materialized ONCE (r13): the
+    # local window, the bucket offsets and the per-group totals all
+    # consume cells, and each consumer otherwise re-inlines the full
+    # corpus aggregate (6 parquet scans per execution in
+    # plans/r13/agg_percentiles_before.txt)
     cells = df.groupBy(
         F.col(group_col), fp(value_col).alias("c")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
+    ).agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint(eager=True)
     yb = cells.withColumn("b", F.floor(F.col("c") / F.lit(100000)))
     w_loc = (
         Window.partitionBy(group_col, "b")
@@ -1865,11 +1875,17 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
-    med = o.groupBy("o_orderpriority").agg(
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias(
-            "median_price"
-        )
-    )
+    # exact median via the distributed-CDF cell plan (r13): percentile()
+    # buffers every group's full value list in one aggregation buffer —
+    # the same OOM-at-scale class agg_percentiles was re-planned off in
+    # r12 (relational.py:_cdf_percentiles); the cell plan's buffer is
+    # bounded by the distinct-cents domain. Same interpolation
+    # semantics, agreement pinned by test_opt_r13.py's randomized
+    # percentile() cross-check.
+    med = _cdf_percentiles(
+        o, "o_orderpriority", "o_totalprice",
+        [(0.5, "median_price")], round_digits=2,
+    ).select("o_orderpriority", "median_price")
     mode = (
         o.groupBy("o_orderpriority", "o_custkey")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -3316,7 +3332,15 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("y"),
         )
     )
-    cells = l.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cn"))
+    # bounded cell table (|qty values| x |months|) materialized ONCE
+    # (r13): xs, ys, the grid fill, and both tie marginals consume it,
+    # and each consumer otherwise re-inlined the full corpus aggregate
+    # (9 parquet scans per execution in the before plan)
+    cells = (
+        l.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .localCheckpoint(eager=True)
+    )
     xs = cells.select("x").distinct()
     ys = cells.select("y").distinct()
     grid = (
@@ -3359,8 +3383,12 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("cn").cast(dec38) * F.col("q")).alias("d"),
         F.sum("cn").alias("n"),
     )
+    # tie marginals from CELLS, not the zero-filled grid: the grid's
+    # zero rows contribute nothing to sum(cn) per x / per y, so the
+    # marginals are identical — and the grid subtree (cross join +
+    # fill) drops out of both branches
     tx = (
-        grid.groupBy("x")
+        cells.groupBy("x")
         .agg(F.sum("cn").alias("nx"))
         .agg(
             F.sum(
@@ -3369,7 +3397,7 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ty = (
-        grid.groupBy("y")
+        cells.groupBy("y")
         .agg(F.sum("cn").alias("ny"))
         .agg(
             F.sum(

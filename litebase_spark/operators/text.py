@@ -1516,6 +1516,12 @@ def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(chunks).alias("pc"))
         .select("doc_id", F.col("pc.pos").alias("pos"),
                 F.col("pc.chunk").alias("chunk"))
+        # materialized ONCE (r13): the chunk-frequency aggregate and
+        # the flagging join both consume ch; without the barrier each
+        # re-inlines the tokenize+chunk corpus pass (2 parquet scans
+        # per execution) — ch IS the chunk table a boilerplate-removal
+        # deployment persists
+        .localCheckpoint(eager=True)
     )
     dfreq = ch.groupBy("chunk").agg(
         F.count_distinct("doc_id").alias("dfreq")
@@ -1590,7 +1596,16 @@ def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens("text")).alias("w"))
-    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    # per-(doc, term) counts materialized ONCE (r13): the unigram LM
+    # aggregation and the scoring join both consume tf, and each
+    # otherwise re-inlines the tokenize+explode+count corpus pass
+    # (3 parquet scans per execution); tf is the per-doc term table
+    # every retrieval index persists (bm25's convention, text.py)
+    tf = (
+        tok.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     uni = tf.groupBy("w").agg(F.sum("cnt").alias("cw"))
     tot = uni.agg(F.sum("cw").alias("n"))
     scored = tf.join(F.broadcast(uni), "w").join(F.broadcast(tot))
@@ -2573,10 +2588,16 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     d = d.repartition(spark.sparkContext.defaultParallelism)
+    # term-frequency table materialized ONCE (r13): vocab_size and the
+    # top-500 cut both consume tf, and each consumer otherwise
+    # re-inlines the tokenize+count corpus pass (2 parquet scans per
+    # execution); tf is the vocabulary-sized table the fts index
+    # already persists (same convention as text.py's bm25 tf)
     tf = (
         d.select(F.explode(tokens("text")).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
     vocab = tf.agg(F.count(F.lit(1)).cast("long").alias("vocab_size"))
     top = tf.orderBy(F.desc("n"), "term").limit(500)

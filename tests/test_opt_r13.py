@@ -1,0 +1,138 @@
+"""Focused pins for the round-13 optimization re-plans.
+
+Each test pins the VALUE contract of an operator whose internals changed
+this round (the oracle gate checks the fixtures; these check the
+edge/randomized cases the fixtures may not cover) or the PLAN contract
+the optimization claims.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_cdf_median_round2_matches_percentile(spark):
+    """agg_median_mode's r13 re-plan: the distributed-CDF median at
+    round_digits=2 must agree with percentile(v, 0.5) (the old
+    buffer-per-group plan) on randomized 2-decimal data, including
+    even-n interpolation midpoints (x.xx5 rounding boundaries)."""
+    import random
+
+    from litebase_spark.operators.relational import _cdf_percentiles
+
+    rng = random.Random(1313)
+    rows = [
+        (rng.choice("ABCDE"), round(rng.uniform(1, 9000), 2))
+        for _ in range(5001)
+    ] + [("A", 101.01), ("A", 101.02)]  # even-n .005 midpoint block
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r["g"]: r["m"]
+        for r in _cdf_percentiles(
+            df, "g", "v", [(0.5, "m")], round_digits=2
+        ).collect()
+    }
+    want = {
+        r["g"]: r["m"]
+        for r in df.groupBy("g")
+        .agg(F.round(F.percentile("v", F.lit(0.5)), 2).alias("m"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_lsh_verified_post_filter_dedupe_unique(spark, sf_dir):
+    """r13 moved the candidate dedupe AFTER the tau filter: the output
+    must still be one row per (a, b) pair even though multi-band
+    colliders are verified multiple times."""
+    from litebase_spark.catalog import REGISTRY
+
+    out = REGISTRY["dedup_embedding_lsh_verified"].builder(
+        spark, sf_dir
+    ).collect()
+    pairs = [(r["vec_id_a"], r["vec_id_b"]) for r in out]
+    assert len(pairs) == len(set(pairs)) and len(pairs) > 0
+
+
+def test_kendall_tau_marginals_from_cells(spark):
+    """r13 computes the tie marginals from the cell table instead of
+    the zero-filled grid; zero cells contribute nothing, so tau_b must
+    be unchanged. Hand-checkable 2x2-with-ties fixture:
+    x=[1,1,2,2,3], y=[1,2,1,2,1] -> C=3, D=3, t1=2+2, t2=3*2+2*1(?)
+    — pin against scipy-free closed form computed by brute force."""
+    from itertools import combinations
+
+    from litebase_spark.catalog import REGISTRY, load
+
+    xs = [1, 1, 2, 2, 3]
+    ys = [1, 2, 1, 2, 1]
+    c = d = 0
+    for (xa, ya), (xb, yb) in combinations(zip(xs, ys), 2):
+        s = (xa - xb) * (ya - yb)
+        c += s > 0
+        d += s < 0
+    n = len(xs)
+    n0 = n * (n - 1) / 2
+    from collections import Counter
+
+    t1 = sum(v * (v - 1) / 2 for v in Counter(xs).values())
+    t2 = sum(v * (v - 1) / 2 for v in Counter(ys).values())
+    want = round((c - d) / ((n0 - t1) * (n0 - t2)) ** 0.5, 6)
+
+    # drive the production builder through a temp-view twin of the
+    # fixture shape it reads (lineitem.l_quantity / month(l_shipdate))
+    import datetime as dt
+
+    rows = [
+        (float(x), dt.date(2020, y, 1)) for x, y in zip(xs, ys)
+    ]
+    df = spark.createDataFrame(
+        rows, "l_quantity double, l_shipdate date"
+    )
+    import litebase_spark.operators.relational as R
+
+    orig_load = R.load
+    try:
+        R.load = lambda s, sf, name: df
+        out = REGISTRY["stats_kendall_tau"].builder(spark, "ignored")
+        row = out.collect()[0]
+    finally:
+        R.load = orig_load
+    assert row["concordant"] == c and row["discordant"] == d
+    assert row["tau_b"] == pytest.approx(want, abs=1e-6)
+
+
+def test_phash_dedup_single_decode_stage(spark, sf_dir):
+    """r13 materializes the (doc_id, phash) table once: the executed
+    plan must contain NO Python decode stage (both band-join sides read
+    the checkpointed rows)."""
+    from litebase_spark.catalog import REGISTRY
+
+    plan = _plan_of(
+        REGISTRY["multimodal_phash_dedup"].builder(spark, sf_dir)
+    )
+    assert "MapInPandas" not in plan and "Scan ExistingRDD" in plan
+
+
+def test_ngram_jaccard_single_shingle_pass(spark, sf_dir):
+    """r13 materializes the shingle table once: the executed plan must
+    read the checkpointed rows, not re-tokenize per consumer."""
+    from litebase_spark.catalog import REGISTRY
+
+    plan = _plan_of(
+        REGISTRY["dedup_ngram_jaccard"].builder(spark, sf_dir)
+    )
+    main = plan.split("===== Subqueries")[0]
+    assert "Scan ExistingRDD" in main
+    assert main.count("Scan parquet") == 0
