@@ -602,9 +602,12 @@ def ts_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ts_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
+    # per-user first-seen table materialized ONCE (r13): cohort sizes
+    # and the activity join both consume it, and each otherwise
+    # re-inlines the corpus min-aggregate per execution
     first_seen = e.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort_week")
-    )
+    ).localCheckpoint(eager=True)
     activity = e.select(
         "user_id", F.date_trunc("week", "ts").alias("act_week")
     ).distinct()
@@ -1689,12 +1692,15 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("y"),
     )
     wd = Window.orderBy("d")
+    # bounded day table materialized ONCE (r13): the three lag arms
+    # each otherwise re-inline the corpus aggregate + day window
+    # (3 scans per execution)
     lagged = cells.select(
         "y",
         F.col("x").alias("x0"),
         F.lag("x", 1).over(wd).alias("x1"),
         F.lag("x", 2).over(wd).alias("x2"),
-    )
+    ).localCheckpoint(eager=True)
     arms = [
         lagged.filter(F.col(f"x{k}").isNotNull()).select(
             F.lit(k).alias("lag"), F.col(f"x{k}").alias("x"), "y"
@@ -1773,10 +1779,13 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # bounded day-cell table materialized ONCE (r13): both pair sides
+    # and the day count consume it (3 corpus scans per execution
+    # otherwise)
     cells = e.groupBy(F.to_date("ts").alias("d")).agg(
         F.count(F.lit(1)).alias("n_d"),
         F.sum(fp("value")).alias("s_d"),
-    )
+    ).localCheckpoint(eager=True)
     m = cells.select(
         "d",
         (
@@ -1991,9 +2000,12 @@ def ts_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # bounded day-cell table materialized ONCE (r13): both pair sides,
+    # the tie counts and the day count consume it, and each otherwise
+    # re-inlines the corpus aggregate (4 scans per execution)
     cells = e.groupBy(F.to_date("ts").alias("d")).agg(
         F.sum(fp("value")).alias("x")
-    )
+    ).localCheckpoint(eager=True)
     a = cells.select(F.col("d").alias("da"), F.col("x").alias("xa"))
     b = cells.select(F.col("d").alias("db"), F.col("x").alias("xb"))
     pairs = a.join(b, F.col("db") > F.col("da")).select(

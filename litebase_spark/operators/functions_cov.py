@@ -456,7 +456,16 @@ def json_tree_walk(
     )
     levels = []
     for _ in range(max_depth):
-        frontier = frontier.withColumn("vtype", vtype)
+        # checkpoint each level (r13): the frontier feeds THREE
+        # consumers (the output union, the object branch, the array
+        # branch), so without the barrier level k re-derives level
+        # k-1's whole parse+explode chain per consumer — a 2^depth
+        # lineage blowup (the before plan of func_json_tree held 15
+        # scan chains for depth 3). Same per-round barrier as the
+        # graph fixpoint loops (plans/recursive.py).
+        frontier = frontier.withColumn("vtype", vtype).localCheckpoint(
+            eager=True
+        )
         levels.append(frontier)
         obj = frontier.filter(F.col("vtype") == "object")
         obj_children = obj.select(

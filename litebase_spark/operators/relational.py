@@ -2836,25 +2836,37 @@ def stats_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp("value").alias("c"),
     )
     dec38 = "decimal(38,0)"
-    a = s.groupBy("arm").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("c").alias("sv"),
-        F.sum(F.col("c").cast(dec38) * F.col("c")).alias("q"),
+    # cells-not-corpus (r13, the kruskal/spearman convention): both the
+    # moment aggregate and the above-mean pass fold the bounded
+    # (arm, cents) cell table instead of each re-scanning the corpus —
+    # sum-over-rows == sum(cell * weight) exactly (integer/decimal
+    # arithmetic, no reordering of float adds), and the second pass's
+    # corpus-wide broadcast join becomes a cell-table fold
+    cells = s.groupBy("arm", "c").agg(
+        F.count(F.lit(1)).alias("w")
+    ).localCheckpoint(eager=True)
+    a = cells.groupBy("arm").agg(
+        F.sum("w").alias("n"),
+        F.sum(F.col("c") * F.col("w")).alias("sv"),
+        F.sum(
+            F.col("c").cast(dec38) * F.col("c") * F.col("w")
+        ).alias("q"),
         F.max(F.abs(F.col("c"))).alias("mx"),
     )
     f = (
-        s.join(F.broadcast(a.select("arm", "n", "sv")), "arm")
+        cells.join(F.broadcast(a.select("arm", "n", "sv")), "arm")
         .groupBy("arm")
         .agg(
             F.sum(
                 F.when(
-                    F.col("c").cast(dec38) * F.col("n") >= F.col("sv"), 1
+                    F.col("c").cast(dec38) * F.col("n") >= F.col("sv"),
+                    F.col("w"),
                 ).otherwise(0)
             ).alias("np"),
             F.sum(
                 F.when(
                     F.col("c").cast(dec38) * F.col("n") >= F.col("sv"),
-                    F.col("c"),
+                    F.col("c") * F.col("w"),
                 ).otherwise(0)
             ).alias("cp"),
         )

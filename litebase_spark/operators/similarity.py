@@ -1283,6 +1283,12 @@ def knn_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(assign_w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "embedding", "nrm", F.col("cent_id").alias("cell"))
+        # materialized ONCE (r13): the coded corpus join and the query
+        # side both consume the assignment, and each otherwise
+        # re-inlines the centroid cross-join + per-vector argmin
+        # window (the costliest stage) per execution — the IVF
+        # assignment table every ANN deployment persists
+        .localCheckpoint(eager=True)
     )
     # int8 min/max codes (the embedding_quantize_minmax expressions),
     # dequantized once per row into the dq column the ADC fold scans

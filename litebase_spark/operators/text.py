@@ -308,11 +308,14 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     def tf_of(t):
         return F.size(F.filter("words", lambda w: w == t))
 
+    # narrow (doc_id, dl, tf0..tfK) table materialized ONCE (r13): the
+    # corpus stats and the scoring pass both consume it, and each
+    # otherwise re-inlines the tokenize pass per execution
     perdoc = d.select("doc_id", tokens("text").alias("words")).select(
         "doc_id",
         F.size("words").alias("dl"),
         *[tf_of(t).alias(f"tf{i}") for i, t in enumerate(terms)],
-    )
+    ).localCheckpoint(eager=True)
     stats = perdoc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
@@ -1813,11 +1816,14 @@ def text_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     def tf_of(t):
         return F.size(F.filter("words", lambda w: w == t))
 
+    # narrow (doc_id, dl, tf0..tfK) table materialized ONCE (r13): the
+    # corpus stats and the scoring pass both consume it, and each
+    # otherwise re-inlines the tokenize pass per execution
     perdoc = d.select("doc_id", tokens("text").alias("words")).select(
         "doc_id",
         F.size("words").alias("dl"),
         *[tf_of(t).alias(f"tf{i}") for i, t in enumerate(terms)],
-    )
+    ).localCheckpoint(eager=True)
     stats = perdoc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),

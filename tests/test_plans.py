@@ -158,7 +158,7 @@ def test_tokenizer_never_inlined_under_generate(spark, sf_dir):
         "text_dup_5gram_fraction": 1,
         "text_contamination": 2,
         "text_containment_rare": 0,
-        "dedup_ngram_jaccard": 4,
+        "dedup_ngram_jaccard": 0,
     }
     conf = spark.conf
     old_mpb = conf.get("spark.sql.files.maxPartitionBytes")
