@@ -1488,6 +1488,10 @@ def ts_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3x slower end-to-end — BigDecimal per-row aggregation off the
     # codegen path is the cost, not the sort.)
     wloc = Window.partitionBy("event_type", "bkt").orderBy("ts", "event_id")
+    # the bucket-local window output is materialized ONCE (r13): the
+    # within-bucket moments, the bucket cells and the edge table all
+    # consume g, and each otherwise re-inlines the corpus window sort
+    # per execution (5 scans / 3 window passes in the before plan)
     g = e.select(
         "event_type",
         "bkt",
@@ -1496,7 +1500,7 @@ def ts_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("c", 1).over(wloc).alias("lc1"),
         F.lag("c", 2).over(wloc).alias("lc2"),
         F.lag("c", 3).over(wloc).alias("lc3"),
-    )
+    ).localCheckpoint(eager=True)
     within = g.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.max(F.abs(F.col("c"))).alias("mx"),
@@ -1518,7 +1522,9 @@ def ts_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prefix sum (buckets, never rows), so the equi-join on rn = rn'+k
     # finds the true neighbor across any number of empty buckets, and
     # same-bucket pairs (already counted by the window) are rejected.
-    cell = e.groupBy("event_type", "bkt").agg(F.count(F.lit(1)).alias("nb"))
+    # bucket cells fold the checkpointed g (count per bucket is
+    # identical) instead of re-scanning the corpus
+    cell = g.groupBy("event_type", "bkt").agg(F.count(F.lit(1)).alias("nb"))
     woff = (
         Window.partitionBy("event_type")
         .orderBy("bkt")

@@ -3020,8 +3020,13 @@ def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     dec38 = "decimal(38,0)"
-    # x ranks: 50-cell bounded window (cells-not-corpus contract)
-    xc = l.groupBy("qty").agg(F.count(F.lit(1)).alias("t"))
+    # x ranks: 50-cell bounded window (cells-not-corpus contract);
+    # materialized ONCE (r13): the x-moment fold and the corpus
+    # broadcast-join both consume the xc/xr chain, and each otherwise
+    # re-inlines the corpus aggregate per execution
+    xc = l.groupBy("qty").agg(
+        F.count(F.lit(1)).alias("t")
+    ).localCheckpoint(eager=True)
     wx = Window.orderBy("qty").rowsBetween(Window.unboundedPreceding, -1)
     xr = xc.select(
         "qty",
