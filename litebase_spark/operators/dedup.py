@@ -174,16 +174,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         ).alias("sh"),
-        # materialized ONCE (r13): sizes and both pair-join sides
-        # consume this, and each consumer otherwise re-inlines the
-        # tokenize+md5-shingle corpus pass (4 parquet scans per
-        # execution in plans/r13/dedup_ngram_jaccard_before.txt) —
-        # the same fix as text_containment_rare
-    ).localCheckpoint(eager=True)
-    # NULL n_sh rows (short docs) never match a pair_inter doc id below
-    sizes = shingled.select("doc_id", F.size("sh").alias("n_sh"))
+    )
+    # r13: carry each doc's shingle-set size THROUGH the explode
+    # instead of a separate `sizes` table — n_sh is constant per doc,
+    # so both pair-side sizes ride the postings rows into the pair
+    # aggregate as grouping keys and the two sizes join-backs (each of
+    # which re-inlined the tokenize+md5-shingle corpus pass — 4 scans
+    # per execution in plans/r13/dedup_ngram_jaccard_before.txt)
+    # disappear. The shingle pass now runs once per pair SIDE (2x),
+    # with no corpus-sized materialization (a localCheckpoint of the
+    # md5-string shingle arrays measured ~40 GB at x100 — a scale
+    # hazard, reverted).
     postings = shingled.select(
-        "doc_id", F.explode_outer("sh").alias("s")
+        "doc_id",
+        F.size("sh").alias("n_sh"),
+        F.explode_outer("sh").alias("s"),
     ).filter(F.col("s").isNotNull())
     a = postings.alias("a")
     b = postings.alias("b")
@@ -194,19 +199,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
     jac = F.col("inter").cast("double") / (
-        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("inter")
+        F.col("na") + F.col("nb") - F.col("inter")
     )
     return (
-        pair_inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= _JACCARD_THRESHOLD)
+        pair_inter.filter(jac >= _JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
@@ -811,7 +815,8 @@ def dedup_embedding_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # corpus-adaptive band width (see _srp_rows_for): an O(1) scalar
     # count — the same bounded driver-read class as the k-means model
-    rows = _srp_rows_for(e.count())
+    n = e.count()
+    rows = _srp_rows_for(n)
     bands = F.array(
         *[
             F.struct(
@@ -854,21 +859,28 @@ def dedup_embedding_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("band").alias("band_b"),
         F.col("bucket").alias("bucket_b"),
     )
-    # NO dedupe here: a pair colliding in k of the 4 bands is verified
-    # k times (near-dups are the only multi-band colliders, and they
-    # are the rare rows), and the distinct is taken AFTER the tau
-    # filter where only survivors remain — a few hundred rows instead
-    # of the full candidate set. The pre-verify dropDuplicates was the
-    # single largest exchange in the query at every scale (sf0.1:
-    # 463k-row exchange to save ~10% duplicate fold work; x100: the
-    # 4e7-row id exchange): measured 0.68 s -> 0.27 s for the
-    # candidate stage alone.
+    # Dedupe placement is SIZE-ADAPTIVE (r13, decided from the n the
+    # band-width adaptation already counted — a physical-plan choice,
+    # not a result change; both placements are value-identical and the
+    # small-n path is pinned by test_opt_r13):
+    # * small corpora (every oracle SF): skip the pre-verify dedupe —
+    #   the 463k-row id exchange at sf0.1 cost 0.68 s to save ~10 %
+    #   duplicate fold work, and the distinct is taken on the few
+    #   hundred tau survivors instead.
+    # * at scale: the mutated-x100 corpus is near-dup-heavy, so
+    #   multi-band colliders are NOT rare — re-verifying them regressed
+    #   the 92.7 s x100m row past the 120 s cap; the ids-only
+    #   dropDuplicates before the wide join-backs is the measured
+    #   winner there (the r13-build 'ids only' fix).
     cand = a.join(
         b,
         (F.col("band") == F.col("band_b"))
         & (F.col("bucket") == F.col("bucket_b"))
         & (F.col("vec_id_a") < F.col("vec_id_b")),
     ).select("vec_id_a", "vec_id_b")
+    dedupe_early = n > 20_000
+    if dedupe_early:
+        cand = cand.dropDuplicates(["vec_id_a", "vec_id_b"])
     ea = emb.select(
         F.col("vec_id").alias("vec_id_a"),
         F.col("embedding").alias("va"),

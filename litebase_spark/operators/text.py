@@ -1519,12 +1519,12 @@ def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(chunks).alias("pc"))
         .select("doc_id", F.col("pc.pos").alias("pos"),
                 F.col("pc.chunk").alias("chunk"))
-        # materialized ONCE (r13): the chunk-frequency aggregate and
-        # the flagging join both consume ch; without the barrier each
-        # re-inlines the tokenize+chunk corpus pass (2 parquet scans
-        # per execution) — ch IS the chunk table a boilerplate-removal
-        # deployment persists
-        .localCheckpoint(eager=True)
+        # NOT materialized (r13 note): ch is corpus-sized CHUNK TEXT —
+        # an eager localCheckpoint here won the local A/B (1.32 ->
+        # 0.86 s at sf0.1) but regressed x100-mutated 9.2 -> 30.5 s
+        # (materializing ~7 GB of chunk strings costs more than the
+        # second tokenize pass it saves). The two consumers each pay
+        # one tokenize+chunk pass; only bounded tables get barriers.
     )
     dfreq = ch.groupBy("chunk").agg(
         F.count_distinct("doc_id").alias("dfreq")
@@ -1599,19 +1599,28 @@ def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens("text")).alias("w"))
-    # per-(doc, term) counts materialized ONCE (r13): the unigram LM
-    # aggregation and the scoring join both consume tf, and each
-    # otherwise re-inlines the tokenize+explode+count corpus pass
-    # (3 parquet scans per execution); tf is the per-doc term table
-    # every retrieval index persists (bm25's convention, text.py)
-    tf = (
-        tok.groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    # the VOCABULARY-sized LM table is materialized once (r13): the
+    # scoring broadcast and the corpus-total both consume uni, and
+    # each otherwise re-inlines the whole tokenize+tf chain (3 corpus
+    # passes per execution). uni is the trained LM a CCNet deployment
+    # persists; a first cut checkpointed tf instead — per-(doc, term)
+    # rows, corpus-scale — and DIED at x100-mutated (the materialized
+    # table is the thing that must stay bounded, not the lineage).
+    uni = (
+        tf.groupBy("w")
+        .agg(F.sum("cnt").alias("cw"))
         .localCheckpoint(eager=True)
     )
-    uni = tf.groupBy("w").agg(F.sum("cnt").alias("cw"))
     tot = uni.agg(F.sum("cw").alias("n"))
-    scored = tf.join(F.broadcast(uni), "w").join(F.broadcast(tot))
+    # no FORCED broadcast of the LM table (r13): on a Zipf corpus the
+    # vocab is broadcast-small and AQE promotes the join to broadcast
+    # at runtime from the ACTUAL built size, but a forced hint dies
+    # when the vocabulary genuinely explodes (the x100-mutated
+    # salted-token corpus — and 100 TB of web text — both have
+    # vocabularies past the 8 GB broadcast cap); the 1-row total stays
+    # hinted
+    scored = tf.join(uni, "w").join(F.broadcast(tot))
     bits = -F.sum(
         F.col("cnt") * F.log2(F.col("cw").cast("double") / F.col("n"))
     ) / F.sum("cnt")

@@ -125,14 +125,19 @@ def test_phash_dedup_single_decode_stage(spark, sf_dir):
     assert "MapInPandas" not in plan and "Scan ExistingRDD" in plan
 
 
-def test_ngram_jaccard_single_shingle_pass(spark, sf_dir):
-    """r13 materializes the shingle table once: the executed plan must
-    read the checkpointed rows, not re-tokenize per consumer."""
+def test_ngram_jaccard_sizes_ride_the_postings(spark, sf_dir):
+    """r13 carries n_sh through the explode as a pair-aggregate
+    grouping key: the plan must contain exactly ONE join (the pair
+    join) — the two sizes join-backs, each of which re-inlined the
+    tokenize+shingle corpus pass, are gone."""
     from litebase_spark.catalog import REGISTRY
 
     plan = _plan_of(
         REGISTRY["dedup_ngram_jaccard"].builder(spark, sf_dir)
     )
     main = plan.split("===== Subqueries")[0]
-    assert "Scan ExistingRDD" in main
-    assert main.count("Scan parquet") == 0
+    joins = [
+        ln for ln in main.splitlines()
+        if "Join" in ln and ln.strip().startswith("(")
+    ]
+    assert len(joins) == 1, joins

@@ -158,7 +158,10 @@ def test_tokenizer_never_inlined_under_generate(spark, sf_dir):
         "text_dup_5gram_fraction": 1,
         "text_contamination": 2,
         "text_containment_rare": 0,
-        "dedup_ngram_jaccard": 0,
+        # 2 since round 13: n_sh rides the postings through the
+        # explode, so the two sizes join-backs (each a full re-
+        # tokenize) are gone and only the two pair sides remain
+        "dedup_ngram_jaccard": 2,
     }
     conf = spark.conf
     old_mpb = conf.get("spark.sql.files.maxPartitionBytes")
