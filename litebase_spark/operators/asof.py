@@ -515,53 +515,76 @@ def ts_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS click_to_purchase
     """,
     description="Funnel conversion (view -> click within 1h -> purchase "
-    "within 1h): users reaching each stage via a cascade of interval "
-    "semi-joins, deduplicated at every stage so intermediate pair "
-    "growth is bounded by distinct (user, step-event) — the ClickHouse "
-    "windowFunnel shape expressed as joins. All joins key on user_id "
-    "(one shuffle partitioning reused); at 100 TB add a coarse "
-    "time-bucket to the join key so a user's history never "
-    "concentrates in one task.",
+    "within 1h): the ClickHouse windowFunnel shape as ONE per-user "
+    "ordered sweep instead of a cascade of interval joins. A click "
+    "qualifies iff the latest STRICTLY-preceding view (range frame to "
+    "-1 microsecond — preserves the oracle's ts > / ts <= bounds "
+    "exactly) is within 1h; a purchase converts iff the latest "
+    "strictly-preceding qualifying click is within 1h. Both windows "
+    "share one user_id exchange + sort, the per-user flag aggregate "
+    "reuses that partitioning, so the corpus is scanned ONCE and "
+    "shuffled once (r13: the join cascade re-scanned events 6x per "
+    "execution across its three actions). Stage counts are existence "
+    "flags, so intermediate state is O(1) per event row.",
     tags=("timeseries", "analytics"),
 )
 def ts_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events")
-    v = e.filter(F.col("event_type") == "view").select("user_id", "ts")
-    c = e.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
-    )
-    p = e.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
-    )
-    hour = F.expr("INTERVAL 1 HOUR")
-    vc = (
-        v.join(
-            c,
-            (F.col("c_user") == F.col("user_id"))
-            & (F.col("c_ts") > F.col("ts"))
-            & (F.col("c_ts") <= F.col("ts") + hour),
-        )
-        .select(F.col("c_user").alias("user_id"), "c_ts")
-        .distinct()
-    )
-    vcp = (
-        vc.join(
-            p,
-            (F.col("p_user") == F.col("user_id"))
-            & (F.col("p_ts") > F.col("c_ts"))
-            & (F.col("p_ts") <= F.col("c_ts") + hour),
-        )
-        .select(F.col("p_user").alias("user_id"))
-        .distinct()
-    )
-    n1 = v.select("user_id").distinct().count()
-    n2 = vc.select("user_id").distinct().count()
-    n3 = vcp.count()
+    row = _funnel_counts(spark, sf_dir).collect()[0]
+    n1, n2, n3 = int(row["n1"]), int(row["n2"]), int(row["n3"])
     return spark.createDataFrame(
         [(n1, n2, n3, round(n2 / n1, 6), round(n3 / n2, 6))],
         "n_viewed bigint, n_clicked_after_view bigint, "
         "n_purchased_after_click bigint, view_to_click double, "
         "click_to_purchase double",
+    )
+
+
+def _funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one distributed job behind ts_funnel_steps: a 1-row
+    (n_viewed, n_clicked_after_view, n_purchased_after_click) aggregate.
+    Exposed separately so plan dumps can explain the real dataflow (the
+    declared query's own plan is the driver-assembled LocalTableScan)."""
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            # ts is TIMESTAMP_NTZ; session tz is pinned UTC (session.py),
+            # so the LTZ cast is an exact affine map to microseconds.
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+            F.col("event_type").alias("et"),
+        )
+    )
+    hour_us = 3_600_000_000  # INTERVAL 1 HOUR in microseconds, exactly
+    # Strictly-preceding frame: rows with the SAME timestamp are excluded,
+    # which is exactly the oracle's strict lower bound (c.ts > v.ts,
+    # p.ts > c.ts); the inclusive upper bound becomes >= t - 1h.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    last_view = F.max(F.when(F.col("et") == "view", F.col("t"))).over(w)
+    flagged = e.withColumn(
+        "qc",
+        (F.col("et") == "click") & (last_view >= F.col("t") - F.lit(hour_us)),
+    )
+    last_qc = F.max(F.when(F.col("qc"), F.col("t"))).over(w)
+    flagged = flagged.withColumn(
+        "rp",
+        (F.col("et") == "purchase")
+        & (last_qc >= F.col("t") - F.lit(hour_us)),
+    )
+    per_user = flagged.groupBy("user_id").agg(
+        F.max(F.col("et") == "view").alias("has_v"),
+        F.max("qc").alias("has_qc"),
+        F.max("rp").alias("has_rp"),
+    )
+    return per_user.agg(
+        F.sum(F.col("has_v").cast("long")).alias("n1"),
+        F.sum(F.col("has_qc").cast("long")).alias("n2"),
+        F.sum(F.col("has_rp").cast("long")).alias("n3"),
     )
 
 

@@ -141,3 +141,75 @@ def test_ngram_jaccard_sizes_ride_the_postings(spark, sf_dir):
         if "Join" in ln and ln.strip().startswith("(")
     ]
     assert len(joins) == 1, joins
+
+
+def test_funnel_single_pass_boundary_semantics(spark, tmp_path):
+    """r13 re-plans ts_funnel_steps from a 3-action interval-join
+    cascade to one per-user ordered sweep. Pin the oracle's boundary
+    semantics on a hand case: strict lower bounds (a click at the
+    view's exact ts does not qualify; a purchase at the click's exact
+    ts does not convert) and inclusive 1h upper bounds (exactly +1h
+    qualifies, +1h+1us does not), with out-of-order event rows."""
+    import os
+
+    from litebase_spark.operators.asof import _funnel_counts
+
+    rows = [
+        # u1: clean chain well inside both windows
+        (1, "2024-01-01 10:00:00", 1, "view"),
+        (2, "2024-01-01 10:30:00", 1, "click"),
+        (3, "2024-01-01 11:15:00", 1, "purchase"),
+        # u2: click exactly +1h after view, purchase exactly +1h after
+        # click -> both inclusive bounds qualify
+        (4, "2024-01-01 10:00:00", 2, "view"),
+        (5, "2024-01-01 11:00:00", 2, "click"),
+        (6, "2024-01-01 12:00:00", 2, "purchase"),
+        # u3: click at the view's exact ts -> strict bound, no qualify
+        (7, "2024-01-01 10:00:00", 3, "view"),
+        (8, "2024-01-01 10:00:00", 3, "click"),
+        # u4: click with no view -> not even in n_viewed
+        (9, "2024-01-01 10:00:00", 4, "click"),
+        # u5: click 1 microsecond past the 1h window -> no qualify
+        (10, "2024-01-01 10:00:00", 5, "view"),
+        (11, "2024-01-01 11:00:00.000001", 5, "click"),
+        # u6: qualifying click; purchases before the click and past +1h
+        (12, "2024-01-01 10:00:00", 6, "view"),
+        (13, "2024-01-01 10:30:00", 6, "click"),
+        (14, "2024-01-01 10:20:00", 6, "purchase"),
+        (15, "2024-01-01 11:31:00", 6, "purchase"),
+        # u7: purchase rows straddling the click; the later one converts
+        (16, "2024-01-01 10:00:00", 7, "view"),
+        (17, "2024-01-01 10:05:00", 7, "purchase"),
+        (18, "2024-01-01 10:10:00", 7, "click"),
+        (19, "2024-01-01 10:15:00", 7, "purchase"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+        "value", F.lit(0.0)
+    ).withColumn("props", F.lit("{}")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(str(tmp_path), "events.parquet"))
+
+    got = _funnel_counts(spark, str(tmp_path)).collect()[0]
+    assert (got["n1"], got["n2"], got["n3"]) == (6, 4, 3)
+
+
+def test_funnel_counts_single_scan_plan(spark, sf_dir):
+    """The funnel's one distributed job must stay single-pass: exactly
+    one parquet scan and one user-keyed exchange before the aggregate
+    (the final 1-row exchange is the only other one)."""
+    from litebase_spark.operators.asof import _funnel_counts
+
+    plan = _plan_of(_funnel_counts(spark, sf_dir))
+    main = plan.split("===== Subqueries")[0]
+    scans = [
+        ln for ln in main.splitlines()
+        if ln.strip().startswith("(") and "Scan parquet" in ln
+    ]
+    exchanges = [
+        ln for ln in main.splitlines()
+        if ln.strip().startswith("(") and "Exchange" in ln
+    ]
+    assert len(scans) == 1, scans
+    assert len(exchanges) == 2, exchanges
