@@ -2786,14 +2786,21 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "immediately to per-(doc, bigram) counts (map-side combine — "
     "the heavy shuffle is bf, not raw pairs); the LM count c(w1 w2) "
     "and the left-context marginal c(w1 .) are then WINDOW sums over "
-    "bf partitioned by bigram / by left word — NOT aggregate+join-"
-    "back, so the tokenize-explode chain is computed ONCE (the q15 "
-    "lesson: a second aggregate consumer recomputes the corpus scan "
-    "because ReuseExchange does not fire under AQE; interleaved x4 "
-    "A/B: join-back 1.24 s vs windows 1.08 s at sf0.1) and there is "
-    "no broadcast-threshold dependence at any scale. Both window "
-    "keys are vocabulary-cardinality — never a single reducer. "
-    "Reference parity: net-new text-quality surface.",
+    "bf — NOT aggregate+join-back, so the tokenize-explode chain is "
+    "computed ONCE (the q15 lesson: a second aggregate consumer "
+    "recomputes the corpus scan because ReuseExchange does not fire "
+    "under AQE; interleaved x4 A/B: join-back 1.24 s vs windows "
+    "1.08 s at sf0.1) and there is no broadcast-threshold dependence "
+    "at any scale. r13: both windows share ONE exchange + ONE sort — "
+    "w1 is a function of the bigram, so hashpartitioning(w1) "
+    "clusters (w1, b) too (subset rule), and giving the c(w1 .) "
+    "window an ORDER BY b with an unbounded rows frame (value- "
+    "identical) makes both specs demand the same (w1, b) sort, so "
+    "the planner elides the second one (before: separate by-bigram "
+    "and by-left-word exchanges, 2 sorts). Skew ceiling unchanged: "
+    "the by-left-word partitioning was already the widest key. Both "
+    "window keys are vocabulary-cardinality — never a single "
+    "reducer. Reference parity: net-new text-quality surface.",
     tags=("text", "pipeline"),
 )
 def text_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2809,18 +2816,30 @@ def text_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("w") > 1)
         .select("doc_id", F.explode(bigrams).alias("b"))
     )
-    bf = bg.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    bf = (
+        bg.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("w1", F.split_part(F.col("b"), F.lit(" "), F.lit(1)))
+        .repartition(F.col("w1"))
+    )
     from pyspark.sql import Window
 
-    wb = Window.partitionBy("b")
-    w1 = Window.partitionBy(
-        F.split_part(F.col("b"), F.lit(" "), F.lit(1))
+    # hashpartitioning(w1) clusters (w1, b) as well (w1 determines the
+    # prefix of b), so both LM windows run on the one exchange above;
+    # the ORDER BY b + unbounded rows frame on the marginal window is
+    # value-identical to an unordered spec but makes both windows
+    # require the same (w1, b) sort, so only one Sort is planned.
+    wb = Window.partitionBy("w1", "b")
+    wl = (
+        Window.partitionBy("w1")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     scored = bf.select(
         "doc_id",
         "cnt",
         F.sum("cnt").over(wb).alias("cb"),
-        F.sum("cnt").over(w1).alias("cl"),
+        F.sum("cnt").over(wl).alias("cl"),
     )
     # per-term ROUND(..,9) -> DECIMAL(38,9) accumulation (the repo-wide
     # convention): exact, order-free summation so cross-engine /

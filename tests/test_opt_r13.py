@@ -213,3 +213,27 @@ def test_funnel_counts_single_scan_plan(spark, sf_dir):
     ]
     assert len(scans) == 1, scans
     assert len(exchanges) == 2, exchanges
+
+
+def test_bigram_logppl_one_exchange_one_sort_for_both_windows(spark, sf_dir):
+    """r13: the bigram-LM count c(w1 w2) and left marginal c(w1 .)
+    windows must share one w1-keyed exchange and one (w1, b) sort
+    (before: separate by-bigram and by-left-word exchanges + 2 sorts)."""
+    from litebase_spark import operators  # noqa: F401  (registers queries)
+    from litebase_spark.catalog import REGISTRY
+
+    plan = _plan_of(REGISTRY["text_bigram_logppl"].builder(spark, sf_dir))
+    main = plan.split("===== Subqueries")[0]
+
+    def ops(kind):
+        return [
+            ln.strip() for ln in main.splitlines()
+            if ln.strip().startswith("(")
+            and ln.strip().split(None, 1)[0].rstrip(")").lstrip("(").isdigit()
+            and ln.strip().split()[1] == kind
+        ]
+
+    assert len(ops("Window")) == 2
+    assert len(ops("Sort")) == 1, ops("Sort")
+    # doc rr + (doc,b) agg + w1 repartition + final doc agg
+    assert len(ops("Exchange")) == 4, ops("Exchange")
