@@ -582,8 +582,14 @@ _PII_PATTERNS = {
 )
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
+    # idx=0 (whole match) is required, not cosmetic: the PII patterns have
+    # zero capture groups, and Spark's regexp_extract_all defaults to group
+    # 1 — which raises REGEX_GROUP_INDEX on the FIRST matching row. The
+    # clean fixture corpus never matches, so only a corpus with real PII
+    # (e.g. the x100-mutated replica) trips it. Group 0 is also the DuckDB
+    # oracle's default, so counts agree on dirty corpora too.
     counts = [
-        F.size(F.regexp_extract_all("text", F.lit(pat))).alias(name)
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0)).alias(name)
         for name, pat in _PII_PATTERNS.items()
     ]
     out = d.select("doc_id", *counts)

@@ -237,3 +237,31 @@ def test_bigram_logppl_one_exchange_one_sort_for_both_windows(spark, sf_dir):
     assert len(ops("Sort")) == 1, ops("Sort")
     # doc rr + (doc,b) agg + w1 repartition + final doc agg
     assert len(ops("Exchange")) == 4, ops("Exchange")
+
+
+def test_pii_scrub_counts_on_matching_corpus(spark, tmp_path):
+    """r13: the PII patterns have zero capture groups, so
+    regexp_extract_all MUST extract group 0 — Spark's default idx=1
+    raised REGEX_GROUP_INDEX on the first matching row (latent at the
+    oracle SFs because the fixture corpus is clean; fatal on the
+    x100-mutated replica, which does contain matches)."""
+    from litebase_spark import operators  # noqa: F401  (registers queries)
+    from litebase_spark.catalog import REGISTRY
+
+    rows = [
+        (1, "contact bob@example.com or alice@test.org today", "a"),
+        (2, "call +1 555-123-4567 now", "a"),
+        (3, "server at 10.0.0.1 and 192.168.1.255 up", "b"),
+        (4, "perfectly clean document text", "b"),
+    ]
+    d = tmp_path / "documents.parquet"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(str(d))
+    out = {
+        r["doc_id"]: (r["emails"], r["phones"], r["ipv4s"])
+        for r in REGISTRY["text_pii_scrub"].builder(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {1: (2, 0, 0), 2: (0, 1, 0), 3: (0, 0, 2)}
