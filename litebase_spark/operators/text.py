@@ -765,8 +765,25 @@ def fts_match(
         # semi-ish join replaces per-posting stemming. Surface forms
         # of one stem then dedupe on (doc, stem) before the coverage
         # aggregate (same doc-keyed exchange as the groupBy).
+        #
+        # First-letter prune BEFORE the stage chain: every Porter rule
+        # is a suffix truncation/replacement (porter_stages — and the
+        # fuzz test pins it), so stem(t)[0] == t[0] always; only terms
+        # sharing a first letter with a query stem can be its surface
+        # form. This bounds the stem chain to the matching
+        # first-letter slice of the vocabulary — ~4/26ths here —
+        # which is what kept the x100-mutated replica (vocabulary
+        # inflated ~linearly by salted tokens) >120 s. The isin
+        # filter below lands on stem_vocabulary's checkpointed map,
+        # never on the lazy chain (see stem_vocabulary: unbarriered
+        # chain + pushdown hazard).
+        first = sorted({t[0] for t in qterms if t})
         qmap = stem_vocabulary(
-            postings.select("term"), "term", "__stem"
+            postings.select("term").filter(
+                F.substring("term", 1, 1).isin(first)
+            ),
+            "term",
+            "__stem",
         ).filter(F.col("__stem").isin(qterms))
         postings = (
             postings.join(F.broadcast(qmap), "term")
@@ -908,11 +925,13 @@ def _porter_match_oracle() -> str:
     "SAME stage strings run as Catalyst expressions here and as the "
     "oracle's CTE chain, and are differential-tested against Python "
     "sqlite3's actual FTS5 porter tokenizer over a 17k-word fuzz "
-    "corpus (tests/test_porter.py). Scale: stemming is a scan-side "
-    "codegen expression on exploded postings (no UDF, no extra "
-    "shuffle); the isin(stemmed-query-terms) prune still reaches "
-    "the scan, then one doc-keyed exchange dedupes surface forms "
-    "and evaluates must/should/not coverage.",
+    "corpus (tests/test_porter.py). Scale: stemming is O(|vocab|), "
+    "never O(postings) — the stage chain runs over the distinct "
+    "vocabulary pre-pruned to query-stem first letters (Porter rules "
+    "are suffix-only, so the first character always survives), the "
+    "pruned term->stem map broadcasts back onto postings, then one "
+    "doc-keyed exchange dedupes surface forms and evaluates "
+    "must/should/not coverage.",
     tags=("text", "fts"),
 )
 def fts_match_porter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2900,7 +2919,9 @@ def _vocab_porter_oracle() -> str:
     "the tokenize='porter' index surface added in round 11. Plan: "
     "term-frequency pre-agg (map-side combine onto (doc, term)), "
     "stem the DISTINCT VOCABULARY via the staged porter chain and "
-    "broadcast the term->stem map back (stemming is O(|vocab|)), "
+    "join the term->stem map back (stemming is O(|vocab|); AQE "
+    "broadcasts the map when its built size fits — never forced, a "
+    "corpus-scale vocabulary must be allowed to shuffle), "
     "re-aggregate (doc, stem) so two surface forms of one stem in a "
     "doc count once for n_docs, then one vocabulary-keyed rollup. "
     "Never a posting-side stem, never a single-reducer stage.",
@@ -2911,14 +2932,32 @@ def fts_vocab_porter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     d = d.repartition(spark.sparkContext.defaultParallelism)
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = (
-        d.select("doc_id", F.explode(tokens("text")).alias("term"))
-        .groupBy("doc_id", "term")
+        toks.groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    stems = stem_vocabulary(tf.select("term"), "term", "stem")
+    # Vocabulary straight from the token stream, NOT from tf: distinct
+    # over raw tokens gets a MAP-SIDE partial distinct that collapses
+    # the corpus to vocabulary size before its exchange, whereas
+    # tf.select("term") re-runs the corpus-scale (doc, term) pre-agg a
+    # second time just to throw the doc axis away (the two subtrees
+    # prune differently, so ReuseExchange never fires — measured at
+    # ×100-mutated: the duplicated pre-agg pushed the query past 13
+    # minutes; this shape stems the 18.4M-term vocabulary in ~40 s).
+    stems = stem_vocabulary(toks.select("term"), "term", "stem")
+    # No forced broadcast: unlike fts_match's query-pruned map (a
+    # handful of rows), this is the FULL term->stem vocabulary — on the
+    # x100-mutated replica (~linearly inflated vocab) the hint made the
+    # driver build a >8 GB broadcast and die ("Not enough memory to
+    # build and broadcast"). stems is the one checkpointed bounded
+    # table here (see stem_vocabulary), so AQE reads its true built
+    # size and still promotes the join to broadcast when it fits (it
+    # does at every oracle SF); at corpus scale the map is allowed to
+    # shuffle. The stem chain inside that checkpoint runs unbarriered
+    # (r13): one job, no per-2-stage block-manager round-trips.
     ds = (
-        tf.join(F.broadcast(stems), "term")
+        tf.join(stems, "term")
         .groupBy("doc_id", "stem")
         .agg(F.sum("c").alias("c"))
     )

@@ -230,3 +230,24 @@ def test_fts_vocab_porter_semantics(spark, tmp_path, monkeypatch):
             for r in fts_vocab_porter(spark, str(tmp_path)).collect()}
     assert rows["queri"] == (2, 4)   # 3 forms in doc 1 + 1 in doc 2
     assert rows["tabl"] == (1, 1)
+
+
+def test_porter_stem_preserves_first_char():
+    """r13: fts_match's porter path prunes the vocabulary to query-stem
+    first letters BEFORE the stage chain — sound only if no Porter rule
+    ever rewrites a word's first character. Pin it over the same fuzz
+    corpus (suffix-heavy, vowel/y/digit charset) plus the curated list."""
+    import duckdb
+
+    from litebase_spark.functions.porter import porter_duckdb_cte
+
+    words = [w for w in _fuzz_words(31, 2000) if w]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE w (tok TEXT)")
+    con.executemany("INSERT INTO w VALUES (?)", [(w,) for w in words])
+    sql = porter_duckdb_cte("SELECT tok FROM w")
+    bad = con.execute(
+        f"SELECT tok, stem FROM ({sql}) "
+        "WHERE stem IS NULL OR stem = '' OR substr(stem, 1, 1) <> substr(tok, 1, 1)"
+    ).fetchall()
+    assert not bad, f"first char changed: {bad[:10]}"
