@@ -1271,6 +1271,12 @@ def knn_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("cv"),
             norm2(F.col("embedding")).alias("cn"),
         )
+        # materialized ONCE (r13): N_CENTROIDS rows (bounded — the IVF
+        # coarse quantizer every ANN deployment persists). Both the
+        # build-time assignment and the lazy query-probe side consume
+        # it; without the barrier the probe side re-derives it with a
+        # full corpus scan + TakeOrdered per execution.
+        .localCheckpoint(eager=True)
     )
     csim = dot(F.col("embedding"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
     assign_w = Window.partitionBy("vec_id").orderBy(
