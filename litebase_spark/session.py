@@ -14,6 +14,23 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_shuffle_partitions(cpus: str, env_override: str | None) -> int:
+    """Default shuffle-partition count: MATCH parallelism, derived from
+    the core-count env instead of a constant — the bench harness is also
+    run at lower core counts to measure scaling, and a count tuned to
+    one machine's cores is exactly the local-mode-constant anti-pattern.
+    AQE coalesces below this on small shuffles, so it is an upper bound,
+    not a tuning knob (measured neutral at sf0.1: 8 cores 37.5 s derived
+    vs 37.8 s at the old fixed 32). Cluster deployments should override
+    via $SPARK_GRAFT_SHUFFLE_PARTITIONS or the arg (rule of thumb: 2-3x
+    total executor cores, or rely on AQE)."""
+    if env_override is not None:
+        return int(env_override)
+    if cpus.isdigit():
+        return int(cpus)
+    return os.cpu_count() or 8
+
+
 def get_spark(
     app_name: str = "litebase_spark",
     master: str | None = None,
@@ -30,9 +47,9 @@ def get_spark(
     if master is None:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        # local: match parallelism; cluster deployments should override
-        # (rule of thumb: 2-3x total executor cores, or rely on AQE).
-        shuffle_partitions = 32
+        shuffle_partitions = _default_shuffle_partitions(
+            cpus, os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        )
 
     b = (
         SparkSession.builder.appName(app_name)

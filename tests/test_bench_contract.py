@@ -101,3 +101,18 @@ def test_driver_line_keeps_full_map_when_small():
     parsed = json.loads(format_driver_line(result))
     assert parsed["queries"] == {"q1": 0.5, "q2": 0.5}
     assert "worst" not in parsed
+
+
+def test_shuffle_partition_default_tracks_core_env():
+    """r13: the driver re-runs the bench at a lower $SPARK_GRAFT_CPUS to
+    measure scaling; the shuffle-partition default must track that env
+    (a constant tuned to one machine's cores is the local-mode-constant
+    anti-pattern), with the explicit env override winning."""
+    from litebase_spark.session import _default_shuffle_partitions
+
+    assert _default_shuffle_partitions("32", None) == 32
+    assert _default_shuffle_partitions("8", None) == 8
+    assert _default_shuffle_partitions("8", "48") == 48
+    import os
+
+    assert _default_shuffle_partitions("*", None) == (os.cpu_count() or 8)
