@@ -159,6 +159,17 @@ HEADLINE = [
 ]
 
 
+def manifest_hash(names: list[str] | None = None) -> str:
+    """8-hex-char fingerprint of the headline manifest ORDER. Emitted on
+    the driver line as `mh` so a reader can certify that the positional
+    `qv` vector is keyed to the committed bench_manifest.json."""
+    import hashlib
+
+    return hashlib.sha256(
+        ",".join(names if names is not None else HEADLINE).encode()
+    ).hexdigest()[:8]
+
+
 def read_loadavg() -> tuple[float, float, float]:
     """(1m, 5m, 15m) system load — (0, 0, 0) where /proc is unavailable."""
     try:
@@ -180,26 +191,39 @@ def format_driver_line(result: dict, limit: int = 1950) -> str:
     """Render the ONE stdout JSON line, guaranteed to fit the driver tail.
 
     The driver captures only the last ~2000 bytes of stdout and parses the
-    final line as JSON. Shedding order:
-      1. drop optional keys (duckdb map, cold_total, net_of_floor);
-      2. if the per-query map alone still overflows (78+ queries crossed
-         this cliff in round 7 -> BENCH_r07.json parsed:null), replace it
-         with a summary: n_queries + the 5 slowest. Full per-query detail
-         always persists in BENCH_FULL.json, so nothing is lost.
-    `floor` and `load15` survive every shed — they are the two keys that
-    let a reader certify the machine conditions behind the total.
+    final line as JSON. Since round 7 the full name->sec `queries` map has
+    not fit that tail, which left the driver's per-query round-over-round
+    and scaling tables empty (PERF_r13 `per_query: {}`). Round 14 restores
+    per-query visibility with a POSITIONAL vector:
+      * `qv`  — per-query warm seconds (2 decimals), one entry per
+                headline query in the exact order of the committed
+                bench_manifest.json (== bench.HEADLINE);
+      * `mh`  — 8-hex fingerprint of that order (manifest_hash), so a
+                reader can certify qv's keying;
+      * `cold_total`, `floor`, `load15`, `n_queries` — survive every
+                shed (machine conditions + the eager-build-work check).
+    Shedding order when the line still overflows:
+      1. drop optional maps/keys (duckdb map, net_of_floor);
+      2. replace the full `queries` map (kept while it fits, for
+         name-keyed readers) with a summary: the 5 slowest;
+      3. last resort, drop `qv` itself (keeps the round-7 guarantee
+         that the line ALWAYS fits).
+    Full per-query detail always persists in the per-run file under
+    bench_runs/, so nothing is lost.
     """
     result = dict(result)
+    queries = result.get("queries") or {}
+    if queries:
+        result["n_queries"] = len(queries)
     line = json.dumps(result, separators=(",", ":"))
-    for drop in ("duckdb_baseline", "cold_total", "net_of_floor"):
+    for drop in ("duckdb_baseline", "net_of_floor"):
         if len(line) <= limit:
             return line
         result.pop(drop, None)
         line = json.dumps(result, separators=(",", ":"))
     if len(line) <= limit:
         return line
-    queries = result.pop("queries", {}) or {}
-    result["n_queries"] = len(queries)
+    result.pop("queries", None)
     result["worst"] = dict(
         sorted(queries.items(), key=lambda kv: -kv[1])[:5]
     )
@@ -207,6 +231,11 @@ def format_driver_line(result: dict, limit: int = 1950) -> str:
     line = json.dumps(result, separators=(",", ":"))
     while len(line) > limit and result["worst"]:
         result["worst"].popitem()
+        line = json.dumps(result, separators=(",", ":"))
+    for drop in ("cold_total", "qv", "mh"):
+        if len(line) <= limit:
+            return line
+        result.pop(drop, None)
         line = json.dumps(result, separators=(",", ":"))
     return line
 
@@ -298,13 +327,16 @@ def main() -> int:
 
     # The driver captures only the last ~2000 bytes of stdout and parses
     # the final line as JSON — keep the line compact (no spaces, 2-decimal
-    # per-query values, no prose keys) and write the verbose record to
-    # BENCH_FULL.json alongside.
+    # per-query values, no prose keys) and write the verbose record to a
+    # per-run file alongside. `qv` is the positional per-query vector in
+    # HEADLINE (== bench_manifest.json) order; `mh` certifies that order.
     result = {
         "metric": "headline_query_set_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in timings.items()},
+        "qv": [round(timings[n], 2) for n in HEADLINE],
+        "mh": manifest_hash(),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cold_total": round(sum(cold.values()), 3),
         "floor": sched_floor,
@@ -345,9 +377,23 @@ def main() -> int:
         "(statement-cache analog), 2 executions, min; cold_total = first "
         "build+run per query"
     )
+    # Per-run artifact (r14): every invocation writes its OWN file under
+    # bench_runs/ instead of clobbering BENCH_FULL.json in place — the
+    # r13 driver's loaded 8-core run overwrote the builder's committed
+    # clean artifact in the working tree and only git history preserved
+    # it. BENCH_FULL.json remains the COMMITTED canonical run: the
+    # builder copies the chosen per-run file there explicitly.
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+    run_dir = os.path.join(here, "bench_runs")
+    os.makedirs(run_dir, exist_ok=True)
+    stamp = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
+    run_path = os.path.join(
+        run_dir, f"BENCH_RUN_{stamp}_pid{os.getpid()}.json"
+    )
+    full["run_file"] = os.path.basename(run_path)
+    with open(run_path, "w") as f:
         json.dump(full, f, indent=1)
+    print(f"# per-run record: {run_path}", file=sys.stderr)
 
     print(format_driver_line(result))
     return 0

@@ -10,6 +10,7 @@ down on small inputs but that spreads on large ones.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -25,9 +26,19 @@ def _default_shuffle_partitions(cpus: str, env_override: str | None) -> int:
     via $SPARK_GRAFT_SHUFFLE_PARTITIONS or the arg (rule of thumb: 2-3x
     total executor cores, or rely on AQE)."""
     if env_override is not None:
-        return int(env_override)
-    if cpus.isdigit():
-        return int(cpus)
+        try:
+            return int(env_override)
+        except ValueError:
+            raise ValueError(
+                "$SPARK_GRAFT_SHUFFLE_PARTITIONS must be an integer, "
+                f"got {env_override!r}"
+            ) from None
+    # A local[N] core spec can legally be 'N,maxRetries' — parse the
+    # leading integer so shuffle partitions stay coupled to the actual
+    # parallelism instead of silently falling back to os.cpu_count().
+    m = re.match(r"(\d+)", cpus)
+    if m:
+        return int(m.group(1))
     return os.cpu_count() or 8
 
 
