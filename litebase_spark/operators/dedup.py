@@ -702,6 +702,11 @@ def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SRP_BANDS = 4
 _SRP_ROWS = 4  # sign bits per band at the oracle SFs
+# corpora above this row count take the EARLY candidate dedupe (ids-only
+# dropDuplicates before the wide embedding join-backs — the measured x100m
+# winner); at or below it the distinct runs on the few tau survivors
+# instead. Module-level so tests can drive the large-n branch directly.
+_SRP_EARLY_DEDUPE_N = 20_000
 # sign bits per band scale with corpus size (clamped here): bucket
 # population ~ n / 2^rows, so FIXED rows make candidate pairs grow
 # ~n^2/2^rows — the x100 sweep measured exactly that (16 buckets x
@@ -878,7 +883,7 @@ def dedup_embedding_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("bucket") == F.col("bucket_b"))
         & (F.col("vec_id_a") < F.col("vec_id_b")),
     ).select("vec_id_a", "vec_id_b")
-    dedupe_early = n > 20_000
+    dedupe_early = n > _SRP_EARLY_DEDUPE_N
     if dedupe_early:
         cand = cand.dropDuplicates(["vec_id_a", "vec_id_b"])
     ea = emb.select(
@@ -892,16 +897,20 @@ def dedup_embedding_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nb"),
     )
     sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
+    out = (
         cand.join(ea, "vec_id_a")
         .join(eb, "vec_id_b")
         .select("vec_id_a", "vec_id_b", sim.alias("raw_sim"))
         .filter(F.col("raw_sim") >= _SRP_TAU)
         .select("vec_id_a", "vec_id_b", F.round("raw_sim", 6).alias("cos_sim"))
-        # distinct over SURVIVORS only (duplicate candidates score
-        # identically, so post-filter dedupe is value-identical)
-        .dropDuplicates(["vec_id_a", "vec_id_b"])
     )
+    if dedupe_early:
+        # pairs are already unique (pre-verify dropDuplicates ran); a
+        # second distinct here would just add a survivor-keyed exchange
+        return out
+    # distinct over SURVIVORS only (duplicate candidates score
+    # identically, so post-filter dedupe is value-identical)
+    return out.dropDuplicates(["vec_id_a", "vec_id_b"])
 
 
 # ---------------------------------------------------------------------------

@@ -1089,28 +1089,33 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = F.col("o_totalprice")
     nul = F.lit(None).cast("long")
-    corpus = o.select(
-        p.alias("x"), F.lit(0).alias("tag"), F.lit(1).alias("w"),
-        nul.alias("k"), F.lit(0).alias("sign"), F.lit(0.0).alias("p"),
-    )
-    hi = o.select(
-        (p + 100.0).alias("x"), F.lit(1).alias("tag"), F.lit(0).alias("w"),
-        F.col("o_orderkey").alias("k"), F.lit(1).alias("sign"),
-        p.alias("p"),
-    )
-    lo = o.select(
-        (p - 100.0).alias("x"), F.lit(-1).alias("tag"), F.lit(0).alias("w"),
-        F.col("o_orderkey").alias("k"), F.lit(-1).alias("sign"),
-        p.alias("p"),
-    )
-    # materialized ONCE (r13): the bucket-local window and the
-    # per-bucket totals both consume u, and each consumer otherwise
-    # re-inlines the 3-branch union scan (6 parquet scans of orders
-    # per execution)
-    u = (
-        corpus.unionByName(hi).unionByName(lo)
-        .withColumn("b", F.floor(F.col("x") / 200.0).cast("long"))
-        .localCheckpoint(eager=True)
+
+    def _row(x, tag, w, k, sign, pv):
+        return F.struct(
+            x.alias("x"), F.lit(tag).alias("tag"), F.lit(w).alias("w"),
+            k.alias("k"), F.lit(sign).alias("sign"), pv.alias("p"),
+        )
+
+    # r14: the r13 eager localCheckpoint here materialized the 3n-row
+    # union of the ORDERS CORPUS (~44 B/row x 3n — the corpus-sized
+    # class the bounded-only materialization law forbids; see the
+    # advice on asof.py). Replaced by generating the corpus/hi/lo
+    # branches with ONE explode over ONE scan (the 3-branch union was
+    # 3 scans per consumer, the checkpoint's original motivation), so
+    # each of the two consumers (bucket-local window, per-bucket
+    # totals) pays exactly one narrow 2-column scan per execution and
+    # nothing corpus-sized is ever materialized. Value-identical: same
+    # rows, and the bucket window orders by (x, tag), not input order.
+    u = o.select(
+        F.explode(
+            F.array(
+                _row(p, 0, 1, nul, 0, F.lit(0.0)),
+                _row(p + 100.0, 1, 0, F.col("o_orderkey"), 1, p),
+                _row(p - 100.0, -1, 0, F.col("o_orderkey"), -1, p),
+            )
+        ).alias("r")
+    ).select("r.*").withColumn(
+        "b", F.floor(F.col("x") / 200.0).cast("long")
     )
     wloc = (
         Window.partitionBy("b")

@@ -477,6 +477,49 @@ def _knn_ivf_probe_oracle() -> str:
     """
 
 
+def _coarse_quantizer_literal(e: DataFrame) -> Column:
+    """The IVF coarse quantizer as a LITERAL struct array
+    (cent_id, cv, cn): N_CENTROIDS (16) rows collected to the driver
+    (O(k), same class as the k-means centroid collect) and re-entered
+    as plan literals, so assignment becomes a pure per-row projection —
+    transform() over the 16 centroids + array_max argmin — instead of a
+    crossJoin + row_number window that shuffles corpus x 16 rows.
+
+    Centroid norms are computed driver-side with the same sequential
+    left-to-right IEEE-double fold as the JVM norm2 (and the oracle's
+    sqrt(list_sum(...))) — bit-identical by construction, and hoisted
+    out of the per-row lambda (norm2(c.cv) inside transform() is NOT
+    constant-folded: it would re-run 16 x dim multiplies per corpus
+    row)."""
+    import math
+
+    cent_rows = (
+        e.orderBy("vec_id")
+        .limit(N_CENTROIDS)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+
+    def _py_norm(vec) -> float:
+        acc = 0.0
+        for v in vec:
+            acc = acc + float(v) * float(v)
+        return math.sqrt(acc)
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(r["vec_id"])).alias("cent_id"),
+                F.array(
+                    *[F.lit(float(v)) for v in r["embedding"]]
+                ).alias("cv"),
+                F.lit(_py_norm(r["embedding"])).alias("cn"),
+            )
+            for r in cent_rows
+        ]
+    )
+
+
 @query(
     "knn_ivf_probe",
     oracle=_knn_ivf_probe_oracle(),
@@ -495,44 +538,11 @@ def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = spread(load(spark, sf_dir, "embeddings"))
-    # The coarse quantizer IS the model: N_CENTROIDS (16) rows collected
-    # to the driver (O(k), same class as the k-means centroid collect)
-    # and re-entered as a literal struct array. Assignment then becomes a
-    # pure per-row projection — transform() over the 16 centroids +
-    # array_max argmin — instead of the round-3 crossJoin + row_number
-    # window, which shuffled corpus x 16 rows twice (24 exchanges).
-    cent_rows = (
-        e.orderBy("vec_id")
-        .limit(N_CENTROIDS)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    # Centroid norms are computed driver-side with the same sequential
-    # left-to-right IEEE-double fold as the JVM norm2 (and the oracle's
-    # sqrt(list_sum(...))) — bit-identical by construction, and hoisted
-    # out of the per-row lambda (norm2(c.cv) inside transform() is NOT
-    # constant-folded: it would re-run 16 x dim multiplies per corpus
-    # row).
-    import math
+    # The coarse quantizer IS the model (see _coarse_quantizer_literal;
+    # this replaced the round-3 crossJoin + row_number window, which
+    # shuffled corpus x 16 rows twice — 24 exchanges).
+    cents_arr = _coarse_quantizer_literal(e)
 
-    def _py_norm(vec) -> float:
-        acc = 0.0
-        for v in vec:
-            acc = acc + float(v) * float(v)
-        return math.sqrt(acc)
-
-    cents_arr = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["vec_id"])).alias("cent_id"),
-                F.array(
-                    *[F.lit(float(v)) for v in r["embedding"]]
-                ).alias("cv"),
-                F.lit(_py_norm(r["embedding"])).alias("cn"),
-            )
-            for r in cent_rows
-        ]
-    )
     # Per-row: sims to all centroids as (sim, -cent_id) structs; lexical
     # array_max = highest sim, ties to the LOWEST cent_id — identical to
     # the oracle's (sim DESC, cent_id ASC) row_number tie-break. The
@@ -1263,54 +1273,55 @@ def knn_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = spread(load(spark, sf_dir, "embeddings"))
-    cents = (
-        e.orderBy("vec_id")
-        .limit(N_CENTROIDS)
-        .select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("embedding").alias("cv"),
-            norm2(F.col("embedding")).alias("cn"),
-        )
-        # materialized ONCE (r13): N_CENTROIDS rows (bounded — the IVF
-        # coarse quantizer every ANN deployment persists). Both the
-        # build-time assignment and the lazy query-probe side consume
-        # it; without the barrier the probe side re-derives it with a
-        # full corpus scan + TakeOrdered per execution.
-        .localCheckpoint(eager=True)
-    )
-    csim = dot(F.col("embedding"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
-    assign_w = Window.partitionBy("vec_id").orderBy(
-        F.desc("sim"), F.asc("cent_id")
-    )
-    assigned = (
-        e.select("vec_id", "embedding", norm2(F.col("embedding")).alias("nrm"))
-        .crossJoin(F.broadcast(cents))
-        .select("vec_id", "embedding", "nrm", "cent_id", csim.alias("sim"))
-        .withColumn("rn", F.row_number().over(assign_w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "nrm", F.col("cent_id").alias("cell"))
-        # materialized ONCE (r13): the coded corpus join and the query
-        # side both consume the assignment, and each otherwise
-        # re-inlines the centroid cross-join + per-vector argmin
-        # window (the costliest stage) per execution — the IVF
-        # assignment table every ANN deployment persists
-        .localCheckpoint(eager=True)
-    )
+    # r14: the r13 shape checkpointed the per-vector ASSIGNMENT —
+    # embedding arrays included — a corpus-sized materialization the
+    # bounded-only law forbids (the advice's example), and its warm
+    # numbers excluded the costliest stage (the crossJoin + argmin
+    # window) from the timed region. Replaced with the knn_ivf_probe
+    # pattern: the coarse quantizer is a 16-row LITERAL (O(k) driver
+    # collect — the IVF model every ANN deployment holds in memory),
+    # assignment is a pure per-row transform()+array_max projection
+    # (sim, -cent_id lexical max == the oracle's sim DESC, cent_id ASC
+    # tie-break), and assignment + int8 coding fuse into ONE map-only
+    # pass over ONE scan — no crossJoin, no window, no join, nothing
+    # materialized, every execution pays the honest full cost.
+    cents_arr = _coarse_quantizer_literal(e)
+
+    def cell_of(vec, nrm):
+        return -F.array_max(
+            F.transform(
+                cents_arr,
+                lambda c: F.struct(
+                    (dot(vec, c["cv"]) / (nrm * c["cn"])).alias("sim"),
+                    (-c["cent_id"]).alias("neg_id"),
+                ),
+            )
+        )["neg_id"]
+
     # int8 min/max codes (the embedding_quantize_minmax expressions),
-    # dequantized once per row into the dq column the ADC fold scans
-    coded = (
+    # dequantized once per row into the dq column the ADC fold scans —
+    # computed in the SAME projection as the cell assignment
+    corpus = (
         e.select(
             "vec_id",
+            "embedding",
+            norm2(F.col("embedding")).alias("nrm"),
             F.expr("transform(embedding, v -> CAST(v AS DOUBLE))").alias("ed"),
         )
         .select(
             "vec_id",
+            "embedding",
+            "nrm",
+            cell_of(F.col("embedding"), F.col("nrm")).alias("cell"),
             "ed",
             F.array_min("ed").alias("q_min"),
             ((F.array_max("ed") - F.array_min("ed")) / 255.0).alias("q_scale"),
         )
         .select(
             "vec_id",
+            "embedding",
+            "nrm",
+            "cell",
             F.expr(
                 "transform(transform(ed, v -> CAST(CASE WHEN q_scale = 0"
                 " THEN 0 ELSE LEAST(FLOOR((v - q_min) / q_scale), 255) END"
@@ -1318,20 +1329,29 @@ def knn_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dq"),
         )
     )
-    corpus = assigned.join(coded, "vec_id")
-    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+    # query side straight off the (pushdown-pruned) scan: the probe list
+    # is the per-query top-N_PROBE cells by centroid sim — array_sort on
+    # (-sim, cent_id) literals, sliced, exploded; all expression-level
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qv"),
-        F.col("nrm").alias("qn"),
+        norm2(F.col("embedding")).alias("qn"),
     )
-    probe_w = Window.partitionBy("qid").orderBy(F.desc("qsim"), F.asc("cent_id"))
-    qsim = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
-    probes = (
-        q.join(F.broadcast(cents))
-        .select("qid", "qv", "qn", "cent_id", qsim.alias("qsim"))
-        .withColumn("pr", F.row_number().over(probe_w))
-        .filter(F.col("pr") <= N_PROBE)
-        .select("qid", "qv", "qn", F.col("cent_id").alias("cell"))
+    qsims = F.transform(
+        cents_arr,
+        lambda c: F.struct(
+            (-(dot(F.col("qv"), c["cv"]) / (F.col("qn") * c["cn"])))
+            .alias("neg_sim"),
+            c["cent_id"].alias("cent_id"),
+        ),
+    )
+    probes = q.select(
+        "qid",
+        "qv",
+        "qn",
+        F.explode(
+            F.slice(F.array_sort(qsims), 1, N_PROBE)["cent_id"]
+        ).alias("cell"),
     )
     adc_sim = dot(F.col("qv"), F.col("dq")) / (
         F.col("qn") * F.sqrt(dot(F.col("dq"), F.col("dq")))

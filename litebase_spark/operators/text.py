@@ -1518,11 +1518,15 @@ _CD_BOILER = 3  # chunk present in >= this many distinct docs is boilerplate
     "consecutive chunks, count per-chunk document frequency over the "
     "whole corpus, drop chunks appearing in >= 3 distinct docs "
     "(boilerplate), and reassemble the cleaned text in chunk order. "
-    "Dataflow at 100 TB: one posexplode (narrow), one agg keyed by "
-    "chunk (the only shuffle that grows with corpus size; chunk keys "
-    "hash-spread evenly), one equi-join back (chunk frequency table is "
-    "heavy-hitters only in practice and broadcastable after a dfreq "
-    "filter), one per-doc reassembly agg. No UDFs — stays in codegen.",
+    "Dataflow at 100 TB: one posexplode (narrow), one dfreq agg keyed "
+    "by the 8-byte xxhash64 of the chunk (r14 — the corpus-growing "
+    "shuffle ships int pairs, never chunk strings; a 64-bit key is "
+    "collision-safe here: ~0.03 expected colliding pairs per 1e9 "
+    "distinct chunks), one LEFT join back of the ckey-only BOILERPLATE "
+    "subset (dfreq >= threshold — heavy-hitters, broadcastable in "
+    "practice), one per-doc reassembly agg (the only exchange that "
+    "carries chunk text, because the output is that text). No UDFs — "
+    "stays in codegen.",
     tags=("text", "dedup"),
 )
 def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1551,11 +1555,25 @@ def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # second tokenize pass it saves). The two consumers each pay
         # one tokenize+chunk pass; only bounded tables get barriers.
     )
-    dfreq = ch.groupBy("chunk").agg(
-        F.count_distinct("doc_id").alias("dfreq")
+    # r14 (§2.3/§6): every exchange is keyed on the 8-byte xxhash64 of
+    # the chunk, never the chunk STRING — the dfreq aggregate ships
+    # (ckey, doc_id) int pairs instead of (chunk, doc_id), and the
+    # join-back build side is the ckey-only BOILERPLATE set (dfreq >=
+    # threshold), a strict subset of the old full-dfreq table, marked
+    # with a literal and LEFT-joined: kept == (no boilerplate hit) ==
+    # (dfreq < threshold). Chunk text crosses only the final
+    # groupBy(doc_id) reassembly exchange, where it is the payload the
+    # query's output is made of.
+    ck = ch.withColumn("ckey", F.xxhash64("chunk"))
+    boiler = (
+        ck.select("ckey", "doc_id")
+        .groupBy("ckey")
+        .agg(F.count_distinct("doc_id").alias("dfreq"))
+        .filter(F.col("dfreq") >= _CD_BOILER)
+        .select("ckey", F.lit(1).alias("__boiler"))
     )
-    flagged = ch.join(dfreq, "chunk")
-    kept = F.when(F.col("dfreq") < _CD_BOILER, True).otherwise(False)
+    flagged = ck.join(boiler, "ckey", "left")
+    kept = F.when(F.col("__boiler").isNull(), True).otherwise(False)
     return flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum(kept.cast("long")).alias("n_kept"),
@@ -1565,7 +1583,7 @@ def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.array_sort(
                         F.collect_list(
                             F.when(
-                                F.col("dfreq") < _CD_BOILER,
+                                F.col("__boiler").isNull(),
                                 F.struct("pos", "chunk"),
                             )
                         )

@@ -47,7 +47,6 @@ _ALLOWED_NL = {
     "dedup_embedding_blocked",
     "knn_ivf_probe",
     "knn_ivf_kmeans",
-    "knn_ivf_adc",  # 16-centroid broadcast assignment, same as ivf_probe
     "spatial_rtree_bbox_join",
     "q19_discounted_revenue",  # OR-of-conjuncts residual over broadcast
     "sketch_hll_union",  # 1-row grand-total cross join onto estimates
@@ -151,6 +150,9 @@ _ALLOWED_COLLECT = {
     "bloom pushdown",
     "knn_ivf_probe": "N_CENTROIDS (16) coarse-quantizer rows — the IVF "
     "model, same O(k) class as the k-means centroid collect",
+    "knn_ivf_adc": "N_CENTROIDS (16) coarse-quantizer rows — the IVF "
+    "model (r14: same literal-quantizer shape as knn_ivf_probe, "
+    "replacing the corpus-sized assignment checkpoint)",
 }
 
 _SCAN_RE = re.compile(r"^\(\d+\) Scan parquet", re.M)
