@@ -1521,7 +1521,13 @@ def ts_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the bucket-local window output is materialized ONCE (r13): the
     # within-bucket moments, the bucket cells and the edge table all
     # consume g, and each otherwise re-inlines the corpus window sort
-    # per execution (5 scans / 3 window passes in the before plan)
+    # per execution (5 scans / 3 window passes in the before plan).
+    # r14 scale audit: this IS a corpus-sized barrier — measured
+    # 1.32 GB at the x100m point (tools/checkpoint_bytes.py) — kept on
+    # the measured A/B (x100m 5.0 s without -> 2.4 s with; the three
+    # consumers each re-running a corpus window sort costs more than
+    # the narrow 7-int64-column lag table holds), documented per the
+    # r13 advice rather than assumed bounded.
     g = e.select(
         "event_type",
         "bkt",

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from litebase_spark.catalog import load, query
+from litebase_spark.catalog import load, query, spread
 from litebase_spark.functions.portable import (
     affine_constants,
     affine_duck,
@@ -467,7 +467,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    d = spread(d)
     w = tokens("text")
     hashes = F.expr(f"transform(w, t -> {h60_spark('t')})")
     # bit b of simhash = majority vote of bit b across token hashes.
@@ -609,9 +609,7 @@ def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the difference between fitting the sweep cap and not.
     EPS = 1e-3
     G = 8  # block grid; at 100 TB pick G so 2n/G rows fit one task
-    e = load(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    e = spread(load(spark, sf_dir, "embeddings"))
 
     # strip height for the tiled matmul: a FULL sims matrix for a
     # 25k-row block is 2.5 GB float32, and with every core running a
@@ -815,9 +813,7 @@ def _srp_verified_oracle() -> str:
 def dedup_embedding_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     from litebase_spark.operators.similarity import dot, norm2
 
-    e = load(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    e = spread(load(spark, sf_dir, "embeddings"))
     # corpus-adaptive band width (see _srp_rows_for): an O(1) scalar
     # count — the same bounded driver-read class as the k-means model
     n = e.count()
@@ -1098,9 +1094,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     TAU = 0.4
-    e = load(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    e = spread(load(spark, sf_dir, "embeddings"))
     # corpus-adaptive cell count (the docstring's 'pick k ~ n/cell'
     # made concrete): fixed k makes per-cell pairwise work grow n^2/k
     # — the x100 sweep measured 10 cells x 20k rows = 2e9 in-cell

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from litebase_spark.catalog import load, query
+from litebase_spark.catalog import load, query, spread
 from litebase_spark.functions.portable import h60_duck
 from litebase_spark.operators.text import _SQL_TOKENS, tokens
 
@@ -504,7 +504,7 @@ def _bpe_encode_oracle(rounds: int) -> str:
 )
 def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    d = spread(d)
     words = (
         d.select(F.explode(tokens("text")).alias("word"))
         .groupBy("word")
@@ -630,7 +630,7 @@ def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    d = spread(d)
     toks = tokens("text")
     base = d.select("doc_id", "source", "text", toks.alias("toks"))
     n_words = F.size("toks")

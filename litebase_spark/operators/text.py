@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from litebase_spark.catalog import load, query
+from litebase_spark.catalog import load, query, spread
 from litebase_spark.functions.portable import (
     h60_duck as _h60_duck,
     h60_spark as _h60_spark,
@@ -103,7 +103,7 @@ _STOPWORDS = (
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    d = spread(d)
     words = tokens("text")
     stop_lit = F.array(*[F.lit(w) for w in _STOPWORDS])
     d = d.select(
@@ -229,7 +229,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    d = spread(d)
     w = tokens("text")
     d = d.select("doc_id", w.alias("w"))
     shingle_hashes = F.transform(
@@ -301,7 +301,7 @@ _BM25_B = 0.75
 )
 def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    d = spread(d)
     k1, b = _BM25_K1, _BM25_B
     terms = _BM25_QUERY_TERMS
 
@@ -310,7 +310,10 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # narrow (doc_id, dl, tf0..tfK) table materialized ONCE (r13): the
     # corpus stats and the scoring pass both consume it, and each
-    # otherwise re-inlines the tokenize pass per execution
+    # otherwise re-inlines the tokenize pass per execution. r14 scale
+    # audit: O(n_docs) x ~18 B of longs — measured 54 MB at the x100m
+    # point (~0.8% of the corpus bytes; tools/checkpoint_bytes.py),
+    # the §8 lightweight-proxy shape rather than a corpus hazard.
     perdoc = d.select("doc_id", tokens("text").alias("words")).select(
         "doc_id",
         F.size("words").alias("dl"),
@@ -484,7 +487,7 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    d = spread(d)
     tok = d.select("doc_id", tokens("text").alias("w"))
     n_docs = tok.agg(F.count(F.lit(1)).alias("n_docs"))
     postings = tok.select(
@@ -530,7 +533,7 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_topk_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    d = spread(d)
     w = tokens("text")
     bigrams = F.expr(
         "transform(sequence(1, size(w) - 1), "
@@ -834,7 +837,7 @@ def fts_match(
 )
 def fts_match_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    d = spread(d)
     return fts_match(
         d,
         must=["spark", "query"],
@@ -877,7 +880,7 @@ def fts_match_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fts_match_unicode61_sep(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    d = spread(d)
     return fts_match(
         d,
         must=["table", "spark"],
@@ -936,7 +939,7 @@ def _porter_match_oracle() -> str:
 )
 def fts_match_porter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    d = spread(d)
     return fts_match(
         d,
         must=["querying"],
@@ -1023,7 +1026,7 @@ def fts_phrase_prefix(
 )
 def fts_match_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = load(spark, sf_dir, "documents")
-    d = raw.repartition(spark.sparkContext.defaultParallelism)
+    d = spread(raw)
     hits = fts_phrase_prefix(d, ["big", "table"], "str")
     # join the narrow (doc_id, n_chars) projection of the RAW scan —
     # repartitioning it first paid a full exchange ahead of a build
@@ -1094,7 +1097,7 @@ def fts_near(
 )
 def fts_match_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    d = spread(d)
     return fts_near(d, "table", "scan", 3)
 
 
@@ -1285,7 +1288,7 @@ _FTS_SYNTAX_MATCH = (
 )
 def fts_match_syntax_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    d = spread(d)
     cols = {"text": tokens("text"), "source": tokens("source")}
     pred = fts5_compile(_FTS_SYNTAX_MATCH, cols, default="text")
     return d.filter(pred).select("doc_id", "n_chars")
@@ -1804,7 +1807,7 @@ def text_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from litebase_spark.functions.portable import h60_spark
 
     d = load(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    d = spread(d)
     w = tokens("text")
     feats = F.expr(
         "concat(w, transform(sequence(1, size(w) - 1),"
@@ -1861,7 +1864,7 @@ def text_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from litebase_spark.operators.similarity import dot, norm2
 
     d = load(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    d = spread(d)
     k1, b = _BM25_K1, _BM25_B
     terms = _BM25_QUERY_TERMS
 
@@ -1870,7 +1873,10 @@ def text_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # narrow (doc_id, dl, tf0..tfK) table materialized ONCE (r13): the
     # corpus stats and the scoring pass both consume it, and each
-    # otherwise re-inlines the tokenize pass per execution
+    # otherwise re-inlines the tokenize pass per execution. r14 scale
+    # audit: O(n_docs) x ~18 B of longs — measured 54 MB at the x100m
+    # point (~0.8% of the corpus bytes; tools/checkpoint_bytes.py),
+    # the §8 lightweight-proxy shape rather than a corpus hazard.
     perdoc = d.select("doc_id", tokens("text").alias("words")).select(
         "doc_id",
         F.size("words").alias("dl"),
@@ -1917,7 +1923,7 @@ def text_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "rl")
 
     e = load(spark, sf_dir, "embeddings")
-    e = e.repartition(spark.sparkContext.defaultParallelism)
+    e = spread(e)
     qv = e.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv"), norm2(F.col("embedding")).alias("qn")
     )
@@ -2322,18 +2328,55 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.explode(tokens("text")).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    tf = tf.localCheckpoint(eager=True)  # df, n_docs and scoring reuse it
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = tf.agg(F.count_distinct("doc_id").alias("n_docs"))
+    # r14: the corpus-sized (doc, term) tf checkpoint is GONE (measured
+    # 3.1 GB materialized at the x100m point — the largest corpus-sized
+    # barrier in the repo, and the bounded-only law forbids it). The
+    # three consumers never needed the corpus tf table:
+    #  * df = docs-per-term == count over the per-doc-DISTINCT term
+    #    explode — array_distinct runs scan-side, so the only
+    #    corpus-growing exchange ships (term) partial counts
+    #    (vocabulary-keyed, map-side combined), never (doc, term) rows;
+    #  * n_docs rides the SAME aggregate as a sentinel term ('\\x00…'
+    #    cannot collide: real tokens are [a-z0-9]+) appended once per
+    #    tokenizable doc, so its df IS count_distinct(doc_id) over the
+    #    old tf — one tokenize pass serves both, and the inner join on
+    #    term drops the sentinel from scoring by construction;
+    #  * the scoring tf only ever reads doc_id < 100, which now prunes
+    #    AT THE SCAN (PushedFilters LessThan) instead of filtering the
+    #    materialized corpus table.
+    # The (term, df) table that IS materialized is vocabulary-sized —
+    # the bounded class the law allows (the zipf/unigram-LM pattern):
+    # measured 1.84 GB at the x100m point vs the 3.1 GB corpus tf it
+    # replaces (the mutated replica inflates vocabulary ~linearly by
+    # design — salted tokens; Zipf corpora grow sub-linearly, so the
+    # gap widens with real data). Warm 5.84 -> 3.44 s at x100m.
+    sent = "\x00n_docs"
+    df_ = (
+        d.select(F.array_distinct(tokens("text")).alias("ts"))
+        .filter(F.size("ts") > 0)
+        .select(
+            F.explode(
+                F.concat(F.col("ts"), F.array(F.lit(sent)))
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .localCheckpoint(eager=True)
+    )
+    n = df_.filter(F.col("term") == sent).select(
+        F.col("df").alias("n_docs")
+    )
+    tf = (
+        d.filter(F.col("doc_id") < 100)
+        .select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
     score = F.col("tf") * F.log(
         F.col("n_docs").cast("double") / F.col("df"))
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
     return (
-        tf.filter(F.col("doc_id") < 100)
-        .join(df_, "term")
+        tf.join(df_, "term")
         .crossJoin(F.broadcast(n))
         .filter(F.col("df") * 2 <= F.col("n_docs"))
         .select("doc_id", "term", "tf", "df", score.alias("score"))
@@ -2645,7 +2688,7 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    d = spread(d)
     # term-frequency table materialized ONCE (r13): vocab_size and the
     # top-500 cut both consume tf, and each consumer otherwise
     # re-inlines the tokenize+count corpus pass (2 parquet scans per
@@ -2748,7 +2791,7 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    d = spread(d)
     tf = (
         d.select("source", F.explode(tokens("text")).alias("term"))
         .groupBy("source", "term")
@@ -2848,7 +2891,7 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    d = spread(d)
     w = tokens("text")
     bigrams = F.expr(
         "transform(sequence(1, size(w) - 1), "
@@ -2949,7 +2992,7 @@ def fts_vocab_porter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from litebase_spark.functions.porter import stem_vocabulary
 
     d = load(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    d = spread(d)
     toks = d.select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = (
         toks.groupBy("doc_id", "term")
@@ -3026,7 +3069,7 @@ def fts_vocab_porter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fts_vocab_col(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    d = spread(d)
     tok = d.select(
         "doc_id",
         F.explode(tokens("text")).alias("term"),
@@ -3095,7 +3138,7 @@ _VOCAB_INSTANCE_TERMS = ("spark", "vector", "merge")
 )
 def fts_vocab_instance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    d = spread(d)
     inst = d.select(
         "doc_id",
         F.lit("text").alias("col"),

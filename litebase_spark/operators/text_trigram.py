@@ -48,7 +48,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from litebase_spark.catalog import load, query
+from litebase_spark.catalog import load, query, spread
 
 
 def trigram_postings(
@@ -288,7 +288,7 @@ def glob_trigram(
 )
 def fts_match_trigram(spark, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    d = spread(d)
     return match_trigram(d, "quer")
 
 
@@ -316,7 +316,7 @@ def fts_match_trigram(spark, sf_dir: str) -> DataFrame:
 )
 def fts_like_trigram(spark, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    d = spread(d)
     return like_trigram(d, "%hash%window%sort%")
 
 
@@ -339,7 +339,7 @@ def fts_like_trigram(spark, sf_dir: str) -> DataFrame:
 )
 def fts_glob_trigram(spark, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    d = spread(d)
     return glob_trigram(d, "*big*table*")
 
 
@@ -375,7 +375,7 @@ def fts_match_trigram_boolean(spark, sf_dir: str) -> DataFrame:
     from litebase_spark.operators.text import fts_match
 
     d = load(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    d = spread(d)
     return fts_match(
         d,
         must=["que", "tab"],

@@ -17,6 +17,17 @@ Flags per query:
                       .collect()/.toPandas()/.toLocalIterator() outside
                       the O(k) allowlist (_ALLOWED_COLLECT) — the
                       "driver materializes the corpus" scale-killer class
+  * EAGER_CHECKPOINT_UNREVIEWED — a localCheckpoint() in operator/
+                      function source outside the reviewed map
+                      (_REVIEWED_CHECKPOINTS). Eager checkpoints run at
+                      BUILD time, so the work they do is excluded from
+                      steady-state warm timings (the r13 advice): every
+                      site must be classified — BOUNDED (cells/vocab/
+                      sketch/model), PROXY (narrow O(n) decision table,
+                      measured MB), LOOP (per-round lineage cap),
+                      OUTPUT (output-sized level table), or CORPUS
+                      (kept only with a measured at-scale A/B + bytes
+                      figure; tools/checkpoint_bytes.py)
 
 Run:  python tools/plan_audit.py [sf_dir]     (default sf0.01)
       python tools/plan_audit.py --selftest   (prove the pushdown
@@ -155,6 +166,81 @@ _ALLOWED_COLLECT = {
     "replacing the corpus-sized assignment checkpoint)",
 }
 
+# Every localCheckpoint site in query-path source (operators/** and the
+# porter stage chain), keyed by ENCLOSING FUNCTION, with its reviewed
+# class. Measured MB figures are tools/checkpoint_bytes.py at the
+# x100-mutated replica (1.8 GB parquet). A new/unlisted site fails the
+# audit until classified here.
+_REVIEWED_CHECKPOINTS = {
+    # --- bounded tables (cells / vocabulary / sketches / models) ---
+    "stem_vocabulary": "BOUNDED vocab (term, stem) map — AQE join sizing "
+    "+ pushdown guard over the unbarriered chain",
+    "with_porter_stem": "LOOP escape hatch (barrier_every, default 0 = "
+    "no barrier — dead code unless an optimizer collapses the chain)",
+    "_cdf_percentiles": "BOUNDED cents-domain cell table",
+    "stats_levene_test": "BOUNDED (arm, cents) cells",
+    "stats_spearman_rho": "BOUNDED 50-row quantity cells",
+    "stats_kendall_tau": "BOUNDED cells",
+    "ts_retention_cohorts": "BOUNDED day-cell / first-seen tables",
+    "ts_cross_correlation": "BOUNDED day-cell tables",
+    "ts_theil_sen": "BOUNDED day-cell tables",
+    "ts_mann_kendall": "BOUNDED day-cell tables",
+    "sketch_hll_union": "BOUNDED HLL registers",
+    "sketch_countmin_topk": "BOUNDED CM sketch",
+    "sketch_hll_intersect": "BOUNDED HLL registers",
+    "text_zipf_fit": "BOUNDED vocab tf (1842 MB @x100m — the mutated "
+    "replica inflates vocab ~linearly by design; Zipf corpora sub-linear)",
+    "text_unigram_logppl": "BOUNDED vocab LM (1842 MB @x100m, same "
+    "replica-inflation caveat)",
+    "text_tfidf_keywords": "BOUNDED vocab (term, df) incl. n_docs "
+    "sentinel (1842 MB @x100m; replaced a 3146 MB corpus tf in r14)",
+    "text_containment_rare": "rare-shingle postings, df-capped (4 MB "
+    "@x100m)",
+    "drift_report_multi": "LAZY (eager=False) plan truncation only — no "
+    "build-time work to exclude from warm timings",
+    # --- narrow O(n) proxy tables (the guide §8 decide-small class) ---
+    "text_bm25": "PROXY (doc, dl, tf_i) longs — 54 MB @x100m (~0.8% of "
+    "corpus)",
+    "text_hybrid_retrieval": "PROXY (doc, dl, tf_i) longs — 54 MB @x100m",
+    "multimodal_phash_dedup": "PROXY (doc, 8-byte hash) decode output — "
+    "42 MB @x100m; the ONE place bodies are decoded",
+    "lsh_candidate_pairs": "PROXY minhash signature rows — 178 MB @x100m "
+    "(dedup_minhash_lsh)",
+    "dedup_incremental_minhash": "PROXY signature rows",
+    "dedup_embedding_lsh_verified": "PROXY emb(id, vec, nrm) + banded "
+    "(id, band, bucket) — 146 MB total @x100m; candidate join + both "
+    "join-backs reuse them",
+    "dedup_semantic": "PROXY emb table reused by cell join sides",
+    "knn_lsh_bucketed": "PROXY emb(id, vec, nrm) reused by both bucket "
+    "join sides",
+    "pipeline_dedup_recall": "PROXY truth-pair hit table",
+    "fts_match": "corpus posting table for the OPTIONS unicode61 "
+    "tokenizer only (190 s vs 3 s @x100 — the ~650-char pattern "
+    "recompiles per output row without it); default tokenizer path "
+    "stays lazy",
+    "fts_phrase_prefix": "PROXY tokenized posting table shared by the "
+    "3 phrase positions",
+    # --- per-round lineage caps in iterative algorithms ---
+    "connected_components": "LOOP per-round label table + edge set",
+    "pagerank": "LOOP per-round rank table + edge set (57 MB @x100m)",
+    "graph_triangle_count": "LOOP/PROXY edge set reused 3 ways",
+    "graph_k_core": "LOOP per-round degree table",
+    "bpe_learn_merges": "LOOP per-round word table (vocab-sized)",
+    "kmeans_fit": "LOOP training-set cache during model fit",
+    "knn_ivf_kmeans": "LOOP training-set cache during model fit",
+    "pq_fit": "LOOP training-set cache during model fit (70 MB @x100m "
+    "via embedding_pq_codes)",
+    "recursive_cte": "LOOP per-round frontier (plans/recursive.py)",
+    # --- output-sized (the query RETURNS this data) ---
+    "json_tree_walk": "OUTPUT per-level frontiers; union of ALL levels "
+    "IS the result (4676 MB mem + 132 MB disk @x100m — bounded by "
+    "output size, not avoidable without 3^depth lineage re-derivation)",
+    # --- corpus-sized, kept on a measured at-scale A/B ---
+    "ts_acf_lags": "CORPUS 1320 MB @x100m — kept on the measured A/B "
+    "(5.0 s without -> 2.4 s with; three consumers of one corpus "
+    "window sort)",
+}
+
 _SCAN_RE = re.compile(r"^\(\d+\) Scan parquet", re.M)
 _ID_RE = re.compile(r"#(\d+)")
 
@@ -247,6 +333,39 @@ def collect_violations() -> list[str]:
     return bad
 
 
+def checkpoint_violations() -> list[str]:
+    """AST-scan query-path source (operators/**, functions/porter.py,
+    plans/recursive.py) for localCheckpoint sites whose enclosing
+    function is not in the reviewed map."""
+    paths = (
+        glob.glob("litebase_spark/operators/**/*.py", recursive=True)
+        + ["litebase_spark/functions/porter.py",
+           "litebase_spark/plans/recursive.py"]
+    )
+    bad = []
+    for path in paths:
+        tree = ast.parse(open(path).read())
+        funcs = [
+            (n.name, n.lineno, n.end_lineno)
+            for n in ast.walk(tree)
+            if isinstance(n, ast.FunctionDef)
+        ]
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "localCheckpoint"
+            ):
+                owner = min(
+                    (f for f in funcs if f[1] <= node.lineno <= f[2]),
+                    key=lambda f: f[2] - f[1],
+                    default=("<module>", 0, 0),
+                )
+                if owner[0] not in _REVIEWED_CHECKPOINTS:
+                    bad.append(f"{owner[0]} ({path}:{node.lineno})")
+    return bad
+
+
 def selftest() -> int:
     """The pushdown heuristic must trip on a plan where a pushable
     filter was (deliberately) not pushed, and stay quiet when it is."""
@@ -307,6 +426,7 @@ def main() -> int:
         rows.append((name, (n_shuf, n_bc), audit_plan(name, plan, simple)))
 
     collects = collect_violations()
+    ckpts = checkpoint_violations()
     flagged = [(n, x, f) for n, x, f in rows if f]
     rows.sort(key=lambda r: (-r[1][0], -r[1][1]))
     with open("PLAN_AUDIT.md", "w") as out:
@@ -332,6 +452,22 @@ def main() -> int:
             )
         for c in collects:
             out.write(f"- {c}\n")
+        out.write(
+            f"\n## Unreviewed eager checkpoints ({len(ckpts)})\n\n"
+        )
+        if not ckpts:
+            out.write(
+                "None — every localCheckpoint site in query-path source "
+                "is classified. Reviewed map (function: class — eager "
+                "checkpoints run at build time, so these are exactly "
+                "the sites whose work is excluded from steady-state "
+                "warm timings; bytes measured with "
+                "tools/checkpoint_bytes.py at x100m):\n\n"
+            )
+            for k, v in sorted(_REVIEWED_CHECKPOINTS.items()):
+                out.write(f"- `{k}`: {v}\n")
+        for c in ckpts:
+            out.write(f"- {c}\n")
         out.write("\n## Shuffle (Exchange) count, descending\n\n")
         out.write("| query | shuffle exchanges | broadcast exchanges |\n"
                   "|---|---|---|\n")
@@ -349,13 +485,16 @@ def main() -> int:
         )
     print(
         f"{len(rows)} plans, {len(flagged)} flagged, "
-        f"{len(collects)} collect violations -> PLAN_AUDIT.md"
+        f"{len(collects)} collect violations, "
+        f"{len(ckpts)} unreviewed checkpoints -> PLAN_AUDIT.md"
     )
     for n, x, f in flagged:
         print(f"  {n}: {f}")
     for c in collects:
         print(f"  DRIVER_COLLECT: {c}")
-    return 1 if (flagged or collects) else 0
+    for c in ckpts:
+        print(f"  EAGER_CHECKPOINT_UNREVIEWED: {c}")
+    return 1 if (flagged or collects or ckpts) else 0
 
 
 if __name__ == "__main__":
