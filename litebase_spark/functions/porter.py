@@ -98,11 +98,29 @@ _DOUBLES_NOT_LSZ = [
 ]
 
 
+def _skel_lit(s: str) -> str:
+    """Skeleton of a REPLACEMENT literal: context-free because no
+    Porter replacement contains 'y' (asserted by porter_stages), so a
+    char is 'a' iff it is a true vowel."""
+    assert "y" not in s
+    return "".join("a" if c in "aeiou" else "c" for c in s)
+
+
 def _suffix_case(w: str, k: str, rules: list[tuple[str, str, str]]) -> str:
     """CASE over (suffix, replacement, cond) rules: longest matching
     suffix wins; if its condition fails the step is a no-op (Porter's
     longest-match-then-condition semantics — no fallthrough). `cond`
-    is one of 'm>0', 'm>1', 'm>1st' (m>1 and stem ends s/t)."""
+    is one of 'm>0', 'm>1', 'm>1st' (m>1 and stem ends s/t).
+
+    Emits the fused 'word|skeleton' encoding (r14): every rule keeps a
+    prefix of the input word and appends a LITERAL suffix, and the
+    skeleton is prefix-stable (each char's class depends only on chars
+    to its left), so the output skeleton is substr(k, 1, ln) plus the
+    literal's context-free skeleton — no full skeleton recomputation.
+    The pair travels as one string ('|' cannot occur in a token or a
+    skeleton) and the caller splits it, keeping every stage expression
+    dialect-neutral (Spark SQL and DuckDB both parse || / substr /
+    position(.. IN ..))."""
     arms = []
     for s1, s2, cond in sorted(rules, key=lambda r: -len(r[0])):
         ln = f"length({w}) - {len(s1)}"
@@ -118,15 +136,29 @@ def _suffix_case(w: str, k: str, rules: list[tuple[str, str, str]]) -> str:
         else:  # pragma: no cover
             raise ValueError(cond)
         rep = f"substr({w}, 1, {ln}) || '{s2}'" if s2 else f"substr({w}, 1, {ln})"
+        repk = (
+            f"substr({k}, 1, {ln}) || '{_skel_lit(s2)}'"
+            if s2
+            else f"substr({k}, 1, {ln})"
+        )
         # FTS5 semantics: a suffix only MATCHES when the stem is
         # non-empty (length > len(suffix)); a guard-failed longest
         # suffix FALLS THROUGH to shorter ones (unlike the published
         # algorithm's stop — pinned by the 'eed' -> 'e' probe)
         arms.append(
             f"WHEN {w} LIKE '%{s1}' AND length({w}) > {len(s1)} THEN "
-            f"CASE WHEN {c} THEN {rep} ELSE {w} END"
+            f"CASE WHEN {c} THEN {rep} || '|' || {repk} "
+            f"ELSE {w} || '|' || {k} END"
         )
-    return "CASE " + " ".join(arms) + f" ELSE {w} END"
+    return "CASE " + " ".join(arms) + f" ELSE {w} || '|' || {k} END"
+
+
+def _split_wk(col: str) -> tuple[str, str]:
+    """Split a fused 'word|skeleton' column back into its halves."""
+    return (
+        f"substr({col}, 1, position('|' IN {col}) - 1)",
+        f"substr({col}, position('|' IN {col}) + 1)",
+    )
 
 
 _STEP2 = [
@@ -165,12 +197,27 @@ def porter_stages(w_in: str = "tok") -> list[tuple[str, str]]:
     """The staged Porter pipeline: ordered (column_name, sql_expr)
     pairs, each expr referencing only `w_in` and earlier columns.
     Dialect-neutral SQL — feed to Spark withColumn(F.expr(...)) or a
-    DuckDB chained-CTE projection identically."""
+    DuckDB chained-CTE projection identically.
+
+    r14: the CV skeleton is computed from scratch ONCE (k0); every
+    later k* derives incrementally. This is sound because the skeleton
+    is PREFIX-STABLE — a char's class ('a'/'c') depends only on chars
+    to its LEFT (true vowels are position-free; word-initial y and the
+    y-after-vowel/consonant alternation resolve left to right) — and
+    every Porter step either keeps the word, truncates it (skeleton =
+    prefix of the old skeleton), or appends a y-free LITERAL (skeleton
+    = old prefix + the literal's context-free skeleton). The r13 chain
+    recomputed the 13-string-pass _skel 8 times per word; this chain
+    pays it once (x100m 18.4M-term vocabulary: ~36 s -> measured in
+    OPTIMIZATION_r14.md), bit-identical output pinned by the FTS5
+    differential test."""
     st: list[tuple[str, str]] = []
+    st.append(("k0", _skel(w_in)))
 
     # step 1a — plural stripping (no measure conditions; the length
     # guards are FTS5's stem-non-empty matching, e.g. the word 'sses'
-    # itself falls through to the bare-s rule -> 'sse')
+    # itself falls through to the bare-s rule -> 'sse'). Truncation
+    # only -> skeleton is the matching prefix of k0.
     st.append(("p1a", f"""CASE
       WHEN {w_in} LIKE '%sses' AND length({w_in}) > 4
         THEN substr({w_in}, 1, length({w_in}) - 2)
@@ -180,7 +227,7 @@ def porter_stages(w_in: str = "tok") -> list[tuple[str, str]]:
       WHEN {w_in} LIKE '%s' AND length({w_in}) > 1
         THEN substr({w_in}, 1, length({w_in}) - 1)
       ELSE {w_in} END"""))
-    st.append(("k1a", _skel("p1a")))
+    st.append(("k1a", "substr(k0, 1, length(p1a))"))
 
     # step 1b — eed / ed / ing (guard-failed 'eed' falls through to
     # 'ed': FTS5 stems the word 'eed' itself to 'e')
@@ -199,7 +246,8 @@ def porter_stages(w_in: str = "tok") -> list[tuple[str, str]]:
       WHEN p1a LIKE '%eed' AND length(p1a) > 3 THEN 0
       WHEN p1b <> p1a THEN 1
       ELSE 0 END"""))
-    st.append(("k1b", _skel("p1b")))
+    # 1b only truncates -> prefix of k1a
+    st.append(("k1b", "substr(k1a, 1, length(p1b))"))
 
     # step 1b fixups (only when ed/ing was stripped)
     doubles = ", ".join(f"'{d}'" for d in _DOUBLES_NOT_LSZ)
@@ -215,7 +263,13 @@ def porter_stages(w_in: str = "tok") -> list[tuple[str, str]]:
            AND {_o_cond('p1b', 'k1b', 'length(p1b)')}
         THEN p1b || 'e'
       ELSE p1b END"""))
-    st.append(("k1f", _skel("p1f")))
+    # 1b-fixup arms: identity (equal length), append 'e' (longer by
+    # exactly 1; 'e' is a true vowel -> 'a'), or truncate 1 (prefix) —
+    # derivable from the LENGTH delta alone
+    st.append(("k1f", """CASE
+      WHEN length(p1f) = length(p1b) THEN k1b
+      WHEN length(p1f) = length(p1b) + 1 THEN k1b || 'a'
+      ELSE substr(k1b, 1, length(p1f)) END"""))
 
     # step 1c — y -> i when the stem has a vowel
     st.append(("p1c", f"""CASE
@@ -223,14 +277,25 @@ def porter_stages(w_in: str = "tok") -> list[tuple[str, str]]:
            AND {_has_vowel('k1f', 'length(p1f) - 1')}
         THEN substr(p1f, 1, length(p1f) - 1) || 'i'
       ELSE p1f END"""))
-    st.append(("k1c", _skel("p1c")))
+    # 1c replaces a final y with i ('i' is a true vowel -> 'a');
+    # length is unchanged, so fire iff the word changed
+    st.append(("k1c", """CASE
+      WHEN p1c <> p1f
+        THEN substr(k1f, 1, length(p1c) - 1) || 'a'
+      ELSE k1f END"""))
 
-    st.append(("p2", _suffix_case("p1c", "k1c", _STEP2)))
-    st.append(("k2", _skel("p2")))
-    st.append(("p3", _suffix_case("p2", "k2", _STEP3)))
-    st.append(("k3", _skel("p3")))
-    st.append(("p4", _suffix_case("p3", "k3", _STEP4)))
-    st.append(("k4", _skel("p4")))
+    w2, k2 = _split_wk("p2wk")
+    st.append(("p2wk", _suffix_case("p1c", "k1c", _STEP2)))
+    st.append(("p2", w2))
+    st.append(("k2", k2))
+    w3, k3 = _split_wk("p3wk")
+    st.append(("p3wk", _suffix_case("p2", "k2", _STEP3)))
+    st.append(("p3", w3))
+    st.append(("k3", k3))
+    w4, k4 = _split_wk("p4wk")
+    st.append(("p4wk", _suffix_case("p3", "k3", _STEP4)))
+    st.append(("p4", w4))
+    st.append(("k4", k4))
 
     # step 5a — final e
     st.append(("p5a", f"""CASE
@@ -243,7 +308,8 @@ def porter_stages(w_in: str = "tok") -> list[tuple[str, str]]:
            AND NOT {_o_cond('p4', 'k4', 'length(p4) - 1')}
         THEN substr(p4, 1, length(p4) - 1)
       ELSE p4 END"""))
-    st.append(("k5a", _skel("p5a")))
+    # 5a only strips a final e -> prefix of k4
+    st.append(("k5a", "substr(k4, 1, length(p5a))"))
 
     # step 5b — ll -> l when m > 1
     st.append(("p5b", f"""CASE

@@ -263,13 +263,21 @@ def profile_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # -- pass 3: ONE portable-HLL branch for all high-NDV columns -------
-    parts = [
-        li.selectExpr(f"{i} AS nd_tag", f"{_BIG_X[c][0]} AS x")
+    # ONE scan + explode (r14): the r5 receipt had the union of 3
+    # column-pruned scans within noise of this shape because Generate
+    # broke whole-stage codegen then; re-measured on Spark 4 at the
+    # x100m point the explode wins every interleaved round (2.8-3.0 s
+    # vs 3.7-4.6 s, identical rows asserted) — one pass over the table
+    # instead of three now beats the codegen break.
+    arms = ", ".join(
+        f"struct({i} AS nd_tag, {_BIG_X[c][0]} AS x)"
         for i, c in enumerate(_BIG_NDV)
-    ]
-    vals = parts[0]
-    for p in parts[1:]:
-        vals = vals.unionAll(p)
+    )
+    vals = li.select(
+        F.explode(F.expr(f"array({arms})")).alias("s")
+    ).select(
+        F.col("s.nd_tag").alias("nd_tag"), F.col("s.x").alias("x")
+    )
     hh = vals
     for alias, expr in h60_fast_steps("x", "spark"):
         hh = hh.withColumn(alias, F.expr(expr))

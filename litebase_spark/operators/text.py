@@ -2994,8 +2994,23 @@ def fts_vocab_porter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     d = spread(d)
     toks = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    # r14 exchange plan (guide §2.4 — operations keyed the same way
+    # share one exchange): the token stream is hash-repartitioned by
+    # TERM once; HashPartitioning(term) satisfies both the
+    # (doc_id, term) pre-agg's clustering and the term-keyed stem
+    # join, so the r13 plan's separate by-(doc,term) and by-term
+    # exchanges collapse into one (45M raw token rows cross it vs the
+    # r13 plan's 30M + 30M agged rows — fewer total row-movements and
+    # one fewer stage barrier; measured equal at x100m where agg CPU
+    # dominates, structurally fewer exchanges at scale). An
+    # all-int-keyed variant (xxhash64(term)/(stem) through the whole
+    # midsection, strings re-attached vocab-sized at the end) was
+    # A/B'd and LOST (~22 -> ~25-30 s at x100m): the re-attachment
+    # dedupe + join + the unavoidable final string sort cost more
+    # than int sorts save — receipt in OPTIMIZATION_r14.md.
     tf = (
-        toks.groupBy("doc_id", "term")
+        toks.repartition(F.col("term"))
+        .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     # Vocabulary straight from the token stream, NOT from tf: distinct
@@ -3017,8 +3032,20 @@ def fts_vocab_porter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # does at every oracle SF); at corpus scale the map is allowed to
     # shuffle. The stem chain inside that checkpoint runs unbarriered
     # (r13): one job, no per-2-stage block-manager round-trips.
+    # Join strategy stays SORT-MERGE (a SHUFFLE_HASH hint on the stems
+    # side was A/B'd at x100m and DIED: 32 concurrent unspillable
+    # build maps over the 18.4M-term vocabulary exhaust execution
+    # memory — 'not enough memory to build hash map'; SMJ spills
+    # gracefully, guide §3.1's stated risk, receipt kept in
+    # OPTIMIZATION_r14.md). At oracle SFs AQE promotes to broadcast.
+    # The (doc, stem) re-agg is keyed by STEM only —
+    # HashPartitioning(stem) satisfies the (doc_id, stem) clustering
+    # AND the final vocabulary rollup's, so the rollup's exchange is
+    # elided.
     ds = (
         tf.join(stems, "term")
+        .select("doc_id", "stem", "c")
+        .repartition(F.col("stem"))
         .groupBy("doc_id", "stem")
         .agg(F.sum("c").alias("c"))
     )
