@@ -1094,23 +1094,33 @@ def ts_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "value"
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-(_EWMA_TAPS - 1), Window.currentRow)
-    )
-    vals = F.collect_list(fp("value")).over(w)
-    num = F.expr(
-        "aggregate(zip_with(vals, sequence(0, size(vals) - 1),"
-        f" (v, i) -> v * shiftleft(1L, i + {_EWMA_TAPS} - size(vals))),"
-        " 0L, (a, x) -> a + x)"
-    )
+    # 32 LAG taps instead of collect_list + zip_with + aggregate: the
+    # r10 shape materialized a 32-long array per row, then allocated a
+    # second zipped array to fold it (3 allocations per output row at
+    # corpus scale). Offset window functions share the ONE sort the
+    # frame version paid, and the weighted sum becomes 32 fused
+    # long multiply-adds in codegen with zero allocations — x100m warm
+    # 10.5 -> 3.4 s (A/B in OPTIMIZATION_r14.md). Exactness: integer
+    # addition is order-free, lag j carries weight 1L << (31 - j)
+    # (== the old 1 << (i + 32 - n) at i = n-1-j), missing taps at a
+    # partition head are NULL -> 0, so num is bit-identical; n (the
+    # available-tap count) comes from the same trailing frame as before.
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = wo.rowsBetween(-(_EWMA_TAPS - 1), Window.currentRow)
+    num = None
+    for j in range(_EWMA_TAPS):
+        tap = F.coalesce(
+            F.lag(F.col("__c"), j).over(wo), F.lit(0).cast("long")
+        ) * F.lit(1 << (_EWMA_TAPS - 1 - j))
+        num = tap if num is None else num + tap
+    n = F.count(F.lit(1)).over(wf)
     denom = F.expr(
-        f"shiftleft(1L, {_EWMA_TAPS})"
-        f" - shiftleft(1L, {_EWMA_TAPS} - size(vals))"
-    ).cast("double")
+        f"CAST(shiftleft(1L, {_EWMA_TAPS})"
+        f" - shiftleft(1L, {_EWMA_TAPS} - __n) AS DOUBLE)"
+    )
     return (
-        e.withColumn("vals", vals)
+        e.withColumn("__c", fp("value"))
+        .withColumn("__n", n)
         .withColumn("ewma", F.round(num / (denom * 100.0), 6))
         .select(
             "user_id",

@@ -473,6 +473,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bit b of simhash = majority vote of bit b across token hashes.
     # SQL expr form: the Python shiftleft() wrapper only takes literal
     # shift amounts, while the SQL function accepts a column.
+    # r14 negative receipt: an allocation-free variant (60 separate
+    # aggregate() folds, one per bit, OR-chained — no filtered-array
+    # copies) LOST the interleaved fresh-JVM x100m A/B decisively,
+    # 19.2 s -> 26.8 s: sixty independent HOF folds each re-walk the
+    # hash array with a lambda call per element, costing more than the
+    # transform+filter shape's 60 array allocations, which at least
+    # share one vectorized codegen span. Reverted; the r10 shape stands
+    # with an at-scale receipt.
     votes = F.expr(
         "transform(sequence(0, 59), "
         "b -> size(filter(h, hv -> (hv & shiftleft(1L, b)) != 0)))"

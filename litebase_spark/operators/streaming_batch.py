@@ -357,9 +357,35 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("c_ts"),
         F.col("value").alias("c_value"),
     )
-    return p.join(
-        c,
+    # r14: TIME-BUCKETED equi join (join_range_interval's shape) instead
+    # of a plain user-keyed join with the interval as a residual — the
+    # residual form compares every click of a user against every
+    # purchase of that user, quadratic in per-user history (x100m warm
+    # 17.6 s); the (user, 30-min bucket) key bounds candidates to one
+    # hour of clicks per probe. Clicks fan out to buckets {b, b+1} (the
+    # two a 30-min look-back from a later purchase can reach), purchases
+    # stay at ONE row so LEFT OUTER still emits exactly one
+    # NULL-extended row per matchless purchase; a matching pair meets
+    # exactly one click copy (copy buckets are distinct, the key picks
+    # the purchase's), so no dedup pass. Value-identical — the residual
+    # range test is unchanged. x100m A/B in OPTIMIZATION_r14.md.
+    _W = 1800
+    pb = p.withColumn(
+        "p_bkt", (F.unix_timestamp("p_ts") / _W).cast("long")
+    )
+    cb = c.withColumn(
+        "c_bkt",
+        F.explode(
+            F.array(
+                (F.unix_timestamp("c_ts") / _W).cast("long"),
+                (F.unix_timestamp("c_ts") / _W).cast("long") + 1,
+            )
+        ),
+    )
+    return pb.join(
+        cb,
         (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_bkt") == F.col("p_bkt"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
         & (F.col("c_ts") < F.col("p_ts")),
         "left",
@@ -424,32 +450,77 @@ def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("c_ts"),
         F.col("value").alias("c_value"),
     )
-    j = p.join(
-        c,
-        (F.col("c_user") == F.col("p_user"))
-        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
-        & (F.col("c_ts") < F.col("p_ts")),
-        "full_outer",
+    # r14: the FULL OUTER interval join decomposes into the bucketed
+    # LEFT join (matched pairs + NULL-extended purchases; see
+    # stream_left_outer_join for the bucket algebra) plus a bucketed
+    # LEFT ANTI join for the click-unmatched rows — a full_outer over
+    # the raw (user, range) predicate pairs every click of a user with
+    # every purchase, quadratic in per-user history (x100m warm 18.6 s).
+    # For the click-perspective joins the PURCHASE side fans out to
+    # buckets {b-1, b} (the two a purchase's 30-min look-back spans), so
+    # a click meets each in-range purchase exactly once and the anti
+    # join drops exactly the clicks with >= 1 in-range purchase.
+    # Watermark-horizon filters are applied per category exactly as the
+    # old post-join filter did. x100m A/B in OPTIMIZATION_r14.md.
+    _W = 1800
+    rng = (
+        F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")
+    ) & (F.col("c_ts") < F.col("p_ts"))
+    pb = p.withColumn(
+        "p_bkt", (F.unix_timestamp("p_ts") / _W).cast("long")
     )
-    matched = F.col("p_event_id").isNotNull() & F.col("c_event_id").isNotNull()
-    return (
-        j.crossJoin(F.broadcast(wm))
-        .filter(
-            matched
-            | (F.col("c_event_id").isNull() & (F.col("p_ts") < F.col("wmk")))
-            | (
-                F.col("p_event_id").isNull()
-                & (
-                    F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")
-                    < F.col("wmk")
-                )
+    cb = c.withColumn(
+        "c_bkt",
+        F.explode(
+            F.array(
+                (F.unix_timestamp("c_ts") / _W).cast("long"),
+                (F.unix_timestamp("c_ts") / _W).cast("long") + 1,
             )
+        ),
+    )
+    left = pb.join(
+        cb,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_bkt") == F.col("p_bkt"))
+        & rng,
+        "left",
+    )
+    p_part = (
+        left.crossJoin(F.broadcast(wm))
+        .filter(
+            F.col("c_event_id").isNotNull()
+            | (F.col("p_ts") < F.col("wmk"))
         )
         .select(
-            "p_event_id", "p_user", "p_ts", "c_event_id", "c_user", "c_ts",
-            "c_value",
+            "p_event_id", "p_user", "p_ts", "c_event_id", "c_user",
+            "c_ts", "c_value",
         )
     )
+    pe = pb.withColumn(
+        "pj_bkt",
+        F.explode(F.array(F.col("p_bkt") - 1, F.col("p_bkt"))),
+    )
+    c_unmatched = c.join(
+        pe,
+        (F.col("c_user") == F.col("p_user"))
+        & ((F.unix_timestamp("c_ts") / _W).cast("long")
+           == F.col("pj_bkt"))
+        & rng,
+        "left_anti",
+    )
+    c_part = (
+        c_unmatched.crossJoin(F.broadcast(wm))
+        .filter(
+            F.col("c_ts") + F.expr("INTERVAL 30 MINUTES") < F.col("wmk")
+        )
+        .select(
+            F.lit(None).cast("long").alias("p_event_id"),
+            F.lit(None).cast("long").alias("p_user"),
+            F.lit(None).cast(c.schema["c_ts"].dataType).alias("p_ts"),
+            "c_event_id", "c_user", "c_ts", "c_value",
+        )
+    )
+    return p_part.unionByName(c_part)
 
 
 from litebase_spark.operators.asof import SCD2_ORACLE  # noqa: E402

@@ -1804,7 +1804,7 @@ def _hls_oracle() -> str:
     tags=("text", "quality", "model"),
 )
 def text_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from litebase_spark.functions.portable import h60_spark
+    from litebase_spark.functions.portable import h60_py
 
     d = load(spark, sf_dir, "documents")
     d = spread(d)
@@ -1813,11 +1813,32 @@ def text_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "concat(w, transform(sequence(1, size(w) - 1),"
         " i -> concat(element_at(w, i), '_', element_at(w, i + 1))))"
     )
-    bucket = f"({h60_spark('u')} % {_HLS_BUCKETS})"
-    wnum = _hls_wnum_spark(bucket)
-    z = F.expr(
-        f"CAST(aggregate(fs, 0L, (acc, u) -> acc + ({wnum})) AS DOUBLE)"
-        f" / 1000.0 / size(fs)"
+    # The per-bucket weight is a function of the BUCKET ID alone, and the
+    # bucket space is bounded (4096) — so the inner md5
+    # (h60('w_' || bucket)) is precomputed HERE into a plan-literal
+    # weight array and the fold does one element_at instead of a second
+    # md5 per feature. This is exactly the deployment shape the
+    # description promises (broadcast trained-weights array indexed by
+    # bucket id); h60_py is the Python twin of h60_spark, so every
+    # weight is bit-identical to the expression it replaces (pinned by
+    # the unchanged oracle, which still derives weights in SQL).
+    # x100m warm 11.2 -> 6.6 s (OPTIMIZATION_r14.md).
+    warr = F.lit(
+        [h60_py(f"w_{i}") % 2001 - 1000 for i in range(_HLS_BUCKETS)]
+    )
+
+    def _wnum(u):
+        h = F.conv(F.substring(F.md5(u), 1, 15), 16, 10).cast("long")
+        return F.element_at(
+            warr, (h % F.lit(_HLS_BUCKETS)).cast("int") + F.lit(1)
+        ).cast("long")
+
+    z = (
+        F.aggregate(
+            F.col("fs"), F.lit(0).cast("long"), lambda a, u: a + _wnum(u)
+        ).cast("double")
+        / 1000.0
+        / F.size("fs")
     )
     prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z")))
     return (
@@ -2094,22 +2115,43 @@ def text_dup_5gram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # guard short docs via NULL grams inside the projection (a pushed
     # size(w) filter re-evaluates the tokenizer in the scan stage);
     # drop the NULL rows above the Generate where nothing can push down
-    g = tw.select(
-        "doc_id",
-        F.explode_outer(F.when(F.size("w") >= 5, grams5)).alias("gram"),
-    ).filter(F.col("gram").isNotNull())
     from pyspark.sql import Window
 
-    # Collapse to (doc, gram, cnt) FIRST: rows are deduped per (doc,
-    # gram), so the document frequency of a gram is simply its ROW
-    # COUNT — computed as an unordered window count over the gram key
-    # instead of a separate aggregate + join-back (round 3 paid two
-    # more exchanges building df_ and re-shuffling per for the join;
-    # the window reuses one gram-keyed exchange for both the frequency
-    # and the carry-through of cnt). Measured ~2.3x at sf0.1 vs joining
-    # raw occurrences against a count_distinct, and one stage barrier
-    # fewer than the join formulation.
-    per = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    # Collapse to (doc, gram, cnt) SCAN-SIDE (r14): the r13 shape
+    # exploded every gram occurrence and paid a (doc, gram)-keyed
+    # hash-aggregate exchange just to dedupe within-doc repeats. The
+    # in-doc histogram is computable inside the projection — sort the
+    # doc's gram-hash array, take positions where the value changes,
+    # diff consecutive positions for counts — so the Generate emits
+    # (doc, gram, cnt) rows that are ALREADY distinct per doc and the
+    # first corpus exchange disappears (3 exchanges -> 2; the survivors
+    # are the designed gram-keyed window and the final doc rollup).
+    # Value-identical: same _h60 gram keys, cnt = in-doc occurrence
+    # count either way; int64 sort order is total so the histogram is
+    # deterministic.
+    sorted_g = tw.select(
+        "doc_id",
+        F.when(F.size("w") >= 5, F.sort_array(grams5)).alias("s"),
+    )
+    starts = F.expr(
+        "filter(sequence(1, size(s)), i -> i = 1 OR "
+        "element_at(s, i) != element_at(s, i - 1))"
+    )
+    staged = sorted_g.select("doc_id", "s", starts.alias("st"))
+    pairs = F.expr(
+        "transform(sequence(1, size(st)), k -> struct("
+        "element_at(s, element_at(st, k)) AS gram, "
+        "CAST(IF(k = size(st), size(s) + 1, element_at(st, k + 1)) "
+        "     - element_at(st, k) AS BIGINT) AS cnt))"
+    )
+    per = (
+        staged.select(
+            "doc_id", F.explode_outer(pairs).alias("p")
+        )
+        .filter(F.col("p").isNotNull())
+        .select("doc_id", F.col("p.gram").alias("gram"),
+                F.col("p.cnt").alias("cnt"))
+    )
     pf = per.withColumn(
         "ndocs", F.count(F.lit(1)).over(Window.partitionBy("gram"))
     )
@@ -2597,29 +2639,47 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = F.expr(
         f"transform(sequence(1, size(w) - 2), i -> {_h60_spark(gram)})"
     )
-    g = (
-        tw.select(
-            "doc_id",
-            (F.size("w") - 2).alias("n_grams"),
-            F.posexplode_outer(
-                F.when(F.size("w") >= 6, grams)
-            ).alias("pos0", "h"),
+    # r14: the whole selection is PER-DOCUMENT — the sliding min runs
+    # over the doc's own gram sequence and the (fp, n_sel) rollup keys
+    # on (doc, fp) — so nothing needs to leave the scan stage: the r8
+    # shape exploded every gram and paid a doc-keyed exchange + window
+    # sort just to slide a width-4 min over an array it already had.
+    # Compute the per-position mins scan-side (least of 4 element_at),
+    # histogram them with the sorted-array trick (see
+    # text_dup_5gram_fraction), and emit (doc, fp, n_sel) rows that are
+    # already the result: ZERO exchanges in the final plan (the
+    # conditional spread() repartition fires only on single-split
+    # fixture scans). Value-identical: same gram hashes, same window
+    # positions 1..n_grams-3, min is order-free, and the (doc, fp)
+    # groups are exactly the histogram's distinct values.
+    # x100m A/B in OPTIMIZATION_r14.md.
+    mins = F.expr(
+        f"transform(sequence(1, size(g) - {_WINNOW_W - 1}), i -> "
+        + "least("
+        + ", ".join(
+            f"element_at(g, i + {k})" for k in range(_WINNOW_W)
         )
-        .filter(F.col("h").isNotNull())
-        .select(
-            "doc_id", "n_grams", (F.col("pos0") + 1).alias("pos"), "h"
-        )
+        + "))"
     )
-    win = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(0, _WINNOW_W - 1)
+    staged = tw.select(
+        "doc_id", F.when(F.size("w") >= 6, grams).alias("g")
+    ).select("doc_id", F.sort_array(mins).alias("s"))
+    starts = F.expr(
+        "filter(sequence(1, size(s)), i -> i = 1 OR "
+        "element_at(s, i) != element_at(s, i - 1))"
     )
-    sel = g.select(
-        "doc_id", "n_grams", "pos", F.min("h").over(win).alias("fp")
-    ).filter(F.col("pos") <= F.col("n_grams") - (_WINNOW_W - 1))
-    return sel.groupBy("doc_id", "fp").agg(
-        F.count(F.lit(1)).alias("n_sel")
+    pairs = F.expr(
+        "transform(sequence(1, size(st)), k -> struct("
+        "element_at(s, element_at(st, k)) AS fp, "
+        "CAST(IF(k = size(st), size(s) + 1, element_at(st, k + 1)) "
+        "     - element_at(st, k) AS BIGINT) AS n_sel))"
+    )
+    return (
+        staged.select("doc_id", "s", starts.alias("st"))
+        .select("doc_id", F.explode_outer(pairs).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select("doc_id", F.col("p.fp").alias("fp"),
+                F.col("p.n_sel").alias("n_sel"))
     )
 
 

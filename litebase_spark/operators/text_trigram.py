@@ -64,14 +64,26 @@ def trigram_postings(
     stage."""
     t = F.col(text_col) if case_sensitive else F.lower(F.col(text_col))
     src = docs.select(F.col(id_col), t.alias("__t"))
-    grams = F.expr(
+    # r14: explode the POSITION SEQUENCE (an int array) and compute the
+    # trigram after the Generate, instead of materializing a
+    # len-element array of 3-char strings per document before it. The
+    # Generate and the substring/probe filter above it fuse into one
+    # WholeStageCodegen span, so per-position work is one substring
+    # call — the r13 shape additionally allocated the full trigram
+    # array per doc (len x ~19-byte UTF8Strings) just to throw it into
+    # the explode. Output identical: pos = i - 1 (0-based), tri =
+    # substring(t, i, 3). x100m A/B in OPTIMIZATION_r14.md.
+    idx = F.expr(
         "CASE WHEN char_length(__t) >= 3 THEN "
-        "transform(sequence(1, char_length(__t) - 2), "
-        "i -> substring(__t, i, 3)) "
-        "ELSE cast(array() as array<string>) END"
+        "sequence(1, char_length(__t) - 2) "
+        "ELSE cast(array() as array<int>) END"
     )
     return src.select(
-        F.col(id_col), F.posexplode(grams).alias("pos", "tri")
+        F.col(id_col), "__t", F.explode(idx).alias("i")
+    ).select(
+        F.col(id_col),
+        (F.col("i") - 1).alias("pos"),
+        F.expr("substring(__t, i, 3)").alias("tri"),
     )
 
 

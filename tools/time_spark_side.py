@@ -21,9 +21,26 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
+import re
+import subprocess
 import sys
 import threading
 import time
+
+# Queries whose x100m executions hold multi-GB state (embedding-pair
+# giants): running them back-to-back inside ONE long-lived JVM degrades
+# every successor (GC-locker thrash after a capped/cancelled giant), so
+# the r13 sweep table showed them ">cap" while isolated fresh-JVM runs
+# measured 53-98 s. With --x they run in a forked fresh JVM each (same
+# script, single-name invocation; the replica marker makes the rebuild
+# a no-op), so the committed table carries the honest isolated numbers.
+ISOLATE_AT_X = (
+    "dedup_embedding_blocked",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh_verified",
+    "dedup_semantic",
+)
 
 
 def _timed_noop(spark, name, builder, sf_dir, cap):
@@ -54,6 +71,45 @@ def _timed_noop(spark, name, builder, sf_dir, cap):
         out["err"] = f">cap {cap:.0f}s (job group cancelled)"
         out["capped"] = True
     return out
+
+
+def _forked_run(name: str, args, cap: float) -> dict:
+    """Run one query in a FRESH subprocess JVM (same script, single
+    name). Returns the same dict shape as _timed_noop. The replica
+    build is a marker-file no-op in the child; budget JVM+replica
+    startup on top of the cap."""
+    cmd = [sys.executable, os.path.abspath(__file__), "--cap", str(cap)]
+    if args.x:
+        cmd += ["--x", str(args.x)]
+        if args.mutate:
+            cmd += ["--mutate"]
+    else:
+        cmd += ["--sf-dir", args.sf_dir]
+    cmd.append(name)
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=cap + 300,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+    except subprocess.TimeoutExpired:
+        return {"err": f">cap {cap:.0f}s (isolated JVM timed out)",
+                "capped": True}
+    m = re.search(
+        rf"^\[1/1\] {re.escape(name)} ([0-9.]+)s$",
+        proc.stdout, re.MULTILINE,
+    )
+    if m:
+        return {"sec": float(m.group(1))}
+    m = re.search(
+        rf"^\[1/1\] {re.escape(name)} ERR (.*)$",
+        proc.stdout, re.MULTILINE,
+    )
+    if m:
+        return {"err": m.group(1) + " [isolated JVM]",
+                "capped": ">cap" in m.group(1)}
+    tail = (proc.stderr or proc.stdout).strip().splitlines()
+    return {"err": "isolated JVM produced no timing: "
+            + (tail[-1][:120] if tail else f"rc={proc.returncode}")}
 
 
 def main() -> int:
@@ -132,9 +188,18 @@ def main() -> int:
             return False
 
     names = args.names or sorted(REGISTRY)
+    # Full --x sweeps fork the embedding giants into fresh JVMs (see
+    # ISOLATE_AT_X). Explicit-name invocations never fork — that is the
+    # recursion guard for the child process.
+    isolate = set(ISOLATE_AT_X) if (args.x and not args.names) else set()
     timed, bad = [], []
     for i, name in enumerate(names):
-        r = _timed_noop(spark, name, REGISTRY[name].builder, sf_dir, cap)
+        if name in isolate:
+            r = _forked_run(name, args, cap)
+        else:
+            r = _timed_noop(
+                spark, name, REGISTRY[name].builder, sf_dir, cap
+            )
         if "err" in r and not r.get("capped") and not alive():
             r["err"] = (
                 f"JVM died executing this query at this scale "
