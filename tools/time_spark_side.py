@@ -36,6 +36,11 @@ import time
 # script, single-name invocation; the replica marker makes the rebuild
 # a no-op), so the committed table carries the honest isolated numbers.
 ISOLATE_AT_X = (
+    "dedup_components",  # ngram-pair build + components loop: build
+    #                      alone is ~110 s at x100m, over the 120 s
+    #                      in-thread budget (r13 measured it at 0.19 s
+    #                      timed only because build+warm squeaked under
+    #                      the cap that day)
     "dedup_embedding_blocked",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh_verified",
@@ -195,7 +200,11 @@ def main() -> int:
     timed, bad = [], []
     for i, name in enumerate(names):
         if name in isolate:
-            r = _forked_run(name, args, cap)
+            # the isolated giants legitimately run 50-100 s warm, and
+            # the in-thread budget covers build + warm + timed — a 120 s
+            # cap would re-cap exactly the queries isolation exists to
+            # measure. 480 s bounds a runaway without censoring them.
+            r = _forked_run(name, args, max(cap, 480.0))
         else:
             r = _timed_noop(
                 spark, name, REGISTRY[name].builder, sf_dir, cap
